@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (TPC-H Q1-style pricing
+summary) on sf0.001. ``queries()`` / ``oracle_sql()`` expose the full
+registered operator inventory from free_etl_spark (SURVEY.md §2) —
+each query callable takes (spark, sf_dir) and returns a DataFrame;
+each oracle is ANSI SQL DuckDB runs on the same parquet tables.
+Queries without an oracle entry (approx sketches, engine-specific LSH,
+simhash bit hashing) get the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -13,26 +15,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import free_etl_spark.queries as _q
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _q.QUERIES["tpch_q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(_q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalent for each SQL-expressible
+    query (same column aliases as the Spark result)."""
+    return dict(_q.ORACLES)

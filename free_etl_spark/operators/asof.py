@@ -1,0 +1,72 @@
+"""As-of (backward) join — an operator Spark lacks as a builtin
+(SURVEY.md §2B "as-of join").
+
+Implementation is the scalable union-and-carry-forward pattern rather
+than a per-key nested-loop: tag both inputs, union them, and within
+each key partition ordered by time let ``last(<right payload>,
+ignorenulls=True)`` carry the most recent right-side row forward onto
+each left row. Cost: ONE shuffle of (|L|+|R|) rows on the join key —
+no row explosion, no driver loops — so it holds at 100 TB where a
+range-join would quadratically explode on hot keys.
+
+Tie rule: a right row with ts equal to the left row's ts matches
+(``<=`` semantics, like pandas ``merge_asof`` / DuckDB ``ASOF JOIN``):
+right rows sort before left rows at equal timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    payload_prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the payload of the latest right row
+    with the same ``on`` keys and ``right[right_ts] <= left[left_ts]``.
+
+    Returns the left DataFrame with ``{payload_prefix}{right_ts}`` and
+    ``{payload_prefix}{c}`` for each payload column (NULL when no right
+    row precedes the left row).
+    """
+    lcols = left.columns
+    payload = F.struct(
+        F.col(right_ts).alias(right_ts), *[F.col(c).alias(c) for c in payload_cols]
+    )
+
+    tagged_r = right.select(
+        *[F.col(k).alias(k) for k in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),  # right sorts first at ts ties → '<=' semantics
+        payload.alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
+    )
+    tagged_l = left.select(
+        *[F.col(k).alias(k) for k in on],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(tagged_r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c) for c in lcols if c not in on],
+    )
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_r.unionByName(tagged_l).withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        *lcols,
+        F.col(f"__match.{right_ts}").alias(f"{payload_prefix}{right_ts}"),
+        *[F.col(f"__match.{c}").alias(f"{payload_prefix}{c}") for c in payload_cols],
+    )
+    return out

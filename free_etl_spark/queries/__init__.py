@@ -1,0 +1,13 @@
+"""Import all query modules so their @query registrations run."""
+
+from free_etl_spark.queries import (  # noqa: F401
+    relational,
+    windows,
+    setops,
+    scalars,
+    events,
+    text,
+    dedup,
+    similarity,
+)
+from free_etl_spark.registry import ORACLES, QUERIES  # noqa: F401

@@ -1,0 +1,325 @@
+"""Near-duplicate detection over the documents/embeddings tables
+(north-star extension ops — SURVEY.md §2B "fuzzy/near dedup").
+
+Four families, all shuffle-bounded (no driver loops, no cartesian
+products except where semantically required and capped):
+
+- n-gram Jaccard:   shingle → inverted-index self-join → exact Jaccard
+- MinHash + LSH:    deterministic md5 minhash signatures → banded
+                    buckets → candidate pairs → exact-Jaccard verify
+                    (expressed relationally, so DuckDB can oracle it)
+- SimHash:          16-bit token-hash sign aggregation (rows-only check)
+- embedding cosine: pairwise cosine ≥ τ near-dup pairs
+
+The scale path for all of these is the same shape: candidate
+generation via a key-equality join on a compact sketch (shingle /
+band / bucket), never an uncapped cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from free_etl_spark.registry import query
+from free_etl_spark.tables import load_table
+
+_NGRAM = 3
+_JACCARD_T = 0.2
+_N_HASHES = 8
+_N_BANDS = 4  # rows per band = 2
+
+# shared DuckDB CTE: distinct word-3-gram shingles per document
+_SH_SQL = f"""
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    ser AS (SELECT i FROM generate_series(1, 4096) AS g(i)),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+{_NGRAM - 1}], ' ') AS sh
+           FROM t JOIN ser ON ser.i <= len(toks) - {_NGRAM - 1}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-n-gram shingles per doc: doc_id, sh."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    return (
+        docs.filter(F.size("toks") >= _NGRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (_NGRAM - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, _NGRAM)),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+def _jaccard_pairs(shingles: DataFrame) -> DataFrame:
+    """Inverted-index self-join → (doc_a, doc_b, inter, jaccard)."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SH_SQL},
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter,
+           ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM cand
+    JOIN sizes sa ON cand.doc_a = sa.doc_id
+    JOIN sizes sb ON cand.doc_b = sb.doc_id
+    WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= {_JACCARD_T}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs ≥ τ. The self-join keys on
+    the shingle (inverted index), so cost is Σ per-shingle C(df,2) —
+    at larger scale the MinHash/LSH variant below bounds this by
+    banding instead of exact posting lists."""
+    pairs = _jaccard_pairs(_shingles(spark, sf_dir))
+    return pairs.filter(F.col("jaccard") >= _JACCARD_T)
+
+
+def _minhash_band_sql() -> str:
+    """DuckDB oracle for the banded minhash candidate generation."""
+    sig_cols = ", ".join(
+        f"MIN(CASE WHEN seed = {s} THEN h END) AS h{s}" for s in range(_N_HASHES)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(h{2 * b} || h{2 * b + 1}) AS band_key FROM sig"
+        for b in range(_N_BANDS)
+    )
+    return f"""
+    seeds AS (SELECT s AS seed FROM generate_series(0, {_N_HASHES - 1}) AS g(s)),
+    hashes AS (SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || '|' || sh) AS h
+               FROM sh CROSS JOIN seeds),
+    sig AS (SELECT doc_id, {sig_cols} FROM hashes GROUP BY doc_id),
+    bands AS ({bands}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id)
+    """
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SH_SQL},
+    {_minhash_band_sql()},
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= {_JACCARD_T}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection, fully deterministic (md5-based
+    minhash → DuckDB can verify it):
+
+    1. signature: per doc, min over shingles of md5(seed||'|'||shingle)
+       for 8 seeds  (groupBy doc — one shuffle)
+    2. banding: 4 bands × 2 rows; band key = md5(sig_i||sig_j)
+    3. candidates: docs sharing any band bucket (join on band key —
+       the LSH trick: cost scales with bucket collisions, not |docs|²)
+    4. verify: exact Jaccard on candidate pairs only.
+    """
+    sh = _shingles(spark, sf_dir)
+    seeds = spark.range(_N_HASHES).select(F.col("id").cast("int").alias("seed"))
+    hashes = sh.crossJoin(F.broadcast(seeds)).select(
+        "doc_id",
+        "seed",
+        F.md5(
+            F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh")).cast(
+                "binary"
+            )
+        ).alias("h"),
+    )
+    sig = hashes.groupBy("doc_id").agg(
+        *[
+            F.min(F.when(F.col("seed") == s, F.col("h"))).alias(f"h{s}")
+            for s in range(_N_HASHES)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).cast("binary")
+                ).alias("band_key"),
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verify candidates with exact jaccard
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("da"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sha, F.col("doc_a") == F.col("da"))
+        .join(shb, (F.col("doc_b") == F.col("db")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        6,
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_T)
+    )
+
+
+@query("dedup_simhash")  # rows-only: bit-level hashing not portable to the oracle
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures: per distinct token, take 16 bits of
+    md5; per bit position sum +1/-1 across tokens; sign → signature
+    bit. Output one signature per document (hamming-ball pairing is a
+    follow-on band join on the signature)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    h16 = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 4), 16, 10).cast(
+        "int"
+    )
+    toks = docs.select("doc_id", h16.alias("h"))
+    weights = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"w{j}")
+            for j in range(16)
+        ]
+    )
+    simhash = None
+    for j in range(16):
+        bit = F.when(F.col(f"w{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return weights.select(
+        "doc_id", simhash.cast("long").alias("simhash16")
+    )
+
+
+_COS_T = 0.45
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             SQRT(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                 / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                / (a.nrm * b.nrm), 6) >= {_COS_T}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ τ). This is the
+    exact O(n²) baseline — correct at sf0.01; the LSH-bucketed variant
+    (sim_ann_lsh) is the 100 TB path. Dot product stays JVM-side via
+    zip_with + aggregate fold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    n = emb.select("vec_id", "embedding", nrm.alias("nrm"))
+    a = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cosine = F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _COS_T)
+    )

@@ -1,0 +1,168 @@
+"""Event-table analytics: stats aggregation, as-of join,
+lag-gap sessionization, time bucketing. ``ts_us`` (µs since epoch,
+BIGINT) is the canonical event-time column (see tables.py — the raw
+parquet stores nanosecond timestamps Spark cannot read natively);
+DuckDB oracles derive the identical value via epoch_us(CAST(ts AS
+TIMESTAMP)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from free_etl_spark.operators.asof import asof_join_backward
+from free_etl_spark.registry import query
+from free_etl_spark.tables import load_table
+
+
+@query(
+    "agg_stats_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)                          AS event_cnt,
+           COUNT(DISTINCT user_id)           AS uniq_users,
+           MIN(value)                        AS min_value,
+           MAX(value)                        AS max_value,
+           ROUND(SUM(value), 2)              AS sum_value,
+           ROUND(AVG(value), 4)              AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("event_cnt"),
+        F.countDistinct("user_id").alias("uniq_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+@query(
+    "events_hourly_counts",
+    oracle="""
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,
+           event_type,
+           COUNT(*) AS event_cnt,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation (the batch analogue of a tumbling
+    window; the streaming variant lives in streaming/)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "join_asof_events",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      FROM events WHERE event_type = 'purchase'
+    ), s AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts_us, value AS s_value
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.event_id, p.user_id, p.ts_us, p.value,
+           s.s_ts_us AS asof_ts_us, s.s_value AS asof_value
+    FROM p ASOF LEFT JOIN s
+      ON p.user_id = s.user_id AND p.ts_us >= s.s_ts_us
+    """,
+)
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    signup at-or-before it (see operators/asof.py for the scalable
+    union+carry-forward plan; DuckDB's native ASOF JOIN is the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts_us").alias("s_ts_us"), F.col("value").alias("s_value")
+    )
+    return asof_join_backward(
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="s_ts_us",
+        payload_cols=["s_value"],
+        payload_prefix="asof_",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        F.col("asof_s_ts_us").alias("asof_ts_us"),
+        F.col("asof_s_value").alias("asof_value"),
+    )
+
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                       OR ts_us - LAG(ts_us) OVER w > {_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, ts_us,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag-gap flag + running sum assigns session
+    ids in one shuffle on user_id (the streaming variant uses
+    session_window in streaming/)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > _GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("is_new").over(w_run).cast("long")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )

@@ -1,0 +1,514 @@
+"""Relational core: scans, filters, joins (equi/broadcast/outer/semi/
+anti/range), aggregations (basic, distinct, approx, rollup, cube,
+grouping sets), sorts and limits.
+
+Everything here is pure DataFrame API — Catalyst handles pushdown,
+pruning, join selection and AQE handles skew/coalescing at scale. Small
+dimension sides are broadcast explicitly. (SURVEY.md §2B.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from free_etl_spark.registry import query
+from free_etl_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ── TPC-H-style analytical queries ──────────────────────────────────
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
+           ROUND(AVG(l_discount), 6)                                   AS avg_disc,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary. One scan + one partial-then-final
+    hash aggregate on two low-cardinality keys — no skew risk, the
+    only shuffle carries <10 groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: filtered 3-way join + agg + top-10. customer is tiny
+    relative to lineitem → broadcast it; the orders⋈lineitem join
+    shuffles on orderkey (uniform key, no salt needed)."""
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_supplier",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way join. region/nation/supplier/customer are all
+    dimension-sized → broadcast chain; only orders⋈lineitem shuffles."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    nr = nation.join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+    snr = supplier.join(broadcast(nr), supplier.s_nationkey == nr.n_nationkey)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(snr), li.l_suppkey == snr.s_suppkey)
+        .join(
+            broadcast(customer),
+            (orders.o_custkey == customer.c_custkey)
+            & (customer.c_nationkey == snr.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan+filter+global agg. All four predicates push
+    down to the parquet scan (verify via PushedFilters in .explain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(c_acctbal, 2) AS acctbal,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item revenue per customer, top 20."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# ── join variants ───────────────────────────────────────────────────
+
+
+@query(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT n_name, c_mktsegment,
+           COUNT(*) AS order_cnt,
+           ROUND(SUM(o_totalprice), 2) AS total_spend
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name, c_mktsegment
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim⋈dim with explicit broadcast of both dimensions —
+    zero shuffle on the fact side until the final small aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "join_left_outer_agg",
+    oracle="""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS order_cnt,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spend
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 200000
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no qualifying orders
+    (COUNT skips NULLs → 0 for them)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one big order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no big order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "join_range_bands",
+    oracle="""
+    SELECT b.band_name,
+           COUNT(*) AS item_cnt,
+           ROUND(SUM(l_extendedprice), 2) AS band_price
+    FROM lineitem l
+    JOIN (VALUES ('small', 0.0, 10.0), ('medium', 10.0, 25.0),
+                 ('large', 25.0, 40.0), ('xl', 40.0, 51.0))
+         AS b(band_name, lo, hi)
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band_name
+    """,
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join of a fact table against a tiny band table.
+    The band side is broadcast → a BroadcastNestedLoopJoin that scans
+    lineitem exactly once; at 100 TB the band side stays 4 rows so this
+    remains a map-side-only plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 10.0), ("medium", 10.0, 25.0), ("large", 25.0, 40.0), ("xl", 40.0, 51.0)],
+        "band_name string, lo double, hi double",
+    )
+    return (
+        li.join(
+            broadcast(bands),
+            (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi),
+        )
+        .groupBy("band_name")
+        .agg(
+            F.count(F.lit(1)).alias("item_cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("band_price"),
+        )
+    )
+
+
+# ── aggregation variants ────────────────────────────────────────────
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS order_cnt,
+           COUNT(DISTINCT o_custkey) AS uniq_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (Catalyst expands to a two-phase
+    partial-distinct plan automatically)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.countDistinct("o_custkey").alias("uniq_customers"),
+        )
+    )
+
+
+@query("agg_approx_distinct")  # no SQL oracle: HLL estimates are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB-scale substitute
+    for COUNT(DISTINCT): one pass, constant memory per group, no
+    distinct-expand shuffle. Rows-only check (estimates differ across
+    engines by design)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.count(F.lit(1)).alias("event_cnt"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           COUNT(*) AS cust_cnt,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("cust_cnt"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS line_cnt,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the two lineitem flags (all 2^2 grouping combinations)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("line_cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS order_cnt,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (expressed in Spark SQL over a temp view)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("fes_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS order_cnt,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM fes_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ── sort / limit ────────────────────────────────────────────────────
+
+
+@query(
+    "sort_limit_top100",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def sort_limit_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heaps + driver merge, no full sort shuffle (stays O(k) memory at
+    any scale)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+        .orderBy(
+            F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        .limit(100)
+    )

@@ -1,0 +1,179 @@
+"""Scalar expression coverage: string / date / math / JSON / array
+functions — all JVM-side builtins (whole-stage codegen, no Python in
+the row path). Casts pin types where Spark and DuckDB defaults differ
+(Spark length()→INT vs DuckDB BIGINT, Spark ceil()→BIGINT vs DuckDB
+DOUBLE, …). (SURVEY.md §2B "scalar fns".)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from free_etl_spark.registry import query
+from free_etl_spark.tables import load_table
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT)                          AS text_len,
+           UPPER(SUBSTR(text, 1, 12))                            AS head_upper,
+           REPLACE(SUBSTR(text, 1, 30), ' ', '_')                AS head_snake,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, 'a', '')) AS BIGINT) AS a_count,
+           CAST(STRPOS(text, 'data') AS BIGINT)                  AS data_pos,
+           TRIM(CONCAT('  ', lang, '  '))                        AS lang_trim,
+           LPAD(source, 8, '0')                                  AS source_pad,
+           REVERSE(SUBSTR(text, 1, 6))                           AS head_rev
+    FROM documents
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("text_len"),
+        F.upper(F.substring("text", 1, 12)).alias("head_upper"),
+        F.replace(F.substring("text", 1, 30), F.lit(" "), F.lit("_")).alias(
+            "head_snake"
+        ),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("a"))))
+        .cast("long")
+        .alias("a_count"),
+        F.instr("text", "data").cast("long").alias("data_pos"),
+        F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit("  "))).alias("lang_trim"),
+        F.lpad("source", 8, "0").alias("source_pad"),
+        F.reverse(F.substring("text", 1, 6)).alias("head_rev"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)     AS order_year,
+           CAST(month(o_orderdate) AS BIGINT)    AS order_month,
+           CAST(day(o_orderdate) AS BIGINT)      AS order_day,
+           CAST(quarter(o_orderdate) AS BIGINT)  AS order_quarter,
+           date_trunc('month', o_orderdate)      AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start,
+           CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date
+    FROM orders
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("timestamp_ntz")
+        .alias("month_start"),
+        F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_date"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SQRT(l_extendedprice), 6)           AS price_sqrt,
+           ROUND(LN(l_extendedprice + 1), 6)         AS price_ln,
+           ROUND(POWER(1 + l_discount, 3), 6)        AS disc_pow,
+           CAST(CEIL(l_extendedprice / 1000) AS BIGINT)  AS price_kceil,
+           CAST(FLOOR(l_quantity / 7) AS BIGINT)     AS qty_bucket,
+           ABS(l_tax - l_discount)                   AS tax_disc_gap,
+           l_orderkey % 7                            AS key_mod,
+           GREATEST(l_tax, l_discount)               AS max_rate,
+           LEAST(l_tax, l_discount)                  AS min_rate,
+           ROUND(SIN(l_quantity), 6)                 AS qty_sin
+    FROM lineitem
+    WHERE l_orderkey % 5 = 0
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(F.col("l_discount") + 1, F.lit(3)), 6).alias("disc_pow"),
+        F.ceil(F.col("l_extendedprice") / 1000).cast("long").alias("price_kceil"),
+        F.floor(F.col("l_quantity") / 7).cast("long").alias("qty_bucket"),
+        F.abs(F.col("l_tax") - F.col("l_discount")).alias("tax_disc_gap"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.round(F.sin("l_quantity"), 6).alias("qty_sin"),
+    )
+
+
+@query(
+    "scalar_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 AS k_parity
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props payload column."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(
+            "event_id",
+            k.alias("k_val"),
+            (k % 2).alias("k_parity"),
+        )
+        .filter(F.col("k_val") >= 50)
+    )
+
+
+@query(
+    "array_norms",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(LEN(embedding) AS BIGINT) AS dims,
+           CAST(embedding[1] AS DOUBLE)   AS first_val,
+           ROUND(SQRT(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> ABS(CAST(x AS DOUBLE)))), 6)                 AS l1_norm,
+           CAST(list_aggregate(embedding, 'max') AS DOUBLE)        AS max_val
+    FROM embeddings
+    """,
+)
+def array_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array (vector) column functions: higher-order fold for L1/L2
+    norms, element access, array max — all JVM-side, no UDF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    l1 = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda acc, x: acc + F.abs(x.cast("double"))
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dims"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+        F.round(l1, 6).alias("l1_norm"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+    )

@@ -1,0 +1,64 @@
+"""Set operations: UNION (distinct), INTERSECT, EXCEPT. (SURVEY.md §2B.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from free_etl_spark.registry import query
+from free_etl_spark.tables import load_table
+
+
+def _year_custkeys(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.year("o_orderdate") == year).select("o_custkey")
+
+
+_Y1, _Y2 = 1996, 1999
+
+
+@query(
+    "set_union",
+    oracle=f"""
+    SELECT o_custkey FROM orders WHERE CAST(year(o_orderdate) AS INT) = {_Y1}
+    UNION
+    SELECT o_custkey FROM orders WHERE CAST(year(o_orderdate) AS INT) = {_Y2}
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT of two key sets."""
+    return (
+        _year_custkeys(spark, sf_dir, _Y1)
+        .union(_year_custkeys(spark, sf_dir, _Y2))
+        .distinct()
+    )
+
+
+@query(
+    "set_intersect",
+    oracle=f"""
+    SELECT o_custkey FROM orders WHERE CAST(year(o_orderdate) AS INT) = {_Y1}
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE CAST(year(o_orderdate) AS INT) = {_Y2}
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers ordering in both years."""
+    return _year_custkeys(spark, sf_dir, _Y1).intersect(
+        _year_custkeys(spark, sf_dir, _Y2)
+    )
+
+
+@query(
+    "set_except",
+    oracle=f"""
+    SELECT o_custkey FROM orders WHERE CAST(year(o_orderdate) AS INT) = {_Y1}
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE CAST(year(o_orderdate) AS INT) = {_Y2}
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers ordering in year 1 but not year 2 (EXCEPT DISTINCT)."""
+    return _year_custkeys(spark, sf_dir, _Y1).subtract(
+        _year_custkeys(spark, sf_dir, _Y2)
+    )

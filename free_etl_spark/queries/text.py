@@ -1,0 +1,191 @@
+"""Text analysis over the documents table: token stats, quality
+scoring, n-gram-heuristic language ID, document fingerprinting, exact
+dedup. All pure column expressions (JVM-side); no Python UDFs.
+(North-star extension ops — SURVEY.md §2B "text analysis".)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from free_etl_spark.registry import query
+from free_etl_spark.tables import load_table
+
+
+def _tokens() -> F.Column:
+    return F.split(F.col("text"), " ")
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(LENGTH(text) AS BIGINT)                         AS char_cnt,
+           CAST(LEN(string_split(text, ' ')) AS BIGINT)         AS token_cnt,
+           CAST(LEN(list_distinct(string_split(text, ' '))) AS BIGINT) AS uniq_token_cnt,
+           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / LEN(string_split(text, ' ')), 6)             AS avg_token_len,
+           CAST((LENGTH(' ' || text || ' ')
+                 - LENGTH(REPLACE(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) AS the_cnt
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + distinct-token and stopword stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("char_cnt"),
+        F.size(_tokens()).cast("long").alias("token_cnt"),
+        F.size(F.array_distinct(_tokens())).cast("long").alias("uniq_token_cnt"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "))).cast("double")
+            / F.size(_tokens()),
+            6,
+        ).alias("avg_token_len"),
+        (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(" the ")))) / 5
+        )
+        .cast("long")
+        .alias("the_cnt"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(LENGTH(text) AS DOUBLE) AS chars,
+             CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS toks,
+             CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE) AS uniq
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           ROUND(0.4 * LEAST(1.0, toks / 80.0)
+               + 0.3 * (uniq / toks)
+               + 0.3 * LEAST(1.0, chars / 400.0), 6) AS quality_score
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length saturation + lexical diversity
+    (the shape of a FineWeb-style quality filter, minus the model)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.length("text").cast("double")
+    toks = F.size(_tokens()).cast("double")
+    uniq = F.size(F.array_distinct(_tokens())).cast("double")
+    score = (
+        0.4 * F.least(F.lit(1.0), toks / 80.0)
+        + 0.3 * (uniq / toks)
+        + 0.3 * F.least(F.lit(1.0), chars / 400.0)
+    )
+    return docs.select("doc_id", "lang", F.round(score, 6).alias("quality_score"))
+
+
+def _marker_cnt_sql(word: str) -> str:
+    return (
+        f"CAST((LENGTH(' ' || text || ' ') - LENGTH(REPLACE(' ' || text || ' ', "
+        f"' {word} ', ''))) / {len(word) + 2} AS BIGINT)"
+    )
+
+
+def _marker_cnt(word: str) -> F.Column:
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(f" {word} "))))
+        / (len(word) + 2)
+    ).cast("long")
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             {_marker_cnt_sql('the')}  AS cnt_the,
+             {_marker_cnt_sql('data')} AS cnt_data,
+             {_marker_cnt_sql('scan')} AS cnt_scan
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN cnt_the >= cnt_data AND cnt_the >= cnt_scan THEN 'en'
+                WHEN cnt_data >= cnt_scan THEN 'data-heavy'
+                ELSE 'scan-heavy' END AS predicted_class,
+           cnt_the, cnt_data, cnt_scan
+    FROM m
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-marker language/dialect classification. The synthetic
+    corpus is English word salad, so the classes here are marker-token
+    classes — the operator shape (per-language marker counts → argmax)
+    is what a real stopword-profile language ID computes."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt_the = _marker_cnt("the")
+    cnt_data = _marker_cnt("data")
+    cnt_scan = _marker_cnt("scan")
+    predicted = (
+        F.when((cnt_the >= cnt_data) & (cnt_the >= cnt_scan), F.lit("en"))
+        .when(cnt_data >= cnt_scan, F.lit("data-heavy"))
+        .otherwise(F.lit("scan-heavy"))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        predicted.alias("predicted_class"),
+        cnt_the.alias("cnt_the"),
+        cnt_data.alias("cnt_data"),
+        cnt_scan.alias("cnt_scan"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_fp,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp,
+           SUBSTR(md5(text), 1, 4) AS fp_bucket
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact content hash + order-insensitive
+    bag-of-words hash (catches token-permuted duplicates) + a short
+    bucket prefix for partition-friendly grouping."""
+    docs = load_table(spark, sf_dir, "documents")
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens())))
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("content_fp"),
+        F.md5(bag.cast("binary")).alias("bag_fp"),
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 4).alias("fp_bucket"),
+    )
+
+
+@query(
+    "dedup_exact_md5",
+    oracle="""
+    SELECT md5(text) AS content_fp,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication: hash-groupBy on content fingerprint, keep
+    the lowest doc_id per group. At 100 TB this is the standard
+    shuffle-on-digest dedup (uniform md5 keys → no skew)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("content_fp"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
