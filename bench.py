@@ -1,0 +1,75 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Each query executes fully via the no-op sink (measures scan + compute
++ shuffle, not driver collect/serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from free_etl_spark.session import get_spark
+import free_etl_spark.queries as q
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "join_broadcast_dim",
+    "join_range_bands",
+    "topk_per_group",
+    "window_running_total",
+    "agg_stats_events",
+    "events_sessionize",
+    "join_asof_events",
+    "dedup_exact_md5",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("free-etl-spark-bench")
+    spark.range(1000).count()  # JVM/session warmup
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_suite_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

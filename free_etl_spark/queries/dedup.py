@@ -40,7 +40,14 @@ _SH_SQL = f"""
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-n-gram shingles per doc: doc_id, sh."""
+    """Distinct word-n-gram shingles per doc: doc_id, sh.
+
+    Persisted (memory-then-disk) because every consumer reuses it 2-3×
+    (signatures, set sizes, intersection verify) — recomputing would
+    repeat the explode+distinct shuffle each time.
+    """
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
@@ -56,6 +63,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sh"),
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
