@@ -1,0 +1,137 @@
+"""Multimodal (image/audio/video) column plumbing (SURVEY.md §2B
+"multimodal columns").
+
+Media lives in DataFrames as opaque ``binary`` columns + typed
+metadata, read via Spark's binaryFile source. Everything that can be
+JVM-side is (magic-byte sniffing via substring on the binary column);
+decode/feature-extraction runs as Arrow-batched ``mapInPandas``.
+
+The actual pixel/sample decode is STUBBED: image/audio libraries are
+not in this container, so the decoder registry falls back to a
+clearly-marked deterministic fake (derived from the md5 of the bytes)
+when PIL/soundfile are unavailable. The Spark-side plumbing — schema,
+batch shape, UDF signature, partitioning — is real and tested; swap
+``_decode_image_real`` in when the library exists.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# magic prefixes, checked JVM-side on the binary column
+_MAGIC = {
+    "png": b"\x89PNG\r\n\x1a\n",
+    "jpeg": b"\xff\xd8\xff",
+    "gif": b"GIF8",
+    "wav": b"RIFF",
+    "pdf": b"%PDF",
+}
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Landing directory of media files → (path, modificationTime,
+    length, content) — Spark's binaryFile source; partitioning follows
+    file count, so a 100 TB corpus parallelizes by file."""
+    return (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    )
+
+
+def with_media_kind(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Magic-byte media-type detection, entirely JVM-side (no UDF):
+    substring on the binary column compared against known prefixes."""
+    kind = F.lit("unknown")
+    for name, magic in _MAGIC.items():
+        prefix = F.expr(f"substring({content_col}, 1, {len(magic)})")
+        kind = F.when(prefix == F.lit(bytearray(magic)), F.lit(name)).otherwise(kind)
+    return df.withColumn("media_kind", kind)
+
+
+_IMG_FEATURE_SCHEMA = (
+    "path string, media_kind string, width int, height int, n_channels int, "
+    "decoder string, feature array<float>"
+)
+
+
+def _decode_image_real(content: bytes) -> tuple[int, int, int, list[float]]:
+    """Real decoder — requires PIL (not in this container).
+
+    Raises NotImplementedError when PIL is missing; callers go through
+    the registry below which falls back to the deterministic stub.
+    """
+    try:
+        import io
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as e:  # pragma: no cover - PIL absent here
+        raise NotImplementedError("image decode requires PIL") from e
+    img = Image.open(io.BytesIO(content))  # pragma: no cover
+    hist = img.histogram()[:16]  # pragma: no cover
+    return img.width, img.height, len(img.getbands()), [float(x) for x in hist]  # pragma: no cover
+
+
+def _decode_image_stub(content: bytes) -> tuple[int, int, int, list[float]]:
+    """Deterministic FAKE decode (md5-derived): stands in for the real
+    decoder so the distributed plumbing is testable in this container."""
+    digest = hashlib.md5(content).digest()
+    width = 64 + digest[0]
+    height = 64 + digest[1]
+    feature = [round(b / 255.0, 6) for b in digest]
+    return width, height, 3, feature
+
+
+def decode_image_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extract over binary image columns
+    (mapInPandas: one pandas batch per Arrow chunk — never per-row
+    Python). Output schema is fixed regardless of which decoder ran."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"])
+                try:
+                    w, h, c, feat = _decode_image_real(content)
+                    decoder = "pil"
+                except NotImplementedError:
+                    w, h, c, feat = _decode_image_stub(content)
+                    decoder = "stub"
+                rows.append(
+                    {
+                        "path": r["path"],
+                        "media_kind": r.get("media_kind", "unknown"),
+                        "width": w,
+                        "height": h,
+                        "n_channels": c,
+                        "decoder": decoder,
+                        "feature": feat,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[
+                "path", "media_kind", "width", "height", "n_channels", "decoder", "feature",
+            ])
+
+    cols = ["path", "content"] + (["media_kind"] if "media_kind" in df.columns else [])
+    return df.select(*cols).mapInPandas(decode_batches, _IMG_FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 1024, max_frames: int = 4) -> DataFrame:
+    """Frame sampling for video-like blobs: split the binary payload
+    into fixed-size "frames" and keep every k-th — expressed as a JVM
+    posexplode over substring slices (a real video sampler would swap
+    the slicer for a codec call inside mapInPandas, same shape)."""
+    n_frames = F.least(
+        F.ceil(F.length("content") / frame_bytes).cast("int"), F.lit(max_frames)
+    )
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.substr(F.col("content"), i * frame_bytes + 1, F.lit(frame_bytes)),
+    )
+    return df.select(
+        "path",
+        F.posexplode(frames).alias("frame_idx", "frame_bytes"),
+    ).withColumn("frame_len", F.length("frame_bytes").cast("long"))

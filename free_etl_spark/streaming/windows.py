@@ -1,0 +1,129 @@
+"""Structured Streaming event-window operators (SURVEY.md §2B
+"streaming windows / watermark / session" rows): tumbling windows with
+watermark, session windows, and watermark-scoped dedup over the events
+table replayed as a file stream.
+
+Each helper runs the stream to completion with Trigger.AvailableNow
+against a memory sink and returns the final result as a batch
+DataFrame — deterministic, so the tumbling-window variant doubles as
+an oracle-checked queries() entry (it must equal the equivalent batch
+GROUP BY).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from free_etl_spark.registry import query
+
+_EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a bounded file stream with the same ts
+    normalization as tables.load_table (nanos → µs → TIMESTAMP_NTZ)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The file stream source requires a *directory*; point it at sf_dir
+    # and glob-filter to the single events table file.
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # watermarks require TimestampType (not NTZ): keep the event-time
+    # column as a UTC instant here; output columns cast to NTZ so they
+    # line up with the batch/oracle representation (session tz is UTC).
+    return raw.withColumn("ts_us", F.expr("ts DIV 1000")).withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    )
+
+
+def run_to_completion(df: DataFrame, output_mode: str) -> DataFrame:
+    """Drain a bounded stream into a memory sink (AvailableNow) and
+    return the final table."""
+    name = f"fes_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = df.sparkSession
+    return spark.table(name)
+
+
+@query(
+    "streaming_hourly_counts",
+    oracle="""
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,
+           event_type,
+           COUNT(*) AS event_cnt,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation executed as a Structured
+    Streaming job (watermarked event time, AvailableNow trigger,
+    complete-mode memory sink). Must produce exactly the batch GROUP BY
+    result — which is the oracle."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("event_cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    out = run_to_completion(agg, "complete")
+    return out.select(
+        F.col("window.start").cast("timestamp_ntz").alias("hour_start"),
+        "event_type",
+        "event_cnt",
+        "sum_value",
+    )
+
+
+@query("streaming_session_windows")  # rows-only: session_window is not ANSI SQL
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful session windows (30-min gap) per user over the event
+    stream — the streaming analogue of events_sessionize."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    out = run_to_completion(agg, "complete")
+    return out.select(
+        F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "streaming_dedup_watermark",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY user_id, event_type
+    """,
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup: dropDuplicatesWithinWatermark on
+    (user_id, event_type). With a watermark ≥ the stream's full time
+    range every duplicate is inside the state window, so the result
+    equals a batch DISTINCT — which is the oracle."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "400 days")
+    deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    out = run_to_completion(deduped.select("user_id", "event_type", "ts"), "append")
+    return out.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))

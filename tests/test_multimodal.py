@@ -1,0 +1,63 @@
+"""Multimodal plumbing tests: binaryFile ingestion, JVM-side magic
+sniffing, Arrow-batched decode (stub decoder in this container), frame
+sampling shape."""
+
+from __future__ import annotations
+
+from free_etl_spark.operators.multimodal import (
+    decode_image_features,
+    read_binary_dir,
+    sample_frames,
+    with_media_kind,
+)
+
+PNG = b"\x89PNG\r\n\x1a\n" + b"\x00" * 256
+JPEG = b"\xff\xd8\xff\xe0" + b"\x01" * 100
+WAV = b"RIFF" + b"\x02" * 3000
+JUNK = b"junkjunk" * 10
+
+
+def _media_dir(tmp_path):
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.png").write_bytes(PNG)
+    (d / "b.jpg").write_bytes(JPEG)
+    (d / "c.wav").write_bytes(WAV)
+    (d / "d.bin").write_bytes(JUNK)
+    return d
+
+
+def test_binary_read_and_magic_kind(spark, tmp_path):
+    df = with_media_kind(read_binary_dir(spark, str(_media_dir(tmp_path))))
+    kinds = {r["path"].split("/")[-1]: r["media_kind"] for r in df.collect()}
+    assert kinds == {"a.png": "png", "b.jpg": "jpeg", "c.wav": "wav", "d.bin": "unknown"}
+    assert dict(df.dtypes)["content"] == "binary"
+
+
+def test_decode_image_features_stub_plumbing(spark, tmp_path):
+    df = with_media_kind(read_binary_dir(spark, str(_media_dir(tmp_path))))
+    feats = decode_image_features(df)
+    assert dict(feats.dtypes) == {
+        "path": "string", "media_kind": "string", "width": "int",
+        "height": "int", "n_channels": "int", "decoder": "string",
+        "feature": "array<float>",
+    }
+    rows = feats.collect()
+    assert len(rows) == 4
+    assert all(r["decoder"] == "stub" for r in rows)  # PIL absent here
+    assert all(len(r["feature"]) == 16 for r in rows)
+    # deterministic: same bytes → same fake decode
+    again = {r["path"]: r["width"] for r in decode_image_features(df).collect()}
+    assert again == {r["path"]: r["width"] for r in rows}
+
+
+def test_sample_frames_shape(spark, tmp_path):
+    df = read_binary_dir(spark, str(_media_dir(tmp_path)))
+    frames = sample_frames(df, frame_bytes=1024, max_frames=4)
+    rows = frames.collect()
+    per_file = {}
+    for r in rows:
+        per_file.setdefault(r["path"].split("/")[-1], []).append(r)
+    assert len(per_file["c.wav"]) == 3  # 3004 bytes → 3 frames
+    assert len(per_file["a.png"]) == 1
+    assert all(r["frame_len"] <= 1024 for r in rows)

@@ -1,0 +1,57 @@
+"""Smoke tests for the driver contract: entry() returns rows, every
+registered query runs at sf0.001 and (for a few known cases) matches
+hand-computed expectations. Full value-level correctness runs in
+tools/check_oracle.py against DuckDB."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+# streaming queries are exercised in test_streaming.py (they manage
+# their own stream lifecycles); LSH-join is slow at tiny SF — skip here
+_SKIP = {"streaming_hourly_counts", "streaming_session_windows",
+         "streaming_dedup_watermark", "sim_ann_lsh"}
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"l_returnflag", "sum_qty", "count_order"} <= set(df.columns)
+
+
+def test_every_query_has_unique_aliased_columns(spark):
+    for name, fn in entrymod.queries().items():
+        if name in _SKIP:
+            continue
+        df = fn(spark, SF_DIR)
+        assert len(set(df.columns)) == len(df.columns), name
+        assert not any(c.startswith("__") for c in df.columns), name
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    assert set(os_) <= set(qs)
+    # non-oracle queries are the documented engine-specific ones
+    assert set(qs) - set(os_) == {
+        "agg_approx_distinct", "dedup_simhash", "sim_ann_lsh",
+        "streaming_session_windows",
+    }
+
+
+def test_tpch_q1_aggregates_are_sane(spark):
+    df = entrymod.queries()["tpch_q1_pricing_summary"](spark, SF_DIR).toPandas()
+    assert (df["avg_disc"].between(0, 0.2)).all()
+    assert int(df["count_order"].sum()) <= 6000
+    assert (df["sum_disc_price"] <= df["sum_base_price"]).all()
+
+
+def test_topk_per_group_bounded(spark):
+    df = entrymod.queries()["topk_per_group"](spark, SF_DIR).toPandas()
+    assert df.groupby("o_custkey").size().max() <= 3
+    assert (df.groupby("o_custkey")["o_totalprice"].apply(
+        lambda s: (s.sort_values(ascending=False).values == s.values).all()
+    )).all()

@@ -1,0 +1,78 @@
+"""Streaming tests: file-source intake replaying the §2A pipeline per
+micro-batch, and windowed/stateful event-stream operators equaling
+their batch analogues."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+
+from free_etl_spark.intake.config import load_cfg
+from free_etl_spark.streaming.intake import start_streaming_intake
+from free_etl_spark.streaming.windows import (
+    streaming_dedup_watermark,
+    streaming_hourly_counts,
+    streaming_session_windows,
+)
+from free_etl_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+CFG = load_cfg({})
+
+
+def test_streaming_intake_drains_landing_dir(spark, tmp_path):
+    landing = tmp_path / "landing"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    landing.mkdir()
+    (landing / "good.csv").write_bytes(b"a,b\n1,2\n3,4\n")
+    (landing / "bad name!.csv").write_bytes(b"a;b\nx;y\n")
+    # ragged row AFTER a clean row: pandas' python engine raises then
+    # (a wider FIRST row silently becomes an index — reference quirk)
+    (landing / "ragged.csv").write_bytes(b"a,b\n1,2\n3,4,5\n")
+
+    q = start_streaming_intake(spark, str(landing), str(out), str(ckpt), CFG)
+    q.awaitTermination(120)
+
+    files = sorted(os.listdir(out))
+    assert "good.csv" in files and "bad_name_.csv" in files
+    # normalized to comma CSV
+    norm = pd.read_csv(out / "bad_name_.csv", dtype=str, keep_default_na=False)
+    assert list(norm.columns) == ["a", "b"]
+    # manifest audit includes the rejected file with the parse issue
+    (manifest_name,) = [f for f in files if f.startswith("manifest-")]
+    manifest = json.loads((out / manifest_name).read_text())
+    recs = {r["original_name"]: r for r in manifest["files"]}
+    assert recs["good.csv"]["acceptable"] and recs["good.csv"]["rows"] == 2
+    assert not recs["ragged.csv"]["acceptable"]
+    assert any(i.startswith("Failed to parse file:") for i in recs["ragged.csv"]["issues"])
+    # incremental: a new file landing later is picked up by a new run
+    (landing / "later.csv").write_bytes(b"x,y\n9,9\n")
+    q2 = start_streaming_intake(spark, str(landing), str(out), str(ckpt), CFG)
+    q2.awaitTermination(120)
+    assert "later.csv" in os.listdir(out)
+    assert "good.csv" in os.listdir(out)  # earlier outputs untouched
+
+
+def test_streaming_hourly_counts_equals_batch(spark):
+    stream_res = streaming_hourly_counts(spark, SF_DIR).toPandas()
+    batch_res = QUERIES["events_hourly_counts"](spark, SF_DIR).toPandas()
+    s = stream_res.sort_values(["hour_start", "event_type"], ignore_index=True)
+    b = batch_res.sort_values(["hour_start", "event_type"], ignore_index=True)
+    pd.testing.assert_frame_equal(s, b[s.columns])
+
+
+def test_streaming_session_windows(spark):
+    res = streaming_session_windows(spark, SF_DIR).toPandas()
+    assert len(res) > 0
+    assert (res["session_end"] > res["session_start"]).all()
+    assert res["n_events"].sum() == 1000  # every event lands in exactly one session
+
+
+def test_streaming_dedup_watermark_equals_distinct(spark):
+    res = streaming_dedup_watermark(spark, SF_DIR).toPandas()
+    assert (res["n"] == 1).all()  # fully deduped
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert len(res) == ev.select("user_id", "event_type").distinct().count()
