@@ -2,6 +2,7 @@
 
 from free_etl_spark.queries import (  # noqa: F401
     relational,
+    tpch_more,
     windows,
     setops,
     scalars,

@@ -1,0 +1,605 @@
+"""Extended TPC-H-style coverage (SURVEY.md §2B relational rows:
+equi/outer joins, semi/anti via EXISTS/NOT EXISTS, correlated and
+scalar subqueries, conditional aggregation, multi-way joins).
+
+The driver's star schema is a *reduced* TPC-H (TESTDATA.md): no
+partsupp, no commit/receipt dates, no ship modes, no phone numbers.
+Queries Q2/Q11/Q20/Q21 depend on those and cannot be expressed;
+the rest are adapted to the available columns — the adaptation is
+noted per query. Semantics (join shape, subquery structure, agg
+pattern) follow the official TPC-H spec queries.
+
+Scale notes: every query here shuffles only on uniform keys
+(orderkey/custkey/partkey) or tiny group-by keys; dimension sides
+(nation, region, part at 1/5 the customer count) are broadcast. At
+100 TB the lineitem⋈orders joins rely on AQE skew handling + the
+shuffle partition count set in session.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from free_etl_spark.registry import query
+from free_etl_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_TS = "timestamp_ntz"
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (adapted: EXISTS predicate is l_shipdate > o_orderdate
+    instead of commitdate < receiptdate, which the data lacks).
+    Expressed as a left-semi join with a non-equi conjunct — Catalyst
+    keeps it a single shuffle on orderkey."""
+    lo = F.lit("1996-01-01 00:00:00").cast(_TS)
+    hi = F.lit("1996-04-01 00:00:00").cast(_TS)
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(YEAR(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                           AND TIMESTAMP '1996-12-31 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: nation-pair trade volume by year. supplier/customer/
+    nation are broadcast; only lineitem⋈orders shuffles."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1995-01-01 00:00:00").cast(_TS),
+            F.lit("1996-12-31 00:00:00").cast(_TS),
+        )
+    )
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(n1), supp.s_nationkey == n1.s_nk)
+        .join(broadcast(n2), cust.c_nationkey == n2.c_nk)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_6' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                            AND TIMESTAMP '1996-12-31 00:00:00'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (adapted: p_type = 'PROMO' — the data's types are
+    single words): national market share within a region. The 8-way
+    join keeps every dimension broadcast; conditional aggregation
+    (SUM(CASE)) computes the share in one pass."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01 00:00:00").cast(_TS),
+            F.lit("1996-12-31 00:00:00").cast(_TS),
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation"))
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(n1), cust.c_nationkey == F.col("c_nk"))
+        .join(broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .join(broadcast(n2), supp.s_nationkey == F.col("s_nk"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_6", volume).otherwise(0.0))
+                / F.sum(volume),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - p_retailprice * 0.6 * l_quantity AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted: supply cost proxied as 60% of retail price —
+    the data has no partsupp). Profit per supplier nation per year for
+    parts matching a name substring."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * 0.6 * F.col("l_quantity")
+    )
+    joined = (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q12_priority_shipping",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate > o_orderdate
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted: grouped by l_linestatus instead of the
+    absent l_shipmode; late-arrival predicate is shipdate > orderdate).
+    Conditional aggregation over a single shuffled equi-join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast(_TS))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast(_TS))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: two-level aggregation over a left outer join with a
+    join-side predicate (customers with zero qualifying orders count
+    as c_count=0). First agg shuffles on custkey, second on the tiny
+    c_count domain."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one month. part is broadcast;
+    the month filter prunes the lineitem scan before the join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast(_TS))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast(_TS))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_revenue")
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue —
+    the scalar MAX subquery becomes a rank-1 window over the revenue
+    aggregate (one extra exchange over the small supplier-level agg,
+    instead of two scans of lineitem)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast(_TS))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast(_TS))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    top = (
+        revenue.withColumn(
+            "rnk", F.rank().over(Window.orderBy(F.col("total_revenue").desc()))
+        )
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return supp.join(
+        broadcast(top), supp.s_suppkey == top.supplier_no
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+@query(
+    "tpch_q17_small_quantity",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (SELECT 0.5 * AVG(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (adapted threshold 0.5×avg — the synthetic quantity
+    distribution has no deep tail at 0.2×): correlated scalar subquery
+    decorrelated into a per-part average joined back on partkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("qty_threshold")
+    )
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(broadcast(per_part_avg), li.l_partkey == F.col("avg_pk"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q18_large_volume",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (threshold adapted to the synthetic distribution):
+    IN-subquery with HAVING becomes an aggregate + semi join, reusing
+    the orderkey partitioning from the group-by for the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tot_qty"))
+        .filter(F.col("tot_qty") > 150)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(big.withColumnRenamed("l_orderkey", "bk"), orders.o_orderkey == F.col("bk"), "left_semi")
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q19_disjunctive",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#7'  AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (adapted to p_size/l_quantity bands — the data has no
+    containers/shipmode): disjunctive mixed-table predicate over an
+    equi-join. Catalyst pushes the part-only disjunction below the
+    join; the residual mixed predicate filters post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    qty, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((brand == "Brand#13") & size.between(1, 15) & qty.between(1, 20))
+        | ((brand == "Brand#20") & size.between(10, 30) & qty.between(10, 35))
+        | ((brand == "Brand#7") & size.between(20, 50) & qty.between(20, 50))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@query(
+    "tpch_q22_global_sales",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted: grouped by c_nationkey — the data has no
+    phone country codes): uncorrelated scalar subquery (avg positive
+    balance, computed once and broadcast as a literal-free cross join)
+    + NOT EXISTS as a left-anti join on custkey against orders placed
+    since 1999 (every synthetic customer has *some* order, so the
+    "lapsed customer" cut uses recency)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast(_TS)
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "join_full_outer_nation_activity",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+               FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def join_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (customer and supplier counts
+    per nation), preserving nations present on only one side."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cust.join(supp, cust.c_nk == supp.s_nk, "full_outer").select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "join_cross_calendar",
+    oracle="""
+    SELECT r_name, o_orderstatus, COUNT(o_orderkey) AS n_orders
+    FROM region
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) st
+    LEFT JOIN (
+      SELECT o_orderkey, o_orderstatus AS st2, r_regionkey AS rk
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region r2 ON n_regionkey = r2.r_regionkey
+    ) o ON o.rk = region.r_regionkey AND o.st2 = st.o_orderstatus
+    GROUP BY r_name, o_orderstatus
+    """,
+)
+def join_cross_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join building a dense (region × status) grid, then a left
+    join of the order fact so empty cells survive with count 0 — the
+    dense-dimension-grid reporting pattern."""
+    region = _t(spark, sf_dir, "region")
+    orders = _t(spark, sf_dir, "orders")
+    statuses = orders.select(F.col("o_orderstatus")).distinct()
+    grid = region.crossJoin(broadcast(statuses))
+    fact = (
+        orders.join(
+            broadcast(_t(spark, sf_dir, "customer")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(broadcast(_t(spark, sf_dir, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("st2"),
+            F.col("n_regionkey").alias("rk"),
+        )
+    )
+    return (
+        grid.join(
+            fact,
+            (grid.r_regionkey == fact.rk) & (grid.o_orderstatus == fact.st2),
+            "left",
+        )
+        .groupBy("r_name", "o_orderstatus")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
