@@ -127,9 +127,13 @@ def sample_frames(df: DataFrame, frame_bytes: int = 1024, max_frames: int = 4) -
     n_frames = F.least(
         F.ceil(F.length("content") / frame_bytes).cast("int"), F.lit(max_frames)
     )
-    frames = F.transform(
-        F.sequence(F.lit(0), n_frames - 1),
-        lambda i: F.substr(F.col("content"), i * frame_bytes + 1, F.lit(frame_bytes)),
+    # sequence(0, n-1) with n=0 would yield the *descending* [0, -1] —
+    # guard empty payloads to an empty frame list instead.
+    frames = F.when(n_frames <= 0, F.array().cast("array<binary>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+            lambda i: F.substr(F.col("content"), i * frame_bytes + 1, F.lit(frame_bytes)),
+        )
     )
     return df.select(
         "path",

@@ -3,6 +3,9 @@
 from free_etl_spark.queries import (  # noqa: F401
     relational,
     tpch_more,
+    complex_types,
+    udfs,
+    multimodal_q,
     windows,
     setops,
     scalars,

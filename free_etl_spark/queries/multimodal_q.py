@@ -1,0 +1,122 @@
+"""Multimodal-column queries (SURVEY.md §2B "multimodal columns"),
+oracle-checked.
+
+The driver's testdata has no media files, so these derive an opaque
+``binary`` column from ``documents.text`` (UTF-8 encode, optionally
+prefixed with real magic bytes) and push it through the same plumbing
+a media corpus would use (`free_etl_spark.operators.multimodal`):
+JVM-side magic sniffing, Arrow-batched mapInPandas decode (the
+deterministic md5 stub — see operators/multimodal.py), and frame
+sampling. Because the stub is md5-derived, every output is
+closed-form SQL over md5(text) — giving the mapInPandas decode path a
+full value-level oracle instead of a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from free_etl_spark.operators.multimodal import (
+    _MAGIC,
+    decode_image_features,
+    sample_frames,
+    with_media_kind,
+)
+from free_etl_spark.registry import query
+from free_etl_spark.tables import load_table
+
+
+def _docs_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with an opaque binary payload column (path, content)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+
+
+# SQL for one md5 byte (pair of hex nibbles at 1-based position p, p+1)
+def _hexpair(p: int) -> str:
+    nib = "instr('0123456789abcdef', substr(md5(text), {pos}, 1)) - 1"
+    return f"(({nib.format(pos=p)}) * 16 + ({nib.format(pos=p + 1)}))"
+
+
+@query(
+    "multimodal_decode_features",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(64 + {_hexpair(1)} AS INT) AS width,
+           CAST(64 + {_hexpair(3)} AS INT) AS height,
+           3 AS n_channels,
+           'stub' AS decoder,
+           ROUND({_hexpair(1)} / 255.0, 6) AS f0
+    FROM documents
+    """,
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode over a binary column (mapInPandas). The
+    md5-stub decoder makes width/height/feature[0] exactly the oracle's
+    md5-hex arithmetic — value-level validation of the Python batch
+    path, not just row counts."""
+    feats = decode_image_features(_docs_binary(spark, sf_dir))
+    return feats.select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "width",
+        "height",
+        F.col("n_channels").cast("int").alias("n_channels"),
+        "decoder",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+    )
+
+
+_KINDS = ["png", "jpeg", "gif", "wav", "pdf"]
+
+
+@query(
+    "multimodal_kind_counts",
+    oracle="""
+    SELECT CASE CAST(doc_id % 6 AS INT)
+             WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+             WHEN 3 THEN 'wav' WHEN 4 THEN 'pdf' ELSE 'unknown' END AS media_kind,
+           COUNT(*) AS n
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def multimodal_kind_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side magic-byte sniffing (no UDF): payloads get a real
+    format magic prefix keyed by doc_id%6 and with_media_kind must
+    recover it from the first bytes of the binary column alone."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    content = payload
+    for i, kind in enumerate(_KINDS):
+        content = F.when(
+            F.col("doc_id") % 6 == i,
+            F.concat(F.lit(bytearray(_MAGIC[kind])), payload),
+        ).otherwise(content)
+    tagged = with_media_kind(docs.select("doc_id", content.alias("content")))
+    return tagged.groupBy("media_kind").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "multimodal_frame_stats",
+    oracle="""
+    SELECT doc_id,
+           LEAST(CAST(CEIL(octet_length(encode(text)) / 128.0) AS INT), 4)
+             AS n_frames,
+           CAST(LEAST(octet_length(encode(text)), 4 * 128) AS BIGINT)
+             AS sampled_bytes
+    FROM documents
+    """,
+)
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (posexplode of substring
+    slices, all JVM-side), re-aggregated per document. Oracle is the
+    closed form: frames are contiguous 128-byte slices capped at 4."""
+    frames = sample_frames(_docs_binary(spark, sf_dir), frame_bytes=128, max_frames=4)
+    return frames.groupBy(F.col("path").cast("bigint").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.sum("frame_len").alias("sampled_bytes"),
+    )
