@@ -44,25 +44,36 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Persisted (memory-then-disk) because every consumer reuses it 2-3×
     (signatures, set sizes, intersection verify) — recomputing would
-    repeat the explode+distinct shuffle each time.
+    repeat the explode each time.
+
+    Two scale choices: (1) repartition on doc_id first — the documents
+    table arrives as few large files, and without it the whole explode
+    runs on one core per file; (2) dedup per-document with
+    array_distinct *before* exploding — shingle-distinctness is a
+    per-doc property, so a cluster-wide DISTINCT shuffle of the
+    exploded rows would be pure waste.
     """
     from pyspark import StorageLevel
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
+    spark_cpus = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .repartition(spark_cpus, "doc_id")
     )
     return (
         docs.filter(F.size("toks") >= _NGRAM)
         .select(
             "doc_id",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (_NGRAM - 1)),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i, _NGRAM)),
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - (_NGRAM - 1)),
+                        lambda i: F.concat_ws(" ", F.slice("toks", i, _NGRAM)),
+                    )
                 )
             ).alias("sh"),
         )
-        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
@@ -177,19 +188,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     4. verify: exact Jaccard on candidate pairs only.
     """
     sh = _shingles(spark, sf_dir)
-    seeds = spark.range(_N_HASHES).select(F.col("id").cast("int").alias("seed"))
-    hashes = sh.crossJoin(F.broadcast(seeds)).select(
-        "doc_id",
-        "seed",
-        F.md5(
-            F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh")).cast(
-                "binary"
-            )
-        ).alias("h"),
-    )
-    sig = hashes.groupBy("doc_id").agg(
+    # one min-aggregate column per seed, computed directly over the
+    # shingle rows: the md5s evaluate inside the partial (map-side)
+    # aggregation, so the shuffle carries |docs|×8 mins — not
+    # |shingles|×8 exploded hash rows (a seed cross join would 8× the
+    # shuffle volume for no benefit).
+    sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.when(F.col("seed") == s, F.col("h"))).alias(f"h{s}")
+            F.min(
+                F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")).cast("binary"))
+            ).alias(f"h{s}")
             for s in range(_N_HASHES)
         ]
     )
