@@ -14,5 +14,6 @@ from free_etl_spark.queries import (  # noqa: F401
     dedup,
     similarity,
 )
+from free_etl_spark.streaming import stateful as streaming_stateful  # noqa: F401
 from free_etl_spark.streaming import windows as streaming_windows  # noqa: F401
 from free_etl_spark.registry import ORACLES, QUERIES  # noqa: F401

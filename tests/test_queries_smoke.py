@@ -13,7 +13,8 @@ from tests.conftest import SF_DIR
 # streaming queries are exercised in test_streaming.py (they manage
 # their own stream lifecycles); LSH-join is slow at tiny SF — skip here
 _SKIP = {"streaming_hourly_counts", "streaming_session_windows",
-         "streaming_dedup_watermark", "sim_ann_lsh"}
+         "streaming_dedup_watermark", "streaming_stateful_totals",
+         "sim_ann_lsh"}
 
 
 def test_entry_returns_rows(spark):

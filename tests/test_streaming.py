@@ -71,6 +71,22 @@ def test_streaming_session_windows(spark):
     assert res["n_events"].sum() == 1000  # every event lands in exactly one session
 
 
+def test_streaming_stateful_totals_equals_batch(spark):
+    from free_etl_spark.streaming.stateful import streaming_stateful_totals
+    import pyspark.sql.functions as F
+
+    res = streaming_stateful_totals(spark, SF_DIR).toPandas()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .toPandas()
+    )
+    s = res.sort_values("user_id", ignore_index=True)
+    b = batch.sort_values("user_id", ignore_index=True)
+    pd.testing.assert_frame_equal(s, b[s.columns])
+
+
 def test_streaming_dedup_watermark_equals_distinct(spark):
     res = streaming_dedup_watermark(spark, SF_DIR).toPandas()
     assert (res["n"] == 1).all()  # fully deduped
