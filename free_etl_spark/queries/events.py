@@ -166,3 +166,40 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").alias("session_start_us"),
         F.max("ts_us").alias("session_end_us"),
     )
+
+
+@query(
+    "events_sliding_windows",
+    oracle="""
+    SELECT win_start, event_type, COUNT(*) AS event_cnt,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM (
+      SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP))
+                  + CASE WHEN minute(CAST(ts AS TIMESTAMP)) >= 30
+                         THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+                  - s.off * INTERVAL 30 MINUTE AS TIMESTAMP) AS win_start,
+             event_type, value
+      FROM events CROSS JOIN (VALUES (0), (1)) AS s(off)
+    )
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows in batch: 1-hour windows every 30
+    minutes via F.window(ts, '1 hour', '30 minutes') — each event lands
+    in exactly 2 windows. The oracle derives the same two window starts
+    arithmetically (trunc to the 30-min grid, minus 0 or 1 hop)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "event_cnt",
+            "sum_value",
+        )
+    )

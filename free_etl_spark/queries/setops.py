@@ -62,3 +62,49 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _year_custkeys(spark, sf_dir, _Y1).subtract(
         _year_custkeys(spark, sf_dir, _Y2)
     )
+
+
+@query(
+    "set_union_all",
+    oracle=f"""
+    SELECT o_custkey FROM orders WHERE CAST(year(o_orderdate) AS INT) = {_Y1}
+    UNION ALL
+    SELECT o_custkey FROM orders WHERE CAST(year(o_orderdate) AS INT) = {_Y2}
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union) — no dedup shuffle at all: partitions of
+    both inputs concatenate."""
+    return _year_custkeys(spark, sf_dir, _Y1).union(
+        _year_custkeys(spark, sf_dir, _Y2)
+    )
+
+
+@query(
+    "set_intersect_all",
+    oracle=f"""
+    SELECT o_custkey FROM orders WHERE CAST(year(o_orderdate) AS INT) = {_Y1}
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE CAST(year(o_orderdate) AS INT) = {_Y2}
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics: multiplicity = min of the two)."""
+    return _year_custkeys(spark, sf_dir, _Y1).intersectAll(
+        _year_custkeys(spark, sf_dir, _Y2)
+    )
+
+
+@query(
+    "set_except_all",
+    oracle=f"""
+    SELECT o_custkey FROM orders WHERE CAST(year(o_orderdate) AS INT) = {_Y1}
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE CAST(year(o_orderdate) AS INT) = {_Y2}
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference: multiplicity = max(0, l - r))."""
+    return _year_custkeys(spark, sf_dir, _Y1).exceptAll(
+        _year_custkeys(spark, sf_dir, _Y2)
+    )

@@ -142,3 +142,33 @@ def window_ntile_movavg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w_ntile).cast("long").alias("price_quartile"),
         F.round(F.avg("o_totalprice").over(w_mov), 4).alias("movavg3"),
     )
+
+
+@query(
+    "window_range_frame_30d",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_30d,
+           ROUND(SUM(o_totalprice) OVER w, 2) AS spend_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per customer, orders and spend in
+    the trailing 30 days. Spark range frames need a numeric ordering
+    column → order by epoch seconds with a -30d offset (inclusive,
+    same bound semantics as the SQL INTERVAL PRECEDING frame)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )
