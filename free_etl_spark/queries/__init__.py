@@ -6,6 +6,7 @@ from free_etl_spark.queries import (  # noqa: F401
     complex_types,
     udfs,
     multimodal_q,
+    sampling,
     windows,
     setops,
     scalars,

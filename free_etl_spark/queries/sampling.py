@@ -1,0 +1,105 @@
+"""Deterministic sampling operators (training-data pipeline staple:
+hold-out splits, stratified subsets, reproducible downsampling).
+
+``df.sample(seed=)`` is only reproducible for a fixed partitioning, so
+at 100 TB (where file splits shift) these use **hash sampling**: a row
+is in the sample iff a stable content hash of its key lands under the
+rate threshold. Fully deterministic across engines, partitionings and
+reruns — which is also what makes a DuckDB value-level oracle possible
+(both engines compute the identical md5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from free_etl_spark.registry import query
+from free_etl_spark.tables import load_table
+
+# md5 of the decimal doc_id string; first 4 hex chars → 16 bits
+_BUCKETS = 1 << 16
+
+
+def _hash16(col):
+    return F.conv(F.substring(F.md5(col.cast("string").cast("binary")), 1, 4), 16, 10).cast("int")
+
+
+_H16_SQL = "CAST(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 4))::UBIGINT AS INT)"
+
+
+@query(
+    "sample_hash_bernoulli",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_H16_SQL.format(c="doc_id")} < CAST(0.10 * 65536 AS INT)
+    """,
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% Bernoulli sample by key hash: stable under repartitioning,
+    file-split changes and reruns (unlike seed-based sample())."""
+    docs = load_table(spark, sf_dir, "documents")
+    thresh = int(0.10 * _BUCKETS)
+    return docs.filter(_hash16(F.col("doc_id")) < thresh).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query(
+    "sample_stratified_topn",
+    oracle=f"""
+    SELECT source, doc_id
+    FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY {_H16_SQL.format(c="doc_id")}, doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= 20
+    """,
+)
+def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified fixed-quota sample: exactly 20 docs per source,
+    chosen by hash order (deterministic pseudo-random, no global
+    sort). The per-stratum top-N is a window + filter — one shuffle
+    on the stratum key."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(_hash16(F.col("doc_id")), F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("source", "doc_id")
+    )
+
+
+@query(
+    "sample_train_test_split",
+    oracle=f"""
+    SELECT split, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM (
+      SELECT CASE WHEN {_H16_SQL.format(c="doc_id")} < CAST(0.8 * 65536 AS INT)
+                  THEN 'train' ELSE 'test' END AS split,
+             n_chars
+      FROM documents
+    )
+    GROUP BY split
+    """,
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/20 train-test assignment by key hash, with
+    per-split stats — the canonical dataset-split shape; rows never
+    move (the label is a projection), so it composes with any
+    downstream partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        _hash16(F.col("doc_id")) < int(0.8 * _BUCKETS), F.lit("train")
+    ).otherwise(F.lit("test"))
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )

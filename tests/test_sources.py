@@ -1,0 +1,72 @@
+"""Source-format coverage (SURVEY.md §2B "scan parquet/csv/json"):
+write each format from the canonical parquet tables, read it back,
+and require value-level equality — exercising schema round-trips
+(CSV needs an explicit schema; JSON preserves types self-describing).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from free_etl_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+def test_csv_round_trip(spark, tmp_path):
+    nation = load_table(spark, SF_DIR, "nation")
+    out = str(tmp_path / "nation_csv")
+    nation.write.csv(out, header=True, mode="overwrite")
+    back = spark.read.csv(out, header=True, schema=nation.schema)
+    assert _canon(back) == _canon(nation)
+
+
+def test_csv_failfast_rejects_malformed(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("a,b\n1,2\n3\n")
+    import pytest
+
+    df = spark.read.csv(str(p), header=True, schema="a int, b int", mode="FAILFAST")
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        df.collect()
+
+
+def test_json_round_trip(spark, tmp_path):
+    cust = load_table(spark, SF_DIR, "customer")
+    out = str(tmp_path / "customer_json")
+    cust.write.json(out, mode="overwrite")
+    back = spark.read.json(out, schema=cust.schema)
+    assert _canon(back) == _canon(cust)
+
+
+def test_json_lines_with_nested(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", F.from_json("props", "map<string,bigint>").alias("props_map")
+    )
+    out = str(tmp_path / "events_json")
+    ev.write.json(out, mode="overwrite")
+    back = spark.read.json(out, schema="event_id bigint, props_map map<string,bigint>")
+    assert back.count() == ev.count()
+    joined = back.alias("b").join(ev.alias("e"), "event_id")
+    mismatch = joined.filter(
+        F.element_at("b.props_map", "k") != F.element_at("e.props_map", "k")
+    )
+    assert mismatch.count() == 0
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    """Hive-partitioned write + partition pruning: the pruned read's
+    plan must show a PartitionFilters entry and scan fewer files."""
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    docs.write.partitionBy("lang").parquet(out, mode="overwrite")
+    back = spark.read.parquet(out)
+    pruned = back.filter(F.col("lang") == "en")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan
+    expect = docs.filter(F.col("lang") == "en").count()
+    assert pruned.count() == expect
