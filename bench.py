@@ -23,23 +23,39 @@ from free_etl_spark.session import get_spark
 import free_etl_spark.queries as q
 
 HEADLINE = [
+    # relational core
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
     "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_volume",
     "join_broadcast_dim",
     "join_range_bands",
+    # windows / time series
     "topk_per_group",
     "window_running_total",
+    "window_range_frame_30d",
     "agg_stats_events",
     "events_sessionize",
+    "events_sliding_windows",
     "join_asof_events",
+    # complex types + Python surface
+    "explode_top_tokens",
+    "pivot_type_by_source",
+    "udf_pandas_scalar_price",
+    "udf_apply_in_pandas_zscore",
+    "multimodal_decode_features",
+    # LLM-data ops
     "dedup_exact_md5",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "text_quality_score",
+    "text_bpe_token_estimate",
+    "sample_train_test_split",
 ]
 
 

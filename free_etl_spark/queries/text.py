@@ -189,3 +189,34 @@ def dedup_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("dup_count"),
         )
     )
+
+
+@query(
+    "text_bpe_token_estimate",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+'))
+                AS BIGINT) AS bpe_ish_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS chars_div4_estimate,
+           ROUND(CAST(LENGTH(text) AS DOUBLE)
+                 / LEN(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+')),
+                 4) AS chars_per_token
+    FROM documents
+    """,
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""BPE-ish token counting (north-star "token counting" op): a
+    GPT-2-style pre-tokenizer regex (letter runs / digit runs / symbol
+    runs) counted JVM-side with regexp_extract_all, plus the ceil(n/4)
+    chars-heuristic estimate. A real BPE merge table would run as a
+    mapInPandas over these pre-tokens — the distributed shape is
+    identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("chars_div4_estimate"),
+        F.round(F.length("text").cast("double") / n_tok, 4).alias("chars_per_token"),
+    )
