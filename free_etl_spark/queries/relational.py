@@ -512,3 +512,29 @@ def sort_limit_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+@query(
+    "join_right_outer_orders",
+    oracle="""
+    SELECT n_name, COUNT(o_orderkey) AS n_orders
+    FROM (SELECT o_orderkey, o_custkey FROM orders
+          WHERE o_totalprice > 400000) big
+    RIGHT JOIN customer ON big.o_custkey = c_custkey
+    RIGHT JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_right_outer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer joins preserving every customer and every nation,
+    counting only high-value orders (nations with zero such orders
+    survive with n_orders=0)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right")
+        .join(nation, F.col("c_nationkey") == nation.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )

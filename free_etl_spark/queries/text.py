@@ -6,7 +6,7 @@ dedup. All pure column expressions (JVM-side); no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from free_etl_spark.registry import query
@@ -219,4 +219,61 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tok.alias("bpe_ish_tokens"),
         F.ceil(F.length("text") / 4.0).cast("long").alias("chars_div4_estimate"),
         F.round(F.length("text").cast("double") / n_tok, 4).alias("chars_per_token"),
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term <> '' GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+           WHERE term <> '' GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rnk
+    FROM (SELECT doc_id, term, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 3 AND doc_id < 50
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF (north-star text-analysis op): term frequency per
+    doc × log-inverse document frequency over the whole corpus, top-3
+    terms per document (shown for doc_id < 50; TF is computed only for
+    those docs, DF necessarily over the full corpus). The df side is a
+    token-keyed aggregate broadcast into the tf join."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # tiny scalar; at scale: .first() of an agg
+    tf = (
+        tok.filter(F.col("doc_id") < 50)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
     )
