@@ -115,3 +115,115 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("vec_a") < F.col("vec_b"))
     )
+
+
+_IVF_K = 16       # coarse centroids (deterministic: vec_id < 16)
+_IVF_NPROBE = 4   # clusters searched per query
+_IVF_TOPK = 5
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM v WHERE vec_id < {_IVF_K}),
+    asn AS (  -- coarse assignment: nearest centroid by L2
+      SELECT vec_id, cent_id FROM (
+        SELECT v.vec_id, cent.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(v.emb, cent.cemb),
+                          z -> (z[1] - z[2]) * (z[1] - z[2]))), cent.cent_id) AS rn
+        FROM v CROSS JOIN cent)
+      WHERE rn = 1
+    ),
+    probe AS (  -- per query: the nprobe nearest centroids
+      SELECT vec_id AS qid, cent_id FROM (
+        SELECT v.vec_id, cent.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(v.emb, cent.cemb),
+                          z -> (z[1] - z[2]) * (z[1] - z[2]))), cent.cent_id) AS rn
+        FROM v CROSS JOIN cent)
+      WHERE rn <= {_IVF_NPROBE} AND vec_id < {_N_QUERIES}
+    ),
+    nn AS (SELECT vec_id, emb,
+                  SQRT(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM v),
+    cand AS (
+      SELECT p.qid, a.vec_id AS cid
+      FROM probe p JOIN asn a ON a.cent_id = p.cent_id AND a.vec_id <> p.qid
+    )
+    SELECT qid, cid, cosine, CAST(rn AS INT) AS rnk FROM (
+      SELECT c.qid, c.cid,
+             ROUND(list_sum(list_transform(list_zip(q.emb, t.emb),
+                   z -> z[1] * z[2])) / (q.nrm * t.nrm), 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY
+               ROUND(list_sum(list_transform(list_zip(q.emb, t.emb),
+                     z -> z[1] * z[2])) / (q.nrm * t.nrm), 6) DESC, c.cid) AS rn
+      FROM cand c JOIN nn q ON q.vec_id = c.qid JOIN nn t ON t.vec_id = c.cid)
+    WHERE rn <= {_IVF_TOPK}
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (north-star "IVF or LSH-bucketed variant"):
+    deterministic coarse quantizer (centroids = the first 16 vectors),
+    every vector assigned to its nearest centroid (argmin over a
+    broadcast centroid table — map-side only), queries probe their 4
+    nearest clusters and rank candidates by exact cosine. At 100 TB
+    the candidate set is |probed clusters| not |corpus| — the scan is
+    cluster-partitioned (partitionBy(cent_id) on write) so probes are
+    partition-pruned reads; here clusters live in one DataFrame."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent = emb.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    )
+    l2 = F.aggregate(
+        F.zip_with("emb", "cemb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ranked = (
+        emb.join(F.broadcast(cent))
+        .select("vec_id", "cent_id", l2.alias("d2"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("d2", "cent_id")
+            ),
+        )
+    )
+    asn = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    probe = (
+        ranked.filter((F.col("rn") <= _IVF_NPROBE) & (F.col("vec_id") < _N_QUERIES))
+        .select(F.col("vec_id").alias("qid"), "cent_id")
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    nn = emb.select("vec_id", "emb", nrm.alias("nrm"))
+    cand = probe.join(asn, "cent_id").filter(
+        F.col("vec_id") != F.col("qid")
+    ).select("qid", F.col("vec_id").alias("cid"))
+    q = nn.select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    t = nn.select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("t_emb"), F.col("nrm").alias("t_nrm")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "t_emb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = (
+        cand.join(F.broadcast(q), "qid")
+        .join(t, "cid")
+        .select("qid", "cid", F.round(dot / (F.col("q_nrm") * F.col("t_nrm")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _IVF_TOPK)
+        .select("qid", "cid", "cosine", "rnk")
+    )
