@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis) for the custom operators whose
+correctness doesn't reduce to a SQL oracle: the as-of join vs a
+brute-force reference, and salted joins vs plain joins, over
+adversarial key/timestamp distributions (duplicates, ties, empty
+sides, hot keys)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from free_etl_spark.operators.asof import asof_join_backward
+from free_etl_spark.operators.partitioning import salted_join
+
+_KEYS = st.integers(min_value=0, max_value=2)
+_TS = st.integers(min_value=0, max_value=20)
+
+_left_rows = st.lists(st.tuples(_KEYS, _TS), min_size=0, max_size=12)
+_right_rows = st.lists(st.tuples(_KEYS, _TS, st.integers(0, 99)), min_size=0, max_size=12)
+
+
+def _brute_asof(left, right):
+    out = []
+    for k, lt in left:
+        best = None
+        for rk, rt, rv in right:
+            if rk == k and rt <= lt and (best is None or rt > best[0]):
+                best = (rt, rv)
+        out.append((k, lt, None if best is None else best[1]))
+    return sorted(out, key=lambda r: (r[0], r[1], r[2] is None, r[2]))
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(left=_left_rows, right=_right_rows)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    ldf = spark.createDataFrame(
+        pd.DataFrame(left, columns=["k", "lt"]), "k int, lt int"
+    )
+    rdf = spark.createDataFrame(
+        pd.DataFrame(right, columns=["k", "rt", "rv"]), "k int, rt int, rv int"
+    )
+    got = asof_join_backward(
+        ldf, rdf, on=["k"], left_ts="lt", right_ts="rt", payload_cols=["rv"]
+    )
+    rows = [
+        (r["k"], r["lt"], r["asof_rv"]) for r in got.collect()
+    ]
+    assert sorted(rows, key=lambda r: (r[0], r[1], r[2] is None, r[2])) == _brute_asof(
+        left, right
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(st.tuples(_KEYS, st.integers(0, 9)), min_size=0, max_size=15),
+    right=st.lists(st.tuples(_KEYS, st.integers(0, 9)), min_size=0, max_size=8),
+    n_salts=st.integers(min_value=1, max_value=5),
+)
+def test_salted_join_matches_plain(spark, left, right, n_salts):
+    ldf = spark.createDataFrame(
+        pd.DataFrame(left, columns=["k", "lv"]), "k int, lv int"
+    )
+    rdf = spark.createDataFrame(
+        pd.DataFrame(right, columns=["k", "rv"]), "k int, rv int"
+    )
+    plain = sorted(map(tuple, ldf.join(rdf, "k").select("k", "lv", "rv").collect()))
+    salted = sorted(
+        map(tuple, salted_join(ldf, rdf, "k", n_salts=n_salts).select("k", "lv", "rv").collect())
+    )
+    assert plain == salted
