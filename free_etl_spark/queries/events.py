@@ -203,3 +203,49 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "join_interval_events",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           COUNT(c.event_id) AS clicks_before,
+           ROUND(COALESCE(SUM(c.value), 0.0), 2) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND epoch_us(CAST(c.ts AS TIMESTAMP)) >= epoch_us(CAST(p.ts AS TIMESTAMP)) - 300000000
+     AND epoch_us(CAST(c.ts AS TIMESTAMP)) <  epoch_us(CAST(p.ts AS TIMESTAMP))
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal interval join: for each purchase, the user's clicks in
+    the preceding 5 minutes. Equi-join on user_id carries the shuffle;
+    the time-interval predicate is a residual filter on the matched
+    pairs — so cost is per-user pair volume, never a time cross join.
+    (The streaming analogue is a watermarked stream-stream join with
+    the same ts-band condition.)"""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts_us").alias("p_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_id"),
+        F.col("value").alias("c_value"),
+        F.col("ts_us").alias("c_us"),
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_us >= p.p_us - 300_000_000)
+        & (c.c_us < p.p_us),
+        "left",
+    )
+    return joined.groupBy("purchase_id", "user_id").agg(
+        F.count("c_id").alias("clicks_before"),
+        F.round(F.coalesce(F.sum("c_value"), F.lit(0.0)), 2).alias("click_value"),
+    )
