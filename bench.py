@@ -65,6 +65,17 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("free-etl-spark-bench")
     spark.range(1000).count()  # JVM/session warmup
+    # warm parquet footers + OS page cache so the first measured query
+    # doesn't absorb one-time IO costs the others skip
+    from free_etl_spark.tables import ALL_TABLES, load_table
+
+    for t in ALL_TABLES:
+        load_table(spark, sf_dir, t).count()
+    # warm the Python worker pool (first Arrow-UDF stage otherwise
+    # absorbs ~2s of daemon startup)
+    spark.range(10000).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -228,25 +228,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # verify candidates with exact jaccard
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sha = sh.select(F.col("doc_id").alias("da"), F.col("sh").alias("sh_a"))
-    shb = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("sh_b"))
-    inter = (
-        cand.join(sha, F.col("doc_a") == F.col("da"))
-        .join(shb, (F.col("doc_b") == F.col("db")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.round(
-        F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
-        6,
-    )
+    # verify candidates with exact jaccard: carry each doc's shingle
+    # *array* onto the (few) candidate pairs and intersect map-side —
+    # two joins keyed on doc id, |cand| result rows, no re-explosion of
+    # candidate × shingle rows. Array size is bounded by per-doc
+    # shingle count (hundreds), independent of corpus size.
+    sh_arr = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
+    a_arr = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    b_arr = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    union = F.size("shs_a") + F.size("shs_b") - inter
+    jac = F.round(inter.cast("double") / union, 6)
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(a_arr, "doc_a")
+        .join(b_arr, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _JACCARD_T)
     )
