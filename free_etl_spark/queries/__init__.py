@@ -15,6 +15,7 @@ from free_etl_spark.queries import (  # noqa: F401
     dedup,
     similarity,
 )
+from free_etl_spark.streaming import joins as streaming_joins  # noqa: F401
 from free_etl_spark.streaming import stateful as streaming_stateful  # noqa: F401
 from free_etl_spark.streaming import windows as streaming_windows  # noqa: F401
 from free_etl_spark.registry import ORACLES, QUERIES  # noqa: F401

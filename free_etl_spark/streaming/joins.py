@@ -1,0 +1,74 @@
+"""Watermarked stream-stream join (SURVEY.md §2B streaming rows): the
+streaming analogue of the batch temporal interval join — purchases
+joined to the same user's clicks in the preceding 5 minutes, both
+sides replayed as file streams.
+
+Inner stream-stream joins emit each matched pair exactly once as
+matches become possible, so on a bounded stream the union of emissions
+equals the batch inner join — which (aggregated per purchase) is the
+DuckDB oracle. Watermarks bound the join state: each side keeps only
+rows inside watermark ± the join's time band, which is what makes
+state finite on an unbounded 100 TB/day stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from free_etl_spark.registry import query
+from free_etl_spark.streaming.windows import events_stream, run_to_completion
+
+
+@query(
+    "streaming_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           COUNT(*) AS clicks_before,
+           ROUND(SUM(c.value), 2) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND epoch_us(CAST(c.ts AS TIMESTAMP)) >= epoch_us(CAST(p.ts AS TIMESTAMP)) - 300000000
+     AND epoch_us(CAST(c.ts AS TIMESTAMP)) <  epoch_us(CAST(p.ts AS TIMESTAMP))
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks on both sides and a
+    time-band condition; matched pairs drain to a memory sink and are
+    aggregated per purchase (inner join ⇒ purchases with no preceding
+    click don't appear, same as the oracle's inner join)."""
+    ev = events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("value").alias("c_value"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    pairs = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 5 minutes"))
+        & (clicks.c_ts < purchases.p_ts),
+        "inner",
+    )
+    out = run_to_completion(
+        pairs.select("purchase_id", "user_id", "c_value"), "append"
+    )
+    return out.groupBy("purchase_id", "user_id").agg(
+        F.count(F.lit(1)).alias("clicks_before"),
+        F.round(F.sum("c_value"), 2).alias("click_value"),
+    )
