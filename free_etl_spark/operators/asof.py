@@ -9,9 +9,12 @@ each left row. Cost: ONE shuffle of (|L|+|R|) rows on the join key —
 no row explosion, no driver loops — so it holds at 100 TB where a
 range-join would quadratically explode on hot keys.
 
-Tie rule: a right row with ts equal to the left row's ts matches
+Tie rules: a right row with ts equal to the left row's ts matches
 (``<=`` semantics, like pandas ``merge_asof`` / DuckDB ``ASOF JOIN``):
-right rows sort before left rows at equal timestamps.
+right rows sort before left rows at equal timestamps. Among *multiple*
+right rows sharing the same (key, ts) — where a distributed table has
+no "last row in input order" to prefer — the greatest payload struct
+wins, making the result deterministic under any partitioning.
 """
 
 from __future__ import annotations
@@ -58,7 +61,11 @@ def asof_join_backward(
 
     w = (
         Window.partitionBy(*on)
-        .orderBy("__ts", "__side")
+        # __payload as the final sort key: deterministic winner among
+        # right rows tied on (key, ts) — nulls (left rows) sort first
+        # within their (__ts, __side) group, which is irrelevant since
+        # all side=1 payloads are null
+        .orderBy("__ts", "__side", "__payload")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged_r.unionByName(tagged_l).withColumn(

@@ -22,11 +22,12 @@ _right_rows = st.lists(st.tuples(_KEYS, _TS, st.integers(0, 99)), min_size=0, ma
 
 
 def _brute_asof(left, right):
+    # operator tie rule: greatest (rt, rv) struct wins among matches
     out = []
     for k, lt in left:
         best = None
         for rk, rt, rv in right:
-            if rk == k and rt <= lt and (best is None or rt > best[0]):
+            if rk == k and rt <= lt and (best is None or (rt, rv) > best):
                 best = (rt, rv)
         out.append((k, lt, None if best is None else best[1]))
     return sorted(out, key=lambda r: (r[0], r[1], r[2] is None, r[2]))
