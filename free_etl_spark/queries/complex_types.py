@@ -66,7 +66,7 @@ def explode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_user_types",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types,
+           array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types,
            CAST(len(list(DISTINCT event_type)) AS INT) AS n_types
     FROM events
     GROUP BY user_id
@@ -74,10 +74,13 @@ def explode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_agg_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set + sort_array: per-user sorted distinct event-type
-    arrays — array construction as an aggregate."""
+    arrays — array construction as an aggregate. The array serializes
+    to a '|'-joined string in the result so the cross-engine value
+    compare is representation-independent (pandas renders Spark arrays
+    as lists or ndarrays depending on Arrow; DuckDB as ndarrays)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.concat_ws("|", F.sort_array(F.collect_set("event_type"))).alias("types"),
         F.size(F.collect_set("event_type")).alias("n_types"),
     )
 

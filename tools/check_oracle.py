@@ -10,6 +10,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
@@ -30,7 +31,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # canonicalize sequences (list vs ndarray) before str()
+            import numpy as np
+
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
+            ).astype(str)
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
     return df.sort_values(by=list(df.columns), ignore_index=True)
@@ -39,7 +45,21 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("check-oracle")
+    if os.environ.get("CHECK_VANILLA"):
+        # driver simulation: a session WITHOUT our tuned confs, in a
+        # non-UTC timezone — queries must self-provision runtime confs
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-oracle-vanilla")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("check-oracle")
     con = duckdb.connect()
     for t in ALL_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
