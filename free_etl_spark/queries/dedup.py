@@ -8,7 +8,8 @@ products except where semantically required and capped):
 - MinHash + LSH:    deterministic md5 minhash signatures → banded
                     buckets → candidate pairs → exact-Jaccard verify
                     (expressed relationally, so DuckDB can oracle it)
-- SimHash:          16-bit token-hash sign aggregation (rows-only check)
+- SimHash:          16-bit token-hash sign aggregation + 4-band
+                    hamming-ball pairing (md5-deterministic → oracled)
 - embedding cosine: pairwise cosine ≥ τ near-dup pairs
 
 The scale path for all of these is the same shape: candidate
@@ -247,12 +248,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # rows-only: bit-level hashing not portable to the oracle
+# shared DuckDB CTE: the 16-bit simhash signature per document —
+# md5-derived, so the oracle replicates it bit-for-bit in SQL
+_SIMHASH_SQL = """
+    tok AS (SELECT DISTINCT doc_id, t.tok
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)),
+    h AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(tok), 1, 4))::UBIGINT AS BIGINT) AS h
+          FROM tok),
+    b AS (SELECT doc_id, g.j,
+                 SUM(CASE WHEN (h >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS w
+          FROM h CROSS JOIN generate_series(0, 15) AS g(j)
+          GROUP BY doc_id, g.j),
+    sig AS (SELECT doc_id,
+                   CAST(SUM(CASE WHEN w > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                        AS BIGINT) AS simhash16
+            FROM b GROUP BY doc_id)
+"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"WITH {_SIMHASH_SQL} SELECT doc_id, simhash16 FROM sig",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures: per distinct token, take 16 bits of
     md5; per bit position sum +1/-1 across tokens; sign → signature
-    bit. Output one signature per document (hamming-ball pairing is a
-    follow-on band join on the signature)."""
+    bit. md5-deterministic, so DuckDB reproduces every signature
+    bit-for-bit (the oracle replays the hash/weight/sign pipeline in
+    SQL). Pairing is dedup_simhash_pairs below."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
@@ -333,4 +357,63 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= _COS_T)
+    )
+
+
+_HAMMING_T = 3
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_SQL}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash16, b.simhash16)) <= {_HAMMING_T}
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3): candidates come from a
+    4×4-bit band join — by pigeonhole, any pair within hamming 3 of a
+    16-bit signature agrees on at least one of 4 disjoint 4-bit bands,
+    so the band join has full recall and cost scales with band-bucket
+    collisions, not |docs|² (the oracle brute-forces the same answer).
+    """
+    sig = dedup_simhash(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash16",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright("simhash16", 4 * b).bitwiseAND(0xF).alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "simhash16", F.col("bd.band_id").alias("band_id"), F.col("bd.band_val").alias("band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash16").alias("sig_a"),
+            F.col("b.simhash16").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _HAMMING_T)
     )

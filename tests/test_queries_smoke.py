@@ -42,8 +42,7 @@ def test_oracle_keys_subset_of_queries():
     assert set(os_) <= set(qs)
     # non-oracle queries are the documented engine-specific ones
     assert set(qs) - set(os_) == {
-        "agg_approx_distinct", "dedup_simhash", "sim_ann_lsh",
-        "streaming_session_windows",
+        "agg_approx_distinct", "sim_ann_lsh", "streaming_session_windows",
     }
 
 
