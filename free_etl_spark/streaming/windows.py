@@ -91,10 +91,32 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_session_windows")  # rows-only: session_window is not ANSI SQL
+@query(
+    "streaming_session_windows",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    m AS (SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts, value,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m)
+    SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful session windows (30-min gap) per user over the event
-    stream — the streaming analogue of events_sessionize."""
+    stream — the streaming analogue of events_sessionize. session_window
+    semantics ARE SQL-expressible: a session breaks when the gap to the
+    previous event is ≥ the 30-min gap duration, and the window end is
+    the last event + gap — which is exactly what the oracle's
+    lag/running-sum sessionization computes."""
     ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
         F.count(F.lit(1)).alias("n_events"),

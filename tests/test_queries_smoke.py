@@ -41,9 +41,7 @@ def test_oracle_keys_subset_of_queries():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert set(os_) <= set(qs)
     # non-oracle queries are the documented engine-specific ones
-    assert set(qs) - set(os_) == {
-        "agg_approx_distinct", "sim_ann_lsh", "streaming_session_windows",
-    }
+    assert set(qs) - set(os_) == {"agg_approx_distinct", "sim_ann_lsh"}
 
 
 def test_tpch_q1_aggregates_are_sane(spark):
