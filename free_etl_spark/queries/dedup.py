@@ -417,3 +417,49 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _HAMMING_T)
     )
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_SH_SQL},
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN sizes sa ON cand.doc_a = sa.doc_id
+      JOIN sizes sb ON cand.doc_b = sb.doc_id
+      WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6)
+            >= {_JACCARD_T}
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT d.doc_id,
+           LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS component
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: n-gram-Jaccard near-dup pairs grouped into
+    connected components by distributed min-label propagation
+    (operators/components.py); component = min doc_id in the group, so
+    `component == doc_id` marks the canonical survivor. The oracle
+    computes the same components with a recursive transitive-closure
+    CTE."""
+    from free_etl_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(
+        docs, pairs, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )

@@ -79,3 +79,45 @@ def test_salted_join_matches_plain(spark, left, right, n_salts):
         map(tuple, salted_join(ldf, rdf, "k", n_salts=n_salts).select("k", "lv", "rv").collect())
     )
     assert plain == salted
+
+
+def _union_find_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-label normalization
+    comp = {}
+    for v in range(n_nodes):
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    return sorted((v, min(members)) for r, members in comp.items() for v in members)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_nodes=st.integers(min_value=1, max_value=12),
+    edge_idx=st.lists(st.tuples(st.integers(0, 11), st.integers(0, 11)), max_size=15),
+)
+def test_connected_components_matches_union_find(spark, n_nodes, edge_idx):
+    from free_etl_spark.operators.components import connected_components
+
+    edges = [(a % n_nodes, b % n_nodes) for a, b in edge_idx if a % n_nodes != b % n_nodes]
+    nodes_df = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+    edges_df = spark.createDataFrame(
+        pd.DataFrame(edges or [], columns=["src", "dst"]), "src long, dst long"
+    )
+    got = sorted(map(tuple, connected_components(nodes_df, edges_df).collect()))
+    assert got == _union_find_components(n_nodes, edges)
