@@ -251,3 +251,21 @@ def struct_nested_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("info.priority").alias("priority"),
         F.col("info.total").alias("total"),
     )
+
+
+@query("agg_approx_percentiles")  # rows-only: sketch internals are engine-specific
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the mergeable-sketch scale path for the
+    exact percentiles_by_type above (one pass, bounded memory, no
+    per-group sort). Rows-only check; accuracy vs the exact values is
+    asserted in tests."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.expr(
+        "approx_percentile(value, array(0.25, 0.5, 0.75, 0.99), 10000)"
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(pct[0], 4).alias("p25"),
+        F.round(pct[1], 4).alias("p50"),
+        F.round(pct[2], 4).alias("p75"),
+        F.round(pct[3], 4).alias("p99"),
+    )

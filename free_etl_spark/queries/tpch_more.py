@@ -4,9 +4,10 @@ scalar subqueries, conditional aggregation, multi-way joins).
 
 The driver's star schema is a *reduced* TPC-H (TESTDATA.md): no
 partsupp, no commit/receipt dates, no ship modes, no phone numbers.
-Queries Q2/Q11/Q20/Q21 depend on those and cannot be expressed;
-the rest are adapted to the available columns — the adaptation is
-noted per query. Semantics (join shape, subquery structure, agg
+Queries Q2/Q11/Q21 depend irreducibly on those and cannot be
+expressed; the rest (incl. Q16/Q20 via the lineitem-derived
+part↔supplier relation) are adapted to the available columns — the
+adaptation is noted per query. Semantics (join shape, subquery structure, agg
 pattern) follow the official TPC-H spec queries.
 
 Scale notes: every query here shuffles only on uniform keys
@@ -602,4 +603,87 @@ def join_cross_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("r_name", "o_orderstatus")
         .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO' AND p_size IN (1, 4, 9, 16, 25)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted: the part↔supplier relation comes from
+    lineitem — the data has no partsupp): distinct-supplier counts per
+    part attribute triple, with NOT-predicates on the broadcast side."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@query(
+    "tpch_q20_promotion_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '%widget%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(l_quantity) > (
+        SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l_partkey
+      )
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted: availability threshold derived from the
+    per-part average shipped quantity instead of partsupp stock):
+    suppliers who shipped more than half a part's average quantity of
+    any widget part in 1996. The correlated HAVING decorrelates into a
+    per-part average joined onto the (supplier, part) aggregate; the
+    outer IN becomes a semi join."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = _t(spark, sf_dir, "lineitem")
+    li96 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast(_TS))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast(_TS))
+    )
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    qualifying = (
+        li96.join(broadcast(part), li96.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("shipped"))
+        .join(per_part_avg, F.col("l_partkey") == F.col("avg_pk"))
+        .filter(F.col("shipped") > F.col("half_avg"))
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
     )

@@ -41,7 +41,9 @@ def test_oracle_keys_subset_of_queries():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert set(os_) <= set(qs)
     # non-oracle queries are the documented engine-specific ones
-    assert set(qs) - set(os_) == {"agg_approx_distinct", "sim_ann_lsh"}
+    assert set(qs) - set(os_) == {
+        "agg_approx_distinct", "agg_approx_percentiles", "sim_ann_lsh",
+    }
 
 
 def test_tpch_q1_aggregates_are_sane(spark):
@@ -57,3 +59,20 @@ def test_topk_per_group_bounded(spark):
     assert (df.groupby("o_custkey")["o_totalprice"].apply(
         lambda s: (s.sort_values(ascending=False).values == s.values).all()
     )).all()
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    approx = entrymod.queries()["agg_approx_percentiles"](spark, SF_DIR).toPandas()
+    exact = entrymod.queries()["percentiles_by_type"](spark, SF_DIR).toPandas()
+    m = approx.merge(exact, on="event_type", suffixes=("_a", "_e"))
+    # the tail quantile of a ~200-sample group legitimately differs
+    # between interpolation (exact) and nearest-data-point (sketch)
+    bounds = {"p25": 0.05, "p50": 0.05, "p75": 0.05, "p99": 0.35}
+    for q, bound in bounds.items():
+        rel = ((m[f"{q}_a"] - m[f"{q}_e"]).abs() / m[f"{q}_e"].clip(lower=1e-9)).max()
+        assert rel < bound, (q, rel)
+
+
+def test_approx_distinct_close_to_exact(spark):
+    approx = entrymod.queries()["agg_approx_distinct"](spark, SF_DIR).toPandas()
+    assert {"event_type"} <= set(approx.columns)
