@@ -277,3 +277,37 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+@query(
+    "text_fuzzy_name_match",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    k AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM names)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM k a JOIN k b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def text_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching with blocking: candidate pairs come from
+    an equality join on a blocking key (the name's last word) — never
+    an all-pairs edit-distance cross join — then exact levenshtein ≤ 3
+    filters the block. The standard entity-resolution join shape: cost
+    scales with block sizes, not |names|²."""
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    k = names.select(
+        "p_name", F.element_at(F.split("p_name", " "), -1).alias("blk")
+    )
+    a = k.select(F.col("p_name").alias("name_a"), F.col("blk").alias("blk_a"))
+    b = k.select(F.col("p_name").alias("name_b"), F.col("blk").alias("blk_b"))
+    return (
+        a.join(b, (F.col("blk_a") == F.col("blk_b")) & (F.col("name_a") < F.col("name_b")))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 3)
+    )

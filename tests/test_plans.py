@@ -1,0 +1,81 @@
+"""Plan-shape regression tests: the physical-plan properties that
+matter at 100 TB (pruned scans, pushed filters, broadcast dimensions,
+no Python stages in the relational core) must survive refactors.
+
+Uses the same plan inspector as tools/plan_audit.py.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "tools")
+
+from plan_audit import audit  # noqa: E402
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def audits(spark):
+    names = [
+        "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier",
+        "tpch_q9_product_profit",
+        "join_range_bands",
+        "topk_per_group",
+        "dedup_exact_md5",
+        "sample_train_test_split",
+    ]
+    return {n: audit(spark, n, SF_DIR) for n in names}
+
+
+def test_q1_single_pruned_scan(audits):
+    a = audits["tpch_q1_pricing_summary"]
+    assert a["scans"] == 1
+    assert a["scan_cols"] == [7]  # 7 of lineitem's 11 columns
+    assert a["pushed_filters"] >= 1  # shipdate predicate reaches the scan
+    assert a["python_stages"] == 0
+
+
+def test_q3_broadcasts_both_dimensions(audits):
+    a = audits["tpch_q3_shipping_priority"]
+    assert a["broadcast_joins"] == 2
+    assert a["sortmerge_joins"] == 0
+    assert a["pushed_filters"] == a["scans"] == 3
+
+
+def test_q5_all_dimensions_broadcast(audits):
+    a = audits["tpch_q5_local_supplier"]
+    assert a["broadcast_joins"] == 5
+    assert a["sortmerge_joins"] == 0
+
+
+def test_q9_prunes_every_scan(audits):
+    a = audits["tpch_q9_product_profit"]
+    # lineitem 6/11 cols, part 3/6, supplier 2/4, orders 2/6, nation 2/3
+    assert sorted(a["scan_cols"]) == [2, 2, 2, 3, 6]
+    assert a["broadcast_joins"] == 4
+
+
+def test_range_bands_is_single_pass_bnl(audits):
+    a = audits["join_range_bands"]
+    assert a["bnl_joins"] == 1  # broadcast nested loop against 4 bands
+    assert a["scans"] == 1 and a["scan_cols"] == [2]
+
+
+def test_relational_core_has_no_python_stages(audits):
+    for name in [
+        "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier",
+        "tpch_q9_product_profit",
+        "join_range_bands",
+        "topk_per_group",
+        "dedup_exact_md5",
+        "sample_train_test_split",
+    ]:
+        assert audits[name]["python_stages"] == 0, name
