@@ -7,6 +7,7 @@ from free_etl_spark.queries import (  # noqa: F401
     udfs,
     multimodal_q,
     sampling,
+    quality,
     windows,
     setops,
     scalars,
