@@ -249,3 +249,40 @@ def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("c_id").alias("clicks_before"),
         F.round(F.coalesce(F.sum("c_value"), F.lit(0.0)), 2).alias("click_value"),
     )
+
+
+@query(
+    "events_time_rollup",
+    oracle="""
+    SELECT CAST(yr AS INT) AS yr, CAST(mo AS INT) AS mo, CAST(dy AS INT) AS dy,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM (
+      SELECT year(CAST(ts AS TIMESTAMP)) AS yr,
+             month(CAST(ts AS TIMESTAMP)) AS mo,
+             day(CAST(ts AS TIMESTAMP)) AS dy,
+             value
+      FROM events
+    )
+    GROUP BY ROLLUP (yr, mo, dy)
+    """,
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: one pass produces
+    day, month, year and grand-total aggregates via ROLLUP grouping
+    sets — the batch form of a continuous aggregate (partial
+    aggregation means the shuffle carries one partial row per (grain,
+    bucket), not the events)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.year("ts").cast("int").alias("yr"),
+            F.month("ts").cast("int").alias("mo"),
+            F.dayofmonth("ts").cast("int").alias("dy"),
+            "value",
+        )
+        .rollup("yr", "mo", "dy")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
