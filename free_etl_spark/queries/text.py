@@ -311,3 +311,17 @@ def text_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 3)
     )
+
+
+@query(
+    "dedup_drop_duplicates",
+    oracle="""
+    SELECT lang, source FROM (SELECT DISTINCT lang, source FROM documents)
+    """,
+)
+def dedup_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in exact-dedup surface: dropDuplicates([cols]) —
+    semantically DISTINCT on the subset, one hash shuffle on the
+    dedup key (dedup_exact_md5 above is the keep-canonical variant)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("lang", "source").dropDuplicates(["lang", "source"])
