@@ -677,7 +677,7 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li96.join(broadcast(part), li96.l_partkey == part.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("shipped"))
-        .join(per_part_avg, F.col("l_partkey") == F.col("avg_pk"))
+        .join(broadcast(per_part_avg), F.col("l_partkey") == F.col("avg_pk"))
         .filter(F.col("shipped") > F.col("half_avg"))
         .select("l_suppkey")
     )
