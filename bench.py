@@ -83,7 +83,48 @@ def main() -> None:
         q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    # intake throughput — the surface directly comparable to the
+    # reference (single-threaded pandas CSV parse+re-serialize,
+    # ~10-30 MB/s typical, strictly serial across files): an 8-file
+    # upload batch (lineitem split 8 ways) through the §2A scale path
+    # with concurrent per-file pipelines. CSV setup is untimed.
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from free_etl_spark.intake.config import load_cfg
+    from free_etl_spark.intake.spark_intake import ingest_directory
+    from free_etl_spark.tables import load_table as _lt
+
+    work = tempfile.mkdtemp(prefix="bench_intake_")
+    try:
+        landing = os.path.join(work, "landing")
+        outdir = os.path.join(work, "out")
+        os.makedirs(landing)
+        _lt(spark, sf_dir, "lineitem").repartition(8).write.option(
+            "header", True
+        ).csv(os.path.join(work, "csv"))
+        csv_mb = 0.0
+        for i, src in enumerate(
+            _glob.glob(os.path.join(work, "csv", "part-*.csv"))
+        ):
+            csv_mb += os.path.getsize(src) / 1e6
+            shutil.move(src, os.path.join(landing, f"upload_{i}.csv"))
+        cfg = load_cfg({"app": {"max_file_mb": 4096}})
+        t0 = time.time()
+        audits, _ = ingest_directory(spark, landing, outdir, cfg)
+        dt = time.time() - t0
+        assert audits and all(a.acceptable for a in audits), [
+            a.issues for a in audits
+        ]
+        timings["intake_8file_batch"] = round(dt, 3)
+        timings["intake_csv_mb_per_s"] = round(csv_mb / dt, 1)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    total = round(
+        sum(v for k, v in timings.items() if not k.endswith("_mb_per_s")), 3
+    )
     print(
         json.dumps(
             {

@@ -83,6 +83,8 @@ def validate_file(spark: SparkSession, path: str, cfg: AppConfig) -> tuple[Spark
 
     df = None
     try:
+        from pyspark import StorageLevel
+
         df = (
             spark.read.option("header", True)
             .option("sep", audit.delimiter)
@@ -91,6 +93,11 @@ def validate_file(spark: SparkSession, path: str, cfg: AppConfig) -> tuple[Spark
             .option("mode", "FAILFAST")  # ≅ pandas on_bad_lines="error"
             .csv(path)
             .na.fill("")  # ""-not-NULL invariant (SURVEY.md §1.4)
+            # one parse total: the parse-check write below populates
+            # the cache; the count and the normalization write read it
+            # back instead of re-parsing the file (2 extra full parses
+            # otherwise — the dominant cost on large inputs)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         # Full-width no-op write: the FAILFAST parse check. A pruned
         # scan (count(), or even count(concat_ws(all cols))) lets the
@@ -102,6 +109,8 @@ def validate_file(spark: SparkSession, path: str, cfg: AppConfig) -> tuple[Spark
     except Exception as e:
         first = str(e).splitlines()[0] if str(e) else repr(e)
         audit.issues.append(f"Failed to parse file: {first[:300]}")
+        if df is not None:
+            df.unpersist()
         df = None
 
     audit.acceptable = not audit.issues
@@ -136,23 +145,35 @@ def ingest_directory(
     out_dir: str,
     cfg: AppConfig,
     pattern: str = "*",
+    max_concurrent_files: int = 8,
 ) -> tuple[list[SparkFileAudit], DataFrame]:
     """Validate every file in a landing directory, normalize the
     acceptable ones (one output object per input, sanitized name), and
     return (audits, audit DataFrame). Per-file error isolation: a
     failed file never aborts the batch (streamlit_app.py:177-178,
-    310-311)."""
+    310-311).
+
+    Files run CONCURRENTLY (driver thread pool submitting independent
+    Spark jobs — the FIFO scheduler interleaves their stages across
+    executors): a batch of N uploads takes ~max(file) not ~sum(file),
+    where the reference — and a serial loop — pays the full sum. Audit
+    order stays deterministic (sorted by path)."""
     os.makedirs(out_dir, exist_ok=True)
-    audits: list[SparkFileAudit] = []
-    for path in sorted(globmod.glob(os.path.join(landing_dir, pattern))):
-        audit, df = validate_file(spark, path, cfg)
-        if df is not None:
-            try:
-                normalize_to_csv(df, out_dir, sanitize_stem(audit.original_name) + ".csv")
-            except Exception as e:
-                audit.issues.append(f"Failed to normalize to CSV: {e}")
-                audit.acceptable = False
-        audits.append(audit)
+    # CSV is a splittable source: drop the split size so a mid-size
+    # file (e.g. 40 MB, below the 128 MB default) parses on many cores
+    # instead of one. Restored after the batch.
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+    try:
+        audits = _ingest_files(
+            spark,
+            sorted(globmod.glob(os.path.join(landing_dir, pattern))),
+            out_dir,
+            cfg,
+            max_concurrent_files,
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
     audit_df = spark.createDataFrame(
         [
             (a.original_name, a.issues, a.acceptable, a.row_count, a.col_count, a.delimiter, a.encoding)
@@ -162,3 +183,32 @@ def ingest_directory(
         "row_count long, col_count long, delimiter string, encoding string",
     )
     return audits, audit_df
+
+
+def _ingest_files(
+    spark: SparkSession,
+    paths: list[str],
+    out_dir: str,
+    cfg: AppConfig,
+    max_concurrent: int,
+) -> list[SparkFileAudit]:
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(path: str) -> SparkFileAudit:
+        audit, df = validate_file(spark, path, cfg)
+        if df is not None:
+            try:
+                normalize_to_csv(
+                    df, out_dir, sanitize_stem(audit.original_name) + ".csv"
+                )
+            except Exception as e:  # per-file isolation
+                audit.issues.append(f"Failed to normalize to CSV: {e}")
+                audit.acceptable = False
+            finally:
+                df.unpersist()  # cache lives only across validate+normalize
+        return audit
+
+    if len(paths) <= 1 or max_concurrent <= 1:
+        return [one(p) for p in paths]
+    with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+        return list(pool.map(one, paths))
