@@ -103,3 +103,37 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         )
     )
+
+
+@query(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, n_chars,
+             ROUND(LN(({_H16_SQL.format(c="doc_id")} + 1.0) / 65537.0)
+                   / n_chars, 9) AS priority
+      FROM documents
+    )
+    SELECT doc_id, n_chars, priority
+    FROM (SELECT doc_id, n_chars, priority,
+                 ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rn
+          FROM pri)
+    WHERE rn <= 50
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    priority sampling): key = ln(u)/w with u hash-derived — longer
+    documents are proportionally likelier to be drawn, yet the draw is
+    fully deterministic and engine-independent. Top-k by priority is a
+    single ORDER BY ... LIMIT (Spark's TakeOrdered: per-partition
+    heaps, no global sort). Priorities round to 9 dp with doc_id
+    tie-breaks so cross-engine libm ULP differences can't reorder."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (_hash16(F.col("doc_id")) + 1.0) / 65537.0
+    pri = F.round(F.log(u) / F.col("n_chars"), 9)
+    return (
+        docs.select("doc_id", "n_chars", pri.alias("priority"))
+        .orderBy(F.col("priority").desc(), F.col("doc_id"))
+        .limit(50)
+    )
