@@ -92,3 +92,40 @@ def test_streaming_dedup_watermark_equals_distinct(spark):
     assert (res["n"] == 1).all()  # fully deduped
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     assert len(res) == ev.select("user_id", "event_type").distinct().count()
+
+
+def test_rollup_maintenance_equals_batch_and_is_idempotent(spark, tmp_path):
+    from free_etl_spark.streaming.rollup import (
+        read_rollup,
+        rollup_batch,
+        start_rollup_maintenance,
+    )
+    from free_etl_spark.tables import load_table
+    import pyspark.sql.functions as F
+
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = start_rollup_maintenance(spark, SF_DIR, rollup_dir, ckpt)
+    q.awaitTermination(120)
+
+    served = read_rollup(spark, rollup_dir).toPandas()
+    batch = rollup_batch(load_table(spark, SF_DIR, "events")).toPandas()
+    s = served.sort_values(["day", "event_type"], ignore_index=True)
+    b = batch.sort_values(["day", "event_type"], ignore_index=True)
+    pd.testing.assert_frame_equal(s, b[s.columns])
+
+    # replay simulation: rewriting the same batch partials (same
+    # batch_id) must leave the served rollup unchanged
+    ev = load_table(spark, SF_DIR, "events")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        rollup_batch(ev)
+        .withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("day", "batch_id")
+        .parquet(rollup_dir)
+    )
+    replayed = read_rollup(spark, rollup_dir).toPandas()
+    r = replayed.sort_values(["day", "event_type"], ignore_index=True)
+    pd.testing.assert_frame_equal(r, b[r.columns])
