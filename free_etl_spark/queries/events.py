@@ -286,3 +286,97 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@query(
+    "events_funnel_steps",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'click' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_click,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_view_any,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_buy_any
+      FROM events GROUP BY user_id
+    ),
+    steps AS (
+      SELECT user_id,
+             CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END AS s1,
+             CASE WHEN t_click IS NOT NULL AND t_view_any > t_click THEN 1 ELSE 0 END AS s2,
+             CASE WHEN t_click IS NOT NULL AND t_view_any > t_click
+                   AND t_buy_any > t_view_any THEN 1 ELSE 0 END AS s3
+      FROM f
+    )
+    SELECT CAST(SUM(s1) AS BIGINT) AS step1_click,
+           CAST(SUM(s2) AS BIGINT) AS step2_view_after_click,
+           CAST(SUM(s3) AS BIGINT) AS step3_purchase_after_view,
+           ROUND(CAST(SUM(s3) AS DOUBLE) / NULLIF(SUM(s1), 0), 6) AS conversion
+    FROM steps
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (click → later view → later purchase): per-user
+    first-occurrence timestamps via conditional MIN (one shuffle on
+    user_id), step predicates chain the orderings, then a global
+    conditional-sum — no self-joins, no window sort over raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    t = lambda typ: F.min(F.when(F.col("event_type") == typ, F.col("ts_us")))  # noqa: E731
+    f = ev.groupBy("user_id").agg(
+        t("click").alias("t_click"),
+        t("view").alias("t_view_any"),
+        t("purchase").alias("t_buy_any"),
+    )
+    s1 = F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+    s2 = F.when(F.col("t_click").isNotNull() & (F.col("t_view_any") > F.col("t_click")), 1).otherwise(0)
+    s3 = F.when(
+        F.col("t_click").isNotNull()
+        & (F.col("t_view_any") > F.col("t_click"))
+        & (F.col("t_buy_any") > F.col("t_view_any")),
+        1,
+    ).otherwise(0)
+    return f.select(
+        s1.alias("s1"), s2.alias("s2"), s3.alias("s3")
+    ).agg(
+        F.sum("s1").alias("step1_click"),
+        F.sum("s2").alias("step2_view_after_click"),
+        F.sum("s3").alias("step3_purchase_after_view"),
+        F.round(
+            F.sum("s3").cast("double") / F.nullif(F.sum("s1"), F.lit(0)), 6
+        ).alias("conversion"),
+    )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             MIN(date_trunc('day', CAST(ts AS TIMESTAMP))) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS active_day
+      FROM events
+    )
+    SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST(datediff('day', f.cohort_day, a.active_day) AS INT)
+             AS days_since,
+           COUNT(DISTINCT a.user_id) AS active_users
+    FROM first_seen f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted
+    on each subsequent active day. Both aggregates shuffle on
+    user_id; the cohort join re-uses that partitioning (co-partitioned
+    join, no extra exchange under AQE)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("timestamp_ntz")
+    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = ev.select("user_id", day.alias("active_day")).distinct()
+    joined = first_seen.join(activity, "user_id")
+    days_since = F.datediff("active_day", "cohort_day").cast("int")
+    return joined.groupBy(
+        "cohort_day", days_since.alias("days_since")
+    ).agg(F.countDistinct("user_id").alias("active_users"))
