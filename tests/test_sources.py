@@ -70,3 +70,19 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(lang" in plan, plan
     expect = docs.filter(F.col("lang") == "en").count()
     assert pruned.count() == expect
+
+
+def test_orc_round_trip(spark, tmp_path):
+    supplier = load_table(spark, SF_DIR, "supplier")
+    out = str(tmp_path / "supplier_orc")
+    supplier.write.orc(out, mode="overwrite")
+    back = spark.read.orc(out)
+    assert _canon(back) == _canon(supplier)
+    # predicate pushdown reaches the ORC scan too
+    plan = (
+        back.filter(F.col("s_suppkey") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(s_suppkey), EqualTo(s_suppkey,1)]" in plan, plan
