@@ -177,3 +177,58 @@ def array_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l1, 6).alias("l1_norm"),
         F.array_max("embedding").cast("double").alias("max_val"),
     )
+
+
+@query(
+    "scalar_timezone_funcs",
+    oracle="""
+    SELECT local_hour, COUNT(*) AS n
+    FROM (
+      SELECT CAST(EXTRACT(hour FROM
+               timezone('America/New_York', timezone('UTC', CAST(ts AS TIMESTAMP))))
+             AS INT) AS local_hour
+      FROM events
+    )
+    GROUP BY local_hour
+    """,
+)
+def scalar_timezone_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion parity: UTC event times shifted to a named
+    IANA zone (DST-aware on both engines), bucketed by local hour.
+    Spark side: from_utc_timestamp on the NTZ event time."""
+    ev = load_table(spark, sf_dir, "events")
+    local = F.from_utc_timestamp(F.col("ts").cast("timestamp"), "America/New_York")
+    return (
+        ev.select(F.hour(local).cast("int").alias("local_hour"))
+        .groupBy("local_hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "scalar_null_safe_eq",
+    oracle="""
+    SELECT same_props, COUNT(*) AS n
+    FROM (
+      SELECT (json_extract_string(a.props, '$.k')
+              IS NOT DISTINCT FROM json_extract_string(b.props, '$.k')) AS same_props
+      FROM events a JOIN events b ON a.event_id = b.event_id + 1
+    )
+    GROUP BY same_props
+    """,
+)
+def scalar_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality (<=> / IS NOT DISTINCT FROM): compare each
+    event's props.k with its predecessor's — NULL <=> NULL is TRUE,
+    NULL <=> x is FALSE, so every pair lands in a bucket (plain = would
+    drop NULL comparisons to UNKNOWN)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    a = ev.select(F.col("event_id").alias("ida"), k.alias("ka"))
+    b = ev.select((F.col("event_id") + 1).alias("idb"), k.alias("kb"))
+    return (
+        a.join(b, F.col("ida") == F.col("idb"))
+        .select(F.col("ka").eqNullSafe(F.col("kb")).alias("same_props"))
+        .groupBy("same_props")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
