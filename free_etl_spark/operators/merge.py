@@ -1,0 +1,110 @@
+"""Batch upsert (MERGE emulation) and SCD Type-2 history maintenance
+on plain parquet — the CDC-apply shapes a pipeline needs when no
+transactional table format (Delta/Iceberg) is available.
+
+``upsert_parquet`` is partition-scoped: only partitions containing a
+matched or inserted key are rewritten (dynamic partition overwrite),
+so applying a CDC batch costs O(touched partitions), not O(table).
+At 100 TB the partition column must therefore be chosen so CDC
+batches cluster (e.g. ingest date). Writes go through a single
+full-outer-join plan; the rewrite is atomic per partition (parquet
+dir replace), which is the strongest guarantee plain parquet offers —
+a table format adds multi-partition atomicity, nothing else changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str | None = None,
+) -> None:
+    """MERGE: update rows matching ``key_cols``, insert the rest.
+
+    Update semantics: the updates row replaces the target row wholesale
+    (same schema required).
+    """
+    try:
+        target = spark.read.parquet(target_dir)
+    except Exception:  # first load — target doesn't exist yet
+        writer = updates.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(target_dir)
+        return
+
+    if partition_col:
+        touched = [
+            r[0] for r in updates.select(partition_col).distinct().collect()
+        ]
+        scope = target.filter(F.col(partition_col).isin(touched))
+    else:
+        scope = target
+
+    u = updates.select(
+        *[F.col(c).alias(f"__u_{c}") for c in updates.columns]
+    )
+    cond = [scope[k] == u[f"__u_{k}"] for k in key_cols]
+    joined = scope.join(u, cond, "full_outer")
+    merged = joined.select(
+        *[
+            F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c)
+            for c in updates.columns
+        ]
+    )
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # materialize (executor-side) before overwriting the directory the
+    # plan reads from — never a driver collect
+    out = merged.localCheckpoint(eager=True)
+    writer = out.write.mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(target_dir)
+
+
+def scd2_apply(
+    current: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    effective_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """SCD Type-2: close the current version of every changed key
+    (valid_to = change effective time, is_current = false) and append
+    the new version (open-ended). Unchanged keys pass through.
+
+    ``current`` must carry the three bookkeeping columns; ``changes``
+    carries key + tracked columns + ``effective_col``. One shuffle on
+    the key for the join; history rows never rewrite.
+    """
+    ch = changes.select(
+        *[F.col(c).alias(f"__c_{c}") for c in changes.columns]
+    )
+    cond = [current[k] == ch[f"__c_{k}"] for k in key_cols]
+    j = current.join(ch, cond, "left")
+
+    changed = F.col(f"__c_{effective_col}").isNotNull() & F.col(is_current)
+    closed = j.select(
+        *[F.col(c) for c in current.columns if c not in (valid_to, is_current)],
+        F.when(changed, F.col(f"__c_{effective_col}")).otherwise(F.col(valid_to)).alias(valid_to),
+        F.when(changed, F.lit(False)).otherwise(F.col(is_current)).alias(is_current),
+    )
+
+    new_versions = changes.select(
+        *key_cols,
+        *tracked_cols,
+        F.col(effective_col).alias(valid_from),
+        F.lit(None).cast(closed.schema[valid_to].dataType).alias(valid_to),
+        F.lit(True).alias(is_current),
+    )
+    return closed.unionByName(new_versions.select(*closed.columns))
