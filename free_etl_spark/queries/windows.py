@@ -172,3 +172,34 @@ def window_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_orders_30d"),
         F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
     )
+
+
+@query(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cum_dist,
+           ROUND(first_value(c_acctbal) OVER w, 2) AS lowest_bal,
+           ROUND(nth_value(c_acctbal, 10) OVER
+                 (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+             AS tenth_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist /
+    first_value / nth_value over per-nation balance orderings (unique
+    tie-break on custkey keeps both engines' frames identical)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.round(F.first("c_acctbal").over(w), 2).alias("lowest_bal"),
+        F.round(F.nth_value("c_acctbal", 10).over(w_full), 2).alias("tenth_bal"),
+    )
