@@ -84,6 +84,7 @@ def validate_file(spark: SparkSession, path: str, cfg: AppConfig) -> tuple[Spark
     df = None
     try:
         from pyspark import StorageLevel
+        from pyspark.sql import Observation
 
         df = (
             spark.read.option("header", True)
@@ -94,17 +95,21 @@ def validate_file(spark: SparkSession, path: str, cfg: AppConfig) -> tuple[Spark
             .csv(path)
             .na.fill("")  # ""-not-NULL invariant (SURVEY.md §1.4)
             # one parse total: the parse-check write below populates
-            # the cache; the count and the normalization write read it
-            # back instead of re-parsing the file (2 extra full parses
-            # otherwise — the dominant cost on large inputs)
+            # the cache and the normalization write reads it back
+            # instead of re-parsing the file
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         # Full-width no-op write: the FAILFAST parse check. A pruned
         # scan (count(), or even count(concat_ws(all cols))) lets the
         # Univocity parser skip token-arity checking, so malformed rows
         # sail through — only a full-schema materialization trips it.
-        df.write.format("noop").mode("overwrite").save()
-        audit.row_count = df.count()
+        # The row count piggybacks on the same job via an Observation
+        # (no separate count action).
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        audit.row_count = int(obs.get["rows"])
         audit.col_count = len(df.columns)
     except Exception as e:
         first = str(e).splitlines()[0] if str(e) else repr(e)
