@@ -79,3 +79,27 @@ def test_relational_core_has_no_python_stages(audits):
         "sample_train_test_split",
     ]:
         assert audits[name]["python_stages"] == 0, name
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """A partitioned fact joined to a filtered dim must plan a
+    dynamicpruning subquery on the partition column — at 100 TB this
+    is what keeps a dim-filtered join from scanning every partition."""
+    import pyspark.sql.functions as F
+
+    from free_etl_spark.tables import load_table
+
+    fact_dir = str(tmp_path / "orders_by_priority")
+    orders = load_table(spark, SF_DIR, "orders")
+    orders.write.partitionBy("o_orderpriority").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "urgent"), ("5-LOW", "low")], "prio string, label string"
+    ).filter(F.col("label") == "urgent")
+
+    joined = fact.join(dim, fact.o_orderpriority == dim.prio)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan
+    assert joined.count() == orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).count()
