@@ -86,3 +86,44 @@ def test_orc_round_trip(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(s_suppkey), EqualTo(s_suppkey,1)]" in plan, plan
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Schema drift across landing batches: later files add a column;
+    mergeSchema reads the union with nulls backfilled."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        out + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(out + "/batch=2")
+    merged = spark.read.option("mergeSchema", True).parquet(out)
+    assert set(merged.columns) == {"id", "name", "score", "batch"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_zstd_compression_round_trip(spark, tmp_path):
+    li = load_table(spark, SF_DIR, "lineitem")
+    out = str(tmp_path / "li_zstd")
+    li.write.option("compression", "zstd").parquet(out)
+    import glob
+
+    files = glob.glob(out + "/*.zstd.parquet")
+    assert files, "expected zstd-suffixed parquet files"
+    assert spark.read.parquet(out).count() == li.count()
+
+
+def test_max_records_per_file_bounds_file_size(spark, tmp_path):
+    """The file-sizing knob for writers at scale: maxRecordsPerFile
+    splits output so no file exceeds the bound (here 1000 rows from a
+    single partition -> >= 6 files)."""
+    li = load_table(spark, SF_DIR, "lineitem")  # ~6000 rows at sf0.001
+    out = str(tmp_path / "li_sized")
+    li.coalesce(1).write.option("maxRecordsPerFile", 1000).parquet(out)
+    import glob
+
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) >= 6
+    assert spark.read.parquet(out).count() == li.count()
