@@ -463,3 +463,34 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         docs, pairs, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
     )
+
+
+@query(
+    "dedup_canonical_text",
+    oracle="""
+    SELECT canon_fp, COUNT(*) AS dup_count, MIN(doc_id) AS keep_doc_id
+    FROM (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS canon_fp
+      FROM documents
+    )
+    GROUP BY canon_fp
+    HAVING COUNT(*) >= 1
+    """,
+)
+def dedup_canonical_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized exact dedup: lowercase → trim → collapse runs of
+    whitespace → md5, so documents differing only in case/spacing
+    collapse to one fingerprint (the usual first pass before fuzzy
+    dedup in a corpus pipeline). All JVM-side string ops; one shuffle
+    on the uniform digest."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select("doc_id", F.md5(canon.cast("binary")).alias("canon_fp"))
+        .groupBy("canon_fp")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
