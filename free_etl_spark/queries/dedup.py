@@ -494,3 +494,41 @@ def dedup_canonical_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_doc_id"),
         )
     )
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS canon_fp
+      FROM documents
+    ),
+    corpus AS (SELECT canon_fp FROM fp WHERE doc_id < 400),
+    batch  AS (SELECT doc_id, canon_fp FROM fp WHERE doc_id >= 400)
+    SELECT b.doc_id, b.canon_fp,
+           CASE WHEN c.canon_fp IS NULL THEN 1 ELSE 0 END AS is_new
+    FROM batch b LEFT JOIN (SELECT DISTINCT canon_fp FROM corpus) c
+      ON b.canon_fp = c.canon_fp
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape: an incoming batch
+    (doc_id ≥ 400) checked against the existing corpus (doc_id < 400)
+    by canonical fingerprint. The corpus side reduces to DISTINCT
+    fingerprints before the join; at 100 TB that side is a bucketed
+    fingerprint index the batch semi-probes, so cost is O(batch), not
+    O(corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    fp = docs.select("doc_id", F.md5(canon.cast("binary")).alias("canon_fp"))
+    corpus = fp.filter(F.col("doc_id") < 400).select("canon_fp").distinct()
+    batch = fp.filter(F.col("doc_id") >= 400)
+    c = corpus.withColumnRenamed("canon_fp", "corpus_fp")
+    return batch.join(
+        c, batch.canon_fp == c.corpus_fp, "left"
+    ).select(
+        "doc_id",
+        "canon_fp",
+        F.when(F.col("corpus_fp").isNull(), 1).otherwise(0).alias("is_new"),
+    )

@@ -108,3 +108,41 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _year_custkeys(spark, sf_dir, _Y1).exceptAll(
         _year_custkeys(spark, sf_dir, _Y2)
     )
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT entity_kind, entity_key, name, nationkey, acctbal, mktsegment
+    FROM (
+      SELECT 'customer' AS entity_kind, c_custkey AS entity_key,
+             c_name AS name, c_nationkey AS nationkey,
+             ROUND(c_acctbal, 2) AS acctbal, c_mktsegment AS mktsegment
+      FROM customer
+      UNION ALL
+      SELECT 'supplier', s_suppkey, s_name, s_nationkey,
+             ROUND(s_acctbal, 2), NULL
+      FROM supplier
+    )
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-schema union (unionByName with missing columns):
+    customers and suppliers stack into one entity table, absent
+    columns null-backfilled — the schema-drift-tolerant union."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("entity_kind"),
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("entity_kind"),
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+    )
+    return cust.unionByName(supp, allowMissingColumns=True)
