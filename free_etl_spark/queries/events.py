@@ -380,3 +380,43 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         "cohort_day", days_since.alias("days_since")
     ).agg(F.countDistinct("user_id").alias("active_users"))
+
+
+@query(
+    "agg_moments_events",
+    oracle="""
+    WITH mu AS (
+      SELECT event_type, AVG(value) AS m
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(stddev_samp(value), 6) AS sd,
+           ROUND(var_samp(value), 6) AS var,
+           -- Spark's skewness/kurtosis are population moments:
+           -- g1 = m3/m2^1.5, excess g2 = m4/m2^2 - 3
+           ROUND(AVG(POWER(value - mu.m, 3))
+                 / POWER(AVG(POWER(value - mu.m, 2)), 1.5), 6) AS skew,
+           ROUND(AVG(POWER(value - mu.m, 4))
+                 / POWER(AVG(POWER(value - mu.m, 2)), 2) - 3, 6) AS kurt,
+           ROUND(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
+           ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_vu
+    FROM events e JOIN mu ON e.event_type = mu.event_type
+    GROUP BY e.event_type
+    """,
+)
+def agg_moments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-moment aggregates per event type: sample stddev/
+    variance, skewness and excess kurtosis (Spark's population-moment
+    definitions, which the oracle reproduces explicitly — DuckDB's
+    builtins are sample-adjusted and differ), correlation and sample
+    covariance against user_id. All mergeable one-pass aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+        F.round(F.var_samp("value"), 6).alias("var"),
+        F.round(F.skewness("value"), 6).alias("skew"),
+        F.round(F.kurtosis("value"), 6).alias("kurt"),
+        F.round(F.corr(F.col("value"), u), 6).alias("corr_vu"),
+        F.round(F.covar_samp(F.col("value"), u), 4).alias("covar_vu"),
+    )
