@@ -325,3 +325,47 @@ def dedup_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup key (dedup_exact_md5 above is the keep-canonical variant)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("lang", "source").dropDuplicates(["lang", "source"])
+
+
+_CHUNK, _STRIDE = 100, 80  # 20-char overlap
+
+
+@query(
+    "text_chunk_documents",
+    oracle=f"""
+    SELECT doc_id, CAST(g.i AS INT) AS chunk_idx,
+           substr(text, g.i * {_STRIDE} + 1, {_CHUNK}) AS chunk_text,
+           CAST(length(substr(text, g.i * {_STRIDE} + 1, {_CHUNK})) AS INT)
+             AS chunk_len
+    FROM documents
+    JOIN generate_series(0, 4095) AS g(i)
+      ON g.i * {_STRIDE} < length(text)
+    WHERE doc_id < 50
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training/embedding pipelines: fixed-size
+    character windows ({_CHUNK} chars, stride {_STRIDE} → 20-char
+    overlap), emitted as (doc_id, chunk_idx, chunk_text) rows. The
+    slice loop is a JVM-side sequence+transform+posexplode — rows
+    multiply map-side, no shuffle, no Python. (A token-boundary
+    chunker swaps substring for a split-array slice; same shape.)"""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    n_chunks = F.ceil(F.length("text") / _STRIDE).cast("int")
+    # guard empty text: sequence(0, -1) would yield the descending
+    # [0, -1], not an empty list (same trap as multimodal.sample_frames)
+    chunks = F.when(n_chunks <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+            lambda i: F.substring(F.col("text"), i * _STRIDE + 1, _CHUNK),
+        )
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            "chunk_text",
+            F.length("chunk_text").cast("int").alias("chunk_len"),
+        )
+    )

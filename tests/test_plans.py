@@ -103,3 +103,32 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     assert joined.count() == orders.filter(
         F.col("o_orderpriority") == "1-URGENT"
     ).count()
+
+
+def test_range_partitioned_write_is_globally_sorted(spark, tmp_path):
+    """repartitionByRange + sortWithinPartitions = the sorted-table
+    layout (non-overlapping file ranges) that range-pruned scans and
+    merge joins exploit at scale."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from free_etl_spark.tables import load_table
+
+    out = str(tmp_path / "orders_ranged")
+    orders = load_table(spark, SF_DIR, "orders")
+    (
+        orders.repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.parquet(out)
+    )
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        df = spark.read.parquet(f)
+        lo, hi = df.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # non-overlapping key ranges across files
