@@ -227,3 +227,52 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _IVF_TOPK)
         .select("qid", "cid", "cosine", "rnk")
     )
+
+
+@query(
+    "sim_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+             GREATEST(list_aggregate(list_transform(embedding,
+                      x -> ABS(CAST(x AS DOUBLE))), 'max'), 1e-12) AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           CAST(ROUND(emb[1] / scale * 127.0) AS INT) AS q0,
+           CAST(ROUND(emb[2] / scale * 127.0) AS INT) AS q1,
+           ROUND(ABS(CAST(ROUND(emb[1] / scale * 127.0) AS DOUBLE)
+                     * scale / 127.0 - emb[1]), 6) AS recon_err0
+    FROM s
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings (per-vector absmax
+    scale): 4x storage reduction for a 100 TB embedding corpus with
+    bounded reconstruction error — the preprocessing step before
+    int8 ANN search. All JVM-side array arithmetic; the oracle
+    replays the scale/round/reconstruct pipeline exactly."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    absmax = F.aggregate(
+        F.col("emb"), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = F.greatest(absmax, F.lit(1e-12))
+    q = lambda i: F.round(F.element_at("emb", i) / F.col("scale") * 127.0).cast("int")  # noqa: E731
+    out = emb.withColumn("scale", scale)
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        q(1).alias("q0"),
+        q(2).alias("q1"),
+        F.round(
+            F.abs(
+                q(1).cast("double") * F.col("scale") / 127.0
+                - F.element_at("emb", 1)
+            ),
+            6,
+        ).alias("recon_err0"),
+    )

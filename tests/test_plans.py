@@ -132,3 +132,22 @@ def test_range_partitioned_write_is_globally_sorted(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2  # non-overlapping key ranges across files
+
+
+def test_join_hints_steer_strategy(spark):
+    """Join hints must override the planner's default choice — the
+    escape hatch when stats mislead at scale."""
+    from free_etl_spark.tables import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer")
+
+    merged = orders.join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
+    plan_m = merged._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan_m, plan_m
+
+    shuffled = orders.join(
+        cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey
+    )
+    plan_h = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan_h, plan_h
