@@ -420,3 +420,60 @@ def agg_moments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr(F.col("value"), u), 6).alias("corr_vu"),
         F.round(F.covar_samp(F.col("value"), u), 4).alias("covar_vu"),
     )
+
+
+@query(
+    "events_cooccurrence",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence (market-basket) counts: users exhibiting both
+    event types, for every unordered type pair. The self-join keys on
+    user_id over the *deduplicated* (user, type) relation — C(5,2)
+    pairs per user max, never the raw event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id").alias("ub"), F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, (a.user_id == b.ub) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "events_transitions",
+    oracle="""
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                                            event_id) AS prev_type
+      FROM events
+    )
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transition bigrams (behavioral sequence mining): per-user
+    time-ordered lag pairs counted into a 5x5 transition matrix —
+    one shuffle on user_id for the window, tiny final aggregate.
+    event_id breaks timestamp ties deterministically."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
