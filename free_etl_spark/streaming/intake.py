@@ -30,6 +30,7 @@ def start_streaming_intake(
     checkpoint_dir: str,
     cfg: AppConfig,
     available_now: bool = True,
+    max_files_per_trigger: int = 64,
 ):
     """Start (and return) the streaming query. With
     ``available_now=True`` it drains the current landing-dir contents
@@ -43,7 +44,7 @@ def start_streaming_intake(
         spark.readStream.format("binaryFile")
         .schema("path string, modificationTime timestamp, length long, content binary")
         .option("pathGlobFilter", "*.*")
-        .option("maxFilesPerTrigger", 64)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(landing_dir)
     )
 

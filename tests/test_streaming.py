@@ -129,3 +129,24 @@ def test_rollup_maintenance_equals_batch_and_is_idempotent(spark, tmp_path):
     replayed = read_rollup(spark, rollup_dir).toPandas()
     r = replayed.sort_values(["day", "event_type"], ignore_index=True)
     pd.testing.assert_frame_equal(r, b[r.columns])
+
+
+def test_streaming_intake_bounded_batches(spark, tmp_path):
+    """maxFilesPerTrigger bounds per-batch work: with 3 files and a
+    1-file trigger the drain produces 3 micro-batches, each with its
+    own manifest — the backpressure contract for a 100 TB/day landing
+    prefix."""
+    landing = tmp_path / "landing"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    landing.mkdir()
+    for i in range(3):
+        (landing / f"f{i}.csv").write_bytes(b"a,b\n1,2\n")
+
+    q = start_streaming_intake(
+        spark, str(landing), str(out), str(ckpt), CFG, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+    manifests = [f for f in os.listdir(out) if f.startswith("manifest-")]
+    assert len(manifests) == 3  # one micro-batch (and manifest) per file
+    assert {"f0.csv", "f1.csv", "f2.csv"} <= set(os.listdir(out))
