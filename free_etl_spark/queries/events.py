@@ -477,3 +477,93 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "dedup_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, event_type, ROUND(value, 2) AS value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+                                         event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: keep only the latest record per key (row_number
+    over ts desc, event_id tie-break) — the standard change-log →
+    current-state collapse; one shuffle on the key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+    )
+
+
+@query(
+    "window_ratio_to_report",
+    oracle="""
+    SELECT n_name,
+           ROUND(nation_rev, 2) AS nation_rev,
+           ROUND(nation_rev / SUM(nation_rev) OVER (), 6) AS rev_share
+    FROM (
+      SELECT n_name, SUM(o_totalprice) AS nation_rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    """,
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of global revenue via an
+    unpartitioned window sum over the (tiny) aggregate — the global
+    total never touches the fact table twice."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("nation_rev"))
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        F.round("nation_rev", 2).alias("nation_rev"),
+        F.round(F.col("nation_rev") / F.sum("nation_rev").over(w), 6).alias("rev_share"),
+    )
+
+
+@query(
+    "agg_argmax_events",
+    oracle="""
+    SELECT event_type,
+           arg_max(event_id, value * 1000000 + event_id) AS top_event_id,
+           ROUND(MAX(value), 2) AS top_value,
+           arg_min(event_id, value * 1000000 + event_id) AS bottom_event_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregates): the event carrying each
+    type's extreme value. The ordering key folds event_id into the
+    value (identical double arithmetic in both engines) so value ties
+    resolve identically — DuckDB's arg_max takes no struct key."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.col("value") * 1000000 + F.col("event_id")
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", key).alias("top_event_id"),
+        F.round(F.max("value"), 2).alias("top_value"),
+        F.min_by("event_id", key).alias("bottom_event_id"),
+    )
