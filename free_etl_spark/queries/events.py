@@ -567,3 +567,88 @@ def agg_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 2).alias("top_value"),
         F.min_by("event_id", key).alias("bottom_event_id"),
     )
+
+
+@query(
+    "events_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(SUM(CASE WHEN d.adev > 5 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           ROUND(m.mad, 4) AS mad
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type, m.mad
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: two
+    exact-median passes (per-type median, then median of absolute
+    deviations — both broadcast back as tiny aggregates) and a
+    conditional count of |x − med| > 5·MAD. Unlike z-scores, immune
+    to the outliers it is hunting."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "mad")
+        .agg(
+            F.sum(
+                F.when(F.col("adev") > 5 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .select(
+            "event_type", "n_outliers", F.round("mad", 4).alias("mad")
+        )
+    )
+
+
+@query(
+    "orders_mom_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           ROUND(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month), 4) AS mom_pct
+    FROM monthly
+    """,
+)
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly aggregate (one fact
+    shuffle to ~80 month keys) then a lag window over the tiny series
+    — the standard growth-reporting shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("timestamp_ntz").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("mom_pct"),
+    )
