@@ -178,8 +178,8 @@ def window_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_distribution_funcs",
     oracle="""
     SELECT c_custkey,
-           ROUND(percent_rank() OVER w, 6) AS pct_rank,
-           ROUND(cume_dist() OVER w, 6) AS cum_dist,
+           FLOOR(percent_rank() OVER w * 1000000) / 1000000 AS pct_rank,
+           FLOOR(cume_dist() OVER w * 1000000) / 1000000 AS cum_dist,
            ROUND(first_value(c_acctbal) OVER w, 2) AS lowest_bal,
            ROUND(nth_value(c_acctbal, 10) OVER
                  (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
@@ -198,8 +198,11 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return cust.select(
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        # floor-truncate instead of round: rank fractions land exactly
+        # on .5 ULP-representable boundaries (k / power-of-two-ish n)
+        # where Spark's HALF_UP and DuckDB's half-even disagree
+        (F.floor(F.percent_rank().over(w) * 1000000) / 1000000).alias("pct_rank"),
+        (F.floor(F.cume_dist().over(w) * 1000000) / 1000000).alias("cum_dist"),
         F.round(F.first("c_acctbal").over(w), 2).alias("lowest_bal"),
         F.round(F.nth_value("c_acctbal", 10).over(w_full), 2).alias("tenth_bal"),
     )
