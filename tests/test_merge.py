@@ -71,3 +71,22 @@ def test_scd2_closes_and_appends_versions(spark):
         out.filter("is_current").groupBy("cust_id").count().collect()
     )
     assert cur_counts == {1: 1, 2: 1}
+
+
+def test_profile_table_single_pass(spark):
+    from free_etl_spark.operators.profile import profile_table
+    from free_etl_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    prof = {(r["column"], r["metric"]): r["value"] for r in profile_table(orders).collect()}
+    n = orders.count()
+    assert prof[("*", "n_rows")] == str(n)
+    assert prof[("o_orderkey", "null_count")] == "0"
+    # exact distinct = n for the key; HLL at 5% rsd stays within 10%
+    approx = int(prof[("o_orderkey", "approx_distinct")])
+    assert abs(approx - n) / n < 0.10
+    assert float(prof[("o_totalprice", "min")]) <= float(prof[("o_totalprice", "mean")])
+    assert float(prof[("o_totalprice", "mean")]) <= float(prof[("o_totalprice", "max")])
+    # non-numeric columns get no min/max/mean
+    assert ("o_orderstatus", "mean") not in prof
