@@ -77,3 +77,57 @@ def asof_join_backward(
         *[F.col(f"__match.{c}").alias(f"{payload_prefix}{c}") for c in payload_cols],
     )
     return out
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    payload_prefix: str = "asof_",
+) -> DataFrame:
+    """Forward as-of: for each left row, the payload of the EARLIEST
+    right row with the same keys and ``right[right_ts] >= left[left_ts]``
+    (the "next quote/event" lookup). Same union-and-carry pattern as
+    backward, scanning the window from the future side: one shuffle of
+    |L|+|R| rows. Ties: a right row at the left row's exact ts matches;
+    among duplicate right (key, ts) rows the smallest payload struct
+    wins (mirror-image of the backward tie rule, deterministic)."""
+    lcols = left.columns
+    payload = F.struct(
+        F.col(right_ts).alias(right_ts), *[F.col(c).alias(c) for c in payload_cols]
+    )
+
+    tagged_r = right.select(
+        *[F.col(k).alias(k) for k in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__side"),  # right sorts after left at ts ties → '>=' matches
+        payload.alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
+    )
+    tagged_l = left.select(
+        *[F.col(k).alias(k) for k in on],
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(tagged_r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c) for c in lcols if c not in on],
+    )
+
+    w = (
+        Window.partitionBy(*on)
+        # ascending payload: among right rows tied on (key, ts) the
+        # first() seen scanning forward is the smallest payload struct
+        .orderBy("__ts", "__side", "__payload")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = tagged_r.unionByName(tagged_l).withColumn(
+        "__match", F.first("__payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__side") == 0).select(
+        *lcols,
+        F.col(f"__match.{right_ts}").alias(f"{payload_prefix}{right_ts}"),
+        *[F.col(f"__match.{c}").alias(f"{payload_prefix}{c}") for c in payload_cols],
+    )
+    return out

@@ -121,3 +121,37 @@ def test_connected_components_matches_union_find(spark, n_nodes, edge_idx):
     )
     got = sorted(map(tuple, connected_components(nodes_df, edges_df).collect()))
     assert got == _union_find_components(n_nodes, edges)
+
+
+def _brute_asof_fwd(left, right):
+    # forward tie rule: smallest (rt, rv) among rt >= lt matches
+    out = []
+    for k, lt in left:
+        best = None
+        for rk, rt, rv in right:
+            if rk == k and rt >= lt and (best is None or (rt, rv) < best):
+                best = (rt, rv)
+        out.append((k, lt, None if best is None else best[1]))
+    return sorted(out, key=lambda r: (r[0], r[1], r[2] is None, r[2]))
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(left=_left_rows, right=_right_rows)
+def test_asof_forward_matches_bruteforce(spark, left, right):
+    from free_etl_spark.operators.asof import asof_join_forward
+
+    ldf = spark.createDataFrame(pd.DataFrame(left, columns=["k", "lt"]), "k int, lt int")
+    rdf = spark.createDataFrame(
+        pd.DataFrame(right, columns=["k", "rt", "rv"]), "k int, rt int, rv int"
+    )
+    got = asof_join_forward(
+        ldf, rdf, on=["k"], left_ts="lt", right_ts="rt", payload_cols=["rv"]
+    )
+    rows = [(r["k"], r["lt"], r["asof_rv"]) for r in got.collect()]
+    assert sorted(rows, key=lambda r: (r[0], r[1], r[2] is None, r[2])) == _brute_asof_fwd(
+        left, right
+    )
