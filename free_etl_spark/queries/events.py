@@ -652,3 +652,39 @@ def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("mom_pct"),
     )
+
+
+@query(
+    "join_asof_forward_events",
+    oracle="""
+    SELECT c.event_id, c.user_id,
+           (SELECT MIN(epoch_us(CAST(p.ts AS TIMESTAMP))) FROM events p
+            WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+              AND epoch_us(CAST(p.ts AS TIMESTAMP))
+                  >= epoch_us(CAST(c.ts AS TIMESTAMP)))
+             AS next_purchase_us
+    FROM events c
+    WHERE c.event_type = 'click'
+    """,
+)
+def join_asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click attached to the user's NEXT
+    purchase (operators/asof.asof_join_forward — one shuffle of
+    |clicks|+|purchases| rows; the oracle decorrelates to a per-click
+    scalar MIN subquery)."""
+    from free_etl_spark.operators.asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("p_us")
+    )
+    out = asof_join_forward(
+        clicks, purchases, on=["user_id"], left_ts="ts_us", right_ts="p_us",
+        payload_cols=[],
+    )
+    return out.select(
+        "event_id", "user_id", F.col("asof_p_us").alias("next_purchase_us")
+    )
