@@ -5,12 +5,14 @@ A ground-up rebuild of the capabilities of ImpowerKev/FREE-ETL
 
 - ``intake/``   — the reference's validate→normalize→sink pipeline
   (streamlit_app.py:135-209, 280-349) re-expressed Spark-first.
-- ``queries/``  — the relational operator layer (SURVEY.md §2B):
-  scans, joins, aggregations, windows, set ops, scalar functions.
-- ``operators/``— operators Spark lacks as builtins (as-of join, …).
-- ``llm/``      — LLM-data-pipeline extensions: dedup (exact/minhash/
-  simhash/jaccard/embedding), similarity search, text analysis,
-  multimodal column plumbing.
+- ``queries/``  — the oracle-checked operator layer (SURVEY.md §2B):
+  scans, joins, aggregations, windows, set ops, scalar functions,
+  plus the LLM-data-pipeline extensions: dedup (exact/canonical/
+  minhash/simhash/jaccard/embedding/clustering), similarity search
+  (cosine/LSH/IVF), text analysis, sampling, data quality.
+- ``operators/``— reusable operators Spark lacks as builtins: as-of
+  joins (backward/forward), multimodal binary columns, bucketing and
+  salting, connected components, CDC upsert + SCD2, table profiling.
 - ``streaming/``— Structured Streaming intake + event-window ops.
 
 Design rules (see SURVEY.md §7): declare plans with the DataFrame/SQL

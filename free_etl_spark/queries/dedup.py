@@ -532,3 +532,39 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canon_fp",
         F.when(F.col("corpus_fp").isNull(), 1).otherwise(0).alias("is_new"),
     )
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, n_chars, lang,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS canon_fp
+      FROM documents
+    )
+    SELECT canon_fp, doc_id, n_chars, lang
+    FROM (
+      SELECT canon_fp, doc_id, n_chars, lang,
+             ROW_NUMBER() OVER (PARTITION BY canon_fp
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM fp
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision step after dedup grouping: within each duplicate
+    group keep the highest-quality representative (longest document,
+    doc_id tie-break) — row_number over the group, rank-1 filter. At
+    scale this IS the dedup output writer's select."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    fp = docs.select(
+        "doc_id", "n_chars", "lang", F.md5(canon.cast("binary")).alias("canon_fp")
+    )
+    w = Window.partitionBy("canon_fp").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        fp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("canon_fp", "doc_id", "n_chars", "lang")
+    )
