@@ -688,3 +688,44 @@ def join_asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", F.col("asof_p_us").alias("next_purchase_us")
     )
+
+
+@query(
+    "events_rolling_wau",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM act)
+    SELECT CAST(days.d AS TIMESTAMP) AS day,
+           COUNT(DISTINCT act.user_id) AS wau
+    FROM days JOIN act
+      ON act.d <= days.d AND act.d >= days.d - INTERVAL 6 DAY
+    GROUP BY days.d
+    """,
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — rolling COUNT(DISTINCT)
+    has no window-frame form, so each (user, day) activity row expands
+    into the ≤7 window-end days it contributes to (a map-side sequence
+    explode over the deduplicated activity relation, NOT the raw
+    events), then one distinct-count per day. Cost: 7·|user-days|,
+    independent of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    days = act.select("d").distinct().withColumnRenamed("d", "window_day")
+    contrib = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("window_day"),
+    )
+    return (
+        contrib.join(F.broadcast(days), "window_day")
+        .groupBy(F.col("window_day").cast("timestamp_ntz").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
