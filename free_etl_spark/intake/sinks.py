@@ -58,6 +58,22 @@ def explain_boto_error(e: Exception) -> str:
     return f"S3 error: {msg}"
 
 
+def probe_s3(cfg: AppConfig, client) -> str | None:
+    """S3 connection test (§2A op #20; streamlit_app.py:220-228): the
+    minimal list call that needs no permission beyond list —
+    ``list_objects_v2(Bucket, Prefix, MaxKeys=1)``. Returns None on
+    success, or the operator-readable message from
+    ``explain_boto_error`` on failure (the reference renders exactly
+    these two outcomes and never raises)."""
+    try:
+        client.list_objects_v2(
+            Bucket=cfg.s3_bucket, Prefix=cfg.s3_prefix, MaxKeys=1
+        )
+        return None
+    except Exception as e:
+        return explain_boto_error(e)
+
+
 def s3_put_fn(cfg: AppConfig, secrets: dict) -> Callable[[str, bytes, str], None]:
     """Build a put(key, body, content_type) backed by boto3. Lazy
     import so a missing boto3 degrades to offline mode instead of

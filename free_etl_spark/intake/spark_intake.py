@@ -68,9 +68,31 @@ def validate_file(spark: SparkSession, path: str, cfg: AppConfig) -> tuple[Spark
         )
 
     if not name.lower().endswith(".csv"):
-        # XLSX on the scale path: driver-side openpyxl is correct for
-        # parity because op #3 bounds size to max_file_mb (SURVEY.md §7
-        # hard-point 5); route through validate.validate_and_normalize.
+        if name.lower().endswith(".xlsx") and cfg.allow_xlsx:
+            # XLSX on the scale path: driver-side openpyxl is correct
+            # for parity because op #3 bounds size to max_file_mb
+            # (SURVEY.md §7 hard-point 5). The size guard above
+            # short-circuits BEFORE the driver reads an oversized file.
+            if audit.issues:
+                return audit, None
+            from free_etl_spark.intake.validate import validate_and_normalize
+
+            with open(path, "rb") as f:
+                fc = validate_and_normalize(name, f.read(), cfg)
+            audit.issues = fc.issues
+            audit.row_count = fc.row_count
+            audit.col_count = fc.col_count
+            audit.acceptable = fc.acceptable
+            if not fc.acceptable:
+                return audit, None
+            import io
+
+            import pandas as pd
+
+            pdf = pd.read_csv(
+                io.BytesIO(fc.csv_bytes), dtype=str, keep_default_na=False
+            )
+            return audit, spark.createDataFrame(pdf)
         audit.issues.append("Unsupported file type. Use CSV or XLSX.")
         return audit, None
 

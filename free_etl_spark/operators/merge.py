@@ -30,16 +30,27 @@ def upsert_parquet(
     Update semantics: the updates row replaces the target row wholesale
     (same schema required).
     """
-    try:
-        target = spark.read.parquet(target_dir)
-    except Exception:  # first load — target doesn't exist yet
+    # Distinguish "target doesn't exist" (first load) from transient read
+    # failures (permissions, corrupt footer, FS hiccup): only the former may
+    # fall through to an overwrite-with-updates-only; anything else re-raises
+    # so a flaky read can never silently destroy the existing table.
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(target_dir)  # noqa: SLF001
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(jvm_path):
         writer = updates.write.mode("overwrite")
         if partition_col:
             writer = writer.partitionBy(partition_col)
         writer.parquet(target_dir)
         return
+    target = spark.read.parquet(target_dir)
 
     if partition_col:
+        # Partition scoping assumes the partition column is IMMUTABLE per
+        # key: touched partitions are derived from the updates batch alone,
+        # so an update that moves a key to a different partition value would
+        # leave the stale row in its old partition unmatched (duplicate key).
+        # Immutable-per-key partition columns (ingest date, tenant id) are
+        # the supported contract; pass partition_col=None otherwise.
         touched = [
             r[0] for r in updates.select(partition_col).distinct().collect()
         ]

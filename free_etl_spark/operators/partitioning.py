@@ -63,8 +63,19 @@ def salted_join(
     ``monotonically_increasing_id`` is wrong across retries, so we hash
     the row's own columns; any per-row-varying expression works. The
     other side is replicated n× with ``explode(sequence(...))``. Join
-    keys become (key, salt). Result ≡ plain join (verified in tests).
+    keys become (key, salt). Result ≡ plain join (verified in tests)
+    — but only for join types where unmatched OTHER-side rows are
+    dropped: the replication means a right/full outer join would emit
+    each unmatched right row once per salt, so those are rejected.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the non-skewed side "
+            "is replicated n_salts times, so right/full outer joins would "
+            "duplicate unmatched right rows (one per salt). Supported: "
+            "inner, left, left_semi, left_anti."
+        )
     skew_salt = F.pmod(
         F.hash(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
     ).alias("__salt")

@@ -19,12 +19,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 from free_etl_spark.tables import register_views
 
-_REGISTERED: set[tuple[int, str]] = set()
+# Temp views are GLOBAL to a session, so caching (session, sf_dir) pairs is
+# wrong: A→B→A would skip re-registration on the third call and silently run
+# against B's tables. Track only the LAST-registered sf_dir per live session
+# (weak-keyed so a GC'd session can't alias a new one via id() reuse).
+import weakref
+
+_LAST_SF: "weakref.WeakKeyDictionary[SparkSession, str]" = weakref.WeakKeyDictionary()
 
 
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    if key not in _REGISTERED:
+    if _LAST_SF.get(spark) != sf_dir:
         register_views(spark, sf_dir)
-        _REGISTERED.add(key)
+        _LAST_SF[spark] = sf_dir
     return spark.sql(sql)

@@ -80,3 +80,17 @@ def test_salted_count_by_key(spark):
     )
     salted = dict(salted_count_by_key(ev, "event_type", n_salts=4).collect())
     assert direct == salted
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    """Replicating the non-skewed side n_salts× would emit unmatched
+    right rows once per salt — those join types are rejected."""
+    import pytest as _pytest
+
+    from free_etl_spark.operators.partitioning import salted_join
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    other = spark.range(4).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer", "full_outer"):
+        with _pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(df, other, "k", n_salts=4, how=how)

@@ -104,3 +104,22 @@ def test_explain_boto_error_classification():
     assert "Network/endpoint" in explain_boto_error(RuntimeError("EndpointConnectionError"))
     assert "Invalid AWS keys" in explain_boto_error(RuntimeError("InvalidAccessKeyId"))
     assert explain_boto_error(RuntimeError("boom")) == "S3 error: boom"
+
+
+def test_probe_s3_success_and_failure():
+    from free_etl_spark.intake.sinks import probe_s3
+
+    class OkClient:
+        def list_objects_v2(self, **kw):
+            # reference probe shape: Bucket + Prefix + MaxKeys=1
+            # (streamlit_app.py:224-225)
+            assert kw == {"Bucket": "test-bucket", "Prefix": "ingestion", "MaxKeys": 1}
+            return {"KeyCount": 0}
+
+    class DeniedClient:
+        def list_objects_v2(self, **kw):
+            raise RuntimeError("An error occurred (AccessDenied) ...")
+
+    assert probe_s3(CFG, OkClient()) is None
+    msg = probe_s3(CFG, DeniedClient())
+    assert msg is not None and msg.startswith("Access denied")

@@ -84,3 +84,22 @@ def test_oversize_guard(spark, tmp_path):
     audit, df = validate_file(spark, str(p), cfg)
     assert any(i.startswith("File exceeds max size (") for i in audit.issues)
     assert df is None
+
+
+def test_validate_file_xlsx_scale_path(spark, tmp_path):
+    """allow_xlsx routes bounded .xlsx through validate_and_normalize
+    on the scale path (parity with streamlit_app.py:165-169)."""
+    pytest = __import__("pytest")
+    openpyxl = pytest.importorskip("openpyxl")  # noqa: F841
+    p = tmp_path / "book.xlsx"
+    pd.DataFrame({"a": ["1", "3"], "b": ["2", ""]}).to_excel(p, index=False)
+    audit, df = validate_file(spark, str(p), CFG)
+    assert audit.acceptable and audit.issues == []
+    assert audit.row_count == 2 and audit.col_count == 2
+    rows = {tuple(r) for r in df.select("a", "b").collect()}
+    assert rows == {("1", "2"), ("3", "")}
+
+    cfg_no_xlsx = load_cfg({"app": {"allow_xlsx": False}})
+    audit2, df2 = validate_file(spark, str(p), cfg_no_xlsx)
+    assert df2 is None
+    assert audit2.issues == ["Unsupported file type. Use CSV or XLSX."]

@@ -38,3 +38,18 @@ def test_oracle_sql_runs_on_spark_and_matches_dataframe(spark, name):
         by=sorted(sql_result.columns), ignore_index=True
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_run_sql_reregisters_on_sf_dir_switch(spark):
+    """A→B→A must re-register A's views (temp views are session-global;
+    caching visited pairs would leave B's tables bound on the 3rd call)."""
+    a = run_sql(spark, "/root/testdata/sf0.001", "SELECT count(*) AS n FROM region").collect()[0]["n"]
+    run_sql(spark, "/root/testdata/sf0.01", "SELECT count(*) AS n FROM orders").collect()
+    n_orders_a = run_sql(
+        spark, "/root/testdata/sf0.001", "SELECT count(*) AS n FROM orders"
+    ).collect()[0]["n"]
+    n_orders_b = run_sql(
+        spark, "/root/testdata/sf0.01", "SELECT count(*) AS n FROM orders"
+    ).collect()[0]["n"]
+    assert a == 5
+    assert n_orders_a != n_orders_b  # third call really sees sf0.001 again
