@@ -29,6 +29,7 @@ _NGRAM = 3
 _JACCARD_T = 0.2
 _N_HASHES = 8
 _N_BANDS = 4  # rows per band = 2
+_DF_CAP = 256  # max document frequency a shingle may have and still join
 
 # shared DuckDB CTE: distinct word-3-gram shingles per document
 _SH_SQL = f"""
@@ -37,6 +38,18 @@ _SH_SQL = f"""
     sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+{_NGRAM - 1}], ' ') AS sh
            FROM t JOIN ser ON ser.i <= len(toks) - {_NGRAM - 1}),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+# df-capped variant for the exact-Jaccard posting-list join: shingles
+# shared by more than _DF_CAP documents carry no near-dup signal but
+# cost C(df,2) join rows each — one stopword-ish shingle in 1% of a
+# 100 TB corpus is a quadratic blowup. Jaccard is computed over the
+# capped shingle sets (candidates, intersection AND sizes), which is
+# the standard discriminative-shingle semantics.
+_SHC_SQL = f"""
+    keep AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= {_DF_CAP}),
+    shc AS (SELECT sh.doc_id, sh.sh FROM sh JOIN keep USING (sh)),
+    csizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id)
 """
 
 
@@ -80,7 +93,22 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_pairs(shingles: DataFrame) -> DataFrame:
-    """Inverted-index self-join → (doc_a, doc_b, inter, jaccard)."""
+    """Inverted-index self-join → (doc_a, doc_b, inter, jaccard).
+
+    Posting lists are df-capped first: a shingle appearing in more
+    than ``_DF_CAP`` documents is dropped before the self-join (its
+    C(df,2) candidate rows are the quadratic escape hatch at corpus
+    scale, and a shingle shared by thousands of documents carries no
+    near-dup signal). Sizes and intersections both use the capped
+    sets, so Jaccard stays a true set similarity over the
+    discriminative shingles."""
+    keep = (
+        shingles.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _DF_CAP)
+        .select("sh")
+    )
+    shingles = shingles.join(keep, "sh")
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -113,24 +141,26 @@ def _jaccard_pairs(shingles: DataFrame) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SH_SQL},
+    {_SHC_SQL},
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, inter,
            ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
     FROM cand
-    JOIN sizes sa ON cand.doc_a = sa.doc_id
-    JOIN sizes sb ON cand.doc_b = sb.doc_id
+    JOIN csizes sa ON cand.doc_a = sa.doc_id
+    JOIN csizes sb ON cand.doc_b = sb.doc_id
     WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= {_JACCARD_T}
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs ≥ τ. The self-join keys on
-    the shingle (inverted index), so cost is Σ per-shingle C(df,2) —
-    at larger scale the MinHash/LSH variant below bounds this by
-    banding instead of exact posting lists."""
+    """Exact n-gram Jaccard near-dup pairs ≥ τ over df-capped posting
+    lists. The self-join keys on the shingle (inverted index); the
+    df ≤ {_DF_CAP} cap bounds per-shingle join cost at C(cap,2), so
+    the plan has no quadratic escape hatch — the MinHash/LSH variant
+    below bounds candidates further by banding."""
     pairs = _jaccard_pairs(_shingles(spark, sf_dir))
     return pairs.filter(F.col("jaccard") >= _JACCARD_T)
 
@@ -248,113 +278,167 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# shared DuckDB CTE: the 16-bit simhash signature per document —
-# md5-derived, so the oracle replicates it bit-for-bit in SQL
+# shared DuckDB CTE: the 64-bit simhash signature per document —
+# md5-derived, so the oracle replicates it bit-for-bit in SQL. 64 bits
+# matter at corpus scale: 16-bit signatures have only 65,536 distinct
+# values, so band buckets saturate (~N/16 docs per bucket) and the
+# band join degenerates toward all-pairs; 64-bit keeps 2^16 values per
+# 16-bit band, i.e. bucket occupancy ~N/65536 per band value. The
+# unsigned→signed conversion (subtract 2^64 when ≥ 2^63) matches
+# Spark's conv(hex, 16, -10) two's-complement semantics; the j=63 bit
+# contributes the long MIN_VALUE instead of 1<<63 so the signed sum is
+# exact in both engines.
 _SIMHASH_SQL = """
     tok AS (SELECT DISTINCT doc_id, t.tok
             FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)),
     h AS (SELECT doc_id,
-                 CAST(('0x' || substr(md5(tok), 1, 4))::UBIGINT AS BIGINT) AS h
+                 CAST(('0x' || substr(md5(tok), 1, 16))::UBIGINT::HUGEINT
+                      - CASE WHEN ('0x' || substr(md5(tok), 1, 16))::UBIGINT
+                                  >= 9223372036854775808::HUGEINT
+                             THEN 18446744073709551616::HUGEINT
+                             ELSE 0::HUGEINT END AS BIGINT) AS h
           FROM tok),
     b AS (SELECT doc_id, g.j,
                  SUM(CASE WHEN (h >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS w
-          FROM h CROSS JOIN generate_series(0, 15) AS g(j)
+          FROM h CROSS JOIN generate_series(0, 63) AS g(j)
           GROUP BY doc_id, g.j),
     sig AS (SELECT doc_id,
-                   CAST(SUM(CASE WHEN w > 0 THEN (1::BIGINT << j) ELSE 0 END)
-                        AS BIGINT) AS simhash16
+                   CAST(SUM(CASE WHEN w > 0 THEN
+                              CASE WHEN j = 63
+                                   THEN (-9223372036854775807 - 1)::HUGEINT
+                                   ELSE (1::BIGINT << j)::HUGEINT END
+                            ELSE 0::HUGEINT END) AS BIGINT) AS simhash64
             FROM b GROUP BY doc_id)
 """
 
 
 @query(
     "dedup_simhash",
-    oracle=f"WITH {_SIMHASH_SQL} SELECT doc_id, simhash16 FROM sig",
+    oracle=f"WITH {_SIMHASH_SQL} SELECT doc_id, simhash64 FROM sig",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash signatures: per distinct token, take 16 bits of
-    md5; per bit position sum +1/-1 across tokens; sign → signature
-    bit. md5-deterministic, so DuckDB reproduces every signature
-    bit-for-bit (the oracle replays the hash/weight/sign pipeline in
-    SQL). Pairing is dedup_simhash_pairs below."""
+    """64-bit SimHash signatures: per distinct token, take 64 bits of
+    md5 (signed, via conv base 16 → -10); per bit position sum +1/-1
+    across tokens; sign → signature bit. md5-deterministic, so DuckDB
+    reproduces every signature bit-for-bit (the oracle replays the
+    hash/weight/sign pipeline in SQL). Pairing is dedup_simhash_pairs
+    below."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
-    h16 = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 4), 16, 10).cast(
-        "int"
-    )
-    toks = docs.select("doc_id", h16.alias("h"))
+    h64 = F.conv(
+        F.substring(F.md5(F.col("tok").cast("binary")), 1, 16), 16, -10
+    ).cast("long")
+    toks = docs.select("doc_id", h64.alias("h"))
     weights = toks.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
             ).alias(f"w{j}")
-            for j in range(16)
+            for j in range(64)
         ]
     )
+    # bit 63 contributes MIN_LONG (the signed value of 1<<63); all
+    # positive terms sum to ≤ 2^63-1, so the long arithmetic is exact
     simhash = None
-    for j in range(16):
-        bit = F.when(F.col(f"w{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    for j in range(64):
+        val = -9223372036854775808 if j == 63 else (1 << j)
+        bit = F.when(F.col(f"w{j}") > 0, F.lit(val).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         simhash = bit if simhash is None else simhash + bit
     return weights.select(
-        "doc_id", simhash.cast("long").alias("simhash16")
+        "doc_id", simhash.cast("long").alias("simhash64")
     )
 
 
 _COS_T = 0.45
 
 
+_COS_K = 16  # coarse centroids for candidate bucketing (vec_id < 16)
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH n AS (
-      SELECT vec_id, embedding,
-             SQRT(list_sum(list_transform(embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings
-    )
+    ),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM v WHERE vec_id < {_COS_K}),
+    asn AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT v.vec_id, cent.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(v.emb, cent.cemb),
+                          z -> (z[1] - z[2]) * (z[1] - z[2]))), cent.cent_id) AS rn
+        FROM v CROSS JOIN cent)
+      WHERE rn = 1
+    ),
+    n AS (SELECT vec_id, emb,
+                 SQRT(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM v)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                 z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-                 / (a.nrm * b.nrm), 6) AS cosine
-    FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-                / (a.nrm * b.nrm), 6) >= {_COS_T}
+           ROUND(list_sum(list_transform(list_zip(na.emb, nb.emb),
+                 z -> z[1] * z[2])) / (na.nrm * nb.nrm), 6) AS cosine
+    FROM asn a JOIN asn b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+    JOIN n na ON na.vec_id = a.vec_id
+    JOIN n nb ON nb.vec_id = b.vec_id
+    WHERE ROUND(list_sum(list_transform(list_zip(na.emb, nb.emb),
+                z -> z[1] * z[2])) / (na.nrm * nb.nrm), 6) >= {_COS_T}
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine ≥ τ). This is the
-    exact O(n²) baseline — correct at sf0.01; the LSH-bucketed variant
-    (sim_ann_lsh) is the 100 TB path. Dot product stays JVM-side via
-    zip_with + aggregate fold."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    nrm = F.sqrt(
-        F.aggregate(
-            F.col("embedding"),
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    """Embedding-cosine near-duplicate pairs (cosine ≥ τ), bucketed by
+    IVF coarse assignment: every vector is assigned to its nearest of
+    16 deterministic centroids (broadcast argmin — map-side), and
+    candidate pairs come from an EQUI-JOIN on cent_id, never an
+    all-pairs cross product. Exact cosine verifies candidates. Near
+    dups are near in space, so same-cluster recall is high; the
+    multi-probe variant (sim_ann_lsh's banding, or nprobe > 1) is the
+    recall knob. At 100 TB the table is written partitioned by cent_id
+    and the pair join is partition-local. Dot products stay JVM-side
+    via zip_with + aggregate fold."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent = emb.filter(F.col("vec_id") < _COS_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    )
+    l2 = F.aggregate(
+        F.zip_with("emb", "cemb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    asn = (
+        emb.join(F.broadcast(cent))
+        .select("vec_id", "cent_id", l2.alias("d2"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vec_id").orderBy("d2", "cent_id")),
         )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
     )
-    n = emb.select("vec_id", "embedding", nrm.alias("nrm"))
-    a = n.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
+    nrm = F.sqrt(F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x))
+    n = emb.select("vec_id", "emb", nrm.alias("nrm"))
+    a = asn.select(F.col("vec_id").alias("vec_a"), "cent_id")
+    b = asn.select(F.col("vec_id").alias("vec_b"), "cent_id")
+    cand = a.join(b, "cent_id").filter(F.col("vec_a") < F.col("vec_b"))
+    na = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a")
     )
-    b = n.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
+    nb = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), F.col("nrm").alias("nrm_b")
     )
     dot = F.aggregate(
-        F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     cosine = F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6)
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        cand.join(na, "vec_a")
+        .join(nb, "vec_b")
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= _COS_T)
     )
@@ -368,34 +452,37 @@ _HAMMING_T = 3
     oracle=f"""
     WITH {_SIMHASH_SQL}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT) AS hamming
+           CAST(bit_count(xor(a.simhash64, b.simhash64)) AS INT) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash16, b.simhash16)) <= {_HAMMING_T}
+    WHERE bit_count(xor(a.simhash64, b.simhash64)) <= {_HAMMING_T}
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3): candidates come from a
-    4×4-bit band join — by pigeonhole, any pair within hamming 3 of a
-    16-bit signature agrees on at least one of 4 disjoint 4-bit bands,
-    so the band join has full recall and cost scales with band-bucket
-    collisions, not |docs|² (the oracle brute-forces the same answer).
+    4×16-bit band join — by pigeonhole, any pair within hamming 3 of a
+    64-bit signature agrees on at least one of 4 disjoint 16-bit
+    bands, so the band join has full recall and cost scales with
+    band-bucket collisions, not |docs|² (the oracle brute-forces the
+    same answer). 16-bit bands give 65,536 bucket values per band, so
+    expected bucket occupancy is ~N/65536 — the collision cost that a
+    16-bit signature (16 values per 4-bit band) could not bound.
     """
     sig = dedup_simhash(spark, sf_dir)
     bands = sig.select(
         "doc_id",
-        "simhash16",
+        "simhash64",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.shiftright("simhash16", 4 * b).bitwiseAND(0xF).alias("band_val"),
+                        F.shiftright("simhash64", 16 * b).bitwiseAND(0xFFFF).alias("band_val"),
                     )
                     for b in range(4)
                 ]
             )
         ).alias("bd"),
-    ).select("doc_id", "simhash16", F.col("bd.band_id").alias("band_id"), F.col("bd.band_val").alias("band_val"))
+    ).select("doc_id", "simhash64", F.col("bd.band_id").alias("band_id"), F.col("bd.band_val").alias("band_val"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -407,8 +494,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash16").alias("sig_a"),
-            F.col("b.simhash16").alias("sig_b"),
+            F.col("a.simhash64").alias("sig_a"),
+            F.col("b.simhash64").alias("sig_b"),
         )
         .distinct()
     )
@@ -423,16 +510,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cluster_components",
     oracle=f"""
     WITH RECURSIVE {_SH_SQL},
+    {_SHC_SQL},
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
     pairs AS (
       SELECT doc_a, doc_b
       FROM cand
-      JOIN sizes sa ON cand.doc_a = sa.doc_id
-      JOIN sizes sb ON cand.doc_b = sb.doc_id
+      JOIN csizes sa ON cand.doc_a = sa.doc_id
+      JOIN csizes sb ON cand.doc_b = sb.doc_id
       WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6)
             >= {_JACCARD_T}
     ),

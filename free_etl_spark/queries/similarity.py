@@ -84,36 +84,166 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_lsh")  # rows-only: LSH hash planes are engine-specific
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate similarity join via BucketedRandomProjectionLSH
-    (fixed seed → deterministic): near pairs within euclidean distance
-    1.15 — on L2-normalized embeddings that is cosine ≥ ~0.34. Candidates
-    are generated only within matching hash buckets, which is what
-    makes this the 100 TB path vs the O(n²) exact join."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+_LSH_DIM = 64        # embedding dimensionality (embeddings.parquet)
+_LSH_BANDS = 4       # hash tables
+_LSH_PLANES = 8      # sign bits per table → 256 bucket values per band
+_LSH_COS_T = 0.4     # exact-cosine verify threshold on candidates
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
-    )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=2.0,
-        numHashTables=3,
-        seed=42,
-    )
-    model = lsh.fit(emb)
-    pairs = model.approxSimilarityJoin(emb, emb, 1.15, distCol="euclidean")
-    return (
-        pairs.select(
-            F.col("datasetA.vec_id").alias("vec_a"),
-            F.col("datasetB.vec_id").alias("vec_b"),
-            F.round("euclidean", 6).alias("euclidean"),
+
+def _lsh_planes() -> list[list[float]]:
+    """Deterministic random hyperplanes: coefficient (p, d) is derived
+    from md5(f"{p}|{d}") mapped to [-1, 1). Computed once at
+    query-build time and inlined as LITERALS into both the Spark plan
+    and the oracle SQL, so both engines hash with bit-identical
+    planes — the same trick dedup_minhash_lsh uses for Jaccard."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:8], 16) / 2**31 - 1.0
+            for d in range(_LSH_DIM)
+        ]
+        for p in range(_LSH_BANDS * _LSH_PLANES)
+    ]
+
+
+def _lsh_oracle() -> str:
+    planes = _lsh_planes()
+
+    def lit(vals: list[float]) -> str:
+        return "[" + ", ".join(repr(v) for v in vals) + "]"
+
+    def dot(p: int) -> str:
+        return (
+            f"list_sum(list_transform(list_zip(emb, {lit(planes[p])}), "
+            "z -> z[1] * z[2]))"
         )
-        .filter(F.col("vec_a") < F.col("vec_b"))
+
+    band_keys = ", ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN {dot(b * _LSH_PLANES + i)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(_LSH_PLANES)
+        )
+        + f") AS k{b}"
+        for b in range(_LSH_BANDS)
+    )
+    bands_union = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_id, k{b} AS band_key FROM keys"
+        for b in range(_LSH_BANDS)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    keys AS (SELECT vec_id, {band_keys} FROM v),
+    bands AS ({bands_union}),
+    cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+             FROM bands a JOIN bands b
+               ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.vec_id < b.vec_id),
+    n AS (SELECT vec_id, emb,
+                 SQRT(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM v)
+    SELECT c.vec_a, c.vec_b,
+           ROUND(list_sum(list_transform(list_zip(a.emb, b.emb),
+                 z -> z[1] * z[2])) / (a.nrm * b.nrm), 6) AS cosine
+    FROM cand c JOIN n a ON a.vec_id = c.vec_a JOIN n b ON b.vec_id = c.vec_b
+    WHERE ROUND(list_sum(list_transform(list_zip(a.emb, b.emb),
+                z -> z[1] * z[2])) / (a.nrm * b.nrm), 6) >= {_LSH_COS_T}
+    """
+
+
+@query("sim_ann_lsh", oracle=_lsh_oracle())
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-neighbor pairs via sign-random-projection LSH,
+    fully deterministic (md5-derived literal planes → DuckDB replays
+    bucketing AND the exact-cosine verify, so the whole pipeline is
+    value-oracled):
+
+    1. 32 hyperplanes (4 bands × 8 sign bits), coefficients inlined as
+       literals from md5(plane|dim) — see _lsh_planes
+    2. per vector: bit i of band b = sign of dot(emb, plane); band key
+       packs 8 bits → 256 buckets per band
+    3. candidates: vectors sharing any (band_id, band_key) bucket —
+       cost scales with bucket collisions, not |corpus|²
+    4. verify: exact cosine ≥ τ on candidates only.
+
+    At 100 TB the band join is an equi-join on a compact key and the
+    verify touches only candidate pairs — same shape as
+    dedup_minhash_lsh."""
+    planes = _lsh_planes()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+    # all 32 dots in ONE higher-order expression over a 3D literal
+    # plane array (bands × planes × dims), producing the 4 band keys
+    # as a single array column. Emitting k0..k3 as separate projections
+    # would let Catalyst inline the shared dot computation once per
+    # key (4× the work); posexplode evaluates the array exactly once
+    # per row and yields (band_id, band_key) directly.
+    planes3d = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(c) for c in planes[b * _LSH_PLANES + i]])
+                    for i in range(_LSH_PLANES)
+                ]
+            )
+            for b in range(_LSH_BANDS)
+        ]
+    )
+    band_keys = F.transform(
+        planes3d,
+        lambda band: F.aggregate(
+            F.transform(
+                band,
+                lambda p, i: F.when(
+                    F.aggregate(
+                        F.zip_with("emb", p, lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    >= 0,
+                    F.pow(F.lit(2.0), i).cast("int"),  # 2^i exact for i ≤ 7
+                ).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    bands = emb.select(
+        "vec_id", F.posexplode(band_keys).alias("band_id", "band_key")
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("ba.vec_id") < F.col("bb.vec_id")),
+        )
+        .select(F.col("ba.vec_id").alias("vec_a"), F.col("bb.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    nrm = F.sqrt(F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x))
+    n = emb.select("vec_id", "emb", nrm.alias("nrm"))
+    na = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a")
+    )
+    nb = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), F.col("nrm").alias("nrm_b")
+    )
+    dot_ab = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    cosine = F.round(dot_ab / (F.col("nrm_a") * F.col("nrm_b")), 6)
+    return (
+        cand.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _LSH_COS_T)
     )
 
 

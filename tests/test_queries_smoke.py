@@ -11,8 +11,8 @@ import __spark_entry__ as entrymod
 from tests.conftest import SF_DIR
 
 # streaming queries are exercised in test_streaming.py (they manage
-# their own stream lifecycles); LSH-join is slow at tiny SF — skip here
-_SKIP = {"sim_ann_lsh"}  # LSH-join is slow at tiny SF
+# their own stream lifecycles)
+_SKIP: set[str] = set()
 
 
 def _skipped(name: str) -> bool:
@@ -42,7 +42,7 @@ def test_oracle_keys_subset_of_queries():
     assert set(os_) <= set(qs)
     # non-oracle queries are the documented engine-specific ones
     assert set(qs) - set(os_) == {
-        "agg_approx_distinct", "agg_approx_percentiles", "sim_ann_lsh",
+        "agg_approx_distinct", "agg_approx_percentiles",
     }
 
 
