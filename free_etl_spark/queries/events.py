@@ -531,7 +531,7 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     per_nation = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(F.sum("o_totalprice").alias("nation_rev"))

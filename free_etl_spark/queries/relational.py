@@ -81,16 +81,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: filtered 3-way join + agg + top-10. customer is tiny
-    relative to lineitem → broadcast it; the orders⋈lineitem join
-    shuffles on orderkey (uniform key, no salt needed)."""
+    """TPC-H Q3: filtered 3-way join + agg + top-10. customer carries
+    NO broadcast hint: it is fact-sized in TPC-H (1.5 M rows/SF →
+    ~15 GB at SF100), so a forced broadcast OOMs executors at scale.
+    The planner's size estimate (and AQE at runtime) picks broadcast
+    while the filtered side is genuinely small; the orders⋈lineitem
+    join shuffles on orderkey (uniform key, no salt needed)."""
     cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -122,8 +125,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: 6-way join. region/nation/supplier/customer are all
-    dimension-sized → broadcast chain; only orders⋈lineitem shuffles."""
+    """TPC-H Q5: 6-way join. region/nation/supplier get explicit
+    broadcasts (genuine dimensions at every SF); customer does NOT —
+    it is fact-sized at SF100, so its join strategy is left to the
+    planner's size estimate / AQE. Only orders⋈lineitem must shuffle."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     supplier = _t(spark, sf_dir, "supplier")
@@ -139,7 +144,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(broadcast(snr), li.l_suppkey == snr.s_suppkey)
         .join(
-            broadcast(customer),
+            customer,
             (orders.o_custkey == customer.c_custkey)
             & (customer.c_nationkey == snr.s_nationkey),
         )
@@ -205,7 +210,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10: returned-item revenue per customer, top 20."""
+    """TPC-H Q10: returned-item revenue per customer, top 20. nation
+    is broadcast; customer (fact-sized at SF100) is left to the
+    planner's size estimate / AQE."""
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -215,7 +222,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -251,13 +258,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact⋈dim⋈dim with explicit broadcast of both dimensions —
-    zero shuffle on the fact side until the final small aggregate."""
+    """Fact⋈dim⋈dim: nation (25 rows at every SF) gets an explicit
+    broadcast; customer's strategy is size-gated by the planner/AQE —
+    at small SF it broadcasts (zero shuffle on the fact side until the
+    final aggregate), at SF100 it is fact-sized and must not."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     return (
-        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name", "c_mktsegment")
         .agg(

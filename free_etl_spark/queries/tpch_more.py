@@ -92,8 +92,9 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7: nation-pair trade volume by year. supplier/customer/
-    nation are broadcast; only lineitem⋈orders shuffles."""
+    """TPC-H Q7: nation-pair trade volume by year. supplier/nation are
+    broadcast; customer (fact-sized at SF100) is left to the planner's
+    size estimate / AQE; only lineitem⋈orders must shuffle."""
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").between(
             F.lit("1995-01-01 00:00:00").cast(_TS),
@@ -112,7 +113,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(broadcast(n1), supp.s_nationkey == n1.s_nk)
         .join(broadcast(n2), cust.c_nationkey == n2.c_nk)
         .filter(
@@ -183,7 +184,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(broadcast(n1), cust.c_nationkey == F.col("c_nk"))
         .join(broadcast(region), F.col("c_rk") == region.r_regionkey)
         .join(broadcast(n2), supp.s_nationkey == F.col("s_nk"))
@@ -446,7 +447,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     return (
         orders.join(big.withColumnRenamed("l_orderkey", "bk"), orders.o_orderkey == F.col("bk"), "left_semi")
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))

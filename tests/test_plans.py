@@ -42,6 +42,10 @@ def test_q1_single_pruned_scan(audits):
 
 
 def test_q3_broadcasts_both_dimensions(audits):
+    # customer carries NO broadcast hint (fact-sized at SF100 — a
+    # forced broadcast would OOM executors); at this SF the planner's
+    # own size estimate must still pick broadcast for both small sides.
+    # This asserts the size-gate works, not a pinned hint.
     a = audits["tpch_q3_shipping_priority"]
     assert a["broadcast_joins"] == 2
     assert a["sortmerge_joins"] == 0
@@ -49,6 +53,8 @@ def test_q3_broadcasts_both_dimensions(audits):
 
 
 def test_q5_all_dimensions_broadcast(audits):
+    # same: only region/nation/supplier are hinted; customer's
+    # broadcast below is the planner's size-estimate choice at this SF
     a = audits["tpch_q5_local_supplier"]
     assert a["broadcast_joins"] == 5
     assert a["sortmerge_joins"] == 0
