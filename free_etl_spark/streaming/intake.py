@@ -5,10 +5,12 @@ validate→normalize pipeline per micro-batch.
 The source is ``binaryFile`` (one row per NEW file: path, length,
 content) so the per-file semantics of the reference — whole-file
 sniffing, raw-header checks, per-file manifest records — are reused
-verbatim via ``foreachBatch``. Files are bounded by the max-size
-guard (50 MB default), so collecting a micro-batch of them to the
-driver is the same memory contract as the reference; the normalized
-write stays a Spark job when files are large.
+verbatim via ``foreachBatch``. Validation and the normalized-CSV
+write run ON THE EXECUTORS (Arrow-batched ``mapInPandas`` over
+(path, content)): file bytes never flow through the driver, so a
+micro-batch costs the driver only the per-file audit records (a few
+hundred bytes each) regardless of ``maxFilesPerTrigger`` × 50 MB.
+The driver's only write is the manifest.
 """
 
 from __future__ import annotations
@@ -48,27 +50,67 @@ def start_streaming_intake(
         .load(landing_dir)
     )
 
-    def process_batch(batch_df, batch_id: int) -> None:
-        files = batch_df.select("path", "content").collect()
-        records = []
-        for row in files:
-            name = os.path.basename(row["path"])
-            chk = validate_and_normalize(name, bytes(row["content"]), cfg)
-            if chk.acceptable and chk.csv_bytes:
-                with open(os.path.join(out_dir, sanitize_stem(name) + ".csv"), "wb") as f:
-                    f.write(chk.csv_bytes)
-            records.append(
-                {
-                    "original_name": name,
-                    "issues": chk.issues,
-                    "acceptable": chk.acceptable,
-                    "rows": chk.row_count,
-                    "cols": chk.col_count,
-                }
+    def validate_partition(batches):
+        """Executor-side: validate + normalize each file of the Arrow
+        batch, write the normalized CSV next to where the executor
+        runs (shared storage on a real cluster), emit one audit row
+        per file. Runs inside mapInPandas — no driver involvement."""
+        import pandas as pd  # noqa: PLC0415 — executor import
+
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = os.path.basename(path)
+                chk = validate_and_normalize(name, bytes(content), cfg)
+                if chk.acceptable and chk.csv_bytes:
+                    dest = os.path.join(out_dir, sanitize_stem(name) + ".csv")
+                    with open(dest, "wb") as f:
+                        f.write(chk.csv_bytes)
+                out.append(
+                    {
+                        "original_name": name,
+                        "issues": chk.issues,
+                        "acceptable": chk.acceptable,
+                        "rows": chk.row_count,
+                        "cols": chk.col_count,
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["original_name", "issues", "acceptable", "rows", "cols"],
             )
+
+    audit_schema = (
+        "original_name string, issues array<string>, acceptable boolean, "
+        "rows long, cols long"
+    )
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        # spread the ≤ maxFilesPerTrigger files across executors (the
+        # binaryFile source may pack them into few input partitions);
+        # only the tiny audit rows come back to the driver
+        records = (
+            batch_df.select("path", "content")
+            .repartition("path")
+            .mapInPandas(validate_partition, schema=audit_schema)
+            .collect()
+        )
         if records:
+            files = sorted(
+                (
+                    {
+                        "original_name": r["original_name"],
+                        "issues": list(r["issues"]),
+                        "acceptable": r["acceptable"],
+                        "rows": r["rows"],
+                        "cols": r["cols"],
+                    }
+                    for r in records
+                ),
+                key=lambda d: d["original_name"],
+            )
             with open(os.path.join(out_dir, f"manifest-{batch_id}.json"), "w") as f:
-                json.dump({"batch_id": batch_id, "files": records}, f, indent=2)
+                json.dump({"batch_id": batch_id, "files": files}, f, indent=2)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
