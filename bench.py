@@ -131,17 +131,34 @@ def main() -> None:
     total = round(
         sum(v for k, v in timings.items() if not k.endswith("_mb_per_s")), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_suite_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+    out = {
+        "metric": "headline_query_suite_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # per-query regression diff vs the newest prior round's BENCH json
+    # (driver records BENCH_r{N}.json in the repo root): positive delta
+    # = slower than last round. Only queries present in both runs.
+    import glob as _bglob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(_bglob.glob(os.path.join(here, "BENCH_r*.json")))
+    if prior:
+        try:
+            tail = json.load(open(prior[-1])).get("tail", "")
+            m_prev = re.search(r'\{"metric".*\}', tail)
+            prev_q = json.loads(m_prev.group(0))["queries"] if m_prev else {}
+            out["delta_vs_prev"] = {
+                k: round(v - prev_q[k], 3)
+                for k, v in timings.items()
+                if k in prev_q and not k.endswith("_mb_per_s")
             }
-        )
-    )
+            out["prev_round"] = os.path.basename(prior[-1])
+        except Exception:  # prior artifact unparsable — skip the diff
+            pass
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -102,38 +102,49 @@ def _jaccard_pairs(shingles: DataFrame) -> DataFrame:
     near-dup signal). Sizes and intersections both use the capped
     sets, so Jaccard stays a true set similarity over the
     discriminative shingles."""
-    keep = (
-        shingles.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _DF_CAP)
-        .select("sh")
+    # df-cap via a window count: ONE shuffle on sh leaves the capped
+    # posting lists hash-partitioned on the self-join key, so the join
+    # below reuses the exchange instead of re-shuffling both sides.
+    # Each doc's capped set size rides along via a join against the
+    # tiny per-doc aggregate (|docs| rows ≪ |shingle| rows — AQE turns
+    # it into a broadcast at small SF, a doc_id-keyed shuffle join at
+    # corpus scale); carrying n_sh ON the shingle rows means the pair
+    # aggregation already has both set sizes in its group key, so no
+    # post-aggregation joins re-shuffle the Σ C(df,2) candidate rows.
+    # NOT persisted: the three consumers (sizes aggregate + both
+    # self-join sides) share the cap window's shuffle via Spark's
+    # ReusedExchange — caching here was measured slower (it forces a
+    # serial materialization the exchange reuse gets for free)
+    capped = (
+        shingles.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        )
+        .filter(F.col("__df") <= _DF_CAP)
+        .drop("__df")
     )
-    shingles = shingles.join(keep, "sh")
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shingles = capped.join(sizes, "doc_id")
     a = shingles.alias("a")
     b = shingles.alias("b")
-    cand = (
+    pairs = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "inter",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
-                6,
-            ).alias("jaccard"),
-        )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+            6,
+        ).alias("jaccard"),
     )
 
 
