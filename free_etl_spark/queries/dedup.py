@@ -634,6 +634,48 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_contamination_check",
+    oracle=f"""
+    WITH {_SH_SQL},
+    corpus AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 400),
+    batch AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 400)
+    SELECT b.doc_id,
+           COUNT(*) AS n_sh,
+           COUNT(c.sh) AS n_hit,
+           ROUND(CAST(COUNT(c.sh) AS DOUBLE) / COUNT(*), 6) AS contamination
+    FROM batch b LEFT JOIN corpus c ON b.sh = c.sh
+    GROUP BY b.doc_id
+    """,
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination check — the step before any training
+    run: for each incoming (eval) document, the fraction of its
+    distinct word-3-grams already present in the training corpus.
+    High contamination ⇒ the eval doc leaks into training data.
+
+    Shape at 100 TB: the corpus side reduces to DISTINCT shingles (a
+    precomputed bucketed shingle index in production) and the batch
+    probes it with an equi-join on the shingle — cost is O(batch
+    shingles), never O(corpus × batch). The left join + COUNT(hit)
+    keeps fully-clean documents (contamination = 0) in the output."""
+    sh = _shingles(spark, sf_dir)
+    corpus = sh.filter(F.col("doc_id") < 400).select("sh").distinct()
+    batch = sh.filter(F.col("doc_id") >= 400)
+    c = corpus.withColumnRenamed("sh", "c_sh")
+    return (
+        batch.join(c, batch.sh == c.c_sh, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("c_sh").alias("n_hit"),
+            F.round(F.count("c_sh").cast("double") / F.count(F.lit(1)), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+@query(
     "dedup_keep_best_quality",
     oracle="""
     WITH fp AS (

@@ -74,6 +74,44 @@ def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "data_mix_report",
+    oracle="""
+    WITH m AS (
+      SELECT lang, source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6) AS token_share
+    FROM m
+    """,
+)
+def data_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix report: documents and whitespace tokens per
+    (lang, source) cell plus each cell's share of total tokens — the
+    numbers a data-mixture weighting decision reads. One pruned scan
+    with map-side partial aggregation; the share window runs over the
+    |langs|×|sources| aggregate (tiny at any corpus scale), never the
+    fact table."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return m.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w), 6).alias(
+            "token_share"
+        ),
+    )
+
+
+@query(
     "sample_train_test_split",
     oracle=f"""
     SELECT split, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars

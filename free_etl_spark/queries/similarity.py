@@ -360,6 +360,39 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_centroid_by_label",
+    oracle="""
+    SELECT label,
+           CAST(g.i AS INT) AS dim,
+           ROUND(AVG(CAST(embedding[g.i] AS DOUBLE)), 6) AS mean_val,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+    GROUP BY label, g.i
+    """,
+)
+def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids (training-data curation staple:
+    class prototypes for outlier pruning, distillation targets, and
+    cluster drift monitoring). posexplode → (label, dim, value) long
+    form, then a plain aggregate — the shuffle carries |labels|×64
+    partial sums thanks to map-side combine, independent of corpus
+    size; at 100 TB this is the only shape that doesn't require an
+    array-typed aggregation buffer. dim is 1-based to match SQL list
+    indexing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.round(F.avg("v"), 6).alias("mean_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+@query(
     "sim_quantize_int8",
     oracle="""
     WITH s AS (

@@ -144,6 +144,51 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_filter_funnel",
+    oracle="""
+    WITH t AS (
+      SELECT lang, n_chars,
+             LEN(string_split(text, ' ')) AS token_cnt,
+             CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+               / LEN(string_split(text, ' ')) AS avg_tok
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (n_chars >= 100) AS pass_len,
+           COUNT(*) FILTER (n_chars >= 100 AND token_cnt >= 30) AS pass_tokens,
+           COUNT(*) FILTER (n_chars >= 100 AND token_cnt >= 30
+                            AND avg_tok BETWEEN 3 AND 8) AS pass_shape,
+           ROUND(CAST(COUNT(*) FILTER (n_chars >= 100 AND token_cnt >= 30
+                                       AND avg_tok BETWEEN 3 AND 8) AS DOUBLE)
+                 / COUNT(*), 6) AS keep_rate
+    FROM t GROUP BY lang
+    """,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel per language — the curation dashboard
+    number: how many documents survive each successive filter stage
+    (min length → min tokens → plausible token shape) and the final
+    keep rate. One pass, conditional aggregation only — at 100 TB
+    this is a single pruned scan + a |langs|-row shuffle; no stage
+    materializes the filtered sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    token_cnt = F.size(_tokens())
+    avg_tok = F.length(F.replace(F.col("text"), F.lit(" "))).cast("double") / token_cnt
+    s1 = F.col("n_chars") >= 100
+    s2 = s1 & (token_cnt >= 30)
+    s3 = s2 & avg_tok.between(3, 8)
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        cnt(s1).alias("pass_len"),
+        cnt(s2).alias("pass_tokens"),
+        cnt(s3).alias("pass_shape"),
+        F.round(cnt(s3).cast("double") / F.count(F.lit(1)), 6).alias("keep_rate"),
+    )
+
+
+@query(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
