@@ -31,10 +31,15 @@ def connected_components(
     node id reachable from the node (nodes absent from ``edges`` form
     singleton components).
     """
+    # edges may sit on an expensive lineage (e.g. the whole near-dup
+    # pair pipeline) — checkpoint the symmetrized edge list ONCE so the
+    # per-iteration join re-reads materialized edges instead of
+    # re-running the upstream pipeline every round
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col(node_col).alias("a"), F.col(node_col).alias("label"))
     labels = labels.localCheckpoint(eager=True)
@@ -45,6 +50,9 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the did-anything-change flag ON the label rows: the
+        # convergence probe is then a cheap aggregate over the freshly
+        # checkpointed result, not another join against the old labels
         new_labels = (
             labels.join(neighbor_min, "a", "left")
             .select(
@@ -52,20 +60,17 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label"))
+                .cast("int")
+                .alias("__chg"),
             )
         )
         # truncate lineage each round (iterative plans grow exponentially
         # otherwise) and check convergence with one scalar action
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "a")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.max("__chg")).first()[0]
+        labels = new_labels.drop("__chg")
+        if not changed:
             break
 
     return labels.select(F.col("a").alias(node_col), F.col("label").alias("component"))

@@ -47,17 +47,30 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_to_completion(df: DataFrame, output_mode: str) -> DataFrame:
     """Drain a bounded stream into a memory sink (AvailableNow) and
-    return the final table."""
-    name = f"fes_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    return the final table.
+
+    The drain runs with a reduced shuffle-partition count (restored
+    afterwards): stateful operators create one state-store instance
+    per shuffle partition PER micro-batch, which dominates wall time
+    on a bounded replay. This is a property of the test/replay drain
+    only — a production unbounded stream keeps the session's partition
+    count, sized to the cluster (state scales with partitions, and the
+    partition count is fixed for the life of a stateful query)."""
     spark = df.sparkSession
+    name = f"fes_stream_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
