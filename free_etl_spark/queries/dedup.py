@@ -634,6 +634,103 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_pipeline_keep_set",
+    oracle=f"""
+    WITH RECURSIVE {_SH_SQL},
+    fp AS (
+      SELECT doc_id, n_chars,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS canon_fp
+      FROM documents
+    ),
+    kdoc AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY canon_fp),
+    shk AS (SELECT sh.doc_id, sh.sh FROM sh JOIN kdoc USING (doc_id)),
+    keepk AS (SELECT sh FROM shk GROUP BY sh HAVING COUNT(*) <= {_DF_CAP}),
+    shck AS (SELECT shk.doc_id, shk.sh FROM shk JOIN keepk USING (sh)),
+    csz AS (SELECT doc_id, COUNT(*) AS n_sh FROM shck GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM shck a JOIN shck b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN csz sa ON cand.doc_a = sa.doc_id
+      JOIN csz sb ON cand.doc_b = sb.doc_id
+      WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6)
+            >= {_JACCARD_T}
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT k.doc_id,
+             LEAST(k.doc_id, COALESCE(MIN(r.b), k.doc_id)) AS component
+      FROM kdoc k LEFT JOIN reach r ON r.a = k.doc_id
+      GROUP BY k.doc_id
+    )
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id
+    FROM (
+      SELECT c.component, c.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY f.n_chars DESC, c.doc_id) AS rn
+      FROM comp c JOIN fp f ON f.doc_id = c.doc_id
+    )
+    GROUP BY component
+    """,
+)
+def dedup_pipeline_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END dedup pipeline a training-data run executes,
+    as one composed query: (1) exact stage — canonical-fingerprint
+    groups keep their min doc_id; (2) near-dup stage — df-capped
+    n-gram-Jaccard pairs among the exact survivors; (3) clustering —
+    distributed min-label connected components over those pairs;
+    (4) selection — each duplicate group keeps its highest-quality
+    member (longest, doc_id tie-break). Output: one row per final
+    group with its size and the kept document.
+
+    Every stage is the scale-audited operator registered standalone
+    (dedup_canonical_text, dedup_ngram_jaccard, connected_components,
+    dedup_keep_best_quality); the composition shares the shingle scan
+    and adds no new shuffle shapes. The oracle replays all four
+    stages, including the transitive closure, in one recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    fp = docs.select(
+        "doc_id", "n_chars", F.md5(canon.cast("binary")).alias("canon_fp")
+    )
+    keepers = fp.groupBy("canon_fp").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+    sh = _shingles(spark, sf_dir).join(keepers, "doc_id")
+    pairs = _jaccard_pairs(sh).filter(F.col("jaccard") >= _JACCARD_T).select(
+        "doc_a", "doc_b"
+    )
+    from free_etl_spark.operators.components import connected_components
+
+    comp = connected_components(
+        keepers, pairs, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    ranked = comp.join(fp.select("doc_id", "n_chars"), "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("component").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    return ranked.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+    )
+
+
+@query(
     "text_contamination_check",
     oracle=f"""
     WITH {_SH_SQL},
