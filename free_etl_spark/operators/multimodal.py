@@ -119,6 +119,75 @@ def decode_image_features(df: DataFrame) -> DataFrame:
     return df.select(*cols).mapInPandas(decode_batches, _IMG_FEATURE_SCHEMA)
 
 
+_RESIZE_SCHEMA = (
+    "path string, width int, height int, out_w int, out_h int, "
+    "resized_len long, checksum string"
+)
+
+
+def _resize_image_real(content: bytes, out_w: int, out_h: int) -> bytes:
+    """Real resize — requires PIL (not in this container). Raises
+    NotImplementedError when PIL is missing; callers fall back to the
+    deterministic stub below."""
+    try:
+        import io
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as e:  # pragma: no cover - PIL absent here
+        raise NotImplementedError("image resize requires PIL") from e
+    img = Image.open(io.BytesIO(content)).resize((out_w, out_h))  # pragma: no cover
+    buf = io.BytesIO()  # pragma: no cover
+    img.save(buf, format="PNG")  # pragma: no cover
+    return buf.getvalue()  # pragma: no cover
+
+
+def _resize_image_stub(content: bytes, out_w: int, out_h: int) -> bytes:
+    """Deterministic FAKE resize: out_w×out_h×3 bytes cycling the md5
+    of (content ‖ '|{w}x{h}') — byte-reproducible from the input, so
+    the full resize path (batch shape, payload size, checksum) is
+    value-checkable without an image library."""
+    digest = hashlib.md5(content + f"|{out_w}x{out_h}".encode()).digest()
+    n = out_w * out_h * 3
+    return (digest * (n // len(digest) + 1))[:n]
+
+
+def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """Arrow-batched resize over binary image columns (mapInPandas,
+    same registry shape as decode: real PIL path, deterministic stub
+    fallback). Emits original stub dimensions, target dimensions, the
+    resized payload length and an md5 checksum of the resized bytes —
+    metadata only, so the driver never ships pixel buffers unless the
+    caller selects them."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"])
+                try:
+                    out = _resize_image_real(content, out_w, out_h)
+                except NotImplementedError:
+                    out = _resize_image_stub(content, out_w, out_h)
+                w, h, _, _ = _decode_image_stub(content)
+                rows.append(
+                    {
+                        "path": r["path"],
+                        "width": w,
+                        "height": h,
+                        "out_w": out_w,
+                        "out_h": out_h,
+                        "resized_len": len(out),
+                        # checksum over the HEX encoding: engine-portable
+                        # (SQL md5 implementations take strings, not blobs)
+                        "checksum": hashlib.md5(out.hex().encode()).hexdigest()[:16],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[
+                "path", "width", "height", "out_w", "out_h", "resized_len", "checksum",
+            ])
+
+    return df.select("path", "content").mapInPandas(resize_batches, _RESIZE_SCHEMA)
+
+
 def sample_frames(df: DataFrame, frame_bytes: int = 1024, max_frames: int = 4) -> DataFrame:
     """Frame sampling for video-like blobs: split the binary payload
     into fixed-size "frames" and keep every k-th — expressed as a JVM

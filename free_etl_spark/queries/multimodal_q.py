@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from free_etl_spark.operators.multimodal import (
     _MAGIC,
     decode_image_features,
+    resize_images,
     sample_frames,
     with_media_kind,
 )
@@ -40,6 +41,37 @@ def _docs_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hexpair(p: int) -> str:
     nib = "instr('0123456789abcdef', substr(md5(text), {pos}, 1)) - 1"
     return f"(({nib.format(pos=p)}) * 16 + ({nib.format(pos=p + 1)}))"
+
+
+@query(
+    "multimodal_resize_32",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(64 + {_hexpair(1)} AS INT) AS width,
+           CAST(64 + {_hexpair(3)} AS INT) AS height,
+           32 AS out_w, 32 AS out_h,
+           CAST(3072 AS BIGINT) AS resized_len,
+           substr(md5(repeat(md5(text || '|32x32'), 192)), 1, 16) AS checksum
+    FROM documents
+    """,
+)
+def multimodal_resize_32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize path over binary media columns: mapInPandas batch
+    resize to 32×32 (PIL when available, md5-cycled deterministic stub
+    here — operators/multimodal.py:resize_images). The stub payload is
+    the md5 of (bytes ‖ '|32x32') cycled to 32·32·3 bytes, so its
+    length and hex-md5 checksum are closed-form SQL over md5(text) —
+    the whole Python resize stage is value-oracled."""
+    out = resize_images(_docs_binary(spark, sf_dir), 32, 32)
+    return out.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "width",
+        "height",
+        "out_w",
+        "out_h",
+        "resized_len",
+        "checksum",
+    )
 
 
 @query(

@@ -61,3 +61,21 @@ def test_sample_frames_shape(spark, tmp_path):
     assert len(per_file["c.wav"]) == 3  # 3004 bytes → 3 frames
     assert len(per_file["a.png"]) == 1
     assert all(r["frame_len"] <= 1024 for r in rows)
+
+
+def test_resize_images_stub_plumbing(spark, tmp_path):
+    import hashlib
+
+    from free_etl_spark.operators.multimodal import resize_images
+
+    df = read_binary_dir(spark, str(_media_dir(tmp_path)))
+    rows = resize_images(df, 32, 32).collect()
+    assert len(rows) == 4
+    assert all(r["out_w"] == 32 and r["out_h"] == 32 for r in rows)
+    assert all(r["resized_len"] == 32 * 32 * 3 for r in rows)
+    # checksum replays closed-form from the source bytes (stub contract)
+    src = {r["path"].split("/")[-1]: r for r in rows}
+    payload = (tmp_path / "media" / "a.png").read_bytes()
+    digest = hashlib.md5(payload + b"|32x32").digest()
+    out = (digest * (3072 // 16 + 1))[:3072]
+    assert src["a.png"]["checksum"] == hashlib.md5(out.hex().encode()).hexdigest()[:16]
