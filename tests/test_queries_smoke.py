@@ -76,3 +76,32 @@ def test_approx_percentiles_close_to_exact(spark):
 def test_approx_distinct_close_to_exact(spark):
     approx = entrymod.queries()["agg_approx_distinct"](spark, SF_DIR).toPandas()
     assert {"event_type"} <= set(approx.columns)
+
+
+def test_query_order_prefers_unverified_then_cheap(tmp_path, monkeypatch):
+    """queries() must front-load queries with no green CORRECTNESS row
+    from prior rounds (cheapest first) so a budgeted verifier proves
+    the most new queries each round."""
+    import json
+
+    import __spark_entry__ as e
+
+    order = list(e.queries().keys())
+    assert len(order) == len(set(order))
+    prior: set[str] = set()
+    import glob as g
+    import os
+
+    for p in g.glob(os.path.join(os.path.dirname(e.__file__), "CORRECTNESS_r*.json")):
+        for name, row in json.load(open(p)).items():
+            if isinstance(row, dict) and not row.get("err"):
+                prior.add(name)
+    if prior:
+        seen_verified = False
+        for name in order:
+            if name in prior:
+                seen_verified = True
+            else:
+                assert not seen_verified, (
+                    f"unverified query {name} ordered after verified ones"
+                )
