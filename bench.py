@@ -53,8 +53,14 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
+    "sim_ann_lsh",
     "text_quality_score",
     "text_bpe_token_estimate",
+    "text_contamination_check",
+    "quality_filter_funnel",
+    "data_mix_report",
+    "emb_centroid_by_label",
+    "multimodal_resize_32",
     "sample_train_test_split",
 ]
 
