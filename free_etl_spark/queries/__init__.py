@@ -15,6 +15,7 @@ from free_etl_spark.queries import (  # noqa: F401
     text,
     dedup,
     similarity,
+    sources_q,
 )
 from free_etl_spark.streaming import joins as streaming_joins  # noqa: F401
 from free_etl_spark.streaming import stateful as streaming_stateful  # noqa: F401

@@ -729,3 +729,57 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("window_day").cast("timestamp_ntz").alias("day"))
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+@query(
+    "events_salted_user_totals",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-user event counts via the two-phase salted
+    aggregate (operators/partitioning.py:salted_count_by_key): partial
+    counts on (user_id, salt) spread a hot user over n reducers, the
+    final aggregate merges partials. The oracle is the PLAIN group-by —
+    salting must be an execution detail with identical results, and
+    this query puts that equivalence under the driver's value gate
+    (the hypothesis property test covers it adversarially)."""
+    from free_etl_spark.operators.partitioning import salted_count_by_key
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    return salted_count_by_key(ev, "user_id", n_salts=8)
+
+
+@query(
+    "events_salted_enrich_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment,
+           ROUND(e.value, 2) AS value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def events_salted_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact-enrichment join via salted_join
+    (operators/partitioning.py): the fact side's key is widened with a
+    deterministic salt, the dimension side replicated n_salts times,
+    so one hot user cannot pin a reducer. Result ≡ the plain join
+    (the oracle), putting the salting operator under the driver's
+    value gate."""
+    from free_etl_spark.operators.partitioning import salted_join
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", F.col("user_id"), F.round("value", 2).alias("value"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return salted_join(ev, cust, "user_id", n_salts=8, how="inner").select(
+        "event_id", "user_id", "c_mktsegment", "value"
+    )

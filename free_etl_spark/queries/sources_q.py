@@ -1,0 +1,91 @@
+"""Source-format round-trip queries (SURVEY.md §2B "scan
+parquet/csv/json" row): prove the non-parquet scan paths by VALUE
+under the driver gate, not just in pytest.
+
+Each query re-materializes a deterministic slice of a test table in
+the target format under /tmp (overwrite — idempotent per sf), reads
+it back through the format's source with an explicit schema, and
+aggregates; the oracle runs the same aggregate on the original
+parquet. A format bug anywhere in write→read (quoting, null encoding,
+type coercion, compression) breaks the value hash.
+
+Scale note: the scan itself is the point here — both CSV and JSON
+sources are splittable (uncompressed), so the read parallelizes by
+file split exactly like production landing data; writes use the
+engine's partitioned writers, no driver materialization.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from free_etl_spark.registry import query
+from free_etl_spark.tables import load_table
+
+_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem
+WHERE l_orderkey <= 1000
+GROUP BY l_returnflag
+"""
+
+_SLICE_SCHEMA = (
+    "l_orderkey long, l_returnflag string, l_quantity double, l_extendedprice double"
+)
+
+
+def _slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 1000)
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    )
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    path = os.path.join(
+        "/tmp", f"fes_source_{fmt}_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    writer = _slice(spark, sf_dir).write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    writer.save(path)
+    reader = spark.read.format(fmt).schema(_SLICE_SCHEMA)
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    return _agg(reader.load(path))
+
+
+@query("source_csv_roundtrip", oracle=_ORACLE)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem slice → partitioned CSV → explicit-schema CSV scan →
+    aggregate; must hash-equal the parquet-side oracle."""
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+@query("source_json_roundtrip", oracle=_ORACLE)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem slice → JSON lines → explicit-schema JSON scan →
+    aggregate; must hash-equal the parquet-side oracle."""
+    return _roundtrip(spark, sf_dir, "json")
+
+
+@query("source_orc_roundtrip", oracle=_ORACLE)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem slice → ORC → ORC scan → aggregate; must hash-equal
+    the parquet-side oracle (columnar-to-columnar path)."""
+    return _roundtrip(spark, sf_dir, "orc")
