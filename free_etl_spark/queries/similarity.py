@@ -359,6 +359,100 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM_K = 8
+
+
+@query(
+    "emb_kmeans_2iter",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cent_id, emb AS cemb FROM v WHERE vec_id < {_KM_K}),
+    a1 AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT v.vec_id, c0.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(v.emb, c0.cemb),
+                          z -> (z[1] - z[2]) * (z[1] - z[2]))), c0.cent_id) AS rn
+        FROM v CROSS JOIN c0)
+      WHERE rn = 1
+    ),
+    upd AS (
+      SELECT a1.cent_id, g.i AS dim, ROUND(AVG(v.emb[g.i]), 6) AS m
+      FROM a1 JOIN v USING (vec_id) CROSS JOIN generate_series(1, 64) AS g(i)
+      GROUP BY a1.cent_id, g.i
+    ),
+    c1 AS (SELECT cent_id, list(m ORDER BY dim) AS cemb FROM upd GROUP BY cent_id),
+    a2 AS (
+      SELECT vec_id, cent_id, d2 FROM (
+        SELECT v.vec_id, c1.cent_id,
+               list_sum(list_transform(list_zip(v.emb, c1.cemb),
+                        z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(v.emb, c1.cemb),
+                          z -> (z[1] - z[2]) * (z[1] - z[2]))), c1.cent_id) AS rn
+        FROM v CROSS JOIN c1)
+      WHERE rn = 1
+    )
+    SELECT vec_id, cent_id, ROUND(d2, 6) AS d2 FROM a2
+    """,
+)
+def emb_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means over the embedding corpus
+    (deterministic init: centroids = the first 8 vectors) — the
+    clustering step a curation pipeline runs before per-cluster
+    sampling/pruning. Unlike sim_ivf_topk (fixed coarse quantizer),
+    this executes the centroid UPDATE: assign (broadcast argmin,
+    map-side) → recompute centroids (posexplode + per-(cent,dim)
+    partial-aggregated mean, rounded to 6dp in both engines so the
+    replay is FP-stable) → reassign. Per iteration the shuffle
+    carries k×64 partial sums — independent of corpus size; the
+    iteration count is a constant, so the whole job is a fixed DAG
+    (no driver loop). The oracle unrolls both iterations in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+    def assign(vecs: DataFrame, cents: DataFrame, with_d2: bool = False) -> DataFrame:
+        l2 = F.aggregate(
+            F.zip_with("emb", "cemb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        ranked = (
+            vecs.join(F.broadcast(cents))
+            .select("vec_id", "cent_id", l2.alias("d2"))
+            .withColumn(
+                "rn",
+                F.row_number().over(Window.partitionBy("vec_id").orderBy("d2", "cent_id")),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        cols = ["vec_id", "cent_id"] + (["d2"] if with_d2 else [])
+        return ranked.select(*cols)
+
+    cent0 = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    )
+    a1 = assign(emb, cent0)
+    upd = (
+        a1.join(emb, "vec_id")
+        .select("cent_id", F.posexplode("emb").alias("pos", "x"))
+        .groupBy("cent_id", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+    )
+    cent1 = upd.groupBy("cent_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cemb")
+    )
+    return assign(emb, cent1, with_d2=True).select(
+        "vec_id", "cent_id", F.round("d2", 6).alias("d2")
+    )
+
+
 @query(
     "emb_centroid_by_label",
     oracle="""
