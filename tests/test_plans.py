@@ -157,3 +157,35 @@ def test_join_hints_steer_strategy(spark):
     )
     plan_h = shuffled._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan_h, plan_h
+
+
+def test_near_dup_plans_have_no_cartesian_products(spark):
+    """The dedup/ANN family must generate candidates via key-equality
+    joins on compact sketches — a CartesianProduct (or a
+    BroadcastNestedLoopJoin against anything but a tiny broadcast
+    side) anywhere in these plans is the quadratic escape hatch that
+    dies at corpus scale."""
+    for name in [
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash_pairs",
+        "dedup_embedding_cosine",
+        "sim_ann_lsh",
+        "text_contamination_check",
+    ]:
+        a = audit(spark, name, SF_DIR)
+        assert a["cartesian_joins"] == 0, name
+        assert a["python_stages"] == 0, name
+    # embedding_cosine's only BNL is the broadcast 16-row centroid
+    # argmin; the candidate join itself must be hash-keyed
+    a = audit(spark, "dedup_embedding_cosine", SF_DIR)
+    assert a["bnl_joins"] <= 2
+
+
+def test_salted_queries_match_plain_shape(spark):
+    """Salted operators add a salt column + replication but stay pure
+    shuffle/aggregate plans: no Python stages, no cartesian."""
+    for name in ["events_salted_user_totals", "events_salted_enrich_join"]:
+        a = audit(spark, name, SF_DIR)
+        assert a["cartesian_joins"] == 0, name
+        assert a["python_stages"] == 0, name

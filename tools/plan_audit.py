@@ -32,6 +32,7 @@ def audit(spark, name: str, sf_dir: str) -> dict:
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "sortmerge_joins": plan.count("SortMergeJoin"),
         "bnl_joins": plan.count("BroadcastNestedLoopJoin"),
+        "cartesian_joins": plan.count("CartesianProduct"),
         "exchanges": plan.count("Exchange hashpartitioning"),
         "python_stages": plan.count("ArrowEvalPython")
         + plan.count("FlatMapGroupsInPandas")
