@@ -39,7 +39,16 @@ def _query_order() -> list[str]:
     for path in _glob.glob(_os.path.join(_HERE, "CORRECTNESS_r*.json")):
         try:
             for name, row in _json.load(open(path)).items():
-                if isinstance(row, dict) and not row.get("err"):
+                # green = ran without error AND no recorded mismatch.
+                # err=None with hash_match=False is a VALUE FAILURE —
+                # those must sort with the unverified so a budgeted
+                # verifier re-checks exactly the known-red queries.
+                # (rows-only sketches record err='no_oracle' and all
+                # matches None — they also stay in the front group.)
+                if isinstance(row, dict) and not row.get("err") and not any(
+                    row.get(k) is False
+                    for k in ("rows_match", "schema_match", "hash_match")
+                ):
                     verified.add(name)
         except Exception:  # malformed artifact — ignore, keep default order
             pass

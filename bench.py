@@ -153,9 +153,11 @@ def main() -> None:
     prior = sorted(_bglob.glob(os.path.join(here, "BENCH_r*.json")))
     if prior:
         try:
-            tail = json.load(open(prior[-1])).get("tail", "")
-            m_prev = re.search(r'\{"metric".*\}', tail)
-            prev_q = json.loads(m_prev.group(0))["queries"] if m_prev else {}
+            prev = json.load(open(prior[-1]))
+            prev_q = prev.get("parsed", {}).get("queries", {})
+            if not prev_q:  # older artifact shape — parse the stdout tail
+                m_prev = re.search(r'\{"metric".*\}', prev.get("tail", ""))
+                prev_q = json.loads(m_prev.group(0))["queries"] if m_prev else {}
             out["delta_vs_prev"] = {
                 k: round(v - prev_q[k], 3)
                 for k, v in timings.items()

@@ -83,7 +83,11 @@ def validate_file(spark: SparkSession, path: str, cfg: AppConfig) -> tuple[Spark
             audit.row_count = fc.row_count
             audit.col_count = fc.col_count
             audit.acceptable = fc.acceptable
-            if not fc.acceptable:
+            # acceptable-but-empty: a header-only/empty workbook yields
+            # acceptable=True with csv_bytes=b'' (reference parity — its
+            # empty-df checks are dead code); there is nothing to
+            # normalize, and pd.read_csv(b'') would raise
+            if not fc.acceptable or not fc.csv_bytes:
                 return audit, None
             import io
 

@@ -150,24 +150,38 @@ def _resize_image_stub(content: bytes, out_w: int, out_h: int) -> bytes:
     return (digest * (n // len(digest) + 1))[:n]
 
 
-def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+def resize_images(
+    df: DataFrame, out_w: int = 32, out_h: int = 32, force_stub: bool = False
+) -> DataFrame:
     """Arrow-batched resize over binary image columns (mapInPandas,
     same registry shape as decode: real PIL path, deterministic stub
-    fallback). Emits original stub dimensions, target dimensions, the
+    fallback). Emits original dimensions, target dimensions, the
     resized payload length and an md5 checksum of the resized bytes —
     metadata only, so the driver never ships pixel buffers unless the
-    caller selects them."""
+    caller selects them.
+
+    The real and stub paths are picked TOGETHER (dimensions + payload
+    from the same decoder) so outputs are never a mix of real pixels
+    and fake metadata. ``force_stub=True`` pins the deterministic stub
+    regardless of installed libraries — used by the oracle-gated query,
+    whose closed-form SQL replays the stub contract and would
+    spuriously fail the moment PIL appeared in the environment."""
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 content = bytes(r["content"])
-                try:
-                    out = _resize_image_real(content, out_w, out_h)
-                except NotImplementedError:
+                if force_stub:
                     out = _resize_image_stub(content, out_w, out_h)
-                w, h, _, _ = _decode_image_stub(content)
+                    w, h, _, _ = _decode_image_stub(content)
+                else:
+                    try:
+                        out = _resize_image_real(content, out_w, out_h)
+                        w, h, _, _ = _decode_image_real(content)  # pragma: no cover
+                    except NotImplementedError:
+                        out = _resize_image_stub(content, out_w, out_h)
+                        w, h, _, _ = _decode_image_stub(content)
                 rows.append(
                     {
                         "path": r["path"],

@@ -409,50 +409,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall knob. At 100 TB the table is written partitioned by cent_id
     and the pair join is partition-local. Dot products stay JVM-side
     via zip_with + aggregate fold."""
+    from free_etl_spark.operators.vectors import centroid_rank, cosine_scored_pairs
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     cent = emb.filter(F.col("vec_id") < _COS_K).select(
         F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
     )
-    l2 = F.aggregate(
-        F.zip_with("emb", "cemb", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     asn = (
-        emb.join(F.broadcast(cent))
-        .select("vec_id", "cent_id", l2.alias("d2"))
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("vec_id").orderBy("d2", "cent_id")),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id")
+        centroid_rank(emb, cent).filter(F.col("rn") == 1).select("vec_id", "cent_id")
     )
-    nrm = F.sqrt(F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x))
-    n = emb.select("vec_id", "emb", nrm.alias("nrm"))
     a = asn.select(F.col("vec_id").alias("vec_a"), "cent_id")
     b = asn.select(F.col("vec_id").alias("vec_b"), "cent_id")
-    cand = a.join(b, "cent_id").filter(F.col("vec_a") < F.col("vec_b"))
-    na = n.select(
-        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a")
+    cand = a.join(b, "cent_id").filter(F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a", "vec_b"
     )
-    nb = n.select(
-        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), F.col("nrm").alias("nrm_b")
-    )
-    dot = F.aggregate(
-        F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cosine = F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6)
-    return (
-        cand.join(na, "vec_a")
-        .join(nb, "vec_b")
-        .select("vec_a", "vec_b", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= _COS_T)
-    )
+    return cosine_scored_pairs(cand, emb).filter(F.col("cosine") >= _COS_T)
 
 
 _HAMMING_T = 3

@@ -746,10 +746,15 @@ def events_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     final aggregate merges partials. The oracle is the PLAIN group-by —
     salting must be an execution detail with identical results, and
     this query puts that equivalence under the driver's value gate
-    (the hypothesis property test covers it adversarially)."""
+    (the hypothesis property test covers it adversarially).
+
+    event_id rides along solely to feed the salt hash: salting derives
+    the salt from ALL columns, and a key-only projection would make the
+    salt a pure function of the group key — every row of a hot user on
+    one reducer, i.e. no spreading at all."""
     from free_etl_spark.operators.partitioning import salted_count_by_key
 
-    ev = load_table(spark, sf_dir, "events").select("user_id")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
     return salted_count_by_key(ev, "user_id", n_salts=8)
 
 

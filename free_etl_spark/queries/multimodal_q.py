@@ -62,7 +62,7 @@ def multimodal_resize_32(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5 of (bytes ‖ '|32x32') cycled to 32·32·3 bytes, so its
     length and hex-md5 checksum are closed-form SQL over md5(text) —
     the whole Python resize stage is value-oracled."""
-    out = resize_images(_docs_binary(spark, sf_dir), 32, 32)
+    out = resize_images(_docs_binary(spark, sf_dir), 32, 32, force_stub=True)
     return out.select(
         F.col("path").cast("long").alias("doc_id"),
         "width",

@@ -227,24 +227,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("ba.vec_id").alias("vec_a"), F.col("bb.vec_id").alias("vec_b"))
         .distinct()
     )
-    nrm = F.sqrt(F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x))
-    n = emb.select("vec_id", "emb", nrm.alias("nrm"))
-    na = n.select(
-        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a")
-    )
-    nb = n.select(
-        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), F.col("nrm").alias("nrm_b")
-    )
-    dot_ab = F.aggregate(
-        F.zip_with("emb_a", "emb_b", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    cosine = F.round(dot_ab / (F.col("nrm_a") * F.col("nrm_b")), 6)
-    return (
-        cand.join(na, "vec_a")
-        .join(nb, "vec_b")
-        .select("vec_a", "vec_b", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= _LSH_COS_T)
-    )
+    from free_etl_spark.operators.vectors import cosine_scored_pairs
+
+    return cosine_scored_pairs(cand, emb).filter(F.col("cosine") >= _LSH_COS_T)
 
 
 _IVF_K = 16       # coarse centroids (deterministic: vec_id < 16)
@@ -304,27 +289,15 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate set is |probed clusters| not |corpus| — the scan is
     cluster-partitioned (partitionBy(cent_id) on write) so probes are
     partition-pruned reads; here clusters live in one DataFrame."""
+    from free_etl_spark.operators.vectors import centroid_rank
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     cent = emb.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
     )
-    l2 = F.aggregate(
-        F.zip_with("emb", "cemb", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    ranked = (
-        emb.join(F.broadcast(cent))
-        .select("vec_id", "cent_id", l2.alias("d2"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy("d2", "cent_id")
-            ),
-        )
-    )
+    ranked = centroid_rank(emb, cent)
     asn = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
     probe = (
         ranked.filter((F.col("rn") <= _IVF_NPROBE) & (F.col("vec_id") < _N_QUERIES))
@@ -411,25 +384,14 @@ def emb_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries k×64 partial sums — independent of corpus size; the
     iteration count is a constant, so the whole job is a fixed DAG
     (no driver loop). The oracle unrolls both iterations in SQL."""
+    from free_etl_spark.operators.vectors import centroid_rank
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
 
     def assign(vecs: DataFrame, cents: DataFrame, with_d2: bool = False) -> DataFrame:
-        l2 = F.aggregate(
-            F.zip_with("emb", "cemb", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        ranked = (
-            vecs.join(F.broadcast(cents))
-            .select("vec_id", "cent_id", l2.alias("d2"))
-            .withColumn(
-                "rn",
-                F.row_number().over(Window.partitionBy("vec_id").orderBy("d2", "cent_id")),
-            )
-            .filter(F.col("rn") == 1)
-        )
+        ranked = centroid_rank(vecs, cents).filter(F.col("rn") == 1)
         cols = ["vec_id", "cent_id"] + (["d2"] if with_d2 else [])
         return ranked.select(*cols)
 

@@ -57,8 +57,13 @@ def _agg(df: DataFrame) -> DataFrame:
 
 
 def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    # path includes the Spark application id: two concurrent sessions
+    # (driver verifier + pytest) must not overwrite each other's slice
+    # mid-read; within one session the path is stable → idempotent
     path = os.path.join(
-        "/tmp", f"fes_source_{fmt}_{os.path.basename(os.path.normpath(sf_dir))}"
+        "/tmp",
+        f"fes_source_{fmt}_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
     )
     writer = _slice(spark, sf_dir).write.mode("overwrite").format(fmt)
     if fmt == "csv":
