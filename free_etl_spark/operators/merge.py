@@ -80,6 +80,51 @@ def upsert_parquet(
     writer.parquet(target_dir)
 
 
+def apply_deletes(
+    spark: SparkSession,
+    target_dir: str,
+    delete_keys: DataFrame,
+    key_cols: list[str],
+    partition_col: str | None = None,
+) -> int:
+    """Propagate deletions (CDC delete batch / right-to-be-forgotten):
+    rewrite the target without rows whose ``key_cols`` appear in
+    ``delete_keys``. Returns the number of rows removed.
+
+    Partition-scoped like ``upsert_parquet``: when ``partition_col``
+    is given, only partitions containing a doomed key are rewritten
+    (the touched-partition list comes from joining the delete keys
+    against the target, so it is exact); others are untouched. The
+    delete side is an anti-join — at 100 TB the keys list is tiny
+    relative to the table and broadcasts."""
+    target = spark.read.parquet(target_dir)
+    dk = delete_keys.select(*key_cols).distinct()
+
+    if partition_col:
+        touched = [
+            r[0]
+            for r in target.join(dk, key_cols, "left_semi")
+            .select(partition_col)
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return 0
+        scope = target.filter(F.col(partition_col).isin(touched))
+    else:
+        scope = target
+
+    doomed = scope.join(dk, key_cols, "left_semi").count()
+    kept = scope.join(dk, key_cols, "left_anti")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out = kept.localCheckpoint(eager=True)
+    writer = out.write.mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(target_dir)
+    return doomed
+
+
 def scd2_apply(
     current: DataFrame,
     changes: DataFrame,

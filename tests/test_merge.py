@@ -90,3 +90,27 @@ def test_profile_table_single_pass(spark):
     assert float(prof[("o_totalprice", "mean")]) <= float(prof[("o_totalprice", "max")])
     # non-numeric columns get no min/max/mean
     assert ("o_orderstatus", "mean") not in prof
+
+
+def test_apply_deletes_partition_scoped(spark, tmp_path):
+    from free_etl_spark.operators.merge import apply_deletes
+
+    target = str(tmp_path / "users")
+    spark.createDataFrame(
+        [(1, "a", "eu"), (2, "b", "eu"), (3, "c", "us"), (4, "d", "us"), (5, "e", "ap")],
+        "user_id long, name string, region string",
+    ).write.partitionBy("region").parquet(target)
+
+    dels = spark.createDataFrame([(2,), (3,)], "user_id long")
+    removed = apply_deletes(spark, target, dels, ["user_id"], partition_col="region")
+    assert removed == 2
+
+    left = {r["user_id"]: r["region"] for r in spark.read.parquet(target).collect()}
+    assert left == {1: "eu", 4: "us", 5: "ap"}
+
+    # no-op delete batch touches nothing and reports 0
+    assert apply_deletes(
+        spark, target, spark.createDataFrame([(99,)], "user_id long"),
+        ["user_id"], partition_col="region",
+    ) == 0
+    assert spark.read.parquet(target).count() == 3
