@@ -189,3 +189,43 @@ def test_salted_queries_match_plain_shape(spark):
         a = audit(spark, name, SF_DIR)
         assert a["cartesian_joins"] == 0, name
         assert a["python_stages"] == 0, name
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's skew-join handling is the runtime backstop the 100 TB
+    design leans on for hot keys the static planner can't see: with
+    skew thresholds lowered, a join against a heavily skewed key must
+    show skew-split sort-merge partitions in the final adaptive plan."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # one hot key (0) carrying 50k rows, the rest uniform
+        left = spark.range(60_000).select(
+            F.when(F.col("id") < 50_000, 0).otherwise(F.col("id")).alias("k"),
+            F.md5(F.col("id").cast("string").cast("binary")).alias("pad"),
+        )
+        right = spark.range(1_000).select(F.col("id").alias("k"))
+        joined = left.join(right, "k")
+        # act on THIS DataFrame's own queryExecution — write AND
+        # count() both plan a fresh execution and would leave this
+        # plan isFinalPlan=false; collect() finalizes it
+        assert len(joined.collect()) == 50_000  # only the hot key matches
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
