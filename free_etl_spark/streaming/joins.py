@@ -72,3 +72,37 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("clicks_before"),
         F.round(F.sum("c_value"), 2).alias("click_value"),
     )
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the most common production
+    streaming shape: an unbounded event stream joined to a slowly
+    changing dimension table read as a plain batch DataFrame. The
+    static side needs no watermark and is re-read per micro-batch
+    (which is what picks up dimension updates); Spark broadcasts it
+    when small. The drained result must equal the batch join+aggregate
+    (the oracle)."""
+    from free_etl_spark.tables import load_table
+
+    ev = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ev.join(cust, "user_id").select("c_mktsegment", "value")
+    out = run_to_completion(enriched, "append")
+    return out.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
