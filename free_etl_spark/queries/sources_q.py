@@ -94,3 +94,50 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem slice → ORC → ORC scan → aggregate; must hash-equal
     the parquet-side oracle (columnar-to-columnar path)."""
     return _roundtrip(spark, sf_dir, "orc")
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join under the value gate: both sides are
+    written as bucketed tables on the join key (8 buckets, external
+    /tmp paths — per-application, so concurrent sessions don't
+    collide) and joined through the catalog. With matching bucket
+    counts a sort-merge join reads buckets directly, with ZERO runtime
+    Exchange on either side — the property tests/test_partitioning.py
+    pins with broadcast disabled; at this tiny SF the planner may
+    still prefer a broadcast of the dimension side, which is equally
+    exchange-free. At 100 TB bucketing is what amortizes a hot fact
+    table's shuffle across every query that joins it. Result must
+    equal the plain join oracle."""
+    app = spark.sparkContext.applicationId
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        name = f"fes_bkt_{tbl}_{sf}"
+        path = f"/tmp/{name}_{app}"
+        (
+            load_table(spark, sf_dir, tbl)
+            .write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    orders = spark.table(f"fes_bkt_orders_{sf}")
+    cust = spark.table(f"fes_bkt_customer_{sf}")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )
