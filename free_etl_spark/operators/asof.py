@@ -131,3 +131,41 @@ def asof_join_forward(
         *[F.col(f"__match.{c}").alias(f"{payload_prefix}{c}") for c in payload_cols],
     )
     return out
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    payload_prefix: str = "asof_",
+) -> DataFrame:
+    """Nearest as-of (pandas ``merge_asof(direction='nearest')``
+    parity): for each left row, the right row minimizing
+    ``|right_ts - left_ts|`` within the same keys; ties (equal
+    distance on both sides) resolve to the BACKWARD match. Composes
+    the backward and forward passes — two shuffles of |L|+|R| rows,
+    still no row explosion. Callers wanting single-row determinism
+    under duplicate right (key, ts) rows should pre-aggregate the
+    right side (the registered query does)."""
+    b = asof_join_backward(
+        left, right, on, left_ts, right_ts, payload_cols, payload_prefix="__b_"
+    )
+    bf = asof_join_forward(
+        b, right, on, left_ts, right_ts, payload_cols, payload_prefix="__f_"
+    )
+    b_ts, f_ts = f"__b_{right_ts}", f"__f_{right_ts}"
+    pick_b = F.col(b_ts).isNotNull() & (
+        F.col(f_ts).isNull()
+        | ((F.col(left_ts) - F.col(b_ts)) <= (F.col(f_ts) - F.col(left_ts)))
+    )
+    out_cols = [F.col(c) for c in left.columns]
+    for c in [right_ts] + payload_cols:
+        out_cols.append(
+            F.when(pick_b, F.col(f"__b_{c}"))
+            .otherwise(F.col(f"__f_{c}"))
+            .alias(f"{payload_prefix}{c}")
+        )
+    return bf.select(*out_cols)

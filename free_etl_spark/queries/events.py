@@ -788,3 +788,69 @@ def events_salted_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(ev, cust, "user_id", n_salts=8, how="inner").select(
         "event_id", "user_id", "c_mktsegment", "value"
     )
+
+
+@query(
+    "join_asof_nearest_events",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_ts,
+             ROUND(MAX(value), 2) AS c_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY 1, 2
+    ), b AS (
+      SELECT p.event_id, p.user_id, p.ts_us, c.c_ts AS b_ts, c.c_value AS b_val
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts_us >= c.c_ts
+    ), f AS (
+      SELECT p.event_id, c.c_ts AS f_ts, c.c_value AS f_val
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts_us <= c.c_ts
+    )
+    SELECT b.event_id, b.user_id, b.ts_us,
+           CASE WHEN b_ts IS NOT NULL
+                     AND (f_ts IS NULL OR (b.ts_us - b_ts) <= (f_ts - b.ts_us))
+                THEN b_ts ELSE f_ts END AS near_ts_us,
+           CASE WHEN b_ts IS NOT NULL
+                     AND (f_ts IS NULL OR (b.ts_us - b_ts) <= (f_ts - b.ts_us))
+                THEN b_val ELSE f_val END AS near_value
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def join_asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof 'nearest'
+    parity, completing backward/forward/nearest): each purchase
+    matched to the user's temporally CLOSEST click, ties to the
+    preceding one. The click side is pre-aggregated per (user, ts) so
+    the match is single-row deterministic; the oracle composes
+    DuckDB's native backward and forward ASOF JOINs with the same
+    tie rule."""
+    from free_etl_spark.operators.asof import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts_us").alias("c_ts"))
+        .agg(F.round(F.max("value"), 2).alias("c_value"))
+    )
+    return asof_join_nearest(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="c_ts",
+        payload_cols=["c_value"],
+        payload_prefix="near_",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("near_c_ts").alias("near_ts_us"),
+        F.col("near_c_value").alias("near_value"),
+    )

@@ -155,3 +155,56 @@ def test_asof_forward_matches_bruteforce(spark, left, right):
     assert sorted(rows, key=lambda r: (r[0], r[1], r[2] is None, r[2])) == _brute_asof_fwd(
         left, right
     )
+
+
+def _brute_nearest(left, right):
+    # right pre-deduped per (k, ts): max rv wins; then nearest by
+    # |rt - lt|, ties to the backward (rt <= lt) side
+    dedup: dict[tuple[int, int], int] = {}
+    for rk, rt, rv in right:
+        key = (rk, rt)
+        dedup[key] = max(dedup.get(key, rv), rv)
+    out = []
+    for k, lt in left:
+        back, fwd = None, None
+        for (rk, rt), rv in dedup.items():
+            if rk != k:
+                continue
+            if rt <= lt and (back is None or rt > back[0]):
+                back = (rt, rv)
+            if rt >= lt and (fwd is None or rt < fwd[0]):
+                fwd = (rt, rv)
+        if back is not None and (fwd is None or (lt - back[0]) <= (fwd[0] - lt)):
+            pick = back
+        else:
+            pick = fwd
+        out.append((k, lt, None if pick is None else pick[1]))
+    return sorted(out, key=lambda r: (r[0], r[1], r[2] is None, r[2]))
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(left=_left_rows, right=_right_rows)
+def test_asof_nearest_matches_bruteforce(spark, left, right):
+    from free_etl_spark.operators.asof import asof_join_nearest
+
+    ldf = spark.createDataFrame(
+        pd.DataFrame(left, columns=["k", "lt"]), "k int, lt int"
+    )
+    rdf = (
+        spark.createDataFrame(
+            pd.DataFrame(right, columns=["k", "rt", "rv"]), "k int, rt int, rv int"
+        )
+        .groupBy("k", "rt")
+        .agg(F.max("rv").alias("rv"))
+    )
+    got = asof_join_nearest(
+        ldf, rdf, on=["k"], left_ts="lt", right_ts="rt", payload_cols=["rv"]
+    )
+    rows = [(r["k"], r["lt"], r["asof_rv"]) for r in got.collect()]
+    assert sorted(
+        rows, key=lambda r: (r[0], r[1], r[2] is None, r[2])
+    ) == _brute_nearest(left, right)
