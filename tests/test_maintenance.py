@@ -1,0 +1,67 @@
+"""Table-maintenance operator tests: compaction halves file counts
+without changing data; z-order writes give multi-column file-skipping
+locality that a single-column sort cannot."""
+
+from __future__ import annotations
+
+import glob
+
+import pyspark.sql.functions as F
+
+from free_etl_spark.operators.maintenance import compact_parquet, zorder_write
+from free_etl_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_compact_parquet_preserves_data(spark, tmp_path):
+    out = str(tmp_path / "frag")
+    orders = load_table(spark, SF_DIR, "orders")
+    orders.repartition(37).write.parquet(out)  # fragmented layout
+    before_rows = orders.count()
+    before_sum = orders.agg(F.sum("o_totalprice")).first()[0]
+
+    n_before, n_after = compact_parquet(spark, out, target_file_mb=512)
+    assert n_before == 37
+    assert n_after < n_before
+
+    compacted = spark.read.parquet(out)
+    assert compacted.count() == before_rows
+    assert abs(compacted.agg(F.sum("o_totalprice")).first()[0] - before_sum) < 1e-6
+
+
+def _per_file_spans(spark, path: str, col: str) -> list[float]:
+    """Per-file (max-min) span of ``col``, normalized by global span."""
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    full = spark.read.parquet(path)
+    lo, hi = full.agg(F.min(col), F.max(col)).first()
+    spans = []
+    for f in files:
+        flo, fhi = spark.read.parquet(f).agg(F.min(col), F.max(col)).first()
+        spans.append((fhi - flo) / (hi - lo))
+    return spans
+
+
+def test_zorder_gives_multi_column_locality(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    single = str(tmp_path / "single_sort")
+    (
+        orders.repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.parquet(single)
+    )
+    zord = str(tmp_path / "zorder")
+    zorder_write(orders, zord, ["o_orderkey", "o_custkey"], n_files=8)
+
+    # single-col sort: perfect on orderkey, useless on custkey
+    # (every file spans ~the full custkey range)
+    single_cust = _per_file_spans(spark, single, "o_custkey")
+    assert min(single_cust) > 0.8
+
+    # z-order: BOTH columns' per-file spans shrink well below full
+    z_key = _per_file_spans(spark, zord, "o_orderkey")
+    z_cust = _per_file_spans(spark, zord, "o_custkey")
+    assert sum(z_key) / len(z_key) < 0.6
+    assert sum(z_cust) / len(z_cust) < 0.6
