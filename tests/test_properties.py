@@ -208,3 +208,49 @@ def test_asof_nearest_matches_bruteforce(spark, left, right):
     assert sorted(
         rows, key=lambda r: (r[0], r[1], r[2] is None, r[2])
     ) == _brute_nearest(left, right)
+
+
+@settings(
+    max_examples=150,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    data=st.binary(max_size=2048),
+    ext=st.sampled_from([".csv", ".xlsx", ".txt", ""]),
+)
+def test_validate_and_normalize_never_raises(data, ext):
+    """Op #25 global failure containment, fuzzed: arbitrary bytes under
+    any extension must produce a FileCheck (acceptable or not), never
+    an exception — a hostile upload cannot crash the intake loop."""
+    from free_etl_spark.intake.config import load_cfg
+    from free_etl_spark.intake.validate import validate_and_normalize
+
+    chk = validate_and_normalize(f"fuzz{ext}", data, load_cfg({}))
+    assert isinstance(chk.acceptable, bool)
+    assert isinstance(chk.issues, list)
+    if chk.acceptable:
+        # an accepted file must round-trip: normalized bytes exist
+        # whenever rows were parsed
+        assert chk.row_count >= 0
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.binary(max_size=1024))
+def test_sniffers_never_raise(data):
+    """Delimiter/encoding sniffers and raw-header checks must accept
+    arbitrary byte heads (truncated multibyte sequences, NULs, empty)."""
+    from free_etl_spark.intake.sniff import (
+        check_headers,
+        detect_csv_delimiter,
+        detect_encoding,
+        raw_header_fields,
+    )
+
+    delim = detect_csv_delimiter(data)
+    assert delim in (",", ";", "\t", "|")
+    enc = detect_encoding(data)
+    assert isinstance(enc, str)
+    fields = raw_header_fields(data, delim)
+    assert isinstance(fields, list)
+    assert isinstance(check_headers(fields), list)
