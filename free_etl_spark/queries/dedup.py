@@ -53,12 +53,25 @@ _SHC_SQL = f"""
 """
 
 
+import weakref
+
+# one persisted shingle DataFrame per (live session, sf_dir): five
+# registered queries consume the identical shingle relation, and a
+# correctness sweep runs them back-to-back — without this cache each
+# query would rebuild (and re-persist) the explode from scratch.
+# Weak-keyed so a stopped session's entry disappears with it.
+_SHINGLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-n-gram shingles per doc: doc_id, sh.
 
     Persisted (memory-then-disk) because every consumer reuses it 2-3×
-    (signatures, set sizes, intersection verify) — recomputing would
-    repeat the explode each time.
+    (signatures, set sizes, intersection verify) and cached per
+    (session, sf_dir) because five queries share it — recomputing
+    would repeat the explode each time.
 
     Two scale choices: (1) repartition on doc_id first — the documents
     table arrives as few large files, and without it the whole explode
@@ -69,13 +82,18 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark import StorageLevel
 
+    per_session = _SHINGLE_CACHE.setdefault(spark, {})
+    cached = per_session.get(sf_dir)
+    if cached is not None:
+        return cached
+
     spark_cpus = spark.sparkContext.defaultParallelism
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("toks"))
         .repartition(spark_cpus, "doc_id")
     )
-    return (
+    sh = (
         docs.filter(F.size("toks") >= _NGRAM)
         .select(
             "doc_id",
@@ -90,6 +108,8 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    per_session[sf_dir] = sh
+    return sh
 
 
 def _jaccard_pairs(shingles: DataFrame) -> DataFrame:
