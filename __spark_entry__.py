@@ -35,8 +35,12 @@ def _query_order() -> list[str]:
     not-yet-proven queries), cheapest-first within each group (from
     the tools/query_times.json snapshot) so a fixed budget covers the
     most queries. Deterministic: ties break on name."""
-    verified: set[str] = set()
-    for path in _glob.glob(_os.path.join(_HERE, "CORRECTNESS_r*.json")):
+    # last-write-wins across rounds (files sort by zero-padded round
+    # number): a query green in round N-1 but red in round N must be
+    # re-fronted — its LATEST row decides. A query green earlier and
+    # simply not re-run since keeps its green.
+    status: dict[str, bool] = {}
+    for path in sorted(_glob.glob(_os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         try:
             for name, row in _json.load(open(path)).items():
                 # green = ran without error AND no recorded mismatch.
@@ -45,13 +49,14 @@ def _query_order() -> list[str]:
                 # verifier re-checks exactly the known-red queries.
                 # (rows-only sketches record err='no_oracle' and all
                 # matches None — they also stay in the front group.)
-                if isinstance(row, dict) and not row.get("err") and not any(
-                    row.get(k) is False
-                    for k in ("rows_match", "schema_match", "hash_match")
-                ):
-                    verified.add(name)
+                if isinstance(row, dict):
+                    status[name] = not row.get("err") and not any(
+                        row.get(k) is False
+                        for k in ("rows_match", "schema_match", "hash_match")
+                    )
         except Exception:  # malformed artifact — ignore, keep default order
             pass
+    verified = {name for name, green in status.items() if green}
     try:
         times = _json.load(open(_os.path.join(_HERE, "tools", "query_times.json")))
     except Exception:

@@ -26,72 +26,112 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 
+def _parquet_files(d: str) -> list[str]:
+    return [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(d)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+
+
+def _leaf_dirs(table_dir: str) -> list[str]:
+    """Directories that directly contain parquet files — for a
+    hive-partitioned table these are the partition leaves; for a flat
+    table it is the table dir itself."""
+    leaves = set()
+    for dp, _, fs in os.walk(table_dir):
+        if any(f.endswith(".parquet") for f in fs):
+            leaves.add(dp)
+    return sorted(leaves)
+
+
+def _compact_one_dir(spark: SparkSession, d: str, target_file_mb: int) -> None:
+    """Compact one flat directory of parquet files in place, crash-safe:
+
+    1. stale state from a previous crashed run is healed first
+       (backup present + data dir missing → restore the backup);
+    2. the rewrite lands in a temp sibling; the swap is
+       rename(data→backup), rename(tmp→data), delete(backup) — a crash
+       between the renames is recoverable (step 1) and never loses
+       data, because the backup holds the complete original until the
+       new data dir is in place."""
+    tmp = d.rstrip("/") + "__compacting"
+    backup = d.rstrip("/") + "__precompact"
+    # heal a previous crashed swap: data dir gone, backup intact
+    if os.path.isdir(backup) and not os.path.isdir(d):
+        os.rename(backup, d)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(backup, ignore_errors=True)
+
+    files = _parquet_files(d)
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total_bytes // (target_file_mb << 20)))
+    spark.read.parquet(d).repartition(n_out).write.mode("overwrite").parquet(tmp)
+    os.rename(d, backup)
+    os.rename(tmp, d)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
 def compact_parquet(
     spark: SparkSession,
     table_dir: str,
     target_file_mb: int = 512,
 ) -> tuple[int, int]:
-    """Rewrite ``table_dir`` into ~``target_file_mb`` files.
+    """Rewrite the table's files into ~``target_file_mb``-sized ones.
 
-    Returns (files_before, files_after). File count is derived from
-    actual on-disk bytes / target size (ceil, min 1), so the operator
-    adapts to the real data volume rather than a row-count guess.
-    The rewrite lands in a temp sibling directory and replaces the
-    original only after the write succeeds — a failed compaction
-    leaves the table untouched."""
-    files = [
-        os.path.join(dp, f)
-        for dp, _, fs in os.walk(table_dir)
-        for f in fs
-        if f.endswith(".parquet")
-    ]
-    total_bytes = sum(os.path.getsize(f) for f in files)
-    n_out = max(1, -(-total_bytes // (target_file_mb << 20)))
+    Hive-partitioned layouts are preserved: each partition LEAF
+    directory is compacted independently and in place, so
+    ``col=value`` directories — and partition pruning — survive (a
+    whole-table read-rewrite would inline the partition columns and
+    flatten the layout). Flat tables compact as a single leaf.
 
-    tmp = table_dir.rstrip("/") + "__compacting"
-    df = spark.read.parquet(table_dir)
-    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-    backup = table_dir.rstrip("/") + "__precompact"
-    os.rename(table_dir, backup)
-    os.rename(tmp, table_dir)
-    shutil.rmtree(backup, ignore_errors=True)
-
-    after = [
-        f
-        for dp, _, fs in os.walk(table_dir)
-        for f in fs
-        if f.endswith(".parquet")
-    ]
-    return len(files), len(after)
+    Returns (files_before, files_after). Per-leaf output file count is
+    derived from actual on-disk bytes / target size (ceil, min 1).
+    Each leaf swap is crash-safe and self-healing; see
+    ``_compact_one_dir``."""
+    n_before = len(_parquet_files(table_dir))
+    for leaf in _leaf_dirs(table_dir):
+        _compact_one_dir(spark, leaf, target_file_mb)
+    return n_before, len(_parquet_files(table_dir))
 
 
-_Z_BITS = 16  # per-column resolution: 2^16 rank buckets
+_Z_BITS_MAX = 16  # per-column resolution cap: 2^16 rank buckets
 
 
 def zorder_values(df: DataFrame, cols: list[str]) -> DataFrame:
     """Add a ``__z`` column interleaving the bits of each column's
-    rank (percent_rank quantized to 16 bits). Rank-normalization makes
-    the curve robust to skewed/arbitrary-typed columns (anything
-    orderable works); the bit interleave is a fixed-depth loop of
-    shifts/ors — whole-stage-codegen friendly, no Python.
+    rank (percent_rank quantized). Rank-normalization makes the curve
+    robust to skewed/arbitrary-typed columns (anything orderable
+    works); the bit interleave is a fixed-depth loop of shifts/ors —
+    whole-stage-codegen friendly, no Python.
+
+    Per-column resolution adapts to the column count so the z-value
+    always fits in a NON-NEGATIVE long: bits/col = min(16, 62 // n)
+    (2 cols → 16 bits, 3 → 16, 4 → 15, 8 → 7 …). Capping at bit 61
+    keeps the sign bit clear — a set sign bit would invert the range
+    ordering high-z rows cluster by.
 
     The single global-ordering window here is the rank computation —
     at 100 TB swap it for an approx-quantile bucketization (same
     downstream interleave); the operator's contract (z-value column)
     is unchanged."""
+    n = len(cols)
+    if n < 1:
+        raise ValueError("zorder_values needs at least one column")
+    bits = min(_Z_BITS_MAX, 62 // n)
     out = df
     for i, c in enumerate(cols):
         w = Window.orderBy(F.col(c))
         out = out.withColumn(
             f"__r{i}",
             F.least(
-                F.floor(F.percent_rank().over(w) * (1 << _Z_BITS)),
-                F.lit((1 << _Z_BITS) - 1),
+                F.floor(F.percent_rank().over(w) * (1 << bits)),
+                F.lit((1 << bits) - 1),
             ).cast("long"),
         )
     z = F.lit(0).cast("long")
-    n = len(cols)
-    for bit in range(_Z_BITS):
+    for bit in range(bits):
         for i in range(n):
             z = z + (
                 F.shiftright(F.col(f"__r{i}"), bit).bitwiseAND(1)

@@ -122,6 +122,23 @@ def apply_deletes(
     if partition_col:
         writer = writer.partitionBy(partition_col)
     writer.parquet(target_dir)
+    if partition_col:
+        # dynamic overwrite only replaces partitions PRESENT in the
+        # output — a partition whose every row was deleted is absent
+        # from `kept` and its old files would silently survive (the
+        # one failure mode a right-to-be-forgotten path cannot have).
+        # Remove emptied partition directories explicitly.
+        kept_vals = {r[0] for r in out.select(partition_col).distinct().collect()}
+        emptied = [v for v in touched if v not in kept_vals]
+        if emptied:
+            conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+            for v in emptied:
+                p = spark._jvm.org.apache.hadoop.fs.Path(  # noqa: SLF001
+                    f"{target_dir}/{partition_col}={v}"
+                )
+                fs = p.getFileSystem(conf)
+                if fs.exists(p):
+                    fs.delete(p, True)
     return doomed
 
 

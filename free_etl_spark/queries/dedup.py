@@ -60,7 +60,7 @@ import weakref
 # correctness sweep runs them back-to-back — without this cache each
 # query would rebuild (and re-persist) the explode from scratch.
 # Weak-keyed so a stopped session's entry disappears with it.
-_SHINGLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+_SHINGLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
 
@@ -80,12 +80,24 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc property, so a cluster-wide DISTINCT shuffle of the
     exploded rows would be pure waste.
     """
+    import os
+
     from pyspark import StorageLevel
 
+    # cache key includes the source file's mtime: a regenerated
+    # documents table within the same session must rebuild (and the
+    # stale persisted relation is dropped, not leaked)
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        key = (sf_dir, os.path.getmtime(src))
+    except OSError:
+        key = (sf_dir, None)
     per_session = _SHINGLE_CACHE.setdefault(spark, {})
-    cached = per_session.get(sf_dir)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
+    for old_key in [k for k in per_session if k[0] == sf_dir]:
+        per_session.pop(old_key).unpersist()
 
     spark_cpus = spark.sparkContext.defaultParallelism
     docs = (
@@ -108,7 +120,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    per_session[sf_dir] = sh
+    per_session[key] = sh
     return sh
 
 

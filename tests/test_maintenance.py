@@ -65,3 +65,39 @@ def test_zorder_gives_multi_column_locality(spark, tmp_path):
     z_cust = _per_file_spans(spark, zord, "o_custkey")
     assert sum(z_key) / len(z_key) < 0.6
     assert sum(z_cust) / len(z_cust) < 0.6
+
+
+def test_zorder_four_columns_fits_in_long(spark, tmp_path):
+    """Per-column resolution adapts (62 // n bits) so 4+ columns build
+    a valid non-negative long z-value instead of overflowing."""
+    from free_etl_spark.operators.maintenance import zorder_values
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    z = zorder_values(
+        orders, ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    lo, hi = z.agg(F.min("__z"), F.max("__z")).first()
+    assert lo >= 0 and hi > lo
+
+
+def test_compact_preserves_hive_partitions(spark, tmp_path):
+    """Partitioned tables compact per leaf: col=value directories (and
+    partition pruning) survive, and data is unchanged."""
+    out = str(tmp_path / "part_frag")
+    orders = load_table(spark, SF_DIR, "orders")
+    orders.repartition(7).write.partitionBy("o_orderpriority").parquet(out)
+
+    import os
+
+    parts_before = sorted(
+        d for d in os.listdir(out) if d.startswith("o_orderpriority=")
+    )
+    n_before, n_after = compact_parquet(spark, out, target_file_mb=512)
+    assert n_after < n_before
+    parts_after = sorted(
+        d for d in os.listdir(out) if d.startswith("o_orderpriority=")
+    )
+    assert parts_after == parts_before  # layout intact
+    assert spark.read.parquet(out).count() == orders.count()

@@ -144,3 +144,23 @@ def test_incremental_rollup_refresh_equals_full_rebuild(spark, tmp_path):
     assert refresh_rollup(spark, target, all_events, batch) == n
     again = spark.read.parquet(target).select(*cols).orderBy(*cols)
     assert [tuple(r) for r in again.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_apply_deletes_empties_whole_partition(spark, tmp_path):
+    """A delete batch wiping every row of a partition must remove the
+    partition's files — dynamic overwrite alone would leave them."""
+    from free_etl_spark.operators.merge import apply_deletes
+
+    target = str(tmp_path / "users2")
+    spark.createDataFrame(
+        [(1, "a", "eu"), (5, "e", "ap")],
+        "user_id long, name string, region string",
+    ).write.partitionBy("region").parquet(target)
+
+    removed = apply_deletes(
+        spark, target, spark.createDataFrame([(5,)], "user_id long"),
+        ["user_id"], partition_col="region",
+    )
+    assert removed == 1
+    rows = {(r["user_id"], r["region"]) for r in spark.read.parquet(target).collect()}
+    assert rows == {(1, "eu")}

@@ -32,7 +32,7 @@ def main() -> None:
         oracle = "value" if name in q.ORACLES else "rows-only"
         t = times.get(name)
         rows.append(
-            (name, f"{path}:{line}", oracle, f"{t:.1f}s" if t else "—")
+            (name, f"{path}:{line}", oracle, f"{t:.1f}s" if t is not None else "—")
         )
 
     n_val = sum(1 for r in rows if r[2] == "value")
