@@ -96,40 +96,75 @@ def compact_parquet(
     return n_before, len(_parquet_files(table_dir))
 
 
-_Z_BITS_MAX = 16  # per-column resolution cap: 2^16 rank buckets
+_Z_BITS_MAX = 16    # rank-window path: 2^16 buckets per column
+_Z_BITS_APPROX = 8  # approx-quantile path: 256 buckets per column
 
 
-def zorder_values(df: DataFrame, cols: list[str]) -> DataFrame:
+def zorder_values(df: DataFrame, cols: list[str], approx: bool = True) -> DataFrame:
     """Add a ``__z`` column interleaving the bits of each column's
-    rank (percent_rank quantized). Rank-normalization makes the curve
-    robust to skewed/arbitrary-typed columns (anything orderable
-    works); the bit interleave is a fixed-depth loop of shifts/ors —
-    whole-stage-codegen friendly, no Python.
+    rank bucket. Rank/quantile normalization makes the curve robust to
+    skewed columns; the bit interleave is a fixed-depth loop of
+    shifts/ors — whole-stage-codegen friendly, no Python.
 
-    Per-column resolution adapts to the column count so the z-value
-    always fits in a NON-NEGATIVE long: bits/col = min(16, 62 // n)
-    (2 cols → 16 bits, 3 → 16, 4 → 15, 8 → 7 …). Capping at bit 61
-    keeps the sign bit clear — a set sign bit would invert the range
-    ordering high-z rows cluster by.
+    Two bucketization paths:
 
-    The single global-ordering window here is the rank computation —
-    at 100 TB swap it for an approx-quantile bucketization (same
-    downstream interleave); the operator's contract (z-value column)
-    is unchanged."""
+    - ``approx=True`` (default, the 100 TB path): per-column bucket
+      boundaries from ``approxQuantile`` (one distributed sketch pass,
+      driver receives ≤255 boundary values per column), then each
+      row's bucket is a branch-free comparison count against the
+      broadcast-literal boundary array. 256 buckets per column is
+      ample for FILE-level clustering. Numeric columns only.
+    - ``approx=False``: exact ``percent_rank`` over a GLOBAL window —
+      higher resolution (up to 2^16) and works for any orderable
+      type, but the unpartitioned window funnels all rows through one
+      reducer, so it is strictly a small-data/any-type fallback.
+
+    Per-column resolution additionally adapts to the column count so
+    the z-value always fits a NON-NEGATIVE long (bits/col ≤ 62 // n —
+    a set sign bit would invert the range ordering rows cluster by).
+    """
     n = len(cols)
     if n < 1:
         raise ValueError("zorder_values needs at least one column")
-    bits = min(_Z_BITS_MAX, 62 // n)
+
     out = df
-    for i, c in enumerate(cols):
-        w = Window.orderBy(F.col(c))
-        out = out.withColumn(
-            f"__r{i}",
-            F.least(
-                F.floor(F.percent_rank().over(w) * (1 << bits)),
-                F.lit((1 << bits) - 1),
-            ).cast("long"),
-        )
+    if approx:
+        bits = min(_Z_BITS_APPROX, 62 // n)
+        n_buckets = 1 << bits
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        for c in cols:
+            if not isinstance(
+                df.schema[c].dataType,
+                __import__("pyspark.sql.types", fromlist=["NumericType"]).NumericType,
+            ):
+                raise ValueError(
+                    f"zorder approx path needs numeric columns; {c!r} is "
+                    f"{df.schema[c].dataType}. Cast it or pass approx=False."
+                )
+        for i, c in enumerate(cols):
+            bounds = df.approxQuantile(c, probs, 0.001)
+            arr = F.array(*[F.lit(float(b)) for b in bounds])
+            out = out.withColumn(
+                f"__r{i}",
+                F.aggregate(
+                    arr,
+                    F.lit(0).cast("long"),
+                    lambda acc, b: acc
+                    + F.when(F.col(c).cast("double") > b, 1).otherwise(0),
+                ),
+            )
+    else:
+        bits = min(_Z_BITS_MAX, 62 // n)
+        for i, c in enumerate(cols):
+            w = Window.orderBy(F.col(c))
+            out = out.withColumn(
+                f"__r{i}",
+                F.least(
+                    F.floor(F.percent_rank().over(w) * (1 << bits)),
+                    F.lit((1 << bits) - 1),
+                ).cast("long"),
+            )
+
     z = F.lit(0).cast("long")
     for bit in range(bits):
         for i in range(n):

@@ -76,7 +76,9 @@ def test_zorder_four_columns_fits_in_long(spark, tmp_path):
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
     )
     z = zorder_values(
-        orders, ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+        orders,
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+        approx=False,  # timestamp col -> rank path
     )
     lo, hi = z.agg(F.min("__z"), F.max("__z")).first()
     assert lo >= 0 and hi > lo
