@@ -1,0 +1,69 @@
+"""Session-state soak: run every registered query twice in ONE
+SparkSession (the way a driver harness would), then hammer the
+sf-dir-switching path on the cache-using queries — catches cross-query
+state bugs (stale temp views, conf leakage, mis-keyed caches) that
+per-query tests cannot.
+
+Usage: python tools/soak.py [sf_dir]
+Exit code 0 = no failures, no row drift between passes.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from free_etl_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+_SWITCH_TARGETS = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "text_contamination_check",
+    "source_csv_roundtrip",
+    "join_bucketed_colocated",
+    "dedup_pipeline_keep_set",
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    other_sf = "/root/testdata/sf0.001"
+    spark = get_spark("soak")
+    qs = entrymod.queries()
+    bad: list[tuple[str, str, str]] = []
+
+    first: dict[str, int] = {}
+    for name, fn in qs.items():
+        try:
+            first[name] = fn(spark, sf_dir).count()
+        except Exception as ex:  # noqa: BLE001
+            bad.append((name, "pass1", str(ex).splitlines()[0][:100]))
+    for name, fn in qs.items():
+        try:
+            n2 = fn(spark, sf_dir).count()
+            if n2 != first.get(name):
+                bad.append((name, "row-drift", f"{first.get(name)} -> {n2}"))
+        except Exception as ex:  # noqa: BLE001
+            bad.append((name, "pass2", str(ex).splitlines()[0][:100]))
+
+    ref: dict[tuple[str, str], int] = {}
+    for d in (other_sf, sf_dir, other_sf):
+        for name in _SWITCH_TARGETS:
+            n = qs[name](spark, d).count()
+            key = (name, d)
+            if key in ref and ref[key] != n:
+                bad.append((name, "sf-switch-drift", f"{d}: {ref[key]} -> {n}"))
+            ref[key] = n
+
+    print(f"{len(qs)} queries × 2 passes + sf-switch: {len(bad)} failures")
+    for b in bad:
+        print("FAIL", *b)
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
