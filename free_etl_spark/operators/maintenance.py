@@ -24,6 +24,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+from pyspark.sql.types import NumericType
 
 
 def _parquet_files(d: str) -> list[str]:
@@ -100,17 +101,21 @@ _Z_BITS_MAX = 16    # rank-window path: 2^16 buckets per column
 _Z_BITS_APPROX = 8  # approx-quantile path: 256 buckets per column
 
 
-def zorder_values(df: DataFrame, cols: list[str], approx: bool = True) -> DataFrame:
+def zorder_values(
+    df: DataFrame, cols: list[str], approx: bool | None = None
+) -> DataFrame:
     """Add a ``__z`` column interleaving the bits of each column's
     rank bucket. Rank/quantile normalization makes the curve robust to
     skewed columns; the bit interleave is a fixed-depth loop of
     shifts/ors — whole-stage-codegen friendly, no Python.
 
-    Two bucketization paths:
+    Two bucketization paths (``approx=None``, the default, AUTO-picks:
+    approx when every column is numeric, rank otherwise — so
+    date/string cluster keys keep working):
 
-    - ``approx=True`` (default, the 100 TB path): per-column bucket
-      boundaries from ``approxQuantile`` (one distributed sketch pass,
-      driver receives ≤255 boundary values per column), then each
+    - ``approx=True`` (the 100 TB path): bucket boundaries for ALL
+      columns from one multi-column ``approxQuantile`` sketch pass
+      (driver receives ≤255 boundary values per column), then each
       row's bucket is a branch-free comparison count against the
       broadcast-literal boundary array. 256 buckets per column is
       ample for FILE-level clustering. Numeric columns only.
@@ -126,33 +131,39 @@ def zorder_values(df: DataFrame, cols: list[str], approx: bool = True) -> DataFr
     n = len(cols)
     if n < 1:
         raise ValueError("zorder_values needs at least one column")
+    all_numeric = all(
+        isinstance(df.schema[c].dataType, NumericType) for c in cols
+    )
+    if approx is None:
+        approx = all_numeric
+    elif approx and not all_numeric:
+        bad_cols = [
+            c for c in cols if not isinstance(df.schema[c].dataType, NumericType)
+        ]
+        raise ValueError(
+            f"zorder approx path needs numeric columns; {bad_cols} are not. "
+            "Cast them or pass approx=False (rank path, any orderable type)."
+        )
 
     out = df
     if approx:
         bits = min(_Z_BITS_APPROX, 62 // n)
         n_buckets = 1 << bits
         probs = [i / n_buckets for i in range(1, n_buckets)]
-        for c in cols:
-            if not isinstance(
-                df.schema[c].dataType,
-                __import__("pyspark.sql.types", fromlist=["NumericType"]).NumericType,
-            ):
-                raise ValueError(
-                    f"zorder approx path needs numeric columns; {c!r} is "
-                    f"{df.schema[c].dataType}. Cast it or pass approx=False."
-                )
-        for i, c in enumerate(cols):
-            bounds = df.approxQuantile(c, probs, 0.001)
+        # ONE sketch pass computes every column's boundaries — per-column
+        # calls would re-scan df's whole lineage n times
+        bounds_per_col = df.approxQuantile(list(cols), probs, 0.001)
+        def bucket(c: str, bounds: list[float]) -> F.Column:
             arr = F.array(*[F.lit(float(b)) for b in bounds])
-            out = out.withColumn(
-                f"__r{i}",
-                F.aggregate(
-                    arr,
-                    F.lit(0).cast("long"),
-                    lambda acc, b: acc
-                    + F.when(F.col(c).cast("double") > b, 1).otherwise(0),
-                ),
+            return F.aggregate(
+                arr,
+                F.lit(0).cast("long"),
+                lambda acc, b: acc
+                + F.when(F.col(c).cast("double") > b, 1).otherwise(0),
             )
+
+        for i, (c, bounds) in enumerate(zip(cols, bounds_per_col)):
+            out = out.withColumn(f"__r{i}", bucket(c, bounds))
     else:
         bits = min(_Z_BITS_MAX, 62 // n)
         for i, c in enumerate(cols):
@@ -176,15 +187,20 @@ def zorder_values(df: DataFrame, cols: list[str], approx: bool = True) -> DataFr
 
 
 def zorder_write(
-    df: DataFrame, out_dir: str, cols: list[str], n_files: int = 8
+    df: DataFrame,
+    out_dir: str,
+    cols: list[str],
+    n_files: int = 8,
+    approx: bool | None = None,
 ) -> None:
     """Write ``df`` z-ordered on ``cols``: range-partition on the
     interleaved z-value and sort within partitions, so every output
     file covers a compact hyper-rectangle — per-file min/max stats are
     narrow on EVERY participating column and scans with predicates on
-    any of them prune files (verified in tests/test_maintenance.py)."""
+    any of them prune files (verified in tests/test_maintenance.py).
+    ``approx`` passes through to ``zorder_values`` (None = auto)."""
     (
-        zorder_values(df, cols)
+        zorder_values(df, cols, approx=approx)
         .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")

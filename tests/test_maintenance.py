@@ -75,10 +75,9 @@ def test_zorder_four_columns_fits_in_long(spark, tmp_path):
     orders = load_table(spark, SF_DIR, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
     )
+    # timestamp column -> approx=None auto-falls back to the rank path
     z = zorder_values(
-        orders,
-        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
-        approx=False,  # timestamp col -> rank path
+        orders, ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
     )
     lo, hi = z.agg(F.min("__z"), F.max("__z")).first()
     assert lo >= 0 and hi > lo

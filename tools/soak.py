@@ -30,7 +30,13 @@ _SWITCH_TARGETS = [
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    other_sf = "/root/testdata/sf0.001"
+    # the switch partner must be a DIFFERENT tier, or the sf-switch
+    # phase would compare a directory against itself and test nothing
+    other_sf = (
+        "/root/testdata/sf0.01"
+        if os.path.normpath(sf_dir).endswith("sf0.001")
+        else "/root/testdata/sf0.001"
+    )
     spark = get_spark("soak")
     qs = entrymod.queries()
     bad: list[tuple[str, str, str]] = []
@@ -44,15 +50,21 @@ def main() -> int:
     for name, fn in qs.items():
         try:
             n2 = fn(spark, sf_dir).count()
-            if n2 != first.get(name):
-                bad.append((name, "row-drift", f"{first.get(name)} -> {n2}"))
+            # only compare when pass 1 succeeded — a pass-1 crash is
+            # already reported once, not again as bogus drift
+            if name in first and n2 != first[name]:
+                bad.append((name, "row-drift", f"{first[name]} -> {n2}"))
         except Exception as ex:  # noqa: BLE001
             bad.append((name, "pass2", str(ex).splitlines()[0][:100]))
 
     ref: dict[tuple[str, str], int] = {}
     for d in (other_sf, sf_dir, other_sf):
         for name in _SWITCH_TARGETS:
-            n = qs[name](spark, d).count()
+            try:
+                n = qs[name](spark, d).count()
+            except Exception as ex:  # noqa: BLE001
+                bad.append((name, f"sf-switch {d}", str(ex).splitlines()[0][:100]))
+                continue
             key = (name, d)
             if key in ref and ref[key] != n:
                 bad.append((name, "sf-switch-drift", f"{d}: {ref[key]} -> {n}"))
