@@ -164,3 +164,20 @@ def test_apply_deletes_empties_whole_partition(spark, tmp_path):
     assert removed == 1
     rows = {(r["user_id"], r["region"]) for r in spark.read.parquet(target).collect()}
     assert rows == {(1, "eu")}
+
+
+def test_apply_deletes_flat_table(spark, tmp_path):
+    from free_etl_spark.operators.merge import apply_deletes
+
+    target = str(tmp_path / "flat")
+    spark.createDataFrame(
+        [(i, f"u{i}") for i in range(10)], "user_id long, name string"
+    ).write.parquet(target)
+    removed = apply_deletes(
+        spark, target, spark.createDataFrame([(3,), (7,), (99,)], "user_id long"),
+        ["user_id"],
+    )
+    assert removed == 2
+    assert {r["user_id"] for r in spark.read.parquet(target).collect()} == set(
+        range(10)
+    ) - {3, 7}

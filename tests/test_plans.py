@@ -229,3 +229,32 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_no_python_stage_creep_across_registry(spark):
+    """Broad contract sweep: OUTSIDE the explicitly Python-surface
+    queries (udf_*, multimodal decode/resize), no registered batch
+    query may plan an Arrow/Python stage — 'UDFs are the slow path'
+    is enforced, not aspirational."""
+    import free_etl_spark.queries as q
+
+    allowed_python = {
+        "udf_pandas_scalar_price",
+        "udf_grouped_agg_weighted",
+        "udf_apply_in_pandas_zscore",
+        "udf_map_in_pandas_enrich",
+        "multimodal_decode_features",
+        "multimodal_resize_32",
+    }
+    offenders = []
+    for name in q.QUERIES:
+        if name in allowed_python or name.startswith("streaming_"):
+            continue
+        try:
+            a = audit(spark, name, SF_DIR)
+        except Exception as ex:  # noqa: BLE001 — surface as failure, not error
+            offenders.append((name, f"audit failed: {ex}"))
+            continue
+        if a["python_stages"] != 0:
+            offenders.append((name, f"python_stages={a['python_stages']}"))
+    assert not offenders, offenders
