@@ -36,15 +36,58 @@ def _parquet_files(d: str) -> list[str]:
     ]
 
 
+_TMP_SUFFIX = "__compacting"
+_BACKUP_SUFFIX = "__precompact"
+
+
 def _leaf_dirs(table_dir: str) -> list[str]:
     """Directories that directly contain parquet files — for a
     hive-partitioned table these are the partition leaves; for a flat
-    table it is the table dir itself."""
+    table it is the table dir itself. In-flight swap dirs
+    (``*__compacting`` / ``*__precompact``) are never data leaves —
+    enumerating them would read a partition's rows twice under a
+    corrupted partition value (``region=eu__precompact`` parses as the
+    value 'eu__precompact')."""
     leaves = set()
-    for dp, _, fs in os.walk(table_dir):
+    for dp, dns, fs in os.walk(table_dir):
+        dns[:] = [
+            d for d in dns
+            if not d.endswith((_TMP_SUFFIX, _BACKUP_SUFFIX))
+        ]
         if any(f.endswith(".parquet") for f in fs):
             leaves.add(dp)
     return sorted(leaves)
+
+
+def _heal_table(table_dir: str) -> None:
+    """Recover from a compaction crashed mid-swap, BEFORE leaves are
+    enumerated. The per-leaf heal inside ``_compact_one_dir`` cannot
+    reach a partition whose data dir vanished mid-swap (rename(d→backup)
+    done, rename(tmp→d) not) because ``_leaf_dirs`` no longer lists
+    ``d`` at all. So heal table-wide first:
+
+    - ``X__precompact`` with ``X`` missing → the crash happened between
+      the two renames; the backup holds the complete original — restore
+      it (the interrupted compaction's work is discarded, never its
+      data).
+    - ``X__precompact`` with ``X`` present → crash after the swap
+      completed but before cleanup; the backup is a stale duplicate —
+      delete it.
+    - ``X__compacting`` → always stale (either superseded by a restore
+      or already promoted); delete it."""
+    for dp, dns, _ in os.walk(table_dir):
+        for d in list(dns):
+            full = os.path.join(dp, d)
+            if d.endswith(_BACKUP_SUFFIX):
+                data_dir = full[: -len(_BACKUP_SUFFIX)]
+                if not os.path.isdir(data_dir):
+                    os.rename(full, data_dir)
+                else:
+                    shutil.rmtree(full, ignore_errors=True)
+                dns.remove(d)
+            elif d.endswith(_TMP_SUFFIX):
+                shutil.rmtree(full, ignore_errors=True)
+                dns.remove(d)
 
 
 def _compact_one_dir(spark: SparkSession, d: str, target_file_mb: int) -> None:
@@ -57,9 +100,11 @@ def _compact_one_dir(spark: SparkSession, d: str, target_file_mb: int) -> None:
        between the renames is recoverable (step 1) and never loses
        data, because the backup holds the complete original until the
        new data dir is in place."""
-    tmp = d.rstrip("/") + "__compacting"
-    backup = d.rstrip("/") + "__precompact"
+    tmp = d.rstrip("/") + _TMP_SUFFIX
+    backup = d.rstrip("/") + _BACKUP_SUFFIX
     # heal a previous crashed swap: data dir gone, backup intact
+    # (redundant with compact_parquet's table-level _heal_table, kept
+    # for direct callers of this helper)
     if os.path.isdir(backup) and not os.path.isdir(d):
         os.rename(backup, d)
     shutil.rmtree(tmp, ignore_errors=True)
@@ -89,8 +134,12 @@ def compact_parquet(
 
     Returns (files_before, files_after). Per-leaf output file count is
     derived from actual on-disk bytes / target size (ceil, min 1).
-    Each leaf swap is crash-safe and self-healing; see
-    ``_compact_one_dir``."""
+    Each leaf swap is crash-safe and self-healing: stale swap state
+    from a crashed prior run is healed table-wide FIRST
+    (``_heal_table``) so a partition whose data dir vanished mid-swap
+    is restored rather than its ``__precompact`` leftovers being
+    mistaken for data leaves."""
+    _heal_table(table_dir)
     n_before = len(_parquet_files(table_dir))
     for leaf in _leaf_dirs(table_dir):
         _compact_one_dir(spark, leaf, target_file_mb)

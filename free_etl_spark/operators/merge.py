@@ -114,7 +114,29 @@ def apply_deletes(
     else:
         scope = target
 
-    doomed = scope.join(dk, key_cols, "left_semi").count()
+    if partition_col:
+        # One pass over the doomed rows yields both the delete count and
+        # each touched partition's ACTUAL on-disk directory (parent of
+        # input_file_name). Hive layouts escape special characters
+        # (%3A…) and format date/timestamp values their own way, so
+        # string-formatting f"{col}={v}" can name a directory that does
+        # not exist and silently leave the emptied partition's files
+        # behind — resolving from the real layout cannot miss.
+        doomed_stats = (
+            scope.join(dk, key_cols, "left_semi")
+            .groupBy(
+                partition_col,
+                F.regexp_replace(F.input_file_name(), "/[^/]*$", "").alias(
+                    "__dir"
+                ),
+            )
+            .count()
+            .collect()
+        )
+        doomed = sum(r["count"] for r in doomed_stats)
+        part_dirs = [(r[0], r["__dir"]) for r in doomed_stats]
+    else:
+        doomed = scope.join(dk, key_cols, "left_semi").count()
     kept = scope.join(dk, key_cols, "left_anti")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out = kept.localCheckpoint(eager=True)
@@ -129,13 +151,13 @@ def apply_deletes(
         # one failure mode a right-to-be-forgotten path cannot have).
         # Remove emptied partition directories explicitly.
         kept_vals = {r[0] for r in out.select(partition_col).distinct().collect()}
-        emptied = [v for v in touched if v not in kept_vals]
-        if emptied:
+        emptied_dirs = sorted(
+            {d for v, d in part_dirs if v not in kept_vals}
+        )
+        if emptied_dirs:
             conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
-            for v in emptied:
-                p = spark._jvm.org.apache.hadoop.fs.Path(  # noqa: SLF001
-                    f"{target_dir}/{partition_col}={v}"
-                )
+            for d in emptied_dirs:
+                p = spark._jvm.org.apache.hadoop.fs.Path(d)  # noqa: SLF001
                 fs = p.getFileSystem(conf)
                 if fs.exists(p):
                     fs.delete(p, True)

@@ -25,6 +25,26 @@ from free_etl_spark.intake.sinks import sanitize_stem
 from free_etl_spark.intake.validate import validate_and_normalize
 
 
+def _assert_out_dir_placement(out_dir: str, master: str) -> None:
+    """Executor-side writes land where the task runs: a LOCAL-disk
+    ``out_dir`` is only correct when the executors are the driver's
+    machine (``local[*]``). On any other master, require a shared /
+    object-store URI so files and the driver-written manifest agree."""
+    from pyarrow import fs as pafs  # noqa: PLC0415
+
+    fs_root, _ = pafs.FileSystem.from_uri(out_dir)
+    if isinstance(fs_root, pafs.LocalFileSystem) and not master.startswith(
+        "local"
+    ):
+        raise ValueError(
+            f"out_dir={out_dir!r} resolves to executor-LOCAL disk but "
+            f"master={master!r} is multi-node: normalized files would land "
+            "scattered across executor machines while the driver-side "
+            "manifest claims them. Use a shared/object-store URI "
+            "(s3://…, hdfs://…) for out_dir on a real cluster."
+        )
+
+
 def start_streaming_intake(
     spark: SparkSession,
     landing_dir: str,
@@ -39,8 +59,19 @@ def start_streaming_intake(
     and stops — the replayable batch-catchup mode; otherwise it keeps
     watching. Each micro-batch writes normalized CSVs plus one
     ``manifest-<batch>.json`` audit record, mirroring the reference's
-    per-session manifest (streamlit_app.py:313-329)."""
-    os.makedirs(out_dir, exist_ok=True)
+    per-session manifest (streamlit_app.py:313-329).
+
+    Output placement: normalized CSVs are written EXECUTOR-side, so
+    ``out_dir`` is resolved through ``pyarrow.fs`` from its URI (object
+    stores and shared filesystems work wherever the task runs). A
+    plain local path only lands on the right machine when the executors
+    ARE the driver's machine — enforced below rather than assumed."""
+    from pyarrow import fs as pafs  # noqa: PLC0415 — also imported on executors
+
+    _assert_out_dir_placement(out_dir, spark.sparkContext.master)
+    fs_root, _ = pafs.FileSystem.from_uri(out_dir)
+    if isinstance(fs_root, pafs.LocalFileSystem):
+        os.makedirs(out_dir, exist_ok=True)
 
     stream = (
         spark.readStream.format("binaryFile")
@@ -52,19 +83,22 @@ def start_streaming_intake(
 
     def validate_partition(batches):
         """Executor-side: validate + normalize each file of the Arrow
-        batch, write the normalized CSV next to where the executor
-        runs (shared storage on a real cluster), emit one audit row
-        per file. Runs inside mapInPandas — no driver involvement."""
+        batch, write the normalized CSV through the filesystem resolved
+        from ``out_dir``'s URI (NOT bare ``open()`` — that would be
+        executor-local disk on a cluster), emit one audit row per file.
+        Runs inside mapInPandas — no driver involvement."""
         import pandas as pd  # noqa: PLC0415 — executor import
+        from pyarrow import fs as pafs  # noqa: PLC0415 — executor import
 
+        filesystem, out_root = pafs.FileSystem.from_uri(out_dir)
         for pdf in batches:
             out = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 name = os.path.basename(path)
                 chk = validate_and_normalize(name, bytes(content), cfg)
                 if chk.acceptable and chk.csv_bytes:
-                    dest = os.path.join(out_dir, sanitize_stem(name) + ".csv")
-                    with open(dest, "wb") as f:
+                    dest = out_root.rstrip("/") + "/" + sanitize_stem(name) + ".csv"
+                    with filesystem.open_output_stream(dest) as f:
                         f.write(chk.csv_bytes)
                 out.append(
                     {
@@ -109,8 +143,13 @@ def start_streaming_intake(
                 ),
                 key=lambda d: d["original_name"],
             )
-            with open(os.path.join(out_dir, f"manifest-{batch_id}.json"), "w") as f:
-                json.dump({"batch_id": batch_id, "files": files}, f, indent=2)
+            filesystem, out_root = pafs.FileSystem.from_uri(out_dir)
+            dest = out_root.rstrip("/") + f"/manifest-{batch_id}.json"
+            payload = json.dumps(
+                {"batch_id": batch_id, "files": files}, indent=2
+            ).encode()
+            with filesystem.open_output_stream(dest) as f:
+                f.write(payload)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

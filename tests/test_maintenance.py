@@ -102,3 +102,50 @@ def test_compact_preserves_hive_partitions(spark, tmp_path):
     )
     assert parts_after == parts_before  # layout intact
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_compact_heals_crash_between_swap_renames(spark, tmp_path):
+    """Crash simulated at the worst point: rename(data→backup) done,
+    rename(tmp→data) not — the partition's data dir is GONE and only
+    ``leaf__precompact`` (complete original) + ``leaf__compacting``
+    (tmp rewrite) remain. Re-running compact_parquet must restore the
+    partition from the backup and must NOT enumerate the swap dirs as
+    data leaves (which would duplicate rows under a corrupted
+    partition value like region=eu__precompact)."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "crash")
+    df = spark.createDataFrame(
+        [(1, "a", "eu"), (2, "b", "eu"), (3, "c", "us")],
+        "id long, name string, region string",
+    )
+    df.repartition(3).write.partitionBy("region").parquet(out)
+    want = {(r["id"], r["region"]) for r in spark.read.parquet(out).collect()}
+
+    leaf = os.path.join(out, "region=eu")
+    # the in-flight rewrite had landed in tmp...
+    spark.read.parquet(leaf).coalesce(1).write.parquet(leaf + "__compacting")
+    # ...and the first swap rename had completed when the process died
+    os.rename(leaf, leaf + "__precompact")
+    assert not os.path.isdir(leaf)
+
+    n_before, n_after = compact_parquet(spark, out, target_file_mb=512)
+    assert not os.path.isdir(leaf + "__precompact")
+    assert not os.path.isdir(leaf + "__compacting")
+    got = {(r["id"], r["region"]) for r in spark.read.parquet(out).collect()}
+    assert got == want  # nothing lost, nothing duplicated
+    regions = {
+        d for d in os.listdir(out) if d.startswith("region=")
+    }
+    assert regions == {"region=eu", "region=us"}  # no corrupted values
+
+    # crash AFTER the swap completed (backup + tmp leftovers, data dir
+    # present): leftovers are stale duplicates and must be deleted
+    shutil.copytree(leaf, leaf + "__precompact")
+    spark.read.parquet(leaf).coalesce(1).write.parquet(leaf + "__compacting")
+    compact_parquet(spark, out, target_file_mb=512)
+    assert not os.path.isdir(leaf + "__precompact")
+    assert not os.path.isdir(leaf + "__compacting")
+    got = {(r["id"], r["region"]) for r in spark.read.parquet(out).collect()}
+    assert got == want

@@ -166,6 +166,33 @@ def test_apply_deletes_empties_whole_partition(spark, tmp_path):
     assert rows == {(1, "eu")}
 
 
+def test_apply_deletes_empties_partition_with_escaped_value(spark, tmp_path):
+    """Hive layouts percent-escape special characters in partition
+    directory names (``region=a:b`` → ``region=a%3Ab``), so resolving
+    the emptied partition's directory by string-formatting the value
+    misses it and the files survive deletion. The directory must come
+    from the actual on-disk layout."""
+    import os
+
+    from free_etl_spark.operators.merge import apply_deletes
+
+    target = str(tmp_path / "esc")
+    spark.createDataFrame(
+        [(1, "a", "a:b"), (2, "b", "a:b"), (3, "c", "plain")],
+        "user_id long, name string, region string",
+    ).write.partitionBy("region").parquet(target)
+    assert os.path.isdir(os.path.join(target, "region=a%3Ab"))
+
+    removed = apply_deletes(
+        spark, target, spark.createDataFrame([(1,), (2,)], "user_id long"),
+        ["user_id"], partition_col="region",
+    )
+    assert removed == 2
+    assert not os.path.isdir(os.path.join(target, "region=a%3Ab"))
+    rows = {(r["user_id"], r["region"]) for r in spark.read.parquet(target).collect()}
+    assert rows == {(3, "plain")}
+
+
 def test_apply_deletes_flat_table(spark, tmp_path):
     from free_etl_spark.operators.merge import apply_deletes
 

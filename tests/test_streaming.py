@@ -56,6 +56,27 @@ def test_streaming_intake_drains_landing_dir(spark, tmp_path):
     assert "good.csv" in os.listdir(out)  # earlier outputs untouched
 
 
+def test_streaming_intake_rejects_local_out_dir_on_cluster():
+    """A local-disk out_dir with a non-local master would scatter
+    executor-written files across machines while the driver manifest
+    claims them — refused at stream start. Shared-store URIs and
+    local-master/local-path combinations pass."""
+    import pytest
+
+    from free_etl_spark.streaming.intake import _assert_out_dir_placement
+
+    _assert_out_dir_placement("/tmp/anywhere", "local[32]")
+    with pytest.raises(ValueError, match="executor-LOCAL disk"):
+        _assert_out_dir_placement("/tmp/anywhere", "spark://host:7077")
+    # object-store URI is fine on any master (resolvable ⇒ shared)
+    try:
+        _assert_out_dir_placement("s3://bucket/prefix", "spark://host:7077")
+    except ValueError as e:  # pyarrow without S3 support would raise its own
+        raise AssertionError(f"shared URI wrongly rejected: {e}") from e
+    except Exception:
+        pass  # environment lacks the S3 filesystem — not the contract under test
+
+
 def test_streaming_hourly_counts_equals_batch(spark):
     stream_res = streaming_hourly_counts(spark, SF_DIR).toPandas()
     batch_res = QUERIES["events_hourly_counts"](spark, SF_DIR).toPandas()
