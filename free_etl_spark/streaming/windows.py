@@ -24,10 +24,25 @@ _EVENTS_RAW_SCHEMA = (
 )
 
 
+def _events_ts_unit_divisor(spark: SparkSession, sf_dir: str) -> int:
+    """Divisor that converts the stream's raw ``ts`` long to MICROS.
+
+    The stream forces an explicit ``ts long`` schema, which surfaces
+    the parquet column's *physical* int64 — whose unit depends on how
+    the file was written (TIMESTAMP(NANOS) → nanos, TIMESTAMP(MICROS)
+    → micros). Probe the same file with a batch read: with
+    ``nanosAsLong`` set, a NANOS column reads back as ``bigint``
+    (→ divide by 1000) while MICROS/MILLIS read back as ``timestamp``
+    (→ the raw long already IS micros, divide by 1)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return 1000 if dict(probe.dtypes).get("ts") == "bigint" else 1
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a bounded file stream with the same ts
-    normalization as tables.load_table (nanos → µs → TIMESTAMP_NTZ)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalization as tables.load_table (raw unit → µs → event-time)."""
+    divisor = _events_ts_unit_divisor(spark, sf_dir)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # The file stream source requires a *directory*; point it at sf_dir
     # and glob-filter to the single events table file.
@@ -40,7 +55,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # watermarks require TimestampType (not NTZ): keep the event-time
     # column as a UTC instant here; output columns cast to NTZ so they
     # line up with the batch/oracle representation (session tz is UTC).
-    return raw.withColumn("ts_us", F.expr("ts DIV 1000")).withColumn(
+    return raw.withColumn("ts_us", F.expr(f"ts DIV {divisor}")).withColumn(
         "ts", F.timestamp_micros(F.col("ts_us"))
     )
 

@@ -77,6 +77,28 @@ def test_streaming_intake_rejects_local_out_dir_on_cluster():
         pass  # environment lacks the S3 filesystem — not the contract under test
 
 
+def test_events_stream_ts_unit_matches_batch(spark):
+    """The stream's explicit `ts long` schema surfaces the parquet
+    column's physical unit (micros here, nanos elsewhere); the unit
+    probe must land every streamed timestamp exactly on the batch
+    reader's range — this is the test that catches the round-3
+    1000x-compressed event-time bug."""
+    from free_etl_spark.streaming.windows import events_stream, run_to_completion
+    from free_etl_spark.tables import load_table
+    import pyspark.sql.functions as F
+
+    streamed = run_to_completion(events_stream(spark, SF_DIR), "append")
+    s = streamed.agg(
+        F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
+    ).collect()[0]
+    b = (
+        load_table(spark, SF_DIR, "events")
+        .agg(F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi"))
+        .collect()[0]
+    )
+    assert (s.lo, s.hi) == (b.lo, b.hi)
+
+
 def test_streaming_hourly_counts_equals_batch(spark):
     stream_res = streaming_hourly_counts(spark, SF_DIR).toPandas()
     batch_res = QUERIES["events_hourly_counts"](spark, SF_DIR).toPandas()
