@@ -122,14 +122,16 @@ def apply_deletes(
         # string-formatting f"{col}={v}" can name a directory that does
         # not exist and silently leave the emptied partition's files
         # behind — resolving from the real layout cannot miss.
+        # input_file_name() must be projected on the scan side BEFORE
+        # the join: evaluated above a shuffle join it runs post-exchange
+        # where no file is open and returns "" (its non-determinism also
+        # pins this projection below the join, so it cannot be moved).
         doomed_stats = (
-            scope.join(dk, key_cols, "left_semi")
-            .groupBy(
-                partition_col,
-                F.regexp_replace(F.input_file_name(), "/[^/]*$", "").alias(
-                    "__dir"
-                ),
+            scope.withColumn(
+                "__dir", F.regexp_replace(F.input_file_name(), "/[^/]*$", "")
             )
+            .join(dk, key_cols, "left_semi")
+            .groupBy(partition_col, "__dir")
             .count()
             .collect()
         )
@@ -155,9 +157,15 @@ def apply_deletes(
             {d for v, d in part_dirs if v not in kept_vals}
         )
         if emptied_dirs:
+            from urllib.parse import unquote
+
             conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
             for d in emptied_dirs:
-                p = spark._jvm.org.apache.hadoop.fs.Path(d)  # noqa: SLF001
+                # input_file_name() yields a percent-ENCODED file URI
+                # (an on-disk literal '%' arrives as '%25'), while
+                # Hadoop's Path(String) keeps percent signs literal —
+                # decode exactly once so Path names the on-disk dir.
+                p = spark._jvm.org.apache.hadoop.fs.Path(unquote(d))  # noqa: SLF001
                 fs = p.getFileSystem(conf)
                 if fs.exists(p):
                     fs.delete(p, True)
