@@ -88,14 +88,22 @@ def test_query_order_prefers_unverified_then_cheap(tmp_path, monkeypatch):
 
     order = list(e.queries().keys())
     assert len(order) == len(set(order))
-    prior: set[str] = set()
     import glob as g
     import os
 
-    for p in g.glob(os.path.join(os.path.dirname(e.__file__), "CORRECTNESS_r*.json")):
+    # Mirror _query_order's green predicate exactly: last-write-wins
+    # across round files (sorted), green = ran without error AND no
+    # recorded mismatch. A ran-but-wrong row (err=None, hash_match=
+    # False) is UNverified — it must re-run next round.
+    status: dict[str, bool] = {}
+    for p in sorted(g.glob(os.path.join(os.path.dirname(e.__file__), "CORRECTNESS_r*.json"))):
         for name, row in json.load(open(p)).items():
-            if isinstance(row, dict) and not row.get("err"):
-                prior.add(name)
+            if isinstance(row, dict):
+                status[name] = not row.get("err") and not any(
+                    row.get(k) is False
+                    for k in ("rows_match", "schema_match", "hash_match")
+                )
+    prior = {name for name, green in status.items() if green}
     if prior:
         seen_verified = False
         for name in order:
