@@ -5,10 +5,11 @@ summary) on sf0.001. ``queries()`` / ``oracle_sql()`` expose the full
 registered operator inventory from free_etl_spark (SURVEY.md §2) —
 each query callable takes (spark, sf_dir) and returns a DataFrame;
 each oracle is ANSI SQL DuckDB runs on the same parquet tables.
-Only the two engine-specific approx sketches (HLL count-distinct,
-approx percentile) lack oracles and get the driver's rows-only check —
-the LSH/simhash/minhash paths are md5-deterministic and fully
-value-oracled.
+Every registered query carries an oracle: the two engine-specific
+approx sketches (HLL count-distinct, approx percentile) expose
+within-tolerance booleans vs the exact aggregate computed in the same
+query, so the oracle pins them to TRUE; the LSH/simhash/minhash paths
+are md5-deterministic and fully value-oracled.
 """
 
 from __future__ import annotations

@@ -407,18 +407,37 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # no SQL oracle: HLL estimates are engine-specific
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS event_cnt,
+           TRUE AS within_tolerance
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB-scale substitute
     for COUNT(DISTINCT): one pass, constant memory per group, no
-    distinct-expand shuffle. Rows-only check (estimates differ across
-    engines by design)."""
+    distinct-expand shuffle. The HLL estimate itself is engine-specific,
+    so the oracled surface is `within_tolerance`: the estimate must land
+    within 3x the requested 1% relative standard deviation of the exact
+    count (computed in the same query), which the oracle asserts as a
+    constant TRUE alongside the exact values — a hard value gate on the
+    sketch without comparing engine-specific estimates."""
+    approx = F.approx_count_distinct("user_id", 0.01)
+    exact = F.countDistinct("user_id")
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            exact.alias("exact_users"),
             F.count(F.lit(1)).alias("event_cnt"),
+            (
+                F.abs(approx - exact) <= F.greatest(F.lit(1.0), 0.03 * exact)
+            ).alias("within_tolerance"),
         )
     )
 
