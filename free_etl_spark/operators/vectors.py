@@ -80,3 +80,69 @@ def cosine_scored_pairs(
         .join(nb, right)
         .select(left, right, cosine.alias("cosine"))
     )
+
+
+# ---- corpus-scaled ANN parameters --------------------------------------
+#
+# Fixed bucketing constants make LSH/IVF candidate generation
+# quadratic-over-a-constant (N²/K pairs) as the corpus grows; scaling
+# them with N keeps per-bucket work bounded. Each formula is mirrored
+# verbatim by a SQL expression on COUNT(*) in every consumer's oracle,
+# so both engines derive the SAME parameter from the SAME corpus and
+# results stay hash-comparable at any scale factor.
+
+def scaled_centroid_k(n: int) -> int:
+    """Coarse-quantizer size K ≈ √N (floor 16): per-bucket pairs
+    ~(N/K)²·K = N²/K = N^1.5 total — the standard IVF candidate bound.
+    Oracle mirror: GREATEST(16, CAST(CEIL(SQRT(CAST(COUNT(*) AS
+    DOUBLE))) AS BIGINT)). FP-safe: IEEE sqrt cannot cross an integer
+    boundary for n < 1e14 unless n is a perfect square, where it is
+    exact in both engines."""
+    import math
+
+    return max(16, math.ceil(math.sqrt(n)))
+
+
+def lsh_bits(n: int) -> int:
+    """Sign bits per LSH band, ceil(log2 N) clamped to [8, 16]:
+    expected bucket occupancy ~N/2^bits stays O(1) until the 16-bit
+    cap (the 65536-bucket design dedup_simhash_pairs uses). Oracle
+    mirror: LEAST(16, GREATEST(8, CAST(CEIL(LOG2(CAST(COUNT(*) AS
+    DOUBLE))) AS INT))). Exact at powers of two in both engines."""
+    import math
+
+    return min(16, max(8, math.ceil(math.log2(max(n, 2)))))
+
+
+def ivf_write(emb: DataFrame, path: str, k: int | None = None) -> DataFrame:
+    """Write the corpus IVF-partitioned: assign each vector to its
+    nearest of K deterministic coarse centroids (the first K vectors
+    by vec_id, K = scaled_centroid_k(N) unless given) and
+    partitionBy(cent_id) — the physical layout the IVF docstrings
+    promise, making a probe a partition-pruned read instead of a
+    corpus scan. Returns the centroid table so callers can rank
+    probe targets without re-deriving it.
+
+    ``emb``: (vec_id, emb array<double>)."""
+    if k is None:
+        k = scaled_centroid_k(emb.count())
+    cent = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    )
+    asn = centroid_rank(emb, cent).filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    (
+        emb.join(asn, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(path)
+    )
+    return cent
+
+
+def ivf_probe(spark, path: str, cent_ids: list[int]) -> DataFrame:
+    """Read only the probed clusters of an ivf_write layout. The
+    cent_id IN (...) predicate is a partition filter — Spark prunes
+    every other cluster directory at planning time (asserted by
+    tests/test_ann_quality.py via inputFiles), so probe cost is
+    O(probed clusters) regardless of corpus size."""
+    return spark.read.parquet(path).filter(F.col("cent_id").isin(cent_ids))

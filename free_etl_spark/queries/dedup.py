@@ -398,9 +398,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COS_T = 0.45
 
 
-_COS_K = 16  # coarse centroids for candidate bucketing (vec_id < 16)
-
-
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -408,7 +405,10 @@ _COS_K = 16  # coarse centroids for candidate bucketing (vec_id < 16)
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings
     ),
-    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM v WHERE vec_id < {_COS_K}),
+    parm AS (SELECT GREATEST(16, CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))
+                    AS BIGINT)) AS k FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM v
+             WHERE vec_id < (SELECT k FROM parm)),
     asn AS (
       SELECT vec_id, cent_id FROM (
         SELECT v.vec_id, cent.cent_id,
@@ -433,20 +433,27 @@ _COS_K = 16  # coarse centroids for candidate bucketing (vec_id < 16)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ τ), bucketed by
     IVF coarse assignment: every vector is assigned to its nearest of
-    16 deterministic centroids (broadcast argmin — map-side), and
+    K ≈ √N deterministic centroids (scaled_centroid_k, mirrored by the
+    oracle's COUNT(*) expression; broadcast argmin — map-side), and
     candidate pairs come from an EQUI-JOIN on cent_id, never an
-    all-pairs cross product. Exact cosine verifies candidates. Near
-    dups are near in space, so same-cluster recall is high; the
-    multi-probe variant (sim_ann_lsh's banding, or nprobe > 1) is the
-    recall knob. At 100 TB the table is written partitioned by cent_id
-    and the pair join is partition-local. Dot products stay JVM-side
-    via zip_with + aggregate fold."""
-    from free_etl_spark.operators.vectors import centroid_rank, cosine_scored_pairs
+    all-pairs cross product — with K = √N the candidate volume is
+    N^1.5, not quadratic-over-a-constant. Exact cosine verifies
+    candidates. Near dups are near in space, so same-cluster recall is
+    high; the multi-probe variant (sim_ann_lsh's banding, or nprobe >
+    1) is the recall knob. At 100 TB the table is written partitioned
+    by cent_id (operators.vectors.ivf_write) and the pair join is
+    partition-local. Dot products stay JVM-side via zip_with +
+    aggregate fold."""
+    from free_etl_spark.operators.vectors import (
+        centroid_rank,
+        cosine_scored_pairs,
+        scaled_centroid_k,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    cent = emb.filter(F.col("vec_id") < _COS_K).select(
+    cent = emb.filter(F.col("vec_id") < scaled_centroid_k(emb.count())).select(
         F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
     )
     asn = (

@@ -5,9 +5,12 @@ SURVEY.md §2B "similarity search").
   The query side is tiny and broadcast; the candidate scan is a single
   map-side pass, so even brute force parallelizes linearly (the 100 TB
   constraint is the per-query candidate volume, addressed by LSH).
-- sim_ann_lsh: bucketed random-projection LSH (MLlib) approximate
-  neighbor pairs — the scale path (candidates only within matching
-  hash buckets). Hash planes are engine-specific → rows-only check.
+- sim_ann_lsh: bucketed random-projection LSH approximate neighbor
+  pairs — the scale path (candidates only within matching hash
+  buckets). md5-derived literal planes make it fully value-oracled;
+  bits-per-band and the IVF centroid count scale with the corpus
+  (operators.vectors.lsh_bits / scaled_centroid_k), mirrored by
+  COUNT(*) expressions in the oracles.
 """
 
 from __future__ import annotations
@@ -86,7 +89,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LSH_DIM = 64        # embedding dimensionality (embeddings.parquet)
 _LSH_BANDS = 4       # hash tables
-_LSH_PLANES = 8      # sign bits per table → 256 bucket values per band
+_LSH_MAX_BITS = 16   # planes generated per band; ceil(log2 N) of them used
 _LSH_COS_T = 0.4     # exact-cosine verify threshold on candidates
 
 
@@ -95,7 +98,9 @@ def _lsh_planes() -> list[list[float]]:
     from md5(f"{p}|{d}") mapped to [-1, 1). Computed once at
     query-build time and inlined as LITERALS into both the Spark plan
     and the oracle SQL, so both engines hash with bit-identical
-    planes — the same trick dedup_minhash_lsh uses for Jaccard."""
+    planes — the same trick dedup_minhash_lsh uses for Jaccard.
+    _LSH_MAX_BITS planes per band are generated; only the corpus-scaled
+    first lsh_bits(N) of each band participate in the key."""
     import hashlib
 
     return [
@@ -103,7 +108,7 @@ def _lsh_planes() -> list[list[float]]:
             int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:8], 16) / 2**31 - 1.0
             for d in range(_LSH_DIM)
         ]
-        for p in range(_LSH_BANDS * _LSH_PLANES)
+        for p in range(_LSH_BANDS * _LSH_MAX_BITS)
     ]
 
 
@@ -119,11 +124,14 @@ def _lsh_oracle() -> str:
             "z -> z[1] * z[2]))"
         )
 
+    # bit i participates only when i < the corpus-scaled bit count
+    # (parm.bits — the SQL mirror of operators.vectors.lsh_bits)
     band_keys = ", ".join(
         "("
         + " + ".join(
-            f"(CASE WHEN {dot(b * _LSH_PLANES + i)} >= 0 THEN {1 << i} ELSE 0 END)"
-            for i in range(_LSH_PLANES)
+            f"(CASE WHEN {i} < parm.bits"
+            f" AND {dot(b * _LSH_MAX_BITS + i)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(_LSH_MAX_BITS)
         )
         + f") AS k{b}"
         for b in range(_LSH_BANDS)
@@ -137,7 +145,12 @@ def _lsh_oracle() -> str:
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings
     ),
-    keys AS (SELECT vec_id, {band_keys} FROM v),
+    parm AS (
+      SELECT LEAST(16, GREATEST(8,
+               CAST(CEIL(LOG2(CAST(COUNT(*) AS DOUBLE))) AS INT))) AS bits
+      FROM embeddings
+    ),
+    keys AS (SELECT vec_id, {band_keys} FROM v CROSS JOIN parm),
     bands AS ({bands_union}),
     cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
              FROM bands a JOIN bands b
@@ -161,24 +174,41 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing AND the exact-cosine verify, so the whole pipeline is
     value-oracled):
 
-    1. 32 hyperplanes (4 bands × 8 sign bits), coefficients inlined as
-       literals from md5(plane|dim) — see _lsh_planes
+    1. 4 bands × lsh_bits(N) sign bits — the bit count scales as
+       ceil(log2 N) clamped to [8, 16], so bucket occupancy stays O(1)
+       up to the 65536-bucket cap (the dedup_simhash_pairs design);
+       coefficients inlined as literals from md5(plane|dim), and the
+       oracle derives the same bit count from COUNT(*)
     2. per vector: bit i of band b = sign of dot(emb, plane); band key
-       packs 8 bits → 256 buckets per band
+       packs the bits → 2^bits buckets per band
     3. candidates: vectors sharing any (band_id, band_key) bucket —
        cost scales with bucket collisions, not |corpus|²
     4. verify: exact cosine ≥ τ on candidates only.
 
     At 100 TB the band join is an equi-join on a compact key and the
     verify touches only candidate pairs — same shape as
-    dedup_minhash_lsh."""
-    planes = _lsh_planes()
+    dedup_minhash_lsh. Recall/occupancy are pinned by
+    tests/test_ann_quality.py."""
+    from free_etl_spark.operators.vectors import cosine_scored_pairs, lsh_bits
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    # corpus-scaled bit count: one metadata-cheap count at build time
+    # (the oracle computes the identical value from COUNT(*))
+    bits = lsh_bits(emb.count())
+    cand = lsh_candidate_pairs(emb, bits)
+    return cosine_scored_pairs(cand, emb).filter(F.col("cosine") >= _LSH_COS_T)
 
-    # all 32 dots in ONE higher-order expression over a 3D literal
-    # plane array (bands × planes × dims), producing the 4 band keys
+
+def lsh_band_keys(emb: DataFrame, bits: int) -> DataFrame:
+    """(vec_id, band_id, band_key) bucket assignments — the reusable
+    LSH core (sim_ann_lsh's steps 1-2), also driven directly by
+    tests/test_ann_quality.py for occupancy and planted-near-dup
+    recall gates. ``emb``: (vec_id, emb array<double>)."""
+    planes = _lsh_planes()
+    # all band dots in ONE higher-order expression over a 3D literal
+    # plane array (bands × planes × dims), producing the band keys
     # as a single array column. Emitting k0..k3 as separate projections
     # would let Catalyst inline the shared dot computation once per
     # key (4× the work); posexplode evaluates the array exactly once
@@ -187,8 +217,8 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.array(
                 *[
-                    F.array(*[F.lit(c) for c in planes[b * _LSH_PLANES + i]])
-                    for i in range(_LSH_PLANES)
+                    F.array(*[F.lit(c) for c in planes[b * _LSH_MAX_BITS + i]])
+                    for i in range(bits)
                 ]
             )
             for b in range(_LSH_BANDS)
@@ -206,18 +236,25 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                         lambda acc, x: acc + x,
                     )
                     >= 0,
-                    F.pow(F.lit(2.0), i).cast("int"),  # 2^i exact for i ≤ 7
+                    F.pow(F.lit(2.0), i).cast("int"),  # 2^i exact for i ≤ 15
                 ).otherwise(F.lit(0)),
             ),
             F.lit(0),
             lambda acc, x: acc + x,
         ),
     )
-    bands = emb.select(
+    return emb.select(
         "vec_id", F.posexplode(band_keys).alias("band_id", "band_key")
     )
+
+
+def lsh_candidate_pairs(emb: DataFrame, bits: int) -> DataFrame:
+    """Distinct (vec_a, vec_b) id pairs sharing any LSH bucket —
+    sim_ann_lsh's step 3 (candidate generation), an equi-join on the
+    compact (band_id, band_key) key."""
+    bands = lsh_band_keys(emb, bits)
     ba, bb = bands.alias("ba"), bands.alias("bb")
-    cand = (
+    return (
         ba.join(
             bb,
             (F.col("ba.band_id") == F.col("bb.band_id"))
@@ -227,14 +264,16 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("ba.vec_id").alias("vec_a"), F.col("bb.vec_id").alias("vec_b"))
         .distinct()
     )
-    from free_etl_spark.operators.vectors import cosine_scored_pairs
-
-    return cosine_scored_pairs(cand, emb).filter(F.col("cosine") >= _LSH_COS_T)
 
 
-_IVF_K = 16       # coarse centroids (deterministic: vec_id < 16)
 _IVF_NPROBE = 4   # clusters searched per query
 _IVF_TOPK = 5
+
+# SQL mirror of operators.vectors.scaled_centroid_k: K ≈ √N, floor 16
+_SCALED_K_SQL = (
+    "SELECT GREATEST(16, CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))"
+    " AS k FROM embeddings"
+)
 
 
 @query(
@@ -244,7 +283,9 @@ _IVF_TOPK = 5
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings
     ),
-    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM v WHERE vec_id < {_IVF_K}),
+    parm AS ({_SCALED_K_SQL}),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM v
+             WHERE vec_id < (SELECT k FROM parm)),
     asn AS (  -- coarse assignment: nearest centroid by L2
       SELECT vec_id, cent_id FROM (
         SELECT v.vec_id, cent.cent_id,
@@ -282,19 +323,24 @@ _IVF_TOPK = 5
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (north-star "IVF or LSH-bucketed variant"):
-    deterministic coarse quantizer (centroids = the first 16 vectors),
-    every vector assigned to its nearest centroid (argmin over a
-    broadcast centroid table — map-side only), queries probe their 4
-    nearest clusters and rank candidates by exact cosine. At 100 TB
-    the candidate set is |probed clusters| not |corpus| — the scan is
-    cluster-partitioned (partitionBy(cent_id) on write) so probes are
-    partition-pruned reads; here clusters live in one DataFrame."""
-    from free_etl_spark.operators.vectors import centroid_rank
+    deterministic coarse quantizer (centroids = the first K vectors,
+    K ≈ √N corpus-scaled — scaled_centroid_k, mirrored by the oracle's
+    COUNT(*) expression), every vector assigned to its nearest centroid
+    (argmin over a broadcast centroid table — map-side only), queries
+    probe their 4 nearest clusters and rank candidates by exact cosine.
+    With K = √N the total candidate volume is N²/K = N^1.5, the
+    standard IVF bound — not quadratic-over-a-constant. At 100 TB the
+    corpus is written cluster-partitioned (operators.vectors.ivf_write)
+    so probes are partition-pruned reads; here clusters live in one
+    DataFrame. Recall vs the exact top-k is pinned by
+    tests/test_ann_quality.py."""
+    from free_etl_spark.operators.vectors import centroid_rank, scaled_centroid_k
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    cent = emb.filter(F.col("vec_id") < _IVF_K).select(
+    k = scaled_centroid_k(emb.count())
+    cent = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
     )
     ranked = centroid_rank(emb, cent)

@@ -1,0 +1,156 @@
+"""ANN quality gates (VERDICT r3 items 4/6): the LSH/IVF
+approximations are value-oracled for determinism elsewhere; these
+tests pin their QUALITY — recall vs the exact answer, bucket
+occupancy, and the partition-pruned probe layout — so a parameter
+change that silently degrades the approximation fails here.
+
+All gates are deterministic: md5-derived planes, seed-fixed numpy
+corpora, deterministic centroids — the pinned thresholds sit under
+measured values (not theory), so a pass is reproducible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+import pytest
+
+from free_etl_spark.operators.vectors import lsh_bits, scaled_centroid_k
+from free_etl_spark.queries import QUERIES
+from free_etl_spark.queries.similarity import lsh_band_keys, lsh_candidate_pairs
+from free_etl_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def _corpus():
+    t = (
+        pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    E = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    ids = t["vec_id"].to_numpy()
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    return ids, np.round(En @ En.T, 6)
+
+
+def test_lsh_planted_near_dup_recall(spark):
+    """The quality claim that matters for dedup: vectors that ARE
+    near-duplicates (cosine ≥ 0.95) must collide in some band. The
+    natural corpus has no such pairs (max cosine 0.479 at this SF),
+    so plant 60 of them and require ≥ 90% to surface as candidates
+    (measured: 59/60 at 8 bits)."""
+    rng = np.random.RandomState(42)
+    base = rng.randn(60, 64)
+    dup = base + rng.randn(60, 64) * 0.15
+    cos = [
+        float(b @ d / (np.linalg.norm(b) * np.linalg.norm(d)))
+        for b, d in zip(base, dup)
+    ]
+    assert min(cos) > 0.95  # the construction really is near-dup-grade
+    rows = [(i, base[i].tolist()) for i in range(60)] + [
+        (1000 + i, dup[i].tolist()) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    cand = {
+        (r.vec_a, r.vec_b)
+        for r in lsh_candidate_pairs(emb, lsh_bits(len(rows))).collect()
+    }
+    recall = sum((i, 1000 + i) in cand for i in range(60)) / 60
+    assert recall >= 0.9, recall
+
+
+def test_lsh_corpus_recall_and_exact_precision(spark):
+    """Documented tradeoff on the natural corpus: at the τ=0.4 verify
+    threshold the pairs are only weakly similar (max cosine 0.479), so
+    sign-LSH recall is intrinsically low — pinned at the measured
+    value so a regression (or silent parameter change) is visible.
+    Precision is exactly 1.0: the verify stage computes true cosine,
+    so every emitted pair must be a true pair."""
+    ids, C = _corpus()
+    iu = np.triu_indices(len(ids), 1)
+    true_pairs = {
+        (int(ids[i]), int(ids[j]))
+        for i, j, c in zip(iu[0], iu[1], C[iu])
+        if c >= 0.4
+    }
+    found = {
+        (r.vec_a, r.vec_b) for r in QUERIES["sim_ann_lsh"](spark, SF_DIR).collect()
+    }
+    assert found <= true_pairs  # precision 1.0 by construction
+    assert len(found & true_pairs) / len(true_pairs) >= 0.10  # measured 0.106
+
+
+def test_lsh_bucket_occupancy(spark):
+    """Corpus-scaled bits keep expected occupancy O(1): at N=500 and
+    bits=9 (512 buckets/band) the max bucket held 6 vectors when
+    pinned. A fixed-bits regression (e.g. back to 8 while N grows)
+    shows up here as occupancy drift."""
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    n = emb.count()
+    occ = (
+        lsh_band_keys(emb, lsh_bits(n))
+        .groupBy("band_id", "band_key")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert occ <= max(16, n // 16), occ
+
+
+def test_ivf_recall_at_5(spark):
+    """sim_ivf_topk's nprobe=4 probe must recover ≥ 90% of the exact
+    cosine top-5 on average (measured 0.92), ≥ 60% for every query."""
+    ids, C = _corpus()
+    got: dict[int, set[int]] = {}
+    for r in QUERIES["sim_ivf_topk"](spark, SF_DIR).collect():
+        got.setdefault(r.qid, set()).add(r.cid)
+    recalls = []
+    for q in range(5):
+        qi = int(np.where(ids == q)[0][0])
+        order = np.argsort(-C[qi])
+        exact = [int(ids[j]) for j in order if ids[j] != q][:5]
+        recalls.append(len(got.get(q, set()) & set(exact)) / 5)
+    assert min(recalls) >= 0.6, recalls
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_ivf_write_probe_partition_pruning(spark, tmp_path):
+    """ivf_write lays the corpus out partitioned by cent_id; a probe
+    must be a partition-pruned read — the cent_id predicate appears as
+    a PartitionFilter and the executed scan reads only the probed
+    cluster directories."""
+    from free_etl_spark.operators.vectors import ivf_probe, ivf_write
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    path = str(tmp_path / "ivf")
+    cent = ivf_write(emb, path)
+    k = scaled_centroid_k(emb.count())
+    assert cent.count() == k
+
+    probed = ivf_probe(spark, path, [0, 1])
+    assert {r.cent_id for r in probed.select("cent_id").distinct().collect()} <= {0, 1}
+    # the cent_id predicate must reach the scan as a PARTITION filter
+    # (directory-level pruning), not a data filter. inputFiles() lists
+    # the relation's files before pushdown, so inspect the plan.
+    plan = probed._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cent_id" in pf[0], plan[:500]
+
+
+def test_scaled_parameters_monotone():
+    """The corpus-scaled formulas behave at the extremes: floors at
+    test scale, growth at 100 TB scale, and the 16-bit LSH cap."""
+    assert scaled_centroid_k(100) == 16
+    assert scaled_centroid_k(500) == 23
+    assert scaled_centroid_k(10**9) == 31623
+    assert lsh_bits(100) == 8
+    assert lsh_bits(500) == 9
+    assert lsh_bits(10**9) == 16
+    with pytest.raises(TypeError):
+        lsh_bits()  # n is required: the parameter must be corpus-derived
