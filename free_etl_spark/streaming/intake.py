@@ -45,6 +45,38 @@ def _assert_out_dir_placement(out_dir: str, master: str) -> None:
         )
 
 
+def normalize_file_to_fs(name, content, cfg, filesystem, out_root):
+    """Validate one landing file and, when acceptable, write its
+    normalized CSV through a ``pyarrow.fs`` filesystem (NEVER bare
+    ``open()`` — on a cluster that is executor-local disk); return the
+    per-file audit record. This is the executor-side unit of work of
+    ``start_streaming_intake`` — extracted so the non-local write path
+    is directly testable against a mock:// filesystem
+    (tests/test_streaming.py::test_normalize_roundtrip_via_mock_fs)."""
+    chk = validate_and_normalize(name, content, cfg)
+    if chk.acceptable and chk.csv_bytes:
+        dest = out_root.rstrip("/") + "/" + sanitize_stem(name) + ".csv"
+        with filesystem.open_output_stream(dest) as f:
+            f.write(chk.csv_bytes)
+    return {
+        "original_name": name,
+        "issues": chk.issues,
+        "acceptable": chk.acceptable,
+        "rows": chk.row_count,
+        "cols": chk.col_count,
+    }
+
+
+def write_manifest(filesystem, out_root: str, batch_id: int, files: list) -> None:
+    """Write one micro-batch's manifest JSON through the same
+    ``pyarrow.fs`` filesystem the normalized files used, so the audit
+    record and the data it describes land in the same store."""
+    dest = out_root.rstrip("/") + f"/manifest-{batch_id}.json"
+    payload = json.dumps({"batch_id": batch_id, "files": files}, indent=2).encode()
+    with filesystem.open_output_stream(dest) as f:
+        f.write(payload)
+
+
 def start_streaming_intake(
     spark: SparkSession,
     landing_dir: str,
@@ -92,23 +124,12 @@ def start_streaming_intake(
 
         filesystem, out_root = pafs.FileSystem.from_uri(out_dir)
         for pdf in batches:
-            out = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                name = os.path.basename(path)
-                chk = validate_and_normalize(name, bytes(content), cfg)
-                if chk.acceptable and chk.csv_bytes:
-                    dest = out_root.rstrip("/") + "/" + sanitize_stem(name) + ".csv"
-                    with filesystem.open_output_stream(dest) as f:
-                        f.write(chk.csv_bytes)
-                out.append(
-                    {
-                        "original_name": name,
-                        "issues": chk.issues,
-                        "acceptable": chk.acceptable,
-                        "rows": chk.row_count,
-                        "cols": chk.col_count,
-                    }
+            out = [
+                normalize_file_to_fs(
+                    os.path.basename(path), bytes(content), cfg, filesystem, out_root
                 )
+                for path, content in zip(pdf["path"], pdf["content"])
+            ]
             yield pd.DataFrame(
                 out,
                 columns=["original_name", "issues", "acceptable", "rows", "cols"],
@@ -144,12 +165,7 @@ def start_streaming_intake(
                 key=lambda d: d["original_name"],
             )
             filesystem, out_root = pafs.FileSystem.from_uri(out_dir)
-            dest = out_root.rstrip("/") + f"/manifest-{batch_id}.json"
-            payload = json.dumps(
-                {"batch_id": batch_id, "files": files}, indent=2
-            ).encode()
-            with filesystem.open_output_stream(dest) as f:
-                f.write(payload)
+            write_manifest(filesystem, out_root, batch_id, files)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -77,6 +77,43 @@ def test_streaming_intake_rejects_local_out_dir_on_cluster():
         pass  # environment lacks the S3 filesystem — not the contract under test
 
 
+def test_normalize_roundtrip_via_mock_fs():
+    """The executor-side write path must go through pyarrow.fs (a bare
+    open() would be executor-local disk on a cluster). Round-trip a
+    good file, a rejected file, and the manifest through an in-memory
+    mock:// filesystem resolved via FileSystem.from_uri — the same
+    resolution start_streaming_intake performs — and read everything
+    back from THAT filesystem."""
+    from pyarrow import fs as pafs
+
+    from free_etl_spark.streaming.intake import normalize_file_to_fs, write_manifest
+
+    fs, root = pafs.FileSystem.from_uri("mock:///out")
+    fs.create_dir(root, recursive=True)
+
+    good = normalize_file_to_fs("good name!.csv", b"a;b\n1;2\n3;4\n", CFG, fs, root)
+    bad = normalize_file_to_fs("ragged.csv", b"a,b\n1,2\n3,4,5\n", CFG, fs, root)
+    assert good["acceptable"] and good["rows"] == 2
+    assert not bad["acceptable"]
+    assert any(i.startswith("Failed to parse file:") for i in bad["issues"])
+
+    # normalized (semicolon → comma) CSV written into the mock fs
+    # under the sanitized name; the rejected file wrote nothing
+    with fs.open_input_stream(f"{root}/good_name_.csv") as f:
+        assert f.read() == b"a,b\n1,2\n3,4\n"
+    names = {i.base_name for i in fs.get_file_info(pafs.FileSelector(root))}
+    assert names == {"good_name_.csv"}
+
+    write_manifest(fs, root, 7, [good, bad])
+    with fs.open_input_stream(f"{root}/manifest-7.json") as f:
+        manifest = json.loads(f.read())
+    assert manifest["batch_id"] == 7
+    assert [r["original_name"] for r in manifest["files"]] == [
+        "good name!.csv",
+        "ragged.csv",
+    ]
+
+
 def test_events_stream_ts_unit_matches_batch(spark):
     """The stream's explicit `ts long` schema surfaces the parquet
     column's physical unit (micros here, nanos elsewhere); the unit
