@@ -84,10 +84,15 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     for name in HEADLINE:
-        # best-of-2: report steady state, not shared-host load spikes
+        # best-of-N: report steady state. This host shows multi-second
+        # stalls on idle CPUs (r3: identical warm work varied 4-18s;
+        # r4 probes: 0.95-10.9s) plus one-time driver codegen on the
+        # first run — the MIN over reps is the engine's number, the
+        # variance is the host's.
         best = float("inf")
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.time()
             q.QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -123,12 +128,18 @@ def main() -> None:
             csv_mb += os.path.getsize(src) / 1e6
             shutil.move(src, os.path.join(landing, f"upload_{i}.csv"))
         cfg = load_cfg({"app": {"max_file_mb": 4096}})
-        t0 = time.time()
-        audits, _ = ingest_directory(spark, landing, outdir, cfg)
-        dt = time.time() - t0
-        assert audits and all(a.acceptable for a in audits), [
-            a.issues for a in audits
-        ]
+        # best-of-N, matching the per-query methodology above: a
+        # single run lets one shared-host stall masquerade as engine
+        # throughput (r3 recorded 3.9 MB/s from exactly that)
+        dt = float("inf")
+        for rep in range(reps):
+            rep_out = f"{outdir}_{rep}"
+            t0 = time.time()
+            audits, _ = ingest_directory(spark, landing, rep_out, cfg)
+            dt = min(dt, time.time() - t0)
+            assert audits and all(a.acceptable for a in audits), [
+                a.issues for a in audits
+            ]
         timings["intake_8file_batch"] = round(dt, 3)
         timings["intake_csv_mb_per_s"] = round(csv_mb / dt, 1)
     finally:

@@ -212,17 +212,21 @@ def lsh_band_keys(emb: DataFrame, bits: int) -> DataFrame:
     # as a single array column. Emitting k0..k3 as separate projections
     # would let Catalyst inline the shared dot computation once per
     # key (4× the work); posexplode evaluates the array exactly once
-    # per row and yields (band_id, band_key) directly.
-    planes3d = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(c) for c in planes[b * _LSH_MAX_BITS + i]])
-                    for i in range(bits)
-                ]
+    # per row and yields (band_id, band_key) directly. The literal is
+    # built as ONE SQL string parsed JVM-side: composing it from
+    # thousands of nested F.lit/F.array calls costs a py4j round-trip
+    # per element (~8s of driver time at 64 planes × 64 dims).
+    def _arr(vals) -> str:
+        return "array(" + ", ".join(vals) + ")"
+
+    planes3d = F.expr(
+        _arr(
+            _arr(
+                _arr(repr(c) + "D" for c in planes[b * _LSH_MAX_BITS + i])
+                for i in range(bits)
             )
             for b in range(_LSH_BANDS)
-        ]
+        )
     )
     band_keys = F.transform(
         planes3d,

@@ -44,7 +44,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 32 concurrent local tasks persisting shingle/band relations
+        # GC-thrash an 8g heap (r3 bench: 4-18s variance on identical
+        # warm work); the 128 GiB sandbox affords a 32g driver, which
+        # is the single-JVM stand-in for per-executor memory on a real
+        # cluster — NOT a cluster-mode setting.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
