@@ -40,10 +40,10 @@ def test_every_query_has_unique_aliased_columns(spark):
 def test_oracle_keys_subset_of_queries():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert set(os_) <= set(qs)
-    # non-oracle queries are the documented engine-specific ones
-    assert set(qs) - set(os_) == {
-        "agg_approx_distinct", "agg_approx_percentiles",
-    }
+    # full oracle coverage: the two approx sketches gained
+    # within-tolerance oracles in r4, so NO registered query may lack
+    # an oracle (a new query without one fails here, deliberately)
+    assert set(qs) == set(os_)
 
 
 def test_tpch_q1_aggregates_are_sane(spark):
