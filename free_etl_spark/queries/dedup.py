@@ -55,14 +55,40 @@ _SHC_SQL = f"""
 
 import weakref
 
-# one persisted shingle DataFrame per (live session, sf_dir): five
-# registered queries consume the identical shingle relation, and a
-# correctness sweep runs them back-to-back — without this cache each
-# query would rebuild (and re-persist) the explode from scratch.
-# Weak-keyed so a stopped session's entry disappears with it.
-_SHINGLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]]" = (
+# one persisted DataFrame per (live session, relation tag, sf_dir):
+# five registered queries consume the identical shingle relation (and
+# minhash reuses its banded signatures on both sides of a self-join),
+# and a correctness sweep runs them back-to-back — without this cache
+# each query would rebuild (and re-persist) from scratch. Weak-keyed
+# so a stopped session's entries disappear with it.
+_RELATION_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
+
+
+def _cached_relation(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
+    """Memoize ``build()`` persisted MEMORY_AND_DISK per (session, tag,
+    sf_dir). The cache key includes the documents file's mtime: a
+    regenerated corpus within the same session must rebuild (and the
+    stale persisted relation is dropped, not leaked)."""
+    import os
+
+    from pyspark import StorageLevel
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        key = (tag, sf_dir, os.path.getmtime(src))
+    except OSError:
+        key = (tag, sf_dir, None)
+    per_session = _RELATION_CACHE.setdefault(spark, {})
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
+    for old_key in [k for k in per_session if k[:2] == (tag, sf_dir)]:
+        per_session.pop(old_key).unpersist()
+    df = build().persist(StorageLevel.MEMORY_AND_DISK)
+    per_session[key] = df
+    return df
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,34 +106,15 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc property, so a cluster-wide DISTINCT shuffle of the
     exploded rows would be pure waste.
     """
-    import os
 
-    from pyspark import StorageLevel
-
-    # cache key includes the source file's mtime: a regenerated
-    # documents table within the same session must rebuild (and the
-    # stale persisted relation is dropped, not leaked)
-    src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        key = (sf_dir, os.path.getmtime(src))
-    except OSError:
-        key = (sf_dir, None)
-    per_session = _SHINGLE_CACHE.setdefault(spark, {})
-    cached = per_session.get(key)
-    if cached is not None:
-        return cached
-    for old_key in [k for k in per_session if k[0] == sf_dir]:
-        per_session.pop(old_key).unpersist()
-
-    spark_cpus = spark.sparkContext.defaultParallelism
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("toks"))
-        .repartition(spark_cpus, "doc_id")
-    )
-    sh = (
-        docs.filter(F.size("toks") >= _NGRAM)
-        .select(
+    def build() -> DataFrame:
+        spark_cpus = spark.sparkContext.defaultParallelism
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.split("text", " ").alias("toks"))
+            .repartition(spark_cpus, "doc_id")
+        )
+        return docs.filter(F.size("toks") >= _NGRAM).select(
             "doc_id",
             F.explode(
                 F.array_distinct(
@@ -118,10 +125,8 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("sh"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    per_session[key] = sh
-    return sh
+
+    return _cached_relation(spark, sf_dir, "sh", build)
 
 
 def _jaccard_pairs(shingles: DataFrame) -> DataFrame:
@@ -230,6 +235,54 @@ def _minhash_band_sql() -> str:
     """
 
 
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded minhash signatures (doc_id, band_id, band_key), persisted
+    per (session, corpus): the candidate self-join consumes this
+    relation on BOTH sides, and min(md5-string) plans as a
+    SortAggregate (string buffers can't hash-agg) that Spark would
+    otherwise execute twice — the broadcast exchange on one side
+    defeats ReuseExchange. The relation is |docs|×bands rows of ~50
+    bytes, so persisting it is cheap at any corpus size (it IS the
+    signature index a 100 TB dedup pipeline materializes once per
+    corpus snapshot anyway)."""
+
+    def build() -> DataFrame:
+        sh = _shingles(spark, sf_dir)
+        # one min-aggregate column per seed, computed directly over the
+        # shingle rows: the md5s evaluate inside the partial (map-side)
+        # aggregation, so the shuffle carries |docs|×8 mins — not
+        # |shingles|×8 exploded hash rows (a seed cross join would 8×
+        # the shuffle volume for no benefit).
+        sig = sh.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")).cast("binary"))
+                ).alias(f"h{s}")
+                for s in range(_N_HASHES)
+            ]
+        )
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.md5(
+                        F.concat(
+                            F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")
+                        ).cast("binary")
+                    ).alias("band_key"),
+                )
+                for b in range(_N_BANDS)
+            ]
+        )
+        return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+            "doc_id",
+            F.col("b.band_id").alias("band_id"),
+            F.col("b.band_key").alias("band_key"),
+        )
+
+    return _cached_relation(spark, sf_dir, "minhash_bands", build)
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -255,40 +308,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash → DuckDB can verify it):
 
     1. signature: per doc, min over shingles of md5(seed||'|'||shingle)
-       for 8 seeds  (groupBy doc — one shuffle)
+       for 8 seeds  (groupBy doc — one shuffle, materialized once via
+       _minhash_bands; the self-join in step 3 would otherwise execute
+       the string-min SortAggregate twice)
     2. banding: 4 bands × 2 rows; band key = md5(sig_i||sig_j)
     3. candidates: docs sharing any band bucket (join on band key —
        the LSH trick: cost scales with bucket collisions, not |docs|²)
     4. verify: exact Jaccard on candidate pairs only.
     """
     sh = _shingles(spark, sf_dir)
-    # one min-aggregate column per seed, computed directly over the
-    # shingle rows: the md5s evaluate inside the partial (map-side)
-    # aggregation, so the shuffle carries |docs|×8 mins — not
-    # |shingles|×8 exploded hash rows (a seed cross join would 8× the
-    # shuffle volume for no benefit).
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")).cast("binary"))
-            ).alias(f"h{s}")
-            for s in range(_N_HASHES)
-        ]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).cast("binary")
-                ).alias("band_key"),
-            )
-            for b in range(_N_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
-    )
+    bands = _minhash_bands(spark, sf_dir)
     ba, bb = bands.alias("ba"), bands.alias("bb")
     cand = (
         ba.join(
