@@ -414,3 +414,74 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("chunk_text").cast("int").alias("chunk_len"),
         )
     )
+
+
+_PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS token_cnt
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, token_cnt,
+             CAST(SUM(token_cnt) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+      FROM d
+    ),
+    b AS (
+      SELECT lang,
+             CAST(FLOOR((running - token_cnt) * 1.0 / {_PACK_BUDGET}) AS BIGINT)
+               AS bin_id,
+             token_cnt
+      FROM r
+    )
+    SELECT lang, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(token_cnt) AS BIGINT) AS sum_tokens,
+           FLOOR(SUM(token_cnt) * 10000.0 / {_PACK_BUDGET}) / 10000.0
+             AS fill_ratio
+    FROM b
+    GROUP BY lang, bin_id
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the pretraining-data step that concatenates
+    short documents into fixed token-budget bins (512 here) so training
+    sequences waste no pad tokens. Greedy first-fit is inherently
+    serial, so this uses the scalable streaming-fill formulation: docs
+    are laid out in deterministic order (doc_id) per language and a doc
+    belongs to the bin where its span STARTS in the concatenated token
+    stream — bin_id = floor(preceding_tokens / budget), one running-sum
+    window per lang partition. At 100 TB the window is partitioned by
+    (lang, shard) so no global sort exists; per-partition packing is
+    exactly what a sharded tokenizer job does. fill_ratio uses the
+    FLOOR(x*10^4)/10^4 form because sum/512 is dyadic and exact ROUND
+    half-boundaries differ between engines (Spark half-up, DuckDB
+    half-even)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("token_cnt")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = docs.select(
+        "lang",
+        F.floor(
+            (F.sum("token_cnt").over(w) - F.col("token_cnt")) / _PACK_BUDGET
+        ).alias("bin_id"),
+        "token_cnt",
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("token_cnt").alias("sum_tokens"),
+        (F.floor(F.sum("token_cnt") * 10000.0 / _PACK_BUDGET) / 10000.0).alias(
+            "fill_ratio"
+        ),
+    )

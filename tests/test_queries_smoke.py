@@ -79,6 +79,32 @@ def test_approx_distinct_close_to_exact(spark):
     assert (res["exact_users"] <= res["event_cnt"]).all()
 
 
+def test_pack_sequences_conserves_tokens_and_fills_bins(spark):
+    """Packing must conserve every token (each doc lands in exactly one
+    bin) and non-final bins must be near-full: a bin's fill can dip
+    below 1.0 only by a straddling doc's tail (bounded by max doc
+    length / budget — measured floor 0.855 at this SF) and can exceed
+    1.0 when its own last doc straddles out."""
+    import pyspark.sql.functions as F
+
+    from free_etl_spark.tables import load_table
+
+    res = entrymod.queries()["text_pack_sequences"](spark, SF_DIR).toPandas()
+    docs = load_table(spark, SF_DIR, "documents").select(
+        F.size(F.split("text", " ")).cast("long").alias("tc")
+    )
+    total = docs.agg(F.sum("tc")).collect()[0][0]
+    assert res["sum_tokens"].sum() == total  # token conservation
+    assert (res["n_docs"] >= 1).all()
+    nonfinal = (
+        res.sort_values(["lang", "bin_id"])
+        .groupby("lang", group_keys=False)
+        .apply(lambda g: g.iloc[:-1], include_groups=False)
+    )
+    assert (nonfinal["fill_ratio"] >= 0.75).all()
+    assert nonfinal["fill_ratio"].mean() >= 0.95
+
+
 def test_query_order_prefers_unverified_then_cheap(tmp_path, monkeypatch):
     """queries() must front-load queries with no green CORRECTNESS row
     from prior rounds (cheapest first) so a budgeted verifier proves
