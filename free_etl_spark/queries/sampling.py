@@ -175,3 +175,70 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("priority").desc(), F.col("doc_id"))
         .limit(50)
     )
+
+
+@query(
+    "sample_lang_mix",
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+    p AS (
+      SELECT lang, n_lang,
+             LEAST(1.0, (SELECT COUNT(*) FROM documents) * 1.0
+                        / ((SELECT COUNT(*) FROM c) * n_lang)) AS rate
+      FROM c
+    ),
+    s AS (
+      SELECT d.lang, COUNT(*) AS sampled_cnt
+      FROM documents d JOIN p USING (lang)
+      WHERE {_H16_SQL.format(c="d.doc_id")} < CAST(FLOOR(rate * 65536) AS INT)
+      GROUP BY d.lang
+    )
+    SELECT p.lang,
+           CAST(p.n_lang AS BIGINT) AS n_lang,
+           FLOOR(p.rate * 1000000) / 1000000 AS rate,
+           CAST(COALESCE(s.sampled_cnt, 0) AS BIGINT) AS sampled_cnt
+    FROM p LEFT JOIN s USING (lang)
+    """,
+)
+def sample_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix rebalancing sampler — the mixture-reweighting step
+    a pretraining pipeline runs to hit a target composition (uniform
+    across languages here; the corpus is ~40% en, so the dominant
+    language genuinely downsamples at every SF): each language's
+    acceptance rate is min(1, target_share·total/n_lang), applied as a
+    deterministic hash-Bernoulli so the same corpus always yields the
+    same sample. Two passes: a tiny per-language count aggregate
+    (|langs| rows — windowed totals, then broadcast back onto the
+    corpus scan), and a single filtered pass over the docs. At 100 TB the rate table is
+    dimension-sized and the sample pass is map-side only — no shuffle
+    of the corpus itself. The FP pipeline (one multiply, one divide,
+    explicit FLOOR before the int threshold — engines disagree on
+    double→int CAST rounding) is replayed exactly by the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    w = Window.partitionBy()
+    rates = counts.select(
+        "lang",
+        "n_lang",
+        F.least(
+            F.lit(1.0),
+            (F.sum("n_lang").over(w) * 1.0)
+            / (F.count(F.lit(1)).over(w) * F.col("n_lang")),
+        ).alias("rate"),
+    )
+    thresh = F.floor(F.col("rate") * _BUCKETS).cast("int")
+    sampled = (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(_hash16(F.col("doc_id")) < thresh)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("sampled_cnt"))
+    )
+    return (
+        rates.join(sampled, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_lang").cast("long").alias("n_lang"),
+            (F.floor(F.col("rate") * 1000000) / 1000000).alias("rate"),
+            F.coalesce(F.col("sampled_cnt"), F.lit(0)).cast("long").alias("sampled_cnt"),
+        )
+    )

@@ -105,6 +105,23 @@ def test_pack_sequences_conserves_tokens_and_fills_bins(spark):
     assert nonfinal["fill_ratio"].mean() >= 0.95
 
 
+def test_lang_mix_rebalances_toward_uniform(spark):
+    """The mix sampler must move the composition TOWARD the uniform
+    target: the corpus is ~40% en, so en's rate is < 1 (really
+    downsampled), smaller languages keep everything, and the sampled
+    shares' spread strictly shrinks."""
+    res = entrymod.queries()["sample_lang_mix"](spark, SF_DIR).toPandas()
+    assert (res["sampled_cnt"] <= res["n_lang"]).all()
+    en = res[res["lang"] == "en"].iloc[0]
+    assert en["rate"] < 1.0 and en["sampled_cnt"] < en["n_lang"]
+    kept_all = res[res["rate"] >= 1.0]
+    assert len(kept_all) > 0
+    assert (kept_all["sampled_cnt"] == kept_all["n_lang"]).all()
+    raw_share = res["n_lang"] / res["n_lang"].sum()
+    new_share = res["sampled_cnt"] / res["sampled_cnt"].sum()
+    assert new_share.std() < raw_share.std()
+
+
 def test_query_order_prefers_unverified_then_cheap(tmp_path, monkeypatch):
     """queries() must front-load queries with no green CORRECTNESS row
     from prior rounds (cheapest first) so a budgeted verifier proves
