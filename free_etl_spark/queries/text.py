@@ -485,3 +485,115 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fill_ratio"
         ),
     )
+
+
+_REP_T = 0.2  # dup-3gram ratio above which a doc is flagged repetitive
+
+
+@query(
+    "text_repetition_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CAST(LEN(toks) AS BIGINT) AS token_cnt,
+             [array_to_string(toks[i:i+1], ' ')
+              FOR i IN range(1, GREATEST(LEN(toks) - 1, 0) + 1)] AS g2,
+             [array_to_string(toks[i:i+2], ' ')
+              FOR i IN range(1, GREATEST(LEN(toks) - 2, 0) + 1)] AS g3
+      FROM t
+    )
+    SELECT doc_id, token_cnt,
+           FLOOR(CASE WHEN LEN(g2) = 0 THEN 0.0
+                 ELSE 1.0 - CAST(LEN(list_distinct(g2)) AS DOUBLE) / LEN(g2)
+                 END * 1000000) / 1000000 AS dup_2gram,
+           FLOOR(CASE WHEN LEN(g3) = 0 THEN 0.0
+                 ELSE 1.0 - CAST(LEN(list_distinct(g3)) AS DOUBLE) / LEN(g3)
+                 END * 1000000) / 1000000 AS dup_3gram,
+           CASE WHEN LEN(g3) = 0 THEN FALSE
+           ELSE (1.0 - CAST(LEN(list_distinct(g3)) AS DOUBLE) / LEN(g3))
+                > {_REP_T} END AS is_repetitive
+    FROM g
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition scoring — the Gopher-rule quality
+    signal that catches boilerplate/spam: the fraction of duplicate
+    word 2-grams and 3-grams inside each doc (1 - distinct/total).
+    Pure per-row JVM array expressions (split → sliding slices →
+    array_distinct), no shuffle at all — at 100 TB this is a map-only
+    pass. Ratios use FLOOR(x*1e6)/1e6: they are small-denominator
+    rationals, exactly the half-boundary case where Spark and DuckDB
+    ROUND diverge."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def grams(n: int):
+        # guard sub-n-gram docs: sequence(1, 0) yields the DESCENDING
+        # [1, 0] (not empty) and slice(start=0) is a runtime error —
+        # same trap as the chunker/multimodal.sample_frames
+        return F.when(
+            F.size(toks) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+
+    def dup_ratio(g):
+        # a doc too short to have any n-gram is NOT repetitive (an
+        # empty gram set would otherwise score 1 - 0/1 = 1.0)
+        return F.when(F.size(g) == 0, F.lit(0.0)).otherwise(
+            1.0 - F.size(F.array_distinct(g)).cast("double") / F.size(g)
+        )
+
+    flo = lambda c: F.floor(c * 1000000) / 1000000  # noqa: E731
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("token_cnt"),
+        flo(dup_ratio(grams(2))).alias("dup_2gram"),
+        flo(dup_ratio(grams(3))).alias("dup_3gram"),
+        (dup_ratio(grams(3)) > _REP_T).alias("is_repetitive"),
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d -]{7,}\d"
+
+
+@query(
+    "text_pii_scan",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS email_cnt,
+           CAST(LEN(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS ipv4_cnt,
+           CAST(LEN(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS phone_cnt,
+           (LEN(regexp_extract_all(text, '{_PII_EMAIL}')) > 0
+            OR LEN(regexp_extract_all(text, '{_PII_IPV4}')) > 0
+            OR LEN(regexp_extract_all(text, '{_PII_PHONE}')) > 0) AS has_pii
+    FROM documents
+    """,
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII surface scan — the redaction-pipeline precursor that counts
+    email / IPv4 / phone-shaped spans per document so downstream
+    redaction or filtering can target only flagged docs. Patterns are
+    restricted to the regex subset Java (Spark) and RE2 (DuckDB)
+    interpret identically, so the oracle replays the exact matcher.
+    Map-only JVM regexp_count — no shuffle, no Python; at 100 TB this
+    is a single scan-side pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = lambda pat: F.regexp_count(F.col("text"), F.lit(pat)).cast("long")  # noqa: E731
+    return docs.select(
+        "doc_id",
+        cnt(_PII_EMAIL).alias("email_cnt"),
+        cnt(_PII_IPV4).alias("ipv4_cnt"),
+        cnt(_PII_PHONE).alias("phone_cnt"),
+        (
+            (cnt(_PII_EMAIL) > 0) | (cnt(_PII_IPV4) > 0) | (cnt(_PII_PHONE) > 0)
+        ).alias("has_pii"),
+    )

@@ -122,6 +122,52 @@ def test_lang_mix_rebalances_toward_uniform(spark):
     assert new_share.std() < raw_share.std()
 
 
+@pytest.fixture()
+def crafted_docs_dir(spark, tmp_path):
+    """A documents.parquet with known-positive quality/PII cases: the
+    natural corpus contains no PII and no repetitive docs, so the
+    flag-raising paths need constructed inputs. sf_dir IS the seam —
+    every query takes it."""
+    rows = [
+        (0, "clean prose with no personal data at all here", "en", "src0", 46),
+        (1, "contact me at jane.doe@example.com or +1 555-123-4567 now", "en", "src0", 57),
+        (2, "server logs show 192.168.1.100 attempted access", "en", "src0", 47),
+        (3, "buy now " * 50, "en", "src0", 400),  # maximally repetitive
+        (4, "ok", "en", "src0", 2),  # shorter than one 3-gram
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_pii_scan_flags_crafted_docs(spark, crafted_docs_dir):
+    res = (
+        entrymod.queries()["text_pii_scan"](spark, crafted_docs_dir)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert not res.loc[0, "has_pii"] and not res.loc[3, "has_pii"]
+    assert res.loc[1, "email_cnt"] == 1 and res.loc[1, "phone_cnt"] >= 1
+    assert res.loc[2, "ipv4_cnt"] == 1
+    assert res.loc[1, "has_pii"] and res.loc[2, "has_pii"]
+
+
+def test_repetition_score_flags_crafted_docs(spark, crafted_docs_dir):
+    res = (
+        entrymod.queries()["text_repetition_score"](spark, crafted_docs_dir)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert res.loc[3, "is_repetitive"] and res.loc[3, "dup_3gram"] > 0.9
+    assert not res.loc[0, "is_repetitive"]
+    # sub-3-gram doc: ratios degrade to 0, never NaN/negative
+    assert res.loc[4, "dup_3gram"] == 0.0 and res.loc[4, "token_cnt"] == 1
+    assert (res["dup_2gram"] >= 0).all() and (res["dup_3gram"] <= 1).all()
+
+
 def test_query_order_prefers_unverified_then_cheap(tmp_path, monkeypatch):
     """queries() must front-load queries with no green CORRECTNESS row
     from prior rounds (cheapest first) so a budgeted verifier proves
