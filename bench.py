@@ -62,6 +62,12 @@ HEADLINE = [
     "emb_centroid_by_label",
     "multimodal_resize_32",
     "sample_train_test_split",
+    # r4 curation additions: sequence packing, mix rebalancing,
+    # repetition + PII scans (all map-only or dimension-broadcast)
+    "text_pack_sequences",
+    "sample_lang_mix",
+    "text_repetition_score",
+    "text_pii_scan",
 ]
 
 

@@ -530,33 +530,54 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
 
-    def grams(n: int):
-        # guard sub-n-gram docs: sequence(1, 0) yields the DESCENDING
-        # [1, 0] (not empty) and slice(start=0) is a runtime error —
-        # same trap as the chunker/multimodal.sample_frames
-        return F.when(
-            F.size(toks) < n, F.array().cast("array<string>")
-        ).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
+    def distinct_grams(n: int):
+        # n-grams as structs of n shifted token streams (arrays_zip of
+        # slice(toks, k, ...) for k = 1..n) instead of joined strings:
+        # every operator here is codegen-native, where a
+        # transform(sequence, concat_ws(slice)) lambda is interpreted
+        # per element (~3.5x slower measured at sf0.1). Equivalent to
+        # distinct joined strings because tokens come from a
+        # space-split and cannot contain the joiner. The zip is
+        # null-padded to size(toks), appending exactly n-1 tail
+        # structs that each contain a null — never equal to a true
+        # n-gram struct or to each other — so subtract n-1.
+        zipped = F.arrays_zip(
+            toks, *[F.slice(toks, k, F.size(toks)) for k in range(2, n + 1)]
+        )
+        return F.when(F.size(toks) < n, F.lit(0)).otherwise(
+            F.size(F.array_distinct(zipped)) - (n - 1)
         )
 
-    def dup_ratio(g):
-        # a doc too short to have any n-gram is NOT repetitive (an
-        # empty gram set would otherwise score 1 - 0/1 = 1.0)
-        return F.when(F.size(g) == 0, F.lit(0.0)).otherwise(
-            1.0 - F.size(F.array_distinct(g)).cast("double") / F.size(g)
+    # Stage the expensive per-row gram arrays in their own projection:
+    # higher-order expressions are CodegenFallback (no subexpression
+    # elimination), so referencing one twice rebuilds a ~4k-element
+    # string array per use — this shape cost 10s at sf0.1. The totals
+    # need no array at all (count = size - (n-1)); only the distinct
+    # counts do, and d3 is referenced twice downstream, which keeps
+    # CollapseProject from inlining it back (it only inlines exprs
+    # referenced once or trivially cheap).
+    staged = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("token_cnt"),
+        distinct_grams(2).alias("d2"),
+        distinct_grams(3).alias("d3"),
+    )
+    t2 = F.greatest(F.col("token_cnt") - 1, F.lit(0))
+    t3 = F.greatest(F.col("token_cnt") - 2, F.lit(0))
+
+    def ratio(d, t):
+        # a doc too short to have any n-gram is NOT repetitive
+        return F.when(t == 0, F.lit(0.0)).otherwise(
+            1.0 - d.cast("double") / t
         )
 
     flo = lambda c: F.floor(c * 1000000) / 1000000  # noqa: E731
-    return docs.select(
+    return staged.select(
         "doc_id",
-        F.size(toks).cast("long").alias("token_cnt"),
-        flo(dup_ratio(grams(2))).alias("dup_2gram"),
-        flo(dup_ratio(grams(3))).alias("dup_3gram"),
-        (dup_ratio(grams(3)) > _REP_T).alias("is_repetitive"),
+        "token_cnt",
+        flo(ratio(F.col("d2"), t2)).alias("dup_2gram"),
+        flo(ratio(F.col("d3"), t3)).alias("dup_3gram"),
+        (ratio(F.col("d3"), t3) > _REP_T).alias("is_repetitive"),
     )
 
 
