@@ -466,6 +466,14 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("token_cnt")
     )
+    return pack_sequences(docs, _PACK_BUDGET)
+
+
+def pack_sequences(docs: DataFrame, budget: int) -> DataFrame:
+    """Streaming-fill packing core over (doc_id, lang, token_cnt) —
+    the query above feeds it the documents table; property tests
+    (tests/test_properties.py) drive it with adversarial corpora
+    against a Python brute force."""
     w = (
         Window.partitionBy("lang")
         .orderBy("doc_id")
@@ -474,14 +482,14 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = docs.select(
         "lang",
         F.floor(
-            (F.sum("token_cnt").over(w) - F.col("token_cnt")) / _PACK_BUDGET
+            (F.sum("token_cnt").over(w) - F.col("token_cnt")) / budget
         ).alias("bin_id"),
         "token_cnt",
     )
     return binned.groupBy("lang", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("token_cnt").alias("sum_tokens"),
-        (F.floor(F.sum("token_cnt") * 10000.0 / _PACK_BUDGET) / 10000.0).alias(
+        (F.floor(F.sum("token_cnt") * 10000.0 / budget) / 10000.0).alias(
             "fill_ratio"
         ),
     )

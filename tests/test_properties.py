@@ -254,3 +254,54 @@ def test_sniffers_never_raise(data):
     fields = raw_header_fields(data, delim)
     assert isinstance(fields, list)
     assert isinstance(check_headers(fields), list)
+
+
+# ── sequence packing vs brute force ──────────────────────────────────
+
+_PACK_DOCS = st.lists(
+    st.tuples(
+        st.integers(0, 30),             # doc_id (dups possible → dedup below)
+        st.sampled_from(["en", "de"]),  # lang
+        st.integers(0, 40),             # token_cnt (0-token docs included)
+    ),
+    min_size=0,
+    max_size=16,
+)
+
+
+def _brute_pack(rows, budget):
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])  # (lang, bin) -> [n_docs, sum_tokens]
+    bylang = defaultdict(list)
+    for doc_id, lang, tc in rows:
+        bylang[lang].append((doc_id, tc))
+    for lang, docs in bylang.items():
+        running = 0
+        for _, tc in sorted(docs):
+            bin_id = running // budget
+            agg[(lang, bin_id)][0] += 1
+            agg[(lang, bin_id)][1] += tc
+            running += tc
+    return {k: tuple(v) for k, v in agg.items()}
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=_PACK_DOCS, budget=st.sampled_from([1, 7, 32]))
+def test_pack_sequences_matches_bruteforce(spark, rows, budget):
+    from free_etl_spark.queries.text import pack_sequences
+
+    rows = list({r[0]: r for r in rows}.values())  # unique doc_id
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang", "token_cnt"]),
+        "doc_id long, lang string, token_cnt long",
+    )
+    got = {
+        (r["lang"], r["bin_id"]): (r["n_docs"], r["sum_tokens"])
+        for r in pack_sequences(docs, budget).collect()
+    }
+    assert got == _brute_pack(rows, budget)
