@@ -91,20 +91,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    for name in HEADLINE:
-        # best-of-N: report steady state. This host shows multi-second
-        # stalls on idle CPUs (r3: identical warm work varied 4-18s;
-        # r4 probes: 0.95-10.9s) plus one-time driver codegen on the
-        # first run — the MIN over reps is the engine's number, the
-        # variance is the host's.
-        best = float("inf")
-        for _ in range(reps):
+    # Interleaved best-of-N: run the WHOLE suite `reps` times and take
+    # the per-query MIN across passes. This host shows multi-second
+    # stalls on idle CPUs (r3: identical warm work varied 4-18s; r4
+    # probes: 0.95-10.9s); consecutive per-query reps let one stall
+    # window poison all reps of adjacent queries (r4 manufactured 8
+    # fake regressions that way). Interleaving puts ~suite-length
+    # (minutes) between a query's reps, so one stall can at most
+    # inflate one pass of each query.
+    for _ in range(reps):
+        for name in HEADLINE:
             t0 = time.time()
             q.QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, float("inf")), dt)
 
     # intake throughput — the surface directly comparable to the
     # reference (single-threaded pandas CSV parse+re-serialize,
@@ -161,28 +163,39 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    # per-query regression diff vs the newest prior round's BENCH json
-    # (driver records BENCH_r{N}.json in the repo root): positive delta
-    # = slower than last round. Only queries present in both runs.
+    # Per-query regression diff vs the newest prior round's BENCH json.
+    # Emitted on its OWN stdout line and into a side file, never into
+    # the final line: r4 appended it to the canonical object, the line
+    # outgrew the driver's stdout tail window, and BENCH_r04 recorded
+    # parsed:null. The final line must stay compact.
     import glob as _bglob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    prior = sorted(_bglob.glob(os.path.join(here, "BENCH_r*.json")))
-    if prior:
+    # newest round whose artifact is actually parsable (r4's is
+    # parsed:null with a truncated tail — skip past such rounds)
+    for path in sorted(_bglob.glob(os.path.join(here, "BENCH_r*.json")))[::-1]:
         try:
-            prev = json.load(open(prior[-1]))
-            prev_q = prev.get("parsed", {}).get("queries", {})
+            prev = json.load(open(path))
+            prev_q = (prev.get("parsed") or {}).get("queries", {})
             if not prev_q:  # older artifact shape — parse the stdout tail
                 m_prev = re.search(r'\{"metric".*\}', prev.get("tail", ""))
                 prev_q = json.loads(m_prev.group(0))["queries"] if m_prev else {}
-            out["delta_vs_prev"] = {
-                k: round(v - prev_q[k], 3)
-                for k, v in timings.items()
-                if k in prev_q and not k.endswith("_mb_per_s")
+            if not prev_q:
+                continue
+            diag = {
+                "prev_round": os.path.basename(path),
+                "delta_vs_prev": {
+                    k: round(v - prev_q[k], 3)
+                    for k, v in timings.items()
+                    if k in prev_q and not k.endswith("_mb_per_s")
+                },
             }
-            out["prev_round"] = os.path.basename(prior[-1])
-        except Exception:  # prior artifact unparsable — skip the diff
-            pass
+            print(json.dumps(diag))
+            with open(os.path.join(here, "BENCH_DELTA.json"), "w") as f:
+                json.dump(diag, f, indent=1)
+            break
+        except Exception:  # prior artifact unparsable — try the next older
+            continue
     print(json.dumps(out))
     spark.stop()
 

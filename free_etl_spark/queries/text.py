@@ -590,8 +590,18 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-_PII_PHONE = r"\+?\d[\d -]{7,}\d"
+# Octets constrained to 0-255 (leftmost-first alternation behaves
+# identically in Java and RE2), so 999.1.2.3 no longer flags.
+_PII_IPV4 = (
+    r"\b(?:25[0-5]|2[0-4]\d|1?\d?\d)"
+    r"(?:\.(?:25[0-5]|2[0-4]\d|1?\d?\d)){3}\b"
+)
+# Phone requires separator structure — 3+ digit groups split by
+# space/hyphen with an optional +CC and parenthesized area code —
+# instead of the old "any 9+ run of digits/spaces/hyphens", which
+# flagged year lists, IDs, and ISBNs. No lookahead: RE2 (the oracle's
+# engine) doesn't support it.
+_PII_PHONE = r"\+?\(?\d{1,4}\)?(?:[ -]\d{2,4}){2,4}\b"
 
 
 @query(

@@ -17,6 +17,28 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def default_driver_memory() -> str:
+    """Driver heap default: min(32g, ~half of MemAvailable), floor 2g.
+
+    32g is the sweet spot on this 128 GiB sandbox (32 concurrent local
+    tasks persisting shingle/band relations GC-thrash an 8g heap —
+    r3 bench: 4-18s variance on identical warm work), but a fixed 32g
+    fails to launch the JVM outright on smaller hosts. Override with
+    SPARK_GRAFT_DRIVER_MEM."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(32, avail_gb // 2))}g"
+    except OSError:
+        pass
+    return "8g"  # conservative when host memory is unknowable
+
+
 def get_spark(
     app_name: str = "free-etl-spark",
     master: str | None = None,
@@ -44,12 +66,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        # 32 concurrent local tasks persisting shingle/band relations
-        # GC-thrash an 8g heap (r3 bench: 4-18s variance on identical
-        # warm work); the 128 GiB sandbox affords a 32g driver, which
-        # is the single-JVM stand-in for per-executor memory on a real
-        # cluster — NOT a cluster-mode setting.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # host-derived heap (32g on this sandbox): the single-JVM
+        # stand-in for per-executor memory on a real cluster — NOT a
+        # cluster-mode setting. See default_driver_memory.
+        .config("spark.driver.memory", default_driver_memory())
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -24,25 +24,50 @@ _EVENTS_RAW_SCHEMA = (
 )
 
 
-def _events_ts_unit_divisor(spark: SparkSession, sf_dir: str) -> int:
-    """Divisor that converts the stream's raw ``ts`` long to MICROS.
+def _events_ts_to_micros_expr(sf_dir: str) -> str:
+    """SQL expression converting the stream's raw ``ts`` long to MICROS.
 
     The stream forces an explicit ``ts long`` schema, which surfaces
     the parquet column's *physical* int64 — whose unit depends on how
-    the file was written (TIMESTAMP(NANOS) → nanos, TIMESTAMP(MICROS)
-    → micros). Probe the same file with a batch read: with
-    ``nanosAsLong`` set, a NANOS column reads back as ``bigint``
-    (→ divide by 1000) while MICROS/MILLIS read back as ``timestamp``
-    (→ the raw long already IS micros, divide by 1)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probe = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return 1000 if dict(probe.dtypes).get("ts") == "bigint" else 1
+    the file was written and is known to change between dataset
+    generations (NANOS in some rounds, MICROS in others). Read the
+    column's *logical* type unit straight from the parquet footer
+    (pyarrow) rather than inferring it from how a batch read happens
+    to surface the column: a TIMESTAMP(MILLIS) int64 also reads back
+    as ``timestamp`` in batch, which the old bigint/timestamp
+    dichotomy would silently misclassify as micros (1000x off)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    path = f"{sf_dir}/events.parquet"
+    if _os.path.isdir(path):  # dataset written as a directory of parts
+        parts = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        if not parts:
+            raise ValueError(f"no parquet parts under {path}")
+        path = parts[0]
+    field = _pq.read_schema(path).field("ts")
+    t = field.type
+    unit = getattr(t, "unit", None)
+    if unit == "ns":
+        return "ts DIV 1000"
+    if unit == "us":
+        return "ts"
+    if unit == "ms":
+        return "ts * 1000"
+    if unit == "s":
+        return "ts * 1000000"
+    raise ValueError(
+        f"events.parquet ts column has unexpected type {t!r}; "
+        "expected a timestamp logical type (ns/us/ms/s)"
+    )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a bounded file stream with the same ts
     normalization as tables.load_table (raw unit → µs → event-time)."""
-    divisor = _events_ts_unit_divisor(spark, sf_dir)
+    to_us = _events_ts_to_micros_expr(sf_dir)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # The file stream source requires a *directory*; point it at sf_dir
     # and glob-filter to the single events table file.
@@ -55,7 +80,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # watermarks require TimestampType (not NTZ): keep the event-time
     # column as a UTC instant here; output columns cast to NTZ so they
     # line up with the batch/oracle representation (session tz is UTC).
-    return raw.withColumn("ts_us", F.expr(f"ts DIV {divisor}")).withColumn(
+    return raw.withColumn("ts_us", F.expr(to_us)).withColumn(
         "ts", F.timestamp_micros(F.col("ts_us"))
     )
 
