@@ -636,3 +636,102 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cnt(_PII_EMAIL) > 0) | (cnt(_PII_IPV4) > 0) | (cnt(_PII_PHONE) > 0)
         ).alias("has_pii"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate removal (C4 / RefinedWeb curation staple):
+# drop lines that recur across many documents (nav bars, cookie
+# banners, footers) while keeping each document's unique content.
+# ---------------------------------------------------------------------------
+
+BOILERPLATE_MIN_DOCS = 3
+
+
+def boilerplate_line_filter(lines: DataFrame, min_docs: int = BOILERPLATE_MIN_DOCS) -> DataFrame:
+    """Filter a ``(doc_id, pos, line)`` relation: any line occurring in
+    ``>= min_docs`` distinct documents is boilerplate; reassemble each
+    doc from its kept lines in original order.
+
+    Scale shape (100 TB lens): one explode-side shuffle on ``line`` for
+    the distinct-doc frequency (two-phase partial aggregation), a
+    broadcast left join of the (small — only lines above the threshold)
+    boilerplate set back onto the lines, and one shuffle on ``doc_id``
+    to reassemble. Nothing is all-pairs; the boilerplate set is
+    dimension-sized by construction (bounded by corpus-wide repeated
+    lines, not corpus size).
+    """
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line", F.lit(True).alias("is_boiler"))
+    )
+    flagged = lines.join(F.broadcast(boiler), "line", "left").withColumn(
+        "is_boiler", F.coalesce(F.col("is_boiler"), F.lit(False))
+    )
+    kept_struct = F.when(
+        ~F.col("is_boiler"), F.struct(F.col("pos"), F.col("line"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.sum(F.when(~F.col("is_boiler"), 1).otherwise(0))
+        .cast("long")
+        .alias("kept_lines"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+        .cast("long")
+        .alias("dropped_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x["line"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+@query(
+    "text_boilerplate_lines",
+    oracle=f"""
+    WITH lines AS (
+      SELECT doc_id, CAST((s - 1) // 10 AS INT) AS pos,
+             array_to_string(string_split(text, ' ')[s:s+9], ' ') AS line
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')) + 1, 10)) AS s)
+    ),
+    boiler AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}
+    ),
+    flagged AS (
+      SELECT l.doc_id, l.pos, l.line, b.line IS NOT NULL AS is_boiler
+      FROM lines l LEFT JOIN boiler b USING (line)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) FILTER (WHERE NOT is_boiler) AS BIGINT) AS kept_lines,
+           CAST(COUNT(*) FILTER (WHERE is_boiler) AS BIGINT)     AS dropped_lines,
+           COALESCE(string_agg(line, ' ' ORDER BY pos)
+                    FILTER (WHERE NOT is_boiler), '')             AS clean_text
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line-frequency boilerplate removal.
+
+    The synthetic corpus stores each document as a single line of
+    space-separated tokens (no ``\\n``), so the registered query uses a
+    deterministic 10-token chunking as its line segmentation — the
+    natural-corpus stand-in for newline splitting (at sf0.01, 15 chunks
+    recur across >= 3 docs, so the drop path is exercised). Real
+    newline-delimited input goes through the same
+    ``boilerplate_line_filter`` with ``split(text, '\\n')`` lines
+    (tests/test_queries_smoke.py crafts that case).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id",
+        F.expr(
+            "inline(transform(sequence(1, size(split(text, ' ')), 10),"
+            " s -> struct(CAST((s - 1) DIV 10 AS INT) AS pos,"
+            " array_join(slice(split(text, ' '), s, 10), ' ') AS line)))"
+        ),
+    )
+    return boilerplate_line_filter(lines)

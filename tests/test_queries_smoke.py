@@ -203,3 +203,56 @@ def test_query_order_prefers_unverified_then_cheap(tmp_path, monkeypatch):
                 assert not seen_verified, (
                     f"unverified query {name} ordered after verified ones"
                 )
+
+
+def test_boilerplate_filter_drops_shared_lines(spark, tmp_path):
+    """Real newline-delimited input through boilerplate_line_filter:
+    a cookie banner shared by 3 docs is dropped, unique lines survive,
+    and the doc-count invariant holds (one output row per input doc,
+    even a doc reduced to nothing)."""
+    import pyspark.sql.functions as F
+
+    from free_etl_spark.queries.text import boilerplate_line_filter
+
+    banner = "we use cookies to improve your experience"
+    docs = spark.createDataFrame(
+        [
+            (0, banner + "\nalpha unique content zero"),
+            (1, banner + "\nbravo unique content one\nmore body text"),
+            (2, banner + "\ncharlie unique content two"),
+            (3, "delta doc without any banner at all"),
+            (4, banner),  # nothing but boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    )
+    res = (
+        boilerplate_line_filter(lines, min_docs=3)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(res) == 5  # doc-count invariant: no doc vanishes
+    assert (res.loc[[0, 1, 2], "dropped_lines"] == 1).all()
+    assert banner not in " ".join(res["clean_text"])
+    assert res.loc[0, "clean_text"] == "alpha unique content zero"
+    assert res.loc[1, "clean_text"] == "bravo unique content one more body text"
+    assert res.loc[3, "dropped_lines"] == 0
+    assert res.loc[3, "clean_text"] == "delta doc without any banner at all"
+    assert res.loc[4, "kept_lines"] == 0 and res.loc[4, "clean_text"] == ""
+
+
+def test_boilerplate_query_doc_count_invariant(spark):
+    """The registered 10-token-chunk variant keeps exactly one output
+    row per document and only drops chunks that recur across >= 3
+    docs."""
+    from free_etl_spark.tables import load_table
+
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    res = entrymod.queries()["text_boilerplate_lines"](spark, SF_DIR)
+    pdf = res.toPandas()
+    assert len(pdf) == n_docs
+    assert (pdf["kept_lines"] + pdf["dropped_lines"] > 0).all()
+    assert pdf["dropped_lines"].sum() > 0  # drop path exercised
