@@ -68,6 +68,10 @@ HEADLINE = [
     "sample_lang_mix",
     "text_repetition_score",
     "text_pii_scan",
+    # r5 curation additions: cross-doc line boilerplate removal,
+    # perceptual-hash image near-dup
+    "text_boilerplate_lines",
+    "multimodal_phash_dedup",
 ]
 
 

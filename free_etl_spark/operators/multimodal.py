@@ -222,3 +222,66 @@ def sample_frames(df: DataFrame, frame_bytes: int = 1024, max_frames: int = 4) -
         "path",
         F.posexplode(frames).alias("frame_idx", "frame_bytes"),
     ).withColumn("frame_len", F.length("frame_bytes").cast("long"))
+
+
+def _dhash_image_real(content: bytes) -> int:
+    """Real dHash — requires PIL (not in this container): grayscale,
+    resize to 9x8, set bit (r*8+c) when px[r][c] < px[r][c+1]. Raises
+    NotImplementedError when PIL is missing; callers fall back to the
+    deterministic stub below."""
+    try:
+        import io
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as e:  # pragma: no cover - PIL absent here
+        raise NotImplementedError("dHash requires PIL") from e
+    img = Image.open(io.BytesIO(content)).convert("L").resize((9, 8))  # pragma: no cover
+    px = list(img.getdata())  # pragma: no cover
+    return _dhash_from_pixels(px)  # pragma: no cover
+
+
+def _dhash_from_pixels(px: list[int]) -> int:
+    """9x8 row-major grayscale pixels -> signed 64-bit dHash (bit
+    r*8+c set when the pixel is darker than its right neighbor)."""
+    h = 0
+    for r in range(8):
+        for c in range(8):
+            if px[r * 9 + c] < px[r * 9 + c + 1]:
+                h |= 1 << (r * 8 + c)
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def _dhash_image_stub(content: bytes) -> int:
+    """Deterministic FAKE dHash: the 9x8 grayscale plane is the md5 of
+    (content ‖ '|dhash9x8') cycled to 72 bytes — byte-reproducible, so
+    the full perceptual-hash path is closed-form SQL over md5(text)
+    (pixel i is digest byte i % 16, i.e. a hex pair of the md5)."""
+    digest = hashlib.md5(content + b"|dhash9x8").digest()
+    return _dhash_from_pixels(list((digest * 5)[:72]))
+
+
+def dhash_images(df: DataFrame, force_stub: bool = False) -> DataFrame:
+    """Arrow-batched perceptual hash over binary image columns
+    (mapInPandas — same registry shape as decode/resize: real PIL
+    path, deterministic md5 stub fallback; ``force_stub=True`` pins
+    the stub for the oracle-gated query). Emits (path, dhash64):
+    map-only, no shuffle — pairing happens downstream via hamming
+    band buckets (operators.hashing.hamming_band_pairs)."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"])
+                if force_stub:
+                    h = _dhash_image_stub(content)
+                else:
+                    try:
+                        h = _dhash_image_real(content)  # pragma: no cover
+                    except NotImplementedError:
+                        h = _dhash_image_stub(content)
+                rows.append({"path": r["path"], "dhash64": h})
+            yield pd.DataFrame(rows, columns=["path", "dhash64"])
+
+    return df.select("path", "content").mapInPandas(
+        hash_batches, "path string, dhash64 long"
+    )

@@ -519,42 +519,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected bucket occupancy is ~N/65536 — the collision cost that a
     16-bit signature (16 values per 4-bit band) could not bound.
     """
+    from free_etl_spark.operators.hashing import hamming_band_pairs
+
     sig = dedup_simhash(spark, sf_dir)
-    bands = sig.select(
-        "doc_id",
-        "simhash64",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.shiftright("simhash64", 16 * b).bitwiseAND(0xFFFF).alias("band_val"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bd"),
-    ).select("doc_id", "simhash64", F.col("bd.band_id").alias("band_id"), F.col("bd.band_val").alias("band_val"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash64").alias("sig_a"),
-            F.col("b.simhash64").alias("sig_b"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
-    return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= _HAMMING_T)
+    return hamming_band_pairs(sig, "doc_id", "simhash64", _HAMMING_T).select(
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        "hamming",
     )
 
 

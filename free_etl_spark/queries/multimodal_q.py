@@ -152,3 +152,110 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_frames"),
         F.sum("frame_len").alias("sampled_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (dHash) image near-dup — the multimodal analogue of
+# SimHash text dedup: map-only 64-bit hash per image, hamming-band
+# bucket join for pairs (operators/hashing.py). Stub pixel plane is
+# md5(content || '|dhash9x8') cycled to 9x8 bytes, so every hash bit
+# is closed-form SQL over the md5 hex (pixel i = digest byte i % 16).
+# ---------------------------------------------------------------------------
+
+_PHASH_HAMMING_T = 3
+
+# ~4% of docs share one canonical payload (doc_id % 25 == 0) so the
+# dedup query exercises real bucket collisions on the natural corpus:
+# distinct texts give md5-avalanche hashes (no accidental near-pairs),
+# planted duplicates give hamming-0 pairs the band join must recover.
+_PHASH_PLANT_SQL = (
+    "CASE WHEN doc_id % 25 = 0 THEN 'shared boilerplate image payload' "
+    "ELSE text END"
+)
+
+
+def _phash_px_sql(i: int, md5_expr: str) -> str:
+    """DuckDB SQL for stub pixel i: byte (i % 16) of the digest, read
+    as the hex pair at 1-based position 2*(i%16)+1 of the md5 hex."""
+    p = 2 * (i % 16) + 1
+    nib = f"instr('0123456789abcdef', substr({md5_expr}, {{pos}}, 1)) - 1"
+    return f"(({nib.format(pos=p)}) * 16 + ({nib.format(pos=p + 1)}))"
+
+
+def _phash_sig_sql(payload_sql: str) -> str:
+    """Closed-form signed 64-bit dHash over a text payload expression:
+    bit r*8+c set when pixel r*9+c < pixel r*9+c+1. Bit 63 contributes
+    MIN_LONG so the signed sum matches the Python stub's two's
+    complement exactly (same construction as the SimHash oracle)."""
+    md5_expr = f"md5(({payload_sql}) || '|dhash9x8')"
+    terms = []
+    for j in range(64):
+        r, c = divmod(j, 8)
+        cond = (
+            f"{_phash_px_sql(r * 9 + c, md5_expr)}"
+            f" < {_phash_px_sql(r * 9 + c + 1, md5_expr)}"
+        )
+        val = "(-9223372036854775807 - 1)" if j == 63 else f"(1::BIGINT << {j})"
+        terms.append(f"CASE WHEN {cond} THEN {val} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@query(
+    "multimodal_phash",
+    oracle=f"""
+    SELECT doc_id, {_phash_sig_sql(_PHASH_PLANT_SQL)} AS dhash64
+    FROM documents
+    """,
+)
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image perceptual hash (dHash 9x8 -> 64 bits) through the
+    Arrow-batched mapInPandas decoder (PIL when available, md5 stub
+    here — operators/multimodal.py:dhash_images). Map-only: no
+    shuffle; at 100 TB this is one pass over the binary column."""
+    from free_etl_spark.operators.multimodal import dhash_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.encode(
+            F.when(
+                F.col("doc_id") % 25 == 0,
+                F.lit("shared boilerplate image payload"),
+            ).otherwise(F.col("text")),
+            "UTF-8",
+        ).alias("content"),
+    )
+    return dhash_images(payload, force_stub=True).select(
+        F.col("path").cast("long").alias("doc_id"), "dhash64"
+    )
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id, {_phash_sig_sql(_PHASH_PLANT_SQL)} AS dhash64
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.dhash64, b.dhash64)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash64, b.dhash64)) <= {_PHASH_HAMMING_T}
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs (dHash hamming <= 3): candidates come
+    from the shared 4x16-bit hamming-band join (full recall at this
+    threshold by pigeonhole, ~N/65536 expected bucket occupancy —
+    operators/hashing.py), exact bit_count(xor) verifies candidates;
+    the oracle brute-forces the same answer. The planted duplicate
+    payloads (doc_id % 25) produce the hamming-0 clusters a real image
+    corpus would."""
+    from free_etl_spark.operators.hashing import hamming_band_pairs
+
+    sig = multimodal_phash(spark, sf_dir)
+    return hamming_band_pairs(sig, "doc_id", "dhash64", _PHASH_HAMMING_T).select(
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        "hamming",
+    )

@@ -154,3 +154,78 @@ def test_scaled_parameters_monotone():
     assert lsh_bits(10**9) == 16
     with pytest.raises(TypeError):
         lsh_bits()  # n is required: the parameter must be corpus-derived
+
+
+def test_hamming_band_pairs_matches_brute_force(spark):
+    """The shared hamming-band candidate generator (SimHash text dedup
+    + dHash image dedup) must find EXACTLY the brute-force pair set at
+    threshold <= bands-1: pigeonhole full recall, and the verify step
+    kills band-collision false positives. Signatures are crafted to
+    cover every regime: identical, 1-3 bit flips spread across one or
+    several bands, just-over-threshold (4 flips), random far pairs,
+    and a negative signature (bit 63 set)."""
+    import itertools
+
+    from free_etl_spark.operators.hashing import hamming_band_pairs
+
+    base = 0x123456789ABCDEF0
+    sigs = [
+        (0, base),
+        (1, base),                       # hamming 0
+        (2, base ^ 0b1),                 # 1 flip, band 0
+        (3, base ^ (1 << 17)),           # 1 flip, band 1
+        (4, base ^ 0b111),               # 3 flips, same band
+        (5, base ^ (1 | 1 << 20 | 1 << 40)),  # 3 flips, 3 bands
+        (6, base ^ (1 | 1 << 20 | 1 << 40 | 1 << 60)),  # 4 flips: out
+        (7, 0x7EADBEEFCAFEF00D),
+        (8, -(1 << 63) | 0x5A5A),        # negative sig (bit 63 set)
+    ]
+
+    def to_signed(h):
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    sigs = [(i, to_signed(h & ((1 << 64) - 1))) for i, h in sigs]
+    expect = set()
+    for (ia, ha), (ib, hb) in itertools.combinations(sigs, 2):
+        d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+        if d <= 3:
+            expect.add((ia, ib, d))
+    df = spark.createDataFrame(sigs, "id long, sig long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_band_pairs(df, "id", "sig", 3).collect()
+    }
+    assert got == expect and len(expect) >= 8
+    with pytest.raises(ValueError):
+        hamming_band_pairs(df, "id", "sig", 4)  # needs > 4 bands
+
+
+def test_phash_planted_duplicate_recall(spark, tmp_path):
+    """Planted exact-duplicate image payloads must ALL be recovered by
+    the banded dHash dedup (hamming 0), and distinct random payloads
+    must not merge into the planted cluster below the threshold."""
+    import pandas as pd
+
+    from free_etl_spark.operators.multimodal import dhash_images
+    from free_etl_spark.operators.hashing import hamming_band_pairs
+
+    planted = b"\x89PNG\r\n\x1a\nSAME-IMAGE-BYTES" * 40
+    rows = [(str(i), planted) for i in range(6)] + [
+        (str(10 + i), f"unique-image-{i}".encode() * 50) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["path", "content"])
+    )
+    sig = dhash_images(df, force_stub=True).withColumn(
+        "id", F.col("path").cast("long")
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_band_pairs(sig, "id", "dhash64", 3).collect()
+    }
+    import itertools
+
+    planted_pairs = set(itertools.combinations(range(6), 2))
+    assert planted_pairs <= pairs  # full recall on planted dups
+    # no unique payload joins the planted cluster
+    assert not any(a < 6 <= b or b < 6 <= a for a, b in pairs)

@@ -245,6 +245,9 @@ def test_no_python_stage_creep_across_registry(spark):
         "udf_map_in_pandas_enrich",
         "multimodal_decode_features",
         "multimodal_resize_32",
+        # dHash runs through the same mapInPandas decoder registry
+        "multimodal_phash",
+        "multimodal_phash_dedup",
     }
     offenders = []
     for name in q.QUERIES:
