@@ -229,3 +229,51 @@ def test_phash_planted_duplicate_recall(spark, tmp_path):
     assert planted_pairs <= pairs  # full recall on planted dups
     # no unique payload joins the planted cluster
     assert not any(a < 6 <= b or b < 6 <= a for a, b in pairs)
+
+
+def test_ivf_kmeans_codebook_recall(spark, tmp_path):
+    """The default ivf_write codebook is now Lloyd-refined (2
+    iterations from the deterministic first-K init). The refined
+    layout must (a) still hold exactly K centroids (empty clusters
+    keep their previous centroid), and (b) give probe recall@5 at
+    nprobe=4 at least as good as the quality gate pinned for the raw
+    init (avg >= 0.9, per-query >= 0.6)."""
+    from free_etl_spark.operators.vectors import (
+        centroid_rank,
+        ivf_probe,
+        ivf_write,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    k = scaled_centroid_k(emb.count())
+    path = str(tmp_path / "ivf_kmeans")
+    cent = ivf_write(emb, path)  # codebook="kmeans" default
+    assert cent.count() == k
+
+    ids, C = _corpus()
+    queries = emb.filter(F.col("vec_id") < 5)
+    probe_rank = centroid_rank(queries, cent).filter(F.col("rn") <= 4)
+    probes = {
+        r.vec_id: [] for r in probe_rank.select("vec_id").distinct().collect()
+    }
+    for r in probe_rank.collect():
+        probes[r.vec_id].append(r.cent_id)
+    recalls = []
+    for q in range(5):
+        probed_ids = {
+            r.vec_id for r in ivf_probe(spark, path, probes[q]).collect()
+        }
+        qi = int(np.where(ids == q)[0][0])
+        # top-5 among probed vectors vs exact global top-5
+        order = np.argsort(-C[qi])
+        exact = [int(ids[j]) for j in order if ids[j] != q][:5]
+        in_probe = [
+            int(ids[j])
+            for j in order
+            if ids[j] != q and int(ids[j]) in probed_ids
+        ][:5]
+        recalls.append(len(set(exact) & set(in_probe)) / 5)
+    assert min(recalls) >= 0.6, recalls
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
