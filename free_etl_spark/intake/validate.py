@@ -67,11 +67,18 @@ def validate_and_normalize(name: str, data: bytes, cfg: AppConfig) -> FileCheck:
             )
         elif name_lower.endswith(".xlsx") and cfg.allow_xlsx:
             # op #7: first sheet, all-string, NaN→""
-            df = (
-                pd.read_excel(__import__("io").BytesIO(data), dtype=str, engine="openpyxl")
-                .astype(str)
-                .fillna("")
-            )
+            try:
+                df = (
+                    pd.read_excel(__import__("io").BytesIO(data), dtype=str, engine="openpyxl")
+                    .astype(str)
+                    .fillna("")
+                )
+            except ImportError:
+                # openpyxl absent: stdlib zip+XML reader (xlsx_lite) —
+                # same contract (first sheet, all-string, blanks → "")
+                from free_etl_spark.intake.xlsx_lite import read_xlsx
+
+                df = read_xlsx(data).astype(str).fillna("")
         else:
             issues.append("Unsupported file type. Use CSV or XLSX.")  # op #8
     except Exception as e:  # op #9: parse failure is an issue, not a crash

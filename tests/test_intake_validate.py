@@ -141,38 +141,89 @@ def test_xlsx_disallowed_by_config():
     assert chk.issues == ["Unsupported file type. Use CSV or XLSX."]
 
 
-def test_xlsx_without_openpyxl_degrades_to_parse_issue():
-    """XLSX support needs openpyxl (reference requirements.txt:3);
-    when absent the file gets a parse-failure issue instead of a crash
-    (reference's op #9 containment)."""
-    try:
-        import openpyxl  # noqa: F401
-        pytest.skip("openpyxl present — covered by the parse test")
-    except ImportError:
-        pass
+def test_xlsx_garbage_bytes_degrade_to_parse_issue():
+    """Whatever the reader (openpyxl or the stdlib xlsx_lite
+    fallback), non-xlsx bytes with an .xlsx name get a parse-failure
+    issue instead of a crash (reference's op #9 containment)."""
     chk = validate_and_normalize("book.xlsx", b"PK\x03\x04fake", CFG)
     assert any(i.startswith("Failed to parse file:") for i in chk.issues)
 
 
 def test_xlsx_parses_with_empty_cells_as_empty_strings():
-    pytest.importorskip("openpyxl")
-    buf = io.BytesIO()
-    pd.DataFrame(
-        {"report_id": ["R-1", "R-2"], "qty": ["5", None], "notes": [None, "x"]}
-    ).to_excel(buf, index=False, engine="openpyxl")
-    chk = validate_and_normalize("clean.xlsx", buf.getvalue(), CFG)
+    from tests.conftest import has_openpyxl, make_xlsx_bytes
+
+    data = make_xlsx_bytes(
+        pd.DataFrame(
+            {"report_id": ["R-1", "R-2"], "qty": ["5", None], "notes": [None, "x"]}
+        )
+    )
+    chk = validate_and_normalize("clean.xlsx", data, CFG)
     assert chk.acceptable, chk.issues
     assert chk.row_count == 2 and chk.col_count == 3
-    # reference maps NaN -> str via .astype(str).fillna(""): pandas
-    # astype(str) turns None into "None" BEFORE fillna — match exactly
-    golden = (
-        pd.read_excel(io.BytesIO(buf.getvalue()), dtype=str, engine="openpyxl")
-        .astype(str)
-        .fillna("")
-        .to_csv(index=False)
-        .encode("utf-8")
+    if has_openpyxl():
+        # reference maps NaN -> str via .astype(str).fillna(""): pandas
+        # astype(str) turns None into "None" BEFORE fillna — match exactly
+        golden = (
+            pd.read_excel(io.BytesIO(data), dtype=str, engine="openpyxl")
+            .astype(str)
+            .fillna("")
+            .to_csv(index=False)
+            .encode("utf-8")
+        )
+        assert chk.csv_bytes == golden
+    else:
+        # xlsx_lite contract: blank cells read back as ""
+        assert chk.csv_bytes == (
+            b"report_id,qty,notes\nR-1,5,\nR-2,,x\n"
+        )
+
+
+def test_xlsx_lite_round_trip_and_shared_strings():
+    """The stdlib fallback itself: writer->reader round-trips XML
+    specials, blank cells, and ragged rows; the reader also resolves
+    sharedStrings-table cells (the layout real producers emit)."""
+    import zipfile as _zf
+
+    from free_etl_spark.intake.xlsx_lite import read_xlsx, write_xlsx
+
+    df = pd.DataFrame(
+        {
+            "a&b": ["<tag>", 'say "hi"', None],
+            "n": ["1.5", None, "x y"],
+        }
     )
-    assert chk.csv_bytes == golden
+    back = read_xlsx(write_xlsx(df))
+    assert list(back.columns) == ["a&b", "n"]
+    assert back.values.tolist() == [
+        ["<tag>", "1.5"],
+        ['say "hi"', ""],
+        ["", "x y"],
+    ]
+
+    # handcrafted package using a sharedStrings table + numeric cells
+    src = write_xlsx(pd.DataFrame({"placeholder": []}))
+    buf = io.BytesIO()
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    with _zf.ZipFile(io.BytesIO(src)) as zin, _zf.ZipFile(buf, "w") as zout:
+        for name in zin.namelist():
+            if name != "xl/worksheets/sheet1.xml":
+                zout.writestr(name, zin.read(name))
+        zout.writestr(
+            "xl/sharedStrings.xml",
+            f'<sst xmlns="{ns}"><si><t>col</t></si>'
+            "<si><r><t>ri</t></r><r><t>ch</t></r></si></sst>",
+        )
+        zout.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{ns}"><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+            '<row r="2"><c r="A2" t="s"><v>1</v></c>'
+            '<c r="B2"><v>42</v></c></row>'  # B1 missing: ragged header
+            "</sheetData></worksheet>",
+        )
+    got = read_xlsx(buf.getvalue())
+    assert list(got.columns) == ["col", ""]
+    assert got.values.tolist() == [["rich", "42"]]
 
 
 def test_quoted_fields_round_trip():

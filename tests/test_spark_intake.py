@@ -89,10 +89,10 @@ def test_oversize_guard(spark, tmp_path):
 def test_validate_file_xlsx_scale_path(spark, tmp_path):
     """allow_xlsx routes bounded .xlsx through validate_and_normalize
     on the scale path (parity with streamlit_app.py:165-169)."""
-    pytest = __import__("pytest")
-    openpyxl = pytest.importorskip("openpyxl")  # noqa: F841
+    from tests.conftest import make_xlsx_bytes
+
     p = tmp_path / "book.xlsx"
-    pd.DataFrame({"a": ["1", "3"], "b": ["2", ""]}).to_excel(p, index=False)
+    p.write_bytes(make_xlsx_bytes(pd.DataFrame({"a": ["1", "3"], "b": ["2", ""]})))
     audit, df = validate_file(spark, str(p), CFG)
     assert audit.acceptable and audit.issues == []
     assert audit.row_count == 2 and audit.col_count == 2
