@@ -4,10 +4,11 @@ scalar subqueries, conditional aggregation, multi-way joins).
 
 The driver's star schema is a *reduced* TPC-H (TESTDATA.md): no
 partsupp, no commit/receipt dates, no ship modes, no phone numbers.
-Queries Q2/Q11/Q21 depend irreducibly on those and cannot be
-expressed; the rest (incl. Q16/Q20 via the lineitem-derived
-part↔supplier relation) are adapted to the available columns — the
-adaptation is noted per query. Semantics (join shape, subquery structure, agg
+Every spec query is covered by adapting to the available columns:
+Q2/Q11/Q16/Q20 derive the part↔supplier relation (with a supply-cost
+/ value stand-in) from lineitem, Q4/Q21 replace the commit/receipt
+lateness predicate with shipdate vs orderdate — the adaptation is
+noted per query. Semantics (join shape, subquery structure, agg
 pattern) follow the official TPC-H spec queries.
 
 Scale notes: every query here shuffles only on uniform keys
@@ -687,4 +688,202 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp.join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                       MIN(l_extendedprice / l_quantity) AS ps_supplycost
+                FROM lineitem GROUP BY 1, 2),
+    eur AS (SELECT s_suppkey, s_acctbal, s_name, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+    pe AS (SELECT * FROM ps JOIN eur ON ps_suppkey = s_suppkey),
+    mn AS (SELECT ps_partkey, MIN(ps_supplycost) AS min_cost FROM pe GROUP BY 1)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           ROUND(ps_supplycost, 6) AS supplycost
+    FROM pe JOIN part ON ps_partkey = p_partkey
+    JOIN mn ON pe.ps_partkey = mn.ps_partkey AND ps_supplycost = min_cost
+    WHERE p_size = 15 AND p_type = 'STANDARD'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted: partsupp is derived from lineitem with
+    supply cost = MIN unit price per (part, supplier) — the data has
+    no partsupp). The spec's correlated scalar subquery (min cost per
+    part within the region) becomes a per-part MIN + equality join —
+    the decorrelation Catalyst would apply anyway. Dimension chain
+    region→nation→supplier is broadcast; the only large shuffle is
+    the lineitem group-by on (partkey, suppkey), a uniform key. The
+    exact-equality cost filter is FP-safe: both engines compare the
+    identical IEEE division results. Cites reference parity scope:
+    streamlit_app.py has no query layer (SURVEY §2A)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+    eur = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            broadcast(
+                _t(spark, sf_dir, "nation").join(
+                    broadcast(
+                        _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    pe = ps.join(eur, F.col("ps_suppkey") == F.col("s_suppkey"))
+    mn = pe.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("min_cost"))
+    part_f = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        pe.join(broadcast(part_f), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(mn, "ps_partkey")
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("ps_supplycost", 6).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                       SUM(l_extendedprice) AS ps_value
+                FROM lineitem GROUP BY 1, 2),
+    g AS (SELECT ps_partkey, ps_value
+          FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7')
+    SELECT ps_partkey, ROUND(SUM(ps_value), 2) AS value
+    FROM g GROUP BY ps_partkey
+    HAVING SUM(ps_value) > (SELECT SUM(ps_value) * 0.001 FROM g)
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: part-supplier value = SUM of extended price
+    from lineitem instead of ps_supplycost*ps_availqty). The spec's
+    scalar subquery — the nation-wide value total scaled by the
+    fraction — is a one-row aggregate cross-joined (broadcast) onto
+    the per-part groups; supplier→nation is broadcast, so the only
+    corpus-sized shuffles are the (partkey, suppkey) group-by and the
+    per-part re-aggregation, both uniform keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.sum("l_extendedprice").alias("ps_value"))
+    nat = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            broadcast(_t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    g = ps.join(nat, F.col("ps_suppkey") == F.col("s_suppkey")).select(
+        "ps_partkey", "ps_value"
+    )
+    per_part = g.groupBy("ps_partkey").agg(F.sum("ps_value").alias("raw_value"))
+    thresh = g.agg((F.sum("ps_value") * 0.001).alias("thresh"))
+    return (
+        per_part.join(broadcast(thresh))
+        .filter(F.col("raw_value") > F.col("thresh"))
+        .select("ps_partkey", F.round("raw_value", 2).alias("value"))
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    WITH lo AS (SELECT l_orderkey, l_suppkey,
+                       l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F')
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lo l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3' AND l1.late
+      AND EXISTS (SELECT 1 FROM lo l2 WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lo l3 WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted: a lineitem is late when it ships > 60 days
+    after the order date — the data has no commit/receipt dates).
+    Preserves the spec's EXISTS / NOT EXISTS structure as a left-semi
+    then left-anti self-join of the order-annotated lineitem relation,
+    both keyed on orderkey with the suppkey<>suppkey non-equi
+    conjunct — three shuffles on the same uniform key (Catalyst
+    reuses the exchange), supplier→nation broadcast."""
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lo = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            broadcast(_t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    l1 = lo.filter("late").join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+    l2 = lo.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = lo.filter("late").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
     )
