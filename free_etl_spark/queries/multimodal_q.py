@@ -211,23 +211,33 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image perceptual hash (dHash 9x8 -> 64 bits) through the
     Arrow-batched mapInPandas decoder (PIL when available, md5 stub
     here — operators/multimodal.py:dhash_images). Map-only: no
-    shuffle; at 100 TB this is one pass over the binary column."""
-    from free_etl_spark.operators.multimodal import dhash_images
+    shuffle; at 100 TB this is one pass over the binary column.
 
-    docs = load_table(spark, sf_dir, "documents")
-    payload = docs.select(
-        F.col("doc_id").cast("string").alias("path"),
-        F.encode(
-            F.when(
-                F.col("doc_id") % 25 == 0,
-                F.lit("shared boilerplate image payload"),
-            ).otherwise(F.col("text")),
-            "UTF-8",
-        ).alias("content"),
-    )
-    return dhash_images(payload, force_stub=True).select(
-        F.col("path").cast("long").alias("doc_id"), "dhash64"
-    )
+    The signature relation is persisted per (session, corpus) via the
+    same cache the minhash bands use: the dedup self-join consumes it
+    on BOTH sides, and without the persist Spark plans the decode
+    subtree twice — at real image sizes the decode IS the job's cost,
+    so hashing every image twice would double it."""
+    from free_etl_spark.operators.multimodal import dhash_images
+    from free_etl_spark.queries.dedup import _cached_relation
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        payload = docs.select(
+            F.col("doc_id").cast("string").alias("path"),
+            F.encode(
+                F.when(
+                    F.col("doc_id") % 25 == 0,
+                    F.lit("shared boilerplate image payload"),
+                ).otherwise(F.col("text")),
+                "UTF-8",
+            ).alias("content"),
+        )
+        return dhash_images(payload, force_stub=True).select(
+            F.col("path").cast("long").alias("doc_id"), "dhash64"
+        )
+
+    return _cached_relation(spark, sf_dir, "phash_sig", build)
 
 
 @query(
