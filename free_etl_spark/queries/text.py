@@ -735,3 +735,128 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return boilerplate_line_filter(lines)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule filter + vocabulary coverage — the remaining two
+# staples of a text-curation pass: hard rule gates with per-rule
+# diagnostics, and the corpus token-frequency index that tokenizer /
+# coverage decisions read.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "and", "of", "to", "a", "in", "that", "with"]
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS token_cnt,
+             ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                   / LEN(string_split(text, ' ')), 6) AS mean_word_len,
+             ROUND(CAST(LEN(list_filter(string_split(text, ' '),
+                        x -> regexp_matches(x, '^[a-z]+$'))) AS DOUBLE)
+                   / LEN(string_split(text, ' ')), 6) AS alpha_frac,
+             CAST(LEN(list_intersect(list_distinct(string_split(text, ' ')),
+                  {_STOPWORDS!r})) AS BIGINT) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id, token_cnt, mean_word_len, alpha_frac, stop_hits,
+           (token_cnt BETWEEN 40 AND 5000
+            AND mean_word_len BETWEEN 3 AND 8
+            AND alpha_frac >= 0.9
+            AND stop_hits >= 1) AS keep
+    FROM t
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard rule gate (word-count window, mean-word-length
+    window, alphabetic-word fraction, stopword presence) with per-rule
+    signals kept as diagnostics — the shape of the Rae et al. 2021
+    quality rules, thresholds adapted to this corpus (40 <= tokens <=
+    5000 splits it ~2:1). Pure map-side column expressions: one pruned
+    scan, no shuffle, no Python — at 100 TB this runs at scan speed.
+    The repetition rule of the same paper is text_repetition_score."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    token_cnt = F.size(toks).cast("long")
+    mean_word_len = F.round(
+        F.length(F.replace(F.col("text"), F.lit(" "))).cast("double") / F.size(toks),
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda x: x.rlike("^[a-z]+$"))).cast("double")
+        / F.size(toks),
+        6,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in _STOPWORDS])
+        )
+    ).cast("long")
+    out = docs.select(
+        "doc_id",
+        token_cnt.alias("token_cnt"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    keep = (
+        F.col("token_cnt").between(40, 5000)
+        & F.col("mean_word_len").between(3, 8)
+        & (F.col("alpha_frac") >= 0.9)
+        & (F.col("stop_hits") >= 1)
+    )
+    return out.withColumn("keep", keep)
+
+
+@query(
+    "text_vocab_coverage",
+    oracle="""
+    WITH tok AS (SELECT t.tok FROM documents,
+                 UNNEST(string_split(text, ' ')) AS t(tok)),
+    cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS s FROM cnt)
+    SELECT tok,
+           CAST(ROW_NUMBER() OVER w AS INT) AS rank, cnt,
+           ROUND(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / (SELECT s FROM tot), 6) AS cum_share
+    FROM cnt WINDOW w AS (ORDER BY cnt DESC, tok)
+    ORDER BY rank LIMIT 50
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency index: top-50 tokens by count with
+    cumulative corpus coverage — what tokenizer-vocabulary and
+    coverage-threshold decisions read. One shuffle on token for the
+    counts (two-phase partial agg); the ranked window then runs over
+    the AGGREGATED vocab relation — dimension-sized (|vocab|, not
+    |corpus|), so the single-partition global sort is deliberate and
+    cheap at any corpus size. Ties order by (count DESC, token) for a
+    total deterministic order."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(_tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = cnt.agg(F.sum("cnt").cast("double").alias("s"))
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    cum = Window.orderBy(F.desc("cnt"), "tok").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cnt.join(F.broadcast(total))
+        .select(
+            "tok",
+            F.row_number().over(w).cast("int").alias("rank"),
+            "cnt",
+            F.round(F.sum("cnt").over(cum).cast("double") / F.col("s"), 6).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("rank")
+        .limit(50)
+    )

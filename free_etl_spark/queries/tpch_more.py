@@ -774,7 +774,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
           JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7')
     SELECT ps_partkey, ROUND(SUM(ps_value), 2) AS value
     FROM g GROUP BY ps_partkey
-    HAVING SUM(ps_value) > (SELECT SUM(ps_value) * 0.001 FROM g)
+    HAVING SUM(ps_value) >
+           (SELECT SUM(ps_value) * 1.5 / COUNT(DISTINCT ps_partkey) FROM g)
     ORDER BY value DESC, ps_partkey
     """,
 )
@@ -803,7 +804,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ps_partkey", "ps_value"
     )
     per_part = g.groupBy("ps_partkey").agg(F.sum("ps_value").alias("raw_value"))
-    thresh = g.agg((F.sum("ps_value") * 0.001).alias("thresh"))
+    # scale-free threshold (1.5x the mean per-part value): the spec's
+    # fixed fraction is SF-scaled by TPC-H itself; a constant here
+    # degenerates to zero rows as the part count grows
+    thresh = g.agg(
+        (F.sum("ps_value") * 1.5 / F.countDistinct("ps_partkey")).alias("thresh")
+    )
     return (
         per_part.join(broadcast(thresh))
         .filter(F.col("raw_value") > F.col("thresh"))
