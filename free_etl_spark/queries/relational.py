@@ -566,3 +566,40 @@ def join_right_outer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
+
+
+@query(
+    "agg_regression_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*)                                              AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           ROUND(median(l_quantity), 6)                          AS median_qty,
+           ROUND(median(l_extendedprice), 4)                     AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regression_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (extendedprice regressed on
+    quantity per return flag) plus exact medians — the OLS family
+    (regr_slope/regr_intercept/regr_r2) is a one-pass mergeable
+    aggregate (sums of x, y, xx, xy, yy), so it map-side combines and
+    scales like any sum; exact median is the only non-mergeable member
+    (Spark sorts within each group — at 100 TB prefer the
+    approx_percentile sketch of agg_approx_percentiles; this query is
+    the exact-answer reference). No reference parity (the reference
+    computes no aggregates — SURVEY.md §2A "notably absent")."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.round(F.median("l_quantity"), 6).alias("median_qty"),
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+    )

@@ -860,3 +860,170 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical-diversity, intra-document dedup, and corpus-LM surprisal —
+# round-5 additions to the curation suite.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_entropy_ttr",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT)          AS token_cnt,
+           CAST(COUNT(*) AS BIGINT)        AS type_cnt,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr,
+           ROUND((LN(CAST(SUM(c) AS DOUBLE))
+                  - SUM(c * LN(CAST(c AS DOUBLE))) / SUM(c)) / LN(2), 6)
+                                           AS word_entropy
+    FROM freq GROUP BY doc_id
+    """,
+)
+def text_entropy_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals: type-token ratio and Shannon
+    word entropy per document (low-entropy docs are template/spam-like
+    — a standard curation gate alongside the Gopher rules). Entropy
+    uses the one-pass identity H = log2(N) - (1/N)·Σ c·log2(c), so a
+    single explode → (doc_id, token) count → per-doc merge computes
+    it: two partial-aggregated shuffles keyed by doc_id, no Python, no
+    per-doc vocabulary materialized. Scales linearly in corpus tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    return freq.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("token_cnt"),
+        F.count(F.lit(1)).cast("long").alias("type_cnt"),
+        F.round(F.count(F.lit(1)).cast("double") / n, 6).alias("ttr"),
+        F.round(
+            (F.log(n) - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n)
+            / F.log(F.lit(2.0)),
+            6,
+        ).alias("word_entropy"),
+    )
+
+
+_PARA_W = 3  # chunk width; see text_dedup_paragraphs docstring
+
+
+@query(
+    "text_dedup_paragraphs",
+    oracle=f"""
+    WITH lines AS (
+      SELECT doc_id, CAST((s - 1) // {_PARA_W} AS INT) AS pos,
+             array_to_string(string_split(text, ' ')[s:s+{_PARA_W - 1}], ' ') AS line
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')) + 1,
+                                        {_PARA_W})) AS s)
+    ),
+    ranked AS (
+      SELECT doc_id, pos, line,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+      FROM lines
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS kept_chunks,
+           CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS dropped_chunks,
+           COALESCE(string_agg(line, ' ' ORDER BY pos)
+                    FILTER (WHERE rn = 1), '')             AS clean_text
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def text_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-paragraph removal (keep the first
+    occurrence, drop later repeats, reassemble in order) — the
+    within-doc complement of the cross-doc text_boilerplate_lines
+    filter (C4 does both). As there, the single-line synthetic corpus
+    stands in paragraphs with deterministic 3-token chunks (at sf0.01,
+    3 chunks recur within a doc, so the drop path is exercised); real
+    newline input segments with split(text, '\\n\\n') through the same
+    relational core. One window (first-occurrence rank over doc-local
+    chunks, partitioned by doc_id+chunk so state is per-document) +
+    one per-doc aggregation; the ordered reassembly is a
+    collect_list/array_sort over each doc's own chunks — bounded by
+    document size, never corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id",
+        F.expr(
+            f"inline(transform(sequence(1, size(split(text, ' ')), {_PARA_W}),"
+            f" s -> struct(CAST((s - 1) DIV {_PARA_W} AS INT) AS pos,"
+            f" array_join(slice(split(text, ' '), s, {_PARA_W}), ' ') AS line)))"
+        ),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id", "line").orderBy("pos")
+    )
+    ranked = lines.select("doc_id", "pos", "line", rn.alias("rn"))
+    keep = F.col("rn") == 1
+    kept_struct = F.when(keep, F.struct("pos", "line"))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.when(keep, F.lit(1))).cast("long").alias("kept_chunks"),
+        F.count(F.when(~keep, F.lit(1))).cast("long").alias("dropped_chunks"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["line"]
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    lm AS (
+      SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+    ),
+    tot AS (SELECT SUM(c) AS n FROM lm)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS token_cnt,
+           ROUND(-AVG(LN(CAST(lm.c AS DOUBLE) / tot.n)) / LN(2), 6)
+                                    AS mean_surprisal_bits
+    FROM tok t JOIN lm ON t.tok = lm.tok CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram-LM surprisal per document (mean -log2 p(w), the
+    CCNet/KenLM-perplexity quality signal reduced to its unigram
+    form): one corpus pass builds the LM (token → count, two-phase
+    partial agg), the per-doc score then joins each token against the
+    LM. The LM is vocabulary-sized — a dimension table — so the join
+    is BROADCAST (map-side); the only corpus-sized shuffle is the
+    final per-doc aggregation. Every token stays JVM-side; at 100 TB
+    the LM for a real vocab (~1e6 rows) still broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    lm = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = lm.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        tok.join(F.broadcast(lm), "tok")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("token_cnt"),
+            F.round(
+                -F.avg(F.log(F.col("c").cast("double") / F.col("n")))
+                / F.log(F.lit(2.0)),
+                6,
+            ).alias("mean_surprisal_bits"),
+        )
+    )
