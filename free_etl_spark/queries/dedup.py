@@ -818,3 +818,67 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("canon_fp", "doc_id", "n_chars", "lang")
     )
+
+
+_CONTAIN_T = 0.5
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH {_SH_SQL},
+    {_SHC_SQL},
+    cand AS (
+      SELECT a.doc_id AS doc_src, b.doc_id AS doc_in, COUNT(*) AS inter
+      FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_src, doc_in, inter,
+           ROUND(CAST(inter AS DOUBLE) / sa.n_sh, 6) AS containment
+    FROM cand JOIN csizes sa ON cand.doc_src = sa.doc_id
+    WHERE ROUND(CAST(inter AS DOUBLE) / sa.n_sh, 6) >= {_CONTAIN_T}
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs: |A∩B| / |A| ≥ τ over the
+    df-capped shingle sets — the sub-document-duplication detector
+    Jaccard misses (a short doc fully quoted inside a long one has
+    high containment but low Jaccard because the union is dominated by
+    the long doc; broder's "containment" vs "resemblance"). Directed:
+    (doc_src, doc_in) means doc_src's shingles mostly appear in
+    doc_in. Same scale shape as dedup_ngram_jaccard — inverted-index
+    equi-join on df-capped postings (the cap bounds per-shingle join
+    cost at df², no quadratic escape hatch), one pair aggregation;
+    only the normalizer differs, so the shared persisted shingle
+    relation serves both."""
+    sh = _shingles(spark, sf_dir)
+    capped = (
+        sh.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+        .filter(F.col("__df") <= _DF_CAP)
+        .drop("__df")
+    )
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    src = capped.join(sizes, "doc_id")
+    a = src.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_src"),
+            F.col("b.doc_id").alias("doc_in"),
+            F.col("a.n_sh").alias("n_src"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return pairs.select(
+        "doc_src",
+        "doc_in",
+        "inter",
+        F.round(F.col("inter").cast("double") / F.col("n_src"), 6).alias(
+            "containment"
+        ),
+    ).filter(F.col("containment") >= _CONTAIN_T)

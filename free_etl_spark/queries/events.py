@@ -854,3 +854,74 @@ def join_asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("near_c_ts").alias("near_ts_us"),
         F.col("near_c_value").alias("near_value"),
     )
+
+
+@query(
+    "events_gap_fill",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_type,
+             COUNT(*) AS c, FLOOR(AVG(value) * 10000) / 10000 AS av
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT MIN(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS mn,
+             MAX(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS mx
+      FROM events
+    ),
+    grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr FROM b),
+    g AS (SELECT t.event_type, grid.hr
+          FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN grid)
+    SELECT g.event_type,
+           CAST(g.hr AS TIMESTAMP)            AS hour_start,
+           CAST(COALESCE(h.c, 0) AS BIGINT)   AS event_cnt,
+           (h.c IS NOT NULL)                  AS has_data,
+           LAST_VALUE(h.av IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+    FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.hr = h.hr
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-grid gap filling with forward fill — the time-series
+    resampling staple (hypertable rollup / `date_bin` + locf in
+    TimescaleDB terms): build the complete (event_type × hour) grid
+    over the observed span, left-join the hourly aggregates, zero-fill
+    counts and carry the last observed hourly average forward through
+    empty hours (NULL before the first observation, like SQL locf).
+    Scale shape: the only corpus-sized work is the hourly pre-
+    aggregation (one partial-agg shuffle); the grid is types × hours —
+    a dimension relation that grows with the time span, not the data
+    volume — built by exploding sequence() from a one-row bounds agg
+    and broadcast against the distinct types, and the forward-fill
+    window runs per type over that dimension, so at 100 TB the fill
+    cost is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz")
+    # floor-scaling, not ROUND: an hourly mean can land exactly on a
+    # half boundary, where Spark rounds half-up and DuckDB half-even
+    hourly = ev.groupBy(hr.alias("hr"), "event_type").agg(
+        F.count(F.lit(1)).alias("c"),
+        (F.floor(F.avg("value") * 10000) / 10000).alias("av"),
+    )
+    bounds = ev.agg(F.min(hr).alias("mn"), F.max(hr).alias("mx"))
+    grid = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("hr")
+    )
+    types = ev.select("event_type").distinct()
+    g = types.crossJoin(F.broadcast(grid))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        g.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            F.col("hr").alias("hour_start"),
+            F.coalesce("c", F.lit(0)).cast("long").alias("event_cnt"),
+            F.col("c").isNotNull().alias("has_data"),
+            F.last("av", ignorenulls=True).over(w).alias("filled_avg"),
+        )
+    )

@@ -545,3 +545,226 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recon_err0"),
     )
+
+
+_PQ_M = 8        # subspaces (64-dim embedding -> 8 x 8-dim subvectors)
+_PQ_SUB = 8      # dims per subspace
+_PQ_C = 64       # codewords per subspace (codebook = first C vectors' subvectors)
+_PQ_TOPK = 10
+_PQ_R_FLOOR = 50  # ADC shortlist size = max(floor, N/10), corpus-scaled
+
+
+def _pq_oracle() -> str:
+    sub = "[m * {s} + 1 : m * {s} + {s}]".format(s=_PQ_SUB)
+    dist = (
+        f"list_sum(list_transform(list_zip(v.emb{sub}, cb.cemb{sub}),"
+        " z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    )
+    pdot = (
+        f"list_sum(list_transform(list_zip(q.emb{sub}, cb.cemb{sub}),"
+        " z -> z[1] * z[2]))"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+    cb AS (SELECT vec_id AS c, emb AS cemb FROM v WHERE vec_id < {_PQ_C}),
+    codes AS (
+      SELECT vec_id, m, c FROM (
+        SELECT v.vec_id, ms.m, cb.c,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id, ms.m
+                                  ORDER BY {dist}, cb.c) AS rn
+        FROM v CROSS JOIN ms CROSS JOIN cb)
+      WHERE rn = 1
+    ),
+    cbsq AS (
+      SELECT ms.m, cb.c,
+             list_sum(list_transform(cb.cemb{sub}, x -> x * x)) AS sq
+      FROM cb CROSS JOIN ms
+    ),
+    rnorm AS (
+      SELECT codes.vec_id, SQRT(SUM(cbsq.sq)) AS rnrm
+      FROM codes JOIN cbsq ON codes.m = cbsq.m AND codes.c = cbsq.c
+      GROUP BY codes.vec_id
+    ),
+    q AS (SELECT vec_id AS qid, emb,
+                 SQRT(list_sum(list_transform(emb, x -> x * x))) AS qnrm
+          FROM v WHERE vec_id < {_N_QUERIES}),
+    lut AS (
+      SELECT q.qid, ms.m, cb.c, {pdot} AS pdot
+      FROM q CROSS JOIN ms CROSS JOIN cb
+    ),
+    adc AS (
+      SELECT lut.qid, codes.vec_id AS cid, SUM(lut.pdot) AS adc_dot
+      FROM codes JOIN lut ON codes.m = lut.m AND codes.c = lut.c
+      WHERE codes.vec_id <> lut.qid
+      GROUP BY lut.qid, codes.vec_id
+    ),
+    parm AS (SELECT GREATEST({_PQ_R_FLOOR}, COUNT(*) // 10) AS r
+             FROM embeddings),
+    ranked AS (
+      SELECT adc.qid, adc.cid,
+             ROUND(adc.adc_dot / (q.qnrm * rnorm.rnrm), 6) AS adc_cosine,
+             ROW_NUMBER() OVER (PARTITION BY adc.qid ORDER BY
+               ROUND(adc.adc_dot / (q.qnrm * rnorm.rnrm), 6) DESC, adc.cid) AS rn
+      FROM adc JOIN q ON q.qid = adc.qid
+      JOIN rnorm ON rnorm.vec_id = adc.cid
+    ),
+    nn AS (SELECT vec_id, emb,
+                  SQRT(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM v),
+    shortlist AS (
+      SELECT r.qid, r.cid, r.adc_cosine,
+             ROUND(list_sum(list_transform(list_zip(a.emb, b.emb),
+                   z -> z[1] * z[2])) / (a.nrm * b.nrm), 6) AS exact_cosine
+      FROM ranked r JOIN nn a ON a.vec_id = r.qid JOIN nn b ON b.vec_id = r.cid
+      WHERE r.rn <= (SELECT r FROM parm)
+    )
+    SELECT qid, cid, adc_cosine, exact_cosine, CAST(rn AS INT) AS rnk FROM (
+      SELECT qid, cid, adc_cosine, exact_cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY exact_cosine DESC, cid) AS rn
+      FROM shortlist)
+    WHERE rn <= {_PQ_TOPK}
+    """
+
+
+@query("sim_pq_topk", oracle=_pq_oracle())
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) — the fourth member
+    of the ANN family next to brute force, LSH, and IVF. The 64-dim
+    space splits into M=8 8-dim subspaces; each subspace has a C=64
+    codeword codebook (deterministically the first C vectors'
+    subvectors, the same first-K-by-id quantizer convention as IVF, so
+    DuckDB replays it); every vector encodes as its per-subspace
+    nearest codeword. Queries score candidates via ADC (asymmetric
+    distance computation): a per-query lookup table of
+    query-subvector · codeword partial dots (M×C = 512 entries) turns
+    each candidate's approximate dot product into M table lookups —
+    the candidate scan reads M small codes per vector (8 B here,
+    vs 512 B of raw floats), which is PQ's entire point at 100 TB:
+    the code relation is ~64× smaller than the corpus. ADC ranks a
+    corpus-scaled shortlist (R = max(50, N/10), mirrored by the
+    oracle's COUNT(*) expression — isotropic synthetic vectors are
+    PQ's worst case, so R scales with N to hold recall; clustered
+    real embeddings would need a smaller R) whose raw vectors alone
+    are fetched for the exact cosine re-rank to top-k — the standard
+    two-stage PQ serving shape. Approximate cosine normalizes by the
+    RECONSTRUCTED norm (the true norm is unknown to a code-only
+    scan). Plan shape: codebook (64 rows), LUT (512·5 rows) and
+    queries (5) all broadcast; encoding is one map pass over the
+    corpus; the ADC aggregation is the only corpus-sized shuffle.
+    Recall@10 vs the exact answer is pinned by
+    tests/test_ann_quality.py."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    subs = F.array(
+        *[F.slice("emb", m * _PQ_SUB + 1, _PQ_SUB) for m in range(_PQ_M)]
+    )
+    vsub = emb.select("vec_id", F.posexplode(subs).alias("m", "sub"))
+    cb = emb.filter(F.col("vec_id") < _PQ_C).select(
+        F.col("vec_id").alias("c"), F.posexplode(subs).alias("m", "csub")
+    )
+    d2 = F.aggregate(
+        F.zip_with("sub", "csub", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id", "m").orderBy(F.col("d2"), F.col("c"))
+    )
+    codes = (
+        vsub.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "c", d2.alias("d2"))
+        .select("vec_id", "m", "c", rn.alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "c")
+    )
+    cbsq = cb.select(
+        "m",
+        "c",
+        F.aggregate(
+            F.col("csub"), F.lit(0.0), lambda a, x: a + x * x
+        ).alias("sq"),
+    )
+    rnorm = (
+        codes.join(F.broadcast(cbsq), ["m", "c"])
+        .groupBy("vec_id")
+        .agg(F.sqrt(F.sum("sq")).alias("rnrm"))
+    )
+    full_nrm = F.sqrt(
+        F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.posexplode(subs).alias("m", "qsub"),
+    )
+    qn = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), full_nrm.alias("qnrm")
+    )
+    pdot = F.aggregate(
+        F.zip_with("qsub", "csub", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    lut = q.join(F.broadcast(cb), "m").select("qid", "m", "c", pdot.alias("pdot"))
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "c"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum("pdot").alias("adc_dot"))
+    )
+    ranked = (
+        adc.join(F.broadcast(qn), "qid")
+        .join(rnorm, adc.cid == rnorm.vec_id)
+        .select(
+            "qid",
+            "cid",
+            F.round(F.col("adc_dot") / (F.col("qnrm") * F.col("rnrm")), 6).alias(
+                "adc_cosine"
+            ),
+        )
+    )
+    shortlist_r = max(_PQ_R_FLOOR, emb.count() // 10)
+    w = Window.partitionBy("qid").orderBy(F.col("adc_cosine").desc(), F.col("cid"))
+    top = ranked.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= shortlist_r
+    )
+    nn = emb.select("vec_id", "emb", full_nrm.alias("nrm"))
+    a = nn.select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = nn.select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    exact = F.aggregate(
+        F.zip_with("a_emb", "b_emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        top.join(F.broadcast(a), "qid")
+        .join(b, "cid")
+        .select(
+            "qid",
+            "cid",
+            "adc_cosine",
+            F.round(exact / (F.col("a_nrm") * F.col("b_nrm")), 6).alias(
+                "exact_cosine"
+            ),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("exact_cosine").desc(), F.col("cid")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select("qid", "cid", "adc_cosine", "exact_cosine", "rnk")
+    )

@@ -277,3 +277,23 @@ def test_ivf_kmeans_codebook_recall(spark, tmp_path):
         recalls.append(len(set(exact) & set(in_probe)) / 5)
     assert min(recalls) >= 0.6, recalls
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_pq_recall_at_10(spark):
+    """sim_pq_topk's ADC shortlist + exact re-rank must recover ≥ 80%
+    of the exact cosine top-10 on average (measured 0.88 at this SF:
+    [0.9, 0.8, 0.9, 0.9, 0.9]), ≥ 60% for every query. Isotropic
+    synthetic vectors are PQ's worst case — clustered real embeddings
+    reconstruct far better — so this is a conservative floor."""
+    ids, C = _corpus()
+    got: dict[int, set[int]] = {}
+    for r in QUERIES["sim_pq_topk"](spark, SF_DIR).collect():
+        got.setdefault(r.qid, set()).add(r.cid)
+    recalls = []
+    for q in range(5):
+        qi = int(np.where(ids == q)[0][0])
+        order = np.argsort(-C[qi])
+        exact = [int(ids[j]) for j in order if ids[j] != q][:10]
+        recalls.append(len(got.get(q, set()) & set(exact)) / 10)
+    assert min(recalls) >= 0.6, recalls
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
