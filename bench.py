@@ -72,6 +72,12 @@ HEADLINE = [
     # perceptual-hash image near-dup
     "text_boilerplate_lines",
     "multimodal_phash_dedup",
+    # r5 second wave: unigram-LM surprisal, sub-document containment,
+    # PQ ANN, time-grid gap fill
+    "text_unigram_logprob",
+    "dedup_ngram_containment",
+    "sim_pq_topk",
+    "events_gap_fill",
 ]
 
 

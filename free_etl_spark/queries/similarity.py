@@ -672,15 +672,17 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    rn = F.row_number().over(
-        Window.partitionBy("vec_id", "m").orderBy(F.col("d2"), F.col("c"))
-    )
+    # argmin as a hash aggregate (min over (d2, c) structs — struct
+    # ordering gives the same deterministic (distance, codeword)
+    # tie-break as the oracle's ROW_NUMBER) instead of a row_number
+    # window: no sort, and the N×C candidate rows partial-aggregate
+    # map-side down to N×M code rows before the shuffle.
     codes = (
         vsub.join(F.broadcast(cb), "m")
-        .select("vec_id", "m", "c", d2.alias("d2"))
-        .select("vec_id", "m", "c", rn.alias("rn"))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "c")
+        .select("vec_id", "m", F.struct(d2.alias("d2"), "c").alias("dc"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("dc").alias("dc"))
+        .select("vec_id", "m", F.col("dc.c").alias("c"))
     )
     cbsq = cb.select(
         "m",
