@@ -962,6 +962,16 @@ def text_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" array_join(slice(split(text, ' '), s, {_PARA_W}), ' ') AS line)))"
         ),
     )
+    return paragraph_dedup_filter(lines)
+
+
+def paragraph_dedup_filter(lines: DataFrame) -> DataFrame:
+    """Core of text_dedup_paragraphs over a generic (doc_id, pos,
+    line) relation — real newline-delimited corpora feed it
+    ``posexplode(split(text, '\\n\\n'))`` segments (tested in
+    tests/test_queries_smoke.py), the registered query feeds token
+    chunks. Keeps each document's first occurrence of every line,
+    reassembles in position order."""
     rn = F.row_number().over(
         Window.partitionBy("doc_id", "line").orderBy("pos")
     )

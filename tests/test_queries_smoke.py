@@ -256,3 +256,62 @@ def test_boilerplate_query_doc_count_invariant(spark):
     assert len(pdf) == n_docs
     assert (pdf["kept_lines"] + pdf["dropped_lines"] > 0).all()
     assert pdf["dropped_lines"].sum() > 0  # drop path exercised
+
+
+def test_paragraph_dedup_drops_repeats_keeps_order(spark):
+    """Real newline-paragraph input through paragraph_dedup_filter: a
+    repeated paragraph survives once (first occurrence), order is
+    preserved, unique docs pass through untouched."""
+    import pyspark.sql.functions as F
+
+    from free_etl_spark.queries.text import paragraph_dedup_filter
+
+    docs = spark.createDataFrame(
+        [
+            (0, "intro text\nrepeated para\nmiddle bit\nrepeated para\nend"),
+            (1, "only unique\ncontent here"),
+            (2, "same\nsame\nsame"),
+        ],
+        "doc_id long, text string",
+    )
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    )
+    res = (
+        paragraph_dedup_filter(lines).toPandas().set_index("doc_id").sort_index()
+    )
+    assert res.loc[0, "clean_text"] == "intro text repeated para middle bit end"
+    assert res.loc[0, "dropped_chunks"] == 1
+    assert res.loc[1, "dropped_chunks"] == 0
+    assert res.loc[1, "clean_text"] == "only unique content here"
+    assert res.loc[2, "kept_chunks"] == 1 and res.loc[2, "dropped_chunks"] == 2
+
+
+def test_containment_detects_subdocument(spark, tmp_path):
+    """A short doc fully quoted inside a long one must surface with
+    containment 1.0 in the (short -> long) direction — the asymmetric
+    case Jaccard misses (the same pair's Jaccard is well under the
+    0.2 near-dup threshold)."""
+    short = "alpha bravo charlie delta echo foxtrot"
+    long_ = (
+        "zero one two three four five six seven eight nine ten eleven "
+        + short
+        + " twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    )
+    rows = [
+        (0, short, "en", "src0", len(short)),
+        (1, long_, "en", "src0", len(long_)),
+        (2, "totally unrelated words in this document", "en", "src0", 40),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    cont = (
+        entrymod.queries()["dedup_ngram_containment"](spark, str(tmp_path))
+        .toPandas()
+        .set_index(["doc_src", "doc_in"])
+    )
+    assert cont.loc[(0, 1), "containment"] == 1.0
+    assert (2, 1) not in cont.index and (2, 0) not in cont.index
+    jac = entrymod.queries()["dedup_ngram_jaccard"](spark, str(tmp_path)).toPandas()
+    assert not ((jac.doc_a == 0) & (jac.doc_b == 1)).any()  # jaccard misses it
