@@ -9,7 +9,7 @@ dimension sides are broadcast explicitly. (SURVEY.md §2B.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -602,4 +602,115 @@ def agg_regression_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
         F.round(F.median("l_quantity"), 6).alias("median_qty"),
         F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+    )
+
+
+@query(
+    "agg_hll_sketch_union",
+    oracle="""
+    WITH per_type AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS d
+      FROM events GROUP BY event_type
+    )
+    SELECT CAST((SELECT COUNT(*) FROM per_type) AS BIGINT) AS n_types,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT)
+             AS exact_global,
+           CAST((SELECT SUM(d) FROM per_type) AS BIGINT) AS sum_per_type,
+           TRUE AS within_tolerance
+    """,
+)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-event-type HLL sketches of
+    user_id, unioned into one global sketch whose estimate must land
+    within 5% of the exact global distinct. This is the re-aggregation
+    property that makes distinct counts tierable at 100 TB — daily
+    partition sketches union into monthly/global counts WITHOUT
+    rescanning raw data, which a plain COUNT(DISTINCT) can never do
+    (sum_per_type > exact_global in the output shows why: users span
+    types, so distincts don't add). The sketch bytes are
+    engine-specific, so the oracled surface is `within_tolerance`
+    (the agg_approx_distinct convention) plus the exact values."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+        F.countDistinct("user_id").alias("d"),
+    )
+    est = F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_global"))
+    merged = per_type.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        est.alias("est"),
+        F.sum("d").alias("sum_per_type"),
+    )
+    return (
+        merged.join(F.broadcast(exact))
+        .select(
+            "n_types",
+            "exact_global",
+            "sum_per_type",
+            (
+                F.abs(F.col("est") - F.col("exact_global"))
+                <= F.greatest(F.lit(1.0), 0.05 * F.col("exact_global"))
+            ).alias("within_tolerance"),
+        )
+    )
+
+
+@query(
+    "orders_rfm_segmentation",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             datediff('day', MAX(CAST(o_orderdate AS TIMESTAMP)),
+                      (SELECT MAX(CAST(o_orderdate AS TIMESTAMP)) FROM orders))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             NTILE(5) OVER (ORDER BY recency_days ASC,  o_custkey) AS r,
+             NTILE(5) OVER (ORDER BY frequency  DESC, o_custkey) AS f,
+             NTILE(5) OVER (ORDER BY monetary   DESC, o_custkey) AS m,
+             monetary
+      FROM cust
+    )
+    SELECT r, f, m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(monetary), 2)  AS total_monetary
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) customer segmentation — the
+    classic marketing-analytics quintile grid: per-customer order
+    recency, count, and spend, each NTILE(5)-scored (1 = best; ties
+    broken by custkey so the quintile boundaries are deterministic),
+    aggregated to segment cells. Scale note: the per-customer rollup
+    is an ordinary partial-agg shuffle, but global NTILE is a
+    single-partition sort over the CUSTOMER dimension (not the orders
+    fact) — acceptable for dimension-sized inputs; at billions of
+    customers swap NTILE for approx_percentile boundary lookups, which
+    this repo's percentiles_by_type already demonstrates."""
+    o = _t(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("gmax"))
+    cust = (
+        o.join(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("gmax"), F.max("o_orderdate")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+    )
+    r = F.ntile(5).over(Window.orderBy(F.asc("recency_days"), "o_custkey"))
+    f_ = F.ntile(5).over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+    m = F.ntile(5).over(Window.orderBy(F.desc("monetary"), "o_custkey"))
+    scored = cust.select(
+        "o_custkey", r.alias("r"), f_.alias("f"), m.alias("m"), "monetary"
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.sum("monetary"), 2).alias("total_monetary"),
     )
