@@ -861,7 +861,7 @@ def join_asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
       SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_type,
-             COUNT(*) AS c, FLOOR(AVG(value) * 10000) / 10000 AS av
+             COUNT(*) AS c, ROUND(SUM(value), 2) / COUNT(*) AS av
       FROM events GROUP BY 1, 2
     ),
     b AS (
@@ -898,11 +898,14 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is unchanged."""
     ev = load_table(spark, sf_dir, "events")
     hr = F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz")
-    # floor-scaling, not ROUND: an hourly mean can land exactly on a
-    # half boundary, where Spark rounds half-up and DuckDB half-even
+    # rounded-sum-over-count, not ROUND(AVG): the 2-decimal source
+    # values put group means exactly on decimal rounding grids where
+    # Spark (half-up) and DuckDB (half-even) flip; the sum's grid sits
+    # maximally far from its 0.005 boundary, and one IEEE division of
+    # identical doubles is engine-deterministic
     hourly = ev.groupBy(hr.alias("hr"), "event_type").agg(
         F.count(F.lit(1)).alias("c"),
-        (F.floor(F.avg("value") * 10000) / 10000).alias("av"),
+        (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("av"),
     )
     bounds = ev.agg(F.min(hr).alias("mn"), F.max(hr).alias("mx"))
     grid = bounds.select(
@@ -924,4 +927,38 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").isNotNull().alias("has_data"),
             F.last("av", ignorenulls=True).over(w).alias("filled_avg"),
         )
+    )
+
+
+@query(
+    "events_heatmap_dow_hour",
+    oracle="""
+    SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS INT)      AS hod,
+           CAST(COUNT(*) AS BIGINT)                      AS event_cnt,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)       AS uniq_users,
+           ROUND(SUM(value), 2) / COUNT(*)               AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity matrix (the ops-dashboard
+    heatmap): grouping on derived calendar parts, which Catalyst
+    evaluates map-side before the partial aggregation — the shuffle
+    carries at most 7×24 groups per partition regardless of corpus
+    size. DuckDB's dayofweek is 0-6 (Sunday=0) vs Spark's 1-7
+    (Sunday=1), so the engine shifts to the DuckDB convention."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("event_cnt"),
+        F.countDistinct("user_id").alias("uniq_users"),
+        # the source values are 2-decimal, so group means land exactly
+        # on any decimal rounding grid and ROUND/FLOOR both flip
+        # between engines; round the SUM (whose grid sits maximally
+        # far from the 0.005 boundary) and divide — one IEEE division
+        # of identical doubles is engine-deterministic
+        (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_value"),
     )

@@ -232,3 +232,32 @@ def scalar_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("same_props")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(event_id & 255 AS BIGINT)        AS low_byte,
+           CAST(event_id | 4096 AS BIGINT)       AS set_bit,
+           CAST(xor(event_id, user_id) AS BIGINT) AS xored,
+           CAST(event_id << 2 AS BIGINT)         AS shl2,
+           CAST(event_id >> 3 AS BIGINT)         AS shr3,
+           CAST(bit_count(event_id) AS INT)      AS popcount
+    FROM events WHERE event_id % 100 = 0
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar coverage (AND/OR/XOR/shifts/popcount) — the
+    primitive layer hash-partitioners, bloom filters, and bitmap
+    indexes are built from. Pure map-side codegen expressions."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("set_bit"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("xored"),
+        F.shiftleft(F.col("event_id"), 2).alias("shl2"),
+        F.shiftright(F.col("event_id"), 3).alias("shr3"),
+        F.bit_count("event_id").alias("popcount"),
+    )
