@@ -25,7 +25,7 @@ from free_etl_spark.tables import load_table
            MIN(value)                        AS min_value,
            MAX(value)                        AS max_value,
            ROUND(SUM(value), 2)              AS sum_value,
-           ROUND(AVG(value), 4)              AS avg_value
+           ROUND(SUM(value), 2) / COUNT(*)   AS avg_value
     FROM events
     GROUP BY event_type
     """,
@@ -38,7 +38,10 @@ def agg_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
         F.round(F.sum("value"), 2).alias("sum_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        # rounded-sum-over-count, not ROUND(AVG): 2-decimal source
+        # values put group means on decimal grids where half-up vs
+        # half-even rounding flips between engines
+        (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_value"),
     )
 
 
