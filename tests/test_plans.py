@@ -172,6 +172,10 @@ def test_near_dup_plans_have_no_cartesian_products(spark):
         "dedup_embedding_cosine",
         "sim_ann_lsh",
         "text_contamination_check",
+        "dedup_ngram_containment",
+        "sim_pq_topk",
+        "text_unigram_logprob",
+        "text_boilerplate_lines",
     ]:
         a = audit(spark, name, SF_DIR)
         assert a["cartesian_joins"] == 0, name
