@@ -202,3 +202,40 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
     out = run_to_completion(deduped.select("user_id", "event_type", "ts"), "append")
     return out.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "streaming_sliding_windows",
+    oracle="""
+    SELECT win_start, event_type, COUNT(*) AS event_cnt,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM (
+      SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP))
+                  + CASE WHEN minute(CAST(ts AS TIMESTAMP)) >= 30
+                         THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+                  - s.off * INTERVAL 30 MINUTE AS TIMESTAMP) AS win_start,
+             event_type, value
+      FROM events CROSS JOIN (VALUES (0), (1)) AS s(off)
+    )
+    GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) 1-hour/30-minute windowed aggregation as a
+    Structured Streaming job — each event lands in exactly two open
+    windows, so the state store carries two window rows per
+    (window, type) group until the watermark closes them. Same
+    stream-equals-batch contract as streaming_hourly_counts: the
+    oracle is the batch events_sliding_windows arithmetic."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type").agg(
+        F.count(F.lit(1)).alias("event_cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    out = run_to_completion(agg, "complete")
+    return out.select(
+        F.col("window.start").cast("timestamp_ntz").alias("win_start"),
+        "event_type",
+        "event_cnt",
+        "sum_value",
+    )

@@ -230,3 +230,13 @@ def test_streaming_intake_bounded_batches(spark, tmp_path):
     manifests = [f for f in os.listdir(out) if f.startswith("manifest-")]
     assert len(manifests) == 3  # one micro-batch (and manifest) per file
     assert {"f0.csv", "f1.csv", "f2.csv"} <= set(os.listdir(out))
+
+
+def test_streaming_sliding_windows_equals_batch(spark):
+    from free_etl_spark.streaming.windows import streaming_sliding_windows
+
+    stream_res = streaming_sliding_windows(spark, SF_DIR).toPandas()
+    batch_res = QUERIES["events_sliding_windows"](spark, SF_DIR).toPandas()
+    s = stream_res.sort_values(["win_start", "event_type"], ignore_index=True)
+    b = batch_res.sort_values(["win_start", "event_type"], ignore_index=True)
+    pd.testing.assert_frame_equal(s, b[s.columns])
