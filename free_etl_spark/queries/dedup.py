@@ -851,6 +851,10 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost at df², no quadratic escape hatch), one pair aggregation;
     only the normalizer differs, so the shared persisted shingle
     relation serves both."""
+    # intersections are symmetric, so the self-join runs ONCE in
+    # undirected doc_a < doc_b form (half the candidate volume of a
+    # directed join) carrying BOTH capped set sizes; each undirected
+    # pair then fans out to its two directed rows map-side.
     sh = _shingles(spark, sf_dir)
     capped = (
         sh.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
@@ -858,27 +862,45 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__df")
     )
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    src = capped.join(sizes, "doc_id")
-    a = src.alias("a")
-    b = capped.alias("b")
+    sized = capped.join(sizes, "doc_id")
+    a = sized.alias("a")
+    b = sized.alias("b")
     pairs = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_src"),
-            F.col("b.doc_id").alias("doc_in"),
-            F.col("a.n_sh").alias("n_src"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return pairs.select(
-        "doc_src",
-        "doc_in",
+    directed = pairs.select(
         "inter",
-        F.round(F.col("inter").cast("double") / F.col("n_src"), 6).alias(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_src"),
+                    F.col("doc_b").alias("doc_in"),
+                    F.col("n_a").alias("n_src"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_src"),
+                    F.col("doc_a").alias("doc_in"),
+                    F.col("n_b").alias("n_src"),
+                ),
+            )
+        ).alias("d"),
+    )
+    return directed.select(
+        F.col("d.doc_src").alias("doc_src"),
+        F.col("d.doc_in").alias("doc_in"),
+        "inter",
+        F.round(F.col("inter").cast("double") / F.col("d.n_src"), 6).alias(
             "containment"
         ),
     ).filter(F.col("containment") >= _CONTAIN_T)
