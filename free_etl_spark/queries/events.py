@@ -965,3 +965,69 @@ def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         # of identical doubles is engine-deterministic
         (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_value"),
     )
+
+
+_EWMA_ALPHA = 0.5  # decay; weight of lag-k observation is (1-alpha)^k
+_EWMA_DEPTH = 8    # bounded window: weights below (1-a)^8 truncate
+
+
+@query(
+    "events_ewma",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      FROM events
+    ),
+    lagged AS (
+      SELECT event_id, event_type, ts_us, value,
+             {", ".join(
+                 f"LAG(value, {k}) OVER (PARTITION BY event_type "
+                 f"ORDER BY ts_us, event_id) AS l{k}"
+                 for k in range(8)
+             )}
+      FROM e
+    )
+    SELECT event_id, event_type, ts_us, value,
+           ROUND((
+             {" + ".join(f"COALESCE(l{k}, 0) * {0.5 ** k!r}" for k in range(8))}
+           ) / (
+             {" + ".join(
+                 f"(CASE WHEN l{k} IS NOT NULL THEN {0.5 ** k!r} ELSE 0 END)"
+                 for k in range(8)
+             )}
+           ), 6) AS ewma
+    FROM lagged
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per event type — the
+    standard smoothing pass a monitoring/feature pipeline applies
+    before thresholding. The recursive EWMA definition is not a
+    window aggregate, so this uses the depth-8 truncation (weights
+    (1-α)^k, k<8; the dropped tail is ≤ (1-α)^8 ≈ 0.4% of the mass):
+    eight LAG terms with a renormalizing denominator over the
+    observations actually present. All fixed-depth window expressions
+    — one shuffle on event_type, codegen arithmetic, identical
+    left-to-right fold in both engines so the doubles match exactly
+    before the final ROUND."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts_us", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    lags = [F.lag("value", k).over(w) for k in range(_EWMA_DEPTH)]
+    weights = [(1.0 - _EWMA_ALPHA) ** k for k in range(_EWMA_DEPTH)]
+    num = None
+    den = None
+    for lk, wk in zip(lags, weights):
+        term = F.coalesce(lk, F.lit(0.0)) * F.lit(wk)
+        mask = F.when(lk.isNotNull(), F.lit(wk)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = mask if den is None else den + mask
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts_us",
+        "value",
+        F.round(num / den, 6).alias("ewma"),
+    )
