@@ -169,3 +169,49 @@ def udf_map_in_pandas_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage runs inside the scan stage."""
     ev = _t(spark, sf_dir, "events")
     return ev.select("event_id", "props").mapInPandas(_enrich_batches, _ENRICH_SCHEMA)
+
+
+@query(
+    "udf_python_udtf_chunks",
+    oracle="""
+    SELECT doc_id, CAST((s - 1) // 10 AS INT) AS pos,
+           array_to_string(string_split(text, ' ')[s:s+9], ' ') AS chunk,
+           CAST(LEN(string_split(text, ' ')[s:s+9]) AS INT)     AS n_tokens
+    FROM documents,
+         LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')) + 1,
+                                      10)) AS s)
+    WHERE doc_id % 20 = 0
+    """,
+)
+def udf_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, the one-row-in/N-rows-out UDF shape
+    added in Spark 3.5/4.x): each document expands to its 10-token
+    chunks via a lateral join against the UDTF. Like the other udf_*
+    queries this proves the plumbing with SQL-expressible logic (the
+    oracle replays the chunker relationally); a real body would be a
+    tokenizer or sentence splitter. Scale note: UDTFs execute in the
+    Python worker per input row — keep them off the hot path (the
+    relational chunker in text_boilerplate_lines does this same job
+    JVM-side); the doc_id % 20 filter is pushed below the lateral
+    join, so the UDTF only sees the sampled rows."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos int, chunk string, n_tokens int")
+    class ChunkSplit:
+        def eval(self, text: str, width: int):
+            toks = text.split(" ")
+            for i in range(0, len(toks), width):
+                piece = toks[i : i + width]
+                yield i // width, " ".join(piece), len(piece)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "text")
+    )
+    docs.createOrReplaceTempView("udtf_docs_in")
+    spark.udtf.register("chunk_split", ChunkSplit)
+    return spark.sql(
+        "SELECT doc_id, c.pos, c.chunk, c.n_tokens "
+        "FROM udtf_docs_in, LATERAL chunk_split(text, 10) AS c"
+    )
