@@ -88,7 +88,7 @@ def array_agg_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "map_props_stats",
     oracle="""
-    SELECT k_mod, COUNT(*) AS n, ROUND(AVG(k_val), 4) AS avg_k
+    SELECT k_mod, COUNT(*) AS n, CAST(SUM(k_val) AS DOUBLE) / COUNT(*) AS avg_k
     FROM (
       SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
              CAST(json_extract(props, '$.k') AS DOUBLE) AS k_val
@@ -111,7 +111,9 @@ def map_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_mod")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("k_val"), 4).alias("avg_k"),
+            # sum-over-count: integer-valued k puts ROUND(AVG) on
+            # engine-divergent boundaries (see tpch_q1 note)
+            (F.sum("k_val").cast("double") / F.count(F.lit(1))).alias("avg_k"),
         )
     )
 

@@ -23,7 +23,7 @@ from free_etl_spark.tables import load_table
              AS null_custkey,
            ROUND(MIN(o_totalprice), 2) AS min_price,
            ROUND(MAX(o_totalprice), 2) AS max_price,
-           ROUND(AVG(o_totalprice), 4) AS avg_price,
+           ROUND(SUM(o_totalprice), 2) / COUNT(*) AS avg_price,
            COUNT(DISTINCT o_orderstatus) AS n_statuses,
            CAST(MIN(o_orderdate) AS TIMESTAMP) AS min_date,
            CAST(MAX(o_orderdate) AS TIMESTAMP) AS max_date
@@ -42,7 +42,8 @@ def quality_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_custkey"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        # rounded-sum-over-count: see tpch_q1 rounding note
+        (F.round(F.sum("o_totalprice"), 2) / F.count(F.lit(1))).alias("avg_price"),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
         F.min("o_orderdate").alias("min_date"),
         F.max("o_orderdate").alias("max_date"),

@@ -32,9 +32,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
-           ROUND(AVG(l_discount), 6)                                   AS avg_disc,
+           CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*)                  AS avg_qty,
+           ROUND(SUM(l_extendedprice), 2) / COUNT(*)                   AS avg_price,
+           ROUND(SUM(l_discount), 2) / COUNT(*)                        AS avg_disc,
            COUNT(*)                                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -55,9 +55,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # sum-over-count, not ROUND(AVG): the decimal-grid source
+            # columns can put a group mean exactly on a rounding
+            # boundary, where Spark (half-up) and DuckDB (half-even)
+            # disagree; sums round safely (their grid sits far from
+            # the boundary) and one IEEE division is deterministic
+            (F.sum("l_quantity").cast("double") / F.count(F.lit(1))).alias(
+                "avg_qty"
+            ),
+            (F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            (F.round(F.sum("l_discount"), 2) / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

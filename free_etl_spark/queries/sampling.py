@@ -114,7 +114,7 @@ def data_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sample_train_test_split",
     oracle=f"""
-    SELECT split, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM (
       SELECT CASE WHEN {_H16_SQL.format(c="doc_id")} < CAST(0.8 * 65536 AS INT)
                   THEN 'train' ELSE 'test' END AS split,
@@ -138,7 +138,11 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            # sum-over-count: integer n_chars puts ROUND(AVG) on
+            # engine-divergent boundaries (see tpch_q1 note)
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+                "avg_chars"
+            ),
         )
     )
 
