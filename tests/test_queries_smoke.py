@@ -315,3 +315,22 @@ def test_containment_detects_subdocument(spark, tmp_path):
     assert (2, 1) not in cont.index and (2, 0) not in cont.index
     jac = entrymod.queries()["dedup_ngram_jaccard"](spark, str(tmp_path)).toPandas()
     assert not ((jac.doc_a == 0) & (jac.doc_b == 1)).any()  # jaccard misses it
+
+
+def test_ewma_matches_python_bruteforce(spark):
+    """events_ewma must equal a direct per-row Python evaluation of the
+    depth-8 truncated EWMA (guards the lag/weight algebra against the
+    engine and oracle agreeing on the wrong formula)."""
+    res = (
+        entrymod.queries()["events_ewma"](spark, SF_DIR)
+        .toPandas()
+        .sort_values(["event_type", "ts_us", "event_id"], ignore_index=True)
+    )
+    for etype, grp in res.groupby("event_type"):
+        vals = grp["value"].tolist()
+        for i in (0, 1, len(vals) // 2, len(vals) - 1):
+            window = vals[max(0, i - 7) : i + 1][::-1]  # current first
+            weights = [0.5**k for k in range(len(window))]
+            expect = sum(w * v for w, v in zip(weights, window)) / sum(weights)
+            got = grp.iloc[i]["ewma"]
+            assert abs(got - round(expect, 6)) < 1e-9, (etype, i)
