@@ -185,6 +185,46 @@ def _jaccard_pairs(shingles: DataFrame) -> DataFrame:
     )
 
 
+def _capped_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected df-capped pair statistics (doc_a < doc_b, inter,
+    n_a, n_b) over the full corpus, persisted per (session, corpus):
+    the Jaccard and containment queries are both pure projections of
+    this relation (only the normalizer differs), and the candidate
+    self-join is by far their dominant cost — in the 10× duplication
+    probe it is ~30-120 s while each projection is milliseconds, so
+    sharing it means the second consumer is free."""
+
+    def build() -> DataFrame:
+        sh = _shingles(spark, sf_dir)
+        capped = (
+            sh.withColumn(
+                "__df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+            )
+            .filter(F.col("__df") <= _DF_CAP)
+            .drop("__df")
+        )
+        sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        sized = capped.join(sizes, "doc_id")
+        a = sized.alias("a")
+        b = sized.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.n_sh").alias("n_a"),
+                F.col("b.n_sh").alias("n_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+
+    return _cached_relation(spark, sf_dir, "capped_pairs", build)
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -209,8 +249,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     df ≤ {_DF_CAP} cap bounds per-shingle join cost at C(cap,2), so
     the plan has no quadratic escape hatch — the MinHash/LSH variant
     below bounds candidates further by banding."""
-    pairs = _jaccard_pairs(_shingles(spark, sf_dir))
-    return pairs.filter(F.col("jaccard") >= _JACCARD_T)
+    pairs = _capped_pair_stats(spark, sf_dir)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+            6,
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= _JACCARD_T)
 
 
 def _minhash_band_sql() -> str:
@@ -851,34 +900,11 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost at df², no quadratic escape hatch), one pair aggregation;
     only the normalizer differs, so the shared persisted shingle
     relation serves both."""
-    # intersections are symmetric, so the self-join runs ONCE in
-    # undirected doc_a < doc_b form (half the candidate volume of a
-    # directed join) carrying BOTH capped set sizes; each undirected
-    # pair then fans out to its two directed rows map-side.
-    sh = _shingles(spark, sf_dir)
-    capped = (
-        sh.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
-        .filter(F.col("__df") <= _DF_CAP)
-        .drop("__df")
-    )
-    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sized = capped.join(sizes, "doc_id")
-    a = sized.alias("a")
-    b = sized.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    # intersections are symmetric, so the candidate work is the shared
+    # undirected _capped_pair_stats relation (one self-join per
+    # session/corpus, reused by dedup_ngram_jaccard); each undirected
+    # pair fans out to its two directed rows map-side.
+    pairs = _capped_pair_stats(spark, sf_dir)
     directed = pairs.select(
         "inter",
         F.explode(
