@@ -525,6 +525,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from free_etl_spark.operators.vectors import (
         centroid_rank,
         cosine_scored_pairs,
+        probe_dim,
         scaled_centroid_k,
     )
 
@@ -534,14 +535,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < scaled_centroid_k(emb.count())).select(
         F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
     )
+    dim = probe_dim(emb)
     asn = (
-        centroid_rank(emb, cent).filter(F.col("rn") == 1).select("vec_id", "cent_id")
+        centroid_rank(emb, cent, dim)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
     )
     a = asn.select(F.col("vec_id").alias("vec_a"), "cent_id")
     b = asn.select(F.col("vec_id").alias("vec_b"), "cent_id")
     cand = a.join(b, "cent_id").filter(F.col("vec_a") < F.col("vec_b")).select(
         "vec_a", "vec_b"
     )
+    # pair scoring keeps the fold (see sim_ann_lsh note: unrolled is
+    # slower in the post-join projection, faster only map-side)
     return cosine_scored_pairs(cand, emb).filter(F.col("cosine") >= _COS_T)
 
 

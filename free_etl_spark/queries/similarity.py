@@ -198,6 +198,10 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the oracle computes the identical value from COUNT(*))
     bits = lsh_bits(emb.count())
     cand = lsh_candidate_pairs(emb, bits)
+    # NB: the unrolled-dim fast path is deliberately NOT used here —
+    # it wins on map-side centroid assignment but measured slower
+    # inside the post-join pair-scoring projection (38.8 s vs 31.0 s
+    # at the 10x probe), so pair scoring keeps the fold.
     return cosine_scored_pairs(cand, emb).filter(F.col("cosine") >= _LSH_COS_T)
 
 
@@ -338,7 +342,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so probes are partition-pruned reads; here clusters live in one
     DataFrame. Recall vs the exact top-k is pinned by
     tests/test_ann_quality.py."""
-    from free_etl_spark.operators.vectors import centroid_rank, scaled_centroid_k
+    from free_etl_spark.operators.vectors import (
+        centroid_rank,
+        probe_dim,
+        scaled_centroid_k,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
@@ -347,7 +355,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
     )
-    ranked = centroid_rank(emb, cent)
+    ranked = centroid_rank(emb, cent, probe_dim(emb))
     asn = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
     probe = (
         ranked.filter((F.col("rn") <= _IVF_NPROBE) & (F.col("vec_id") < _N_QUERIES))
@@ -434,14 +442,16 @@ def emb_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries k×64 partial sums — independent of corpus size; the
     iteration count is a constant, so the whole job is a fixed DAG
     (no driver loop). The oracle unrolls both iterations in SQL."""
-    from free_etl_spark.operators.vectors import centroid_rank
+    from free_etl_spark.operators.vectors import centroid_rank, probe_dim
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
 
     def assign(vecs: DataFrame, cents: DataFrame, with_d2: bool = False) -> DataFrame:
-        ranked = centroid_rank(vecs, cents).filter(F.col("rn") == 1)
+        ranked = centroid_rank(vecs, cents, probe_dim(vecs)).filter(
+            F.col("rn") == 1
+        )
         cols = ["vec_id", "cent_id"] + (["d2"] if with_d2 else [])
         return ranked.select(*cols)
 
