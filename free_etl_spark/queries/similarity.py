@@ -677,11 +677,14 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = emb.filter(F.col("vec_id") < _PQ_C).select(
         F.col("vec_id").alias("c"), F.posexplode(subs).alias("m", "csub")
     )
-    d2 = F.aggregate(
-        F.zip_with("sub", "csub", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
+    # unrolled 8-term distance (identical add order to the oracle's
+    # list_sum fold): the encode join is map-side (broadcast codebook),
+    # the context where the codegen-native form wins (see vectors.py
+    # probe_dim note)
+    d2 = F.lit(0.0)
+    for _i in range(1, _PQ_SUB + 1):
+        _d = F.element_at("sub", _i) - F.element_at("csub", _i)
+        d2 = d2 + _d * _d
     # argmin as a hash aggregate (min over (d2, c) structs — struct
     # ordering gives the same deterministic (distance, codeword)
     # tie-break as the oracle's ROW_NUMBER) instead of a row_number
