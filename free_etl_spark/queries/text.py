@@ -1037,3 +1037,166 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_surprisal_bits"),
         )
     )
+
+
+# fixed, md5-free literal weights for the linear quality model — a
+# stand-in for trained fastText/logreg coefficients; the shape (dense
+# features -> dot -> sigmoid) is what matters, and both engines replay
+# the same literals.
+_QC_W = {
+    "bias": -2.0,
+    "log_tokens": 0.55,
+    "mean_word_len": 0.35,
+    "alpha_frac": 1.2,
+    "stop_hit": 0.8,
+    "ttr": -0.6,
+}
+
+
+@query(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             LN(CAST(LEN(string_split(text, ' ')) AS DOUBLE)) AS log_tokens,
+             CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+               / LEN(string_split(text, ' ')) AS mean_word_len,
+             CAST(LEN(list_filter(string_split(text, ' '),
+                  x -> regexp_matches(x, '^[a-z]+$'))) AS DOUBLE)
+               / LEN(string_split(text, ' ')) AS alpha_frac,
+             CASE WHEN LEN(list_intersect(list_distinct(string_split(text, ' ')),
+                  {_STOPWORDS!r})) > 0 THEN 1.0 ELSE 0.0 END AS stop_hit,
+             CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / LEN(string_split(text, ' ')) AS ttr
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id,
+             {_QC_W['bias']!r} + {_QC_W['log_tokens']!r} * log_tokens
+             + {_QC_W['mean_word_len']!r} * mean_word_len
+             + {_QC_W['alpha_frac']!r} * alpha_frac
+             + {_QC_W['stop_hit']!r} * stop_hit
+             + {_QC_W['ttr']!r} * ttr AS z
+      FROM t
+    )
+    SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS quality_prob,
+           (1.0 / (1.0 + EXP(-z)) >= 0.5) AS keep
+    FROM z
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter — the third standard curation
+    archetype next to hard rules (text_gopher_rules) and LM surprisal
+    (text_unigram_logprob): a linear classifier over cheap lexical
+    features with a sigmoid score and a 0.5 keep gate, the shape of
+    the fastText/logreg quality models used by LLaMA/CCNet-style
+    pipelines (here with fixed literal weights — training the weights
+    is out of scope, serving them is the engine's job). Pure map-side
+    column arithmetic: one pruned scan, no shuffle, no Python — at
+    100 TB this runs at scan speed, and swapping in trained weights
+    is a literal change."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks).cast("double")
+    feats = {
+        "log_tokens": F.log(n),
+        "mean_word_len": F.length(F.replace(F.col("text"), F.lit(" "))).cast(
+            "double"
+        )
+        / n,
+        "alpha_frac": F.size(
+            F.filter(toks, lambda x: x.rlike("^[a-z]+$"))
+        ).cast("double")
+        / n,
+        "stop_hit": F.when(
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(toks),
+                    F.array(*[F.lit(w) for w in _STOPWORDS]),
+                )
+            )
+            > 0,
+            1.0,
+        ).otherwise(0.0),
+        "ttr": F.size(F.array_distinct(toks)).cast("double") / n,
+    }
+    z = F.lit(_QC_W["bias"])
+    for name, col in feats.items():
+        z = z + F.lit(_QC_W[name]) * col
+    prob = 1.0 / (1.0 + F.exp(-z))
+    return docs.select(
+        "doc_id",
+        F.round(prob, 6).alias("quality_prob"),
+        (prob >= 0.5).alias("keep"),
+    )
+
+
+@query(
+    "sample_importance_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    corpus AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    ctot AS (SELECT SUM(c) AS n FROM corpus),
+    target AS (SELECT tok, COUNT(*) AS c FROM tok WHERE lang = 'en'
+               GROUP BY tok),
+    ttot AS (SELECT SUM(c) AS n FROM target)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS token_cnt,
+           ROUND(SUM(LN((COALESCE(tg.c, 0) + 1.0)
+                        / (ttot.n + (SELECT COUNT(*) FROM corpus)))
+                     - LN((co.c + 1.0)
+                          / (ctot.n + (SELECT COUNT(*) FROM corpus))))
+                 / COUNT(*), 6) AS log_ratio_per_token
+    FROM tok t
+    JOIN corpus co ON t.tok = co.tok
+    LEFT JOIN target tg ON t.tok = tg.tok
+    CROSS JOIN ctot CROSS JOIN ttot
+    GROUP BY t.doc_id
+    """,
+)
+def sample_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023): per-token
+    log-ratio of an add-one-smoothed target-domain unigram LM (here:
+    the lang='en' slice) against the whole-corpus LM, averaged per
+    document — documents whose token distribution resembles the
+    target get high weights and are upsampled for training. Both LMs
+    are vocabulary-sized aggregates (two passes over the exploded
+    tokens, both broadcast into the scoring join); the per-doc
+    aggregation is the only corpus-sized shuffle — identical scale
+    shape to text_unigram_logprob, just with two LMs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(_tokens()).alias("tok"))
+    corpus = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    target = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    vocab = corpus.agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum("c").cast("double").alias("cn"),
+    )
+    ttot = target.agg(F.sum("tc").cast("double").alias("tn"))
+    scored = (
+        tok.join(F.broadcast(corpus), "tok")
+        .join(F.broadcast(target), "tok", "left")
+        .join(F.broadcast(vocab))
+        .join(F.broadcast(ttot))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                    / (F.col("tn") + F.col("v"))
+                )
+                - F.log((F.col("c") + 1.0) / (F.col("cn") + F.col("v")))
+            ).alias("lr"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("token_cnt"),
+        F.round(F.sum("lr") / F.count(F.lit(1)), 6).alias("log_ratio_per_token"),
+    )
