@@ -73,11 +73,13 @@ HEADLINE = [
     "text_boilerplate_lines",
     "multimodal_phash_dedup",
     # r5 second wave: unigram-LM surprisal, sub-document containment,
-    # PQ ANN, time-grid gap fill
+    # PQ ANN, time-grid gap fill, model-based quality gate, DSIR
     "text_unigram_logprob",
     "dedup_ngram_containment",
     "sim_pq_topk",
     "events_gap_fill",
+    "text_quality_classifier",
+    "sample_importance_weights",
 ]
 
 

@@ -21,6 +21,8 @@ import __spark_entry__ as entrymod  # noqa: E402
 _SWITCH_TARGETS = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_ngram_containment",   # shares the capped-pairs cache
+    "multimodal_phash_dedup",    # per-corpus phash signature cache
     "text_contamination_check",
     "source_csv_roundtrip",
     "join_bucketed_colocated",
