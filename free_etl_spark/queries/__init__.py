@@ -17,6 +17,7 @@ from free_etl_spark.queries import (  # noqa: F401
     similarity,
     sources_q,
 )
+from free_etl_spark.streaming import curation as streaming_curation  # noqa: F401
 from free_etl_spark.streaming import joins as streaming_joins  # noqa: F401
 from free_etl_spark.streaming import stateful as streaming_stateful  # noqa: F401
 from free_etl_spark.streaming import windows as streaming_windows  # noqa: F401

@@ -240,3 +240,29 @@ def test_streaming_sliding_windows_equals_batch(spark):
     s = stream_res.sort_values(["win_start", "event_type"], ignore_index=True)
     b = batch_res.sort_values(["win_start", "event_type"], ignore_index=True)
     pd.testing.assert_frame_equal(s, b[s.columns])
+
+
+def test_streaming_quality_gate_equals_batch(spark):
+    from free_etl_spark.streaming.curation import streaming_quality_gate
+
+    res = (
+        streaming_quality_gate(spark, SF_DIR)
+        .toPandas()
+        .sort_values("lang", ignore_index=True)
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    token_cnt = F.size(F.split("text", " "))
+    avg_tok = (
+        F.length(F.replace(F.col("text"), F.lit(" "))).cast("double") / token_cnt
+    )
+    keep = (F.col("n_chars") >= 100) & (token_cnt >= 30) & avg_tok.between(3, 8)
+    batch = (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_seen"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+        )
+        .toPandas()
+        .sort_values("lang", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(res, batch[res.columns])
