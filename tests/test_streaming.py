@@ -243,6 +243,8 @@ def test_streaming_sliding_windows_equals_batch(spark):
 
 
 def test_streaming_quality_gate_equals_batch(spark):
+    import pyspark.sql.functions as F
+
     from free_etl_spark.streaming.curation import streaming_quality_gate
 
     res = (
