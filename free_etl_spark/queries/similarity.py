@@ -783,3 +783,79 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PQ_TOPK)
         .select("qid", "cid", "adc_cosine", "exact_cosine", "rnk")
     )
+
+
+_HN_K = 5
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+             SQRT(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ), q AS (SELECT * FROM n WHERE vec_id < {_N_QUERIES}),
+    p AS (
+      SELECT q.vec_id AS qid, q.label AS q_label,
+             c.vec_id AS neg_id, c.label AS neg_label,
+             ROUND(list_sum(list_transform(list_zip(q.emb, c.emb),
+                   z -> z[1] * z[2])) / (q.nrm * c.nrm), 6) AS cosine
+      FROM q JOIN n c ON q.label <> c.label
+    )
+    SELECT qid, q_label, neg_id, neg_label, cosine, CAST(rn AS INT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, neg_id) AS rn FROM p)
+    WHERE rn <= {_HN_K}
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar vectors carrying a DIFFERENT label — the
+    negatives that actually teach an embedding model (random negatives
+    are trivially separable; the hard ones sit near the decision
+    boundary). Same broadcast-query scan shape as sim_cosine_topk
+    with a label-inequality predicate pushed into the join; at
+    corpus scale the candidate side would route through the LSH/IVF
+    bucket index first (sim_ann_lsh / sim_ivf_topk) — this is the
+    exactness baseline over the label partition."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    nrm = F.sqrt(F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x))
+    n = emb.select("vec_id", "label", "emb", nrm.alias("nrm"))
+    q = n.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    dot_qc = F.aggregate(
+        F.zip_with("q_emb", "c_emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("q_label") != F.col("neg_label"))
+        .select(
+            "qid",
+            "q_label",
+            "neg_id",
+            "neg_label",
+            F.round(dot_qc / (F.col("q_nrm") * F.col("c_nrm")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neg_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _HN_K)
+    )
