@@ -246,3 +246,86 @@ def sample_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("sampled_cnt"), F.lit(0)).cast("long").alias("sampled_cnt"),
         )
     )
+
+
+@query(
+    "sample_budget_selection",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS toks,
+             0.4 * LEAST(1.0, LEN(string_split(text, ' ')) / 80.0)
+             + 0.3 * (CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                      / LEN(string_split(text, ' ')))
+             + 0.3 * LEAST(1.0, LENGTH(text) / 400.0) AS score
+      FROM documents
+    ),
+    hist AS (
+      SELECT CAST(FLOOR(score * 100) AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(toks) AS BIGINT) AS tokens
+      FROM t GROUP BY 1
+    ),
+    c AS (
+      SELECT bucket, n_docs, tokens,
+             CAST(SUM(tokens) OVER (ORDER BY bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens,
+             0.3 * SUM(tokens) OVER () AS budget
+      FROM hist
+    )
+    SELECT bucket, n_docs, tokens, cum_tokens,
+           (cum_tokens - tokens < budget) AS selected
+    FROM c
+    """,
+)
+def sample_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data selection WITHOUT a global sort: rank docs by
+    a quality score and keep the best until a 30%-of-corpus token
+    budget. The naive formulation (ORDER BY score, running sum, cut)
+    is a single-partition sort of the CORPUS — dead at 100 TB. This
+    runs the scalable shape instead: quantize scores into 101 buckets
+    (one map pass), aggregate token counts per bucket (dimension-sized
+    shuffle), cumulative-sum over the BUCKET histogram (a 101-row
+    window), and mark every bucket whose preceding cumulative mass is
+    under budget — the selection predicate (`score-bucket > b*`) then
+    applies map-side to the corpus with at most one bucket of
+    overshoot. Same two-pass threshold design approximate quantile
+    selection uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks_arr = F.split(F.col("text"), " ")
+    toks = F.size(toks_arr).cast("long")
+    score = (
+        0.4 * F.least(F.lit(1.0), F.size(toks_arr) / 80.0)
+        + 0.3
+        * (F.size(F.array_distinct(toks_arr)).cast("double") / F.size(toks_arr))
+        + 0.3 * F.least(F.lit(1.0), F.length("text") / 400.0)
+    )
+    t = docs.select(toks.alias("toks"), score.alias("score"))
+    hist = t.groupBy(
+        F.floor(F.col("score") * 100).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("tokens"),
+    )
+    w_cum = (
+        Window.orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    c = hist.select(
+        "bucket",
+        "n_docs",
+        "tokens",
+        F.sum("tokens").over(w_cum).cast("long").alias("cum_tokens"),
+        (0.3 * F.sum("tokens").over(w_all)).alias("budget"),
+    )
+    return c.select(
+        "bucket",
+        "n_docs",
+        "tokens",
+        "cum_tokens",
+        (F.col("cum_tokens") - F.col("tokens") < F.col("budget")).alias(
+            "selected"
+        ),
+    )
