@@ -334,3 +334,42 @@ def test_ewma_matches_python_bruteforce(spark):
             expect = sum(w * v for w, v in zip(weights, window)) / sum(weights)
             got = grp.iloc[i]["ewma"]
             assert abs(got - round(expect, 6)) < 1e-9, (etype, i)
+
+
+def test_gap_fill_forward_fill_semantics(spark, tmp_path):
+    """Crafted events with a known hole: the empty hour must appear
+    with count 0, has_data false, and the PREVIOUS hour's average
+    carried forward; hours before the first observation stay NULL."""
+    import datetime as dt
+
+    import pandas as pd
+
+    rows = [
+        # type 'a': data in hour 0 and hour 2, hole at hour 1
+        (1, dt.datetime(2024, 1, 1, 0, 10), 10, "a", 4.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 0, 50), 11, "a", 6.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 2, 30), 12, "a", 9.0, "{}"),
+        # type 'b': first appears in hour 2 -> hours 0-1 lead with NULL
+        (4, dt.datetime(2024, 1, 1, 2, 15), 13, "b", 2.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    res = (
+        entrymod.queries()["events_gap_fill"](spark, str(tmp_path))
+        .toPandas()
+        .set_index(["event_type", "hour_start"])
+        .sort_index()
+    )
+    h = lambda k: pd.Timestamp(2024, 1, 1, k)  # noqa: E731
+    assert len(res) == 6  # 2 types x 3 hours
+    a0, a1, a2 = (res.loc[("a", h(k))] for k in (0, 1, 2))
+    assert a0["event_cnt"] == 2 and a0["has_data"] and a0["filled_avg"] == 5.0
+    assert a1["event_cnt"] == 0 and not a1["has_data"] and a1["filled_avg"] == 5.0
+    assert a2["event_cnt"] == 1 and a2["filled_avg"] == 9.0
+    b0, b1, b2 = (res.loc[("b", h(k))] for k in (0, 1, 2))
+    assert b0["event_cnt"] == 0 and pd.isna(b0["filled_avg"])
+    assert b1["event_cnt"] == 0 and pd.isna(b1["filled_avg"])
+    assert b2["event_cnt"] == 1 and b2["filled_avg"] == 2.0
