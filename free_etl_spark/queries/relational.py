@@ -725,3 +725,85 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.round(F.sum("monetary"), 2).alias("total_monetary"),
     )
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           string_agg(cust_tag, ',' ORDER BY cust_tag) AS top_custs
+    FROM (
+      SELECT n_name, 'c' || CAST(c_custkey AS VARCHAR) AS cust_tag,
+             ROW_NUMBER() OVER (PARTITION BY n_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    WHERE rn <= 5
+    GROUP BY n_name
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered grouped string aggregation (STRING_AGG / LISTAGG — the
+    reporting-SQL staple): each nation's top-5 customers by balance
+    concatenated in deterministic order. Spark expresses the ordered
+    aggregate as array_sort(collect_list(...)) + array_join — the
+    per-group arrays are bounded (top-5 via the window filter) so the
+    collect never materializes unbounded state."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rn = F.row_number().over(
+        Window.partitionBy("n_nationkey").orderBy(
+            F.col("c_acctbal").desc(), F.col("c_custkey")
+        )
+    )
+    top = (
+        cust.join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "n_nationkey",
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "cust_tag"
+            ),
+            rn.alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+    return top.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.array_join(F.array_sort(F.collect_list("cust_tag")), ",").alias(
+            "top_custs"
+        ),
+    )
+
+
+@query(
+    "scalar_hash_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           md5(CAST(o_orderkey AS VARCHAR))    AS key_md5,
+           sha256(CAST(o_orderkey AS VARCHAR)) AS key_sha256,
+           CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT
+                % 1024 AS INT)                 AS shard
+    FROM orders WHERE o_orderkey % 500 = 0
+    """,
+)
+def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic-hash scalar coverage (md5 / sha256) plus the
+    hash-derived shard assignment every content-addressed layout is
+    built on — all map-side codegen; the shard derivation (first 8
+    hex chars → int → mod) is the same portable construction the
+    deterministic samplers use."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 500 == 0)
+    key = F.col("o_orderkey").cast("string")
+    shard = (
+        F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % 1024
+    ).cast("int")
+    return o.select(
+        "o_orderkey",
+        F.md5(key.cast("binary")).alias("key_md5"),
+        F.sha2(key.cast("binary"), 256).alias("key_sha256"),
+        shard.alias("shard"),
+    )
