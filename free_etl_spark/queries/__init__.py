@@ -12,6 +12,7 @@ from free_etl_spark.queries import (  # noqa: F401
     setops,
     scalars,
     events,
+    graph,
     text,
     dedup,
     similarity,

@@ -261,3 +261,40 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("event_id"), 3).alias("shr3"),
         F.bit_count("event_id").alias("popcount"),
     )
+
+
+@query(
+    "scalar_variant_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)  AS k_int,
+           json_extract_string(props, '$.k')                  AS k_str,
+           json_extract_string(props, '$.missing')            AS missing_val,
+           CASE WHEN json_valid(props) THEN 'OBJECT' END      AS top_type
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) BETWEEN 10 AND 60
+    """,
+)
+def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type over the events.props JSON payload:
+    ``parse_json`` once into the binary Variant encoding, then typed
+    ``variant_get`` path extraction. At 100 TB this is the
+    semi-structured hot path — Variant decodes the JSON text a single
+    time into a shredded binary form instead of re-parsing the string
+    per extracted field (``get_json_object`` re-parses per call), and
+    the whole pipeline stays in whole-stage codegen. The oracle
+    replays the same paths with DuckDB's JSON extractors."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    out = ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.variant_get(v, "$.missing", "string").alias("missing_val"),
+        F.schema_of_variant(v).alias("top_type"),
+    )
+    # schema_of_variant returns e.g. 'OBJECT<k: BIGINT>' — reduce to
+    # the top-level kind so the oracle is engine-agnostic
+    return out.withColumn(
+        "top_type", F.regexp_extract("top_type", r"^(\w+)", 1)
+    ).filter(F.col("k_int").between(10, 60))

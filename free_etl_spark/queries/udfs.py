@@ -215,3 +215,63 @@ def udf_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, c.pos, c.chunk, c.n_tokens "
         "FROM udtf_docs_in, LATERAL chunk_split(text, 10) AS c"
     )
+
+
+@query(
+    "udf_map_in_arrow_stats",
+    oracle="""
+    SELECT vec_id,
+           CAST(LEN(embedding) AS BIGINT) AS dims,
+           ROUND(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS vmin,
+           ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS vmax,
+           ROUND((CAST(list_aggregate(embedding, 'max') AS DOUBLE)
+                - CAST(list_aggregate(embedding, 'min') AS DOUBLE)) / 255.0, 6)
+             AS int8_scale
+    FROM embeddings
+    """,
+)
+def udf_map_in_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (the fifth Python-surface shape: raw Arrow
+    RecordBatch in/out, no pandas conversion) computing per-vector
+    min/max and the asymmetric-int8 quantization scale. The body works
+    directly on the Arrow list array's buffers — ``values`` +
+    ``offsets`` → ``np.minimum.reduceat`` — zero per-row Python and
+    zero pandas boxing, the cheapest possible Python hop for numeric
+    array columns at 100 TB. min/max are order statistics, so
+    computing them on the raw float32 values then widening to float64
+    gives bit-identical results to the oracle's widen-then-aggregate."""
+    import pyarrow as pa
+
+    def vec_stats(batches):
+        import numpy as np
+
+        for batch in batches:
+            emb = batch.column(batch.schema.get_field_index("embedding"))
+            if isinstance(emb, pa.ChunkedArray):  # pragma: no cover
+                emb = emb.combine_chunks()
+            offsets = emb.offsets.to_numpy()
+            values = emb.values.to_numpy(zero_copy_only=False)
+            dims = np.diff(offsets).astype("int64")
+            # reduceat segments = list boundaries (ragged-safe)
+            starts = offsets[:-1].astype("int64")
+            vmin = np.minimum.reduceat(values, starts).astype("float64")
+            vmax = np.maximum.reduceat(values, starts).astype("float64")
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_id": batch.column(
+                        batch.schema.get_field_index("vec_id")
+                    ),
+                    "dims": pa.array(dims, pa.int64()),
+                    "vmin": pa.array(np.round(vmin, 6), pa.float64()),
+                    "vmax": pa.array(np.round(vmax, 6), pa.float64()),
+                    "int8_scale": pa.array(
+                        np.round((vmax - vmin) / 255.0, 6), pa.float64()
+                    ),
+                }
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(
+        vec_stats,
+        "vec_id bigint, dims bigint, vmin double, vmax double, int8_scale double",
+    )

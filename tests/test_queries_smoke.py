@@ -373,3 +373,65 @@ def test_gap_fill_forward_fill_semantics(spark, tmp_path):
     assert b0["event_cnt"] == 0 and pd.isna(b0["filled_avg"])
     assert b1["event_cnt"] == 0 and pd.isna(b1["filled_avg"])
     assert b2["event_cnt"] == 1 and b2["filled_avg"] == 2.0
+
+
+def test_pagerank_ranks_sum_to_one(spark):
+    """PageRank invariant: with dangling-mass redistribution the rank
+    vector stays a probability distribution after every iteration."""
+    from free_etl_spark.queries.graph import pagerank, transition_edges
+
+    edges = transition_edges(spark, SF_DIR)
+    for iters in (0, 1, 2):
+        ranks = pagerank(edges, iterations=iters)
+        total = ranks.agg({"r": "sum"}).first()[0]
+        assert abs(total - 1.0) < 1e-9, (iters, total)
+
+
+def test_pagerank_dangling_node_handled(spark):
+    """A sink node (no outgoing edges) must not swallow rank mass."""
+    from free_etl_spark.queries.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 1.0)],
+        "src string, dst string, w double",
+    )  # c is dangling
+    ranks = {r["node"]: r["r"] for r in pagerank(edges, 2).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks["c"] > ranks["a"]  # sink receives, start only seeds
+
+
+def test_map_in_arrow_stats_match_jvm(spark):
+    """mapInArrow per-vector min/max must equal the JVM-side
+    array_min/array_max fold (Arrow buffer path vs codegen path)."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as em
+
+    got = (
+        em.queries()["udf_map_in_arrow_stats"](spark, SF_DIR)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    from free_etl_spark.tables import load_table
+
+    ref = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select(
+            "vec_id",
+            F.round(F.array_min("embedding").cast("double"), 6).alias("vmin"),
+            F.round(F.array_max("embedding").cast("double"), 6).alias("vmax"),
+        )
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    assert (got["vmin"].values == ref["vmin"].values).all()
+    assert (got["vmax"].values == ref["vmax"].values).all()
+
+
+def test_variant_extraction_null_for_missing_path(spark):
+    import __spark_entry__ as em
+
+    df = em.queries()["scalar_variant_funcs"](spark, SF_DIR).toPandas()
+    assert df["missing_val"].isna().all()
+    assert (df["top_type"] == "OBJECT").all()
+    assert (df["k_int"].astype(int) == df["k_str"].astype(int)).all()
