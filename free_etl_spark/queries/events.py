@@ -1031,3 +1031,54 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+@query(
+    "events_winsorized_stats",
+    oracle="""
+    WITH pct AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(MIN(p.p01), 4) AS p01,
+           ROUND(MIN(p.p99), 4) AS p99,
+           CAST(SUM(CASE WHEN e.value < p.p01 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_low,
+           CAST(SUM(CASE WHEN e.value > p.p99 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_high,
+           ROUND(SUM(GREATEST(p.p01, LEAST(p.p99, e.value))), 4) / COUNT(*)
+             AS winsor_mean
+    FROM events e JOIN pct p USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped-at-percentile) robust mean per event type —
+    the outlier-trimming step a metrics/curation pipeline runs before
+    averaging heavy-tailed values. Two passes: exact p01/p99 per group
+    (a handful of rows), broadcast back onto the fact scan, clip, and
+    aggregate — the percentile side is group-cardinality-sized, so the
+    join never shuffles the fact table. Exact percentile interpolation
+    (Spark `percentile` ≡ DuckDB quantile_cont) either lands on a data
+    value (both engines return that exact double) or strictly between
+    two grid values (no data value in the open interval), so the clip
+    comparisons classify identically; the clipped sum rounds before
+    the one deterministic division (grid-mean rule, docs/ORACLE.md)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    pct = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    clipped = ev.join(F.broadcast(pct), "event_type").withColumn(
+        "clip", F.greatest("p01", F.least("p99", F.col("value")))
+    )
+    return clipped.groupBy("event_type").agg(
+        F.round(F.min("p01"), 4).alias("p01"),
+        F.round(F.min("p99"), 4).alias("p99"),
+        F.sum((F.col("value") < F.col("p01")).cast("long")).alias("n_clip_low"),
+        F.sum((F.col("value") > F.col("p99")).cast("long")).alias("n_clip_high"),
+        (F.round(F.sum("clip"), 4) / F.count(F.lit(1))).alias("winsor_mean"),
+    )

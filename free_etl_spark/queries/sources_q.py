@@ -68,10 +68,14 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     writer = _slice(spark, sf_dir).write.mode("overwrite").format(fmt)
     if fmt == "csv":
         writer = writer.option("header", True)
+    if fmt == "xml":
+        writer = writer.option("rowTag", "row")
     writer.save(path)
     reader = spark.read.format(fmt).schema(_SLICE_SCHEMA)
     if fmt == "csv":
         reader = reader.option("header", True)
+    if fmt == "xml":
+        reader = reader.option("rowTag", "row")
     return _agg(reader.load(path))
 
 
@@ -94,6 +98,17 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem slice → ORC → ORC scan → aggregate; must hash-equal
     the parquet-side oracle (columnar-to-columnar path)."""
     return _roundtrip(spark, sf_dir, "orc")
+
+
+@query("source_xml_roundtrip", oracle=_ORACLE)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem slice → XML (native source, built-in since Spark 4.0)
+    → explicit-schema XML scan → aggregate; must hash-equal the
+    parquet-side oracle. Scale note: XML files split by rowTag exactly
+    like JSON lines split by record, so the scan parallelizes across
+    executors; the format exists for enterprise landing feeds, not as
+    a storage recommendation."""
+    return _roundtrip(spark, sf_dir, "xml")
 
 
 @query(
