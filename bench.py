@@ -80,6 +80,11 @@ HEADLINE = [
     "events_gap_fill",
     "text_quality_classifier",
     "sample_importance_weights",
+    # r5 third wave: relational PageRank (aggregate-then-iterate),
+    # Arrow-buffer vector stats, winsorized robust means
+    "graph_pagerank_2iter",
+    "udf_map_in_arrow_stats",
+    "events_winsorized_stats",
 ]
 
 

@@ -1082,3 +1082,54 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("value") > F.col("p99")).cast("long")).alias("n_clip_high"),
         (F.round(F.sum("clip"), 4) / F.count(F.lit(1))).alias("winsor_mean"),
     )
+
+
+@query(
+    "events_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(value) AS m,
+             var_samp(value) AS v
+      FROM events GROUP BY event_type
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           ROUND((a.m - b.m) / SQRT(a.v / a.n + b.v / b.n), 6) AS t_stat,
+           ROUND(POWER(a.v / a.n + b.v / b.n, 2)
+                 / (POWER(a.v / a.n, 2) / (a.n - 1)
+                    + POWER(b.v / b.n, 2) / (b.n - 1)), 4) AS dof
+    FROM s a JOIN s b ON a.event_type < b.event_type
+    """,
+)
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic (unequal variances) between every
+    pair of event types — the experiment-analysis primitive. One
+    mergeable-aggregate pass over the fact table produces per-group
+    (n, mean, var); the pairwise t/dof arithmetic then runs over a
+    group-cardinality-sized relation (theta self-join on the handful
+    of aggregate rows, broadcast NL by construction — never the fact
+    table)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    na, nb = F.col("a.n"), F.col("b.n")
+    se_a, se_b = F.col("a.v") / na, F.col("b.v") / nb
+    se2 = se_a + se_b
+    return a.join(b, F.col("a.event_type") < F.col("b.event_type")).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round((F.col("a.m") - F.col("b.m")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (F.pow(se_a, 2) / (na - 1) + F.pow(se_b, 2) / (nb - 1)),
+            4,
+        ).alias("dof"),
+    )

@@ -156,3 +156,52 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
         )
     )
+
+
+@query(
+    "source_schema_evolution",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           CAST(SUM(CASE WHEN o_orderkey > 500 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_priority,
+           CAST(COUNT(DISTINCT CASE WHEN o_orderkey > 500
+                                    THEN o_orderpriority END) AS BIGINT)
+             AS n_priorities
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift across parquet batches: batch 1 lands without the
+    o_orderpriority column, batch 2 with it; ``mergeSchema`` unions
+    the footers (old rows read NULL for the new column) and the
+    ``batch=N`` directory layout doubles as partition discovery. This
+    is the long-lived-dataset reality at 100 TB — producers add
+    columns mid-stream and the reader must reconcile footers without
+    rewriting history. The aggregate over the merged read must equal
+    the oracle computed on the unsplit table."""
+    path = os.path.join(
+        "/tmp",
+        f"fes_schemaevo_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    (
+        orders.filter(F.col("o_orderkey") <= 500)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "batch=1"))
+    )
+    (
+        orders.filter((F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 1000))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "batch=2"))
+    )
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
