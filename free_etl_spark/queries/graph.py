@@ -100,15 +100,16 @@ def pagerank(edges: DataFrame, iterations: int) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum(F.col("p") * F.col("r")).alias("inflow"))
         )
-        # dangling nodes (no outgoing edges) leak their mass — collect
-        # it and spread uniformly so ranks keep summing to 1
-        dangling = (
-            ranks.join(outw, ranks.node == outw.src, "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0.0)))
-            .first()[0]
-        )
+        # dangling nodes (no outgoing edges) leak their mass — fold it
+        # back in as a one-row broadcast (stays inside the plan: no
+        # per-iteration driver action, the whole rank chain evaluates
+        # in one job when the result is consumed)
+        dangling = ranks.join(
+            outw, ranks.node == outw.src, "left_anti"
+        ).agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dmass"))
         ranks = (
             nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
@@ -116,7 +117,7 @@ def pagerank(edges: DataFrame, iterations: int) -> DataFrame:
                     + F.lit(_D)
                     * (
                         F.coalesce(F.col("inflow"), F.lit(0.0))
-                        + F.lit(dangling / n)
+                        + F.col("dmass") / n
                     )
                 ).alias("r"),
             )

@@ -329,3 +329,34 @@ def sample_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "selected"
         ),
     )
+
+
+@query(
+    "sample_shard_assignment",
+    oracle=f"""
+    SELECT ({_H16_SQL.format(c="doc_id")}) % 64 AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def sample_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding — the final step of a training
+    pipeline: each document lands in one of 64 shards by content-hash
+    (stable across repartitioning and reruns, so an interrupted write
+    resumes into identical shards), and the per-shard row/byte stats
+    are the balance audit a 100 TB export needs before the writer
+    fans out ``partitionBy(shard_id)``. The hash-uniform assignment
+    keeps shard sizes within sampling noise of equal — no global sort,
+    no skewed writer."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (_hash16(F.col("doc_id")) % 64).alias("shard_id")
+    return docs.groupBy(shard).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

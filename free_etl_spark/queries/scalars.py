@@ -298,3 +298,75 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "top_type", F.regexp_extract("top_type", r"^(\w+)", 1)
     ).filter(F.col("k_int").between(10, 60))
+
+
+@query(
+    "scalar_array_hof",
+    oracle="""
+    SELECT vec_id,
+           CAST(LEN(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           LEN(list_filter(embedding, x -> x > 0.9)) > 0            AS has_big,
+           LEN(list_filter(embedding, x -> NOT (x < 1.0))) = 0      AS all_lt1,
+           ROUND(list_sum(list_transform(embedding[1:8],
+                 x -> ABS(CAST(x AS DOUBLE)))), 4)                  AS head_l1
+    FROM embeddings
+    """,
+)
+def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions — filter, exists, forall,
+    transform over a slice — all lambda expressions evaluated
+    JVM-side (no Python), the idiom for per-row array logic at
+    100 TB. Complements array_norms' aggregate/zip_with folds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    col = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(col, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.exists(col, lambda x: x > 0.9).alias("has_big"),
+        F.forall(col, lambda x: x < 1.0).alias("all_lt1"),
+        F.round(
+            F.aggregate(
+                F.transform(F.slice(col, 1, 8), lambda x: F.abs(x.cast("double"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("head_l1"),
+    )
+
+
+@query(
+    "scalar_conditional_funcs",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END                                 AS bal_band,
+           ROUND(LEAST(c_acctbal, 1000.0), 2)                   AS capped,
+           ROUND(GREATEST(c_acctbal, 0.0), 2)                   AS floored,
+           CASE WHEN c_nationkey IS NOT NULL
+                THEN 'known' ELSE 'unknown' END                 AS nation_known
+    FROM customer
+    """,
+)
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null-handling scalar functions: coalesce, nullif,
+    CASE bands, least/greatest clamps, nvl2 — all codegen branches,
+    no shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("seg_or_other"),
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.round(F.least("c_acctbal", F.lit(1000.0)), 2).alias("capped"),
+        F.round(F.greatest("c_acctbal", F.lit(0.0)), 2).alias("floored"),
+        F.nvl2("c_nationkey", F.lit("known"), F.lit("unknown")).alias(
+            "nation_known"
+        ),
+    )
