@@ -211,3 +211,57 @@ def scd2_apply(
         F.lit(True).alias(is_current),
     )
     return closed.unionByName(new_versions.select(*closed.columns))
+
+
+def upsert_latest_parquet(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> None:
+    """Conditional MERGE: per key, keep whichever row (target or
+    update) has the greater ``order_cols`` tuple — the classic
+    "WHEN MATCHED AND s.ts > t.ts THEN UPDATE" CDC apply. Because the
+    winner is a per-key max, the operation is order-insensitive:
+    applying CDC batches in any order converges to the same table,
+    which is what makes it safe under micro-batch replays and
+    out-of-order sources. Updates are first reduced to one row per
+    key (window max on the same tuple), so a batch with several
+    changes for a key applies its newest only.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    u1 = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(target_dir)  # noqa: SLF001
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(jvm_path):
+        u1.write.mode("overwrite").parquet(target_dir)
+        return
+    target = spark.read.parquet(target_dir)
+    cols = target.columns
+    u = u1.select(*[F.col(c).alias(f"__u_{c}") for c in cols])
+    cond = [target[k] == u[f"__u_{k}"] for k in key_cols]
+    joined = target.join(u, cond, "full_outer")
+    # update wins iff the target row is absent, or the update's order
+    # tuple is strictly greater (struct comparison is lexicographic)
+    t_order = F.struct(*[F.col(c) for c in order_cols])
+    u_order = F.struct(*[F.col(f"__u_{c}") for c in order_cols])
+    update_wins = F.col(key_cols[0]).isNull() | (
+        F.col(f"__u_{key_cols[0]}").isNotNull() & (u_order > t_order)
+    )
+    merged = joined.select(
+        *[
+            F.when(update_wins, F.col(f"__u_{c}")).otherwise(F.col(c)).alias(c)
+            for c in cols
+        ]
+    )
+    out = merged.localCheckpoint(eager=True)
+    out.write.mode("overwrite").parquet(target_dir)

@@ -77,3 +77,80 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("f.sum_value"), 2).alias("sum_value"),
         )
     )
+
+
+@query(
+    "streaming_cdc_upsert",
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           event_type AS last_type,
+           ROUND(value, 2) AS last_value,
+           CAST(ts AS TIMESTAMP) AS last_ts
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+                                            event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming lakehouse upsert: a change stream applied to a
+    parquet target via foreachBatch + conditional keep-newest MERGE
+    (operators/merge.upsert_latest_parquet). The target is seeded with
+    a compacted snapshot of half the log (even event_ids), the stream
+    replays the other half, and because the merge keeps the per-key
+    max (ts, event_id) it is order-insensitive — any batch slicing or
+    replay converges to the same table, which must equal the global
+    latest-per-key compaction (the oracle). This is the foreachBatch
+    materialized-upsert pattern a production CDC sink uses when no
+    transactional table format is available."""
+    import os
+    import shutil
+
+    from free_etl_spark.operators.merge import upsert_latest_parquet
+    from free_etl_spark.tables import load_table
+
+    target = (
+        f"/tmp/fes_cdc_upsert_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(target, ignore_errors=True)  # idempotent re-run
+
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    # seed: latest-per-key snapshot of the even half of the log
+    seed = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .select(*cols)
+        .filter(F.col("event_id") % 2 == 0)
+    )
+    upsert_latest_parquet(spark, target, seed, ["user_id"], ["ts", "event_id"])
+
+    # change stream: the odd half, applied per micro-batch
+    ev = events_stream(spark, sf_dir).select(*cols).filter(
+        F.col("event_id") % 2 == 1
+    )
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        upsert_latest_parquet(
+            spark, target, batch_df, ["user_id"], ["ts", "event_id"]
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = spark.read.parquet(target)
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 2).alias("last_value"),
+        F.col("ts").cast("timestamp_ntz").alias("last_ts"),
+    )

@@ -208,3 +208,31 @@ def test_apply_deletes_flat_table(spark, tmp_path):
     assert {r["user_id"] for r in spark.read.parquet(target).collect()} == set(
         range(10)
     ) - {3, 7}
+
+
+def test_upsert_latest_keeps_newest_regardless_of_apply_order(spark, tmp_path):
+    """Conditional merge converges to the per-key (ts, id) max no
+    matter which order the CDC batches land in."""
+    from free_etl_spark.operators.merge import upsert_latest_parquet
+
+    schema = "id long, ts long, v string"
+    newer = spark.createDataFrame([(1, 200, "new"), (2, 50, "two")], schema)
+    older = spark.createDataFrame([(1, 100, "old"), (3, 10, "three")], schema)
+
+    for batches in ([newer, older], [older, newer]):
+        tgt = str(tmp_path / f"tgt_{id(batches[0])}")
+        for b in batches:
+            upsert_latest_parquet(spark, tgt, b, ["id"], ["ts"])
+        got = _rows(spark.read.parquet(tgt), "id", "ts", "v")
+        assert got == [(1, 200, "new"), (2, 50, "two"), (3, 10, "three")]
+
+
+def test_upsert_latest_reduces_batch_duplicates(spark, tmp_path):
+    from free_etl_spark.operators.merge import upsert_latest_parquet
+
+    tgt = str(tmp_path / "tgt")
+    batch = spark.createDataFrame(
+        [(1, 100, "a"), (1, 300, "c"), (1, 200, "b")], "id long, ts long, v string"
+    )
+    upsert_latest_parquet(spark, tgt, batch, ["id"], ["ts"])
+    assert _rows(spark.read.parquet(tgt), "id", "ts", "v") == [(1, 300, "c")]
