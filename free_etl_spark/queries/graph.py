@@ -195,3 +195,72 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("event_type"), F.round("r", 6).alias("pagerank")
     )
+
+
+@query(
+    "graph_reachability_rcte",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    edges AS (
+      SELECT DISTINCT src, dst FROM seq
+      WHERE dst IS NOT NULL AND dst <> src
+    ),
+    start AS (SELECT MIN(src) AS node FROM edges),
+    reach(node, depth) AS (
+      SELECT node, 0 FROM start
+      UNION ALL
+      SELECT e.dst, r.depth + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.depth < 3
+    )
+    SELECT node AS event_type,
+           CAST(MIN(depth) AS INT) AS min_depth,
+           CAST(COUNT(*) AS BIGINT) AS n_walks
+    FROM reach GROUP BY node
+    """,
+)
+def graph_reachability_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth reachability over the event-type transition graph
+    via WITH RECURSIVE (in-engine recursion, new in Spark 4) — shortest
+    hop distance and bounded-walk counts from the lexicographically
+    first source node. The recursion runs over the distilled distinct
+    edge relation; the events scan (the 100 TB side) happens once in
+    the seed CTE. The identical recursive SQL runs on DuckDB as the
+    oracle. Complements the DataFrame-loop PageRank above: same
+    aggregate-then-iterate shape, but the iteration is expressed in
+    SQL and executed by the engine's recursion operator."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.select("user_id", "ts", "event_id", "event_type").createOrReplaceTempView(
+        "rcte_events_in"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE seq AS (
+          SELECT event_type AS src,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS dst
+          FROM rcte_events_in
+        ),
+        edges AS (
+          SELECT DISTINCT src, dst FROM seq
+          WHERE dst IS NOT NULL AND dst <> src
+        ),
+        start AS (SELECT MIN(src) AS node FROM edges),
+        reach(node, depth) AS (
+          SELECT node, 0 FROM start
+          UNION ALL
+          SELECT e.dst, r.depth + 1
+          FROM reach r JOIN edges e ON e.src = r.node
+          WHERE r.depth < 3
+        )
+        SELECT node AS event_type,
+               CAST(MIN(depth) AS INT) AS min_depth,
+               CAST(COUNT(*) AS BIGINT) AS n_walks
+        FROM reach GROUP BY node
+        """
+    )

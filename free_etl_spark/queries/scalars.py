@@ -370,3 +370,31 @@ def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation_known"
         ),
     )
+
+
+@query(
+    "scalar_collation_funcs",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_mktsegment) = 'building'           AS is_building_ci,
+           lower(c_name) LIKE lower('%CUSTOMER%')     AS name_has_word_ci,
+           lower(c_mktsegment) IN ('machinery', 'household') AS seg_in_ci
+    FROM customer
+    """,
+)
+def scalar_collation_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware string comparison (Spark 4 collations): the
+    UTF8_LCASE collation makes =, IN and contains case-insensitive
+    without materializing lower() copies — at 100 TB that keeps the
+    comparison inside codegen and lets the optimizer keep pushing the
+    predicate. The oracle replays the semantics with explicit lower()
+    (UTF8_LCASE ≡ lowercase-then-compare for ASCII data like this)."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = F.collate(F.col("c_mktsegment"), "UTF8_LCASE")
+    name = F.collate(F.col("c_name"), "UTF8_LCASE")
+    return c.select(
+        "c_custkey",
+        (seg == F.lit("building")).alias("is_building_ci"),
+        F.contains(name, F.lit("CUSTOMER")).alias("name_has_word_ci"),
+        seg.isin("machinery", "household").alias("seg_in_ci"),
+    )
