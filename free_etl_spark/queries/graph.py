@@ -233,22 +233,23 @@ def graph_reachability_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     the seed CTE. The identical recursive SQL runs on DuckDB as the
     oracle. Complements the DataFrame-loop PageRank above: same
     aggregate-then-iterate shape, but the iteration is expressed in
-    SQL and executed by the engine's recursion operator."""
-    ev = load_table(spark, sf_dir, "events")
-    ev.select("user_id", "ts", "event_id", "event_type").createOrReplaceTempView(
-        "rcte_events_in"
+    SQL and executed by the engine's recursion operator.
+
+    The edge distillation is materialized BEFORE the recursion (the
+    persisted transition_edges relation, registered as a view) — left
+    inline as a CTE, the engine re-evaluates the full-log window scan
+    on every recursion step, which the 10x scale probe measured at
+    ~4x the query's whole runtime. Distill-once-then-recurse is the
+    scale-correct shape for any recursive query whose step joins a
+    derived relation."""
+    edges = transition_edges(spark, sf_dir).filter(
+        F.col("dst") != F.col("src")
     )
+    edges.select("src", "dst").createOrReplaceTempView("rcte_edges_in")
     return spark.sql(
         """
-        WITH RECURSIVE seq AS (
-          SELECT event_type AS src,
-                 LEAD(event_type) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id) AS dst
-          FROM rcte_events_in
-        ),
-        edges AS (
-          SELECT DISTINCT src, dst FROM seq
-          WHERE dst IS NOT NULL AND dst <> src
+        WITH RECURSIVE edges AS (
+          SELECT src, dst FROM rcte_edges_in
         ),
         start AS (SELECT MIN(src) AS node FROM edges),
         reach(node, depth) AS (

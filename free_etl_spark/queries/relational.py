@@ -807,3 +807,39 @@ def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(key.cast("binary"), 256).alias("key_sha256"),
         shard.alias("shard"),
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>`` operators): the Q1-style
+    pricing rollup written as a linear FROM → WHERE → EXTEND →
+    AGGREGATE pipeline. Pipe syntax lowers to the identical logical
+    plan as the nested form — Catalyst sees the same filter pushdown
+    and partial aggregation — so this proves the parser surface, not
+    a new engine path; the oracle is the classic formulation."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "pipe_lineitem_in"
+    )
+    return spark.sql(
+        """
+        FROM pipe_lineitem_in
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        |> AGGREGATE CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+                     ROUND(SUM(disc_price), 2) AS revenue,
+                     COUNT(*) AS n
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, sum_qty, revenue, n
+        """
+    )

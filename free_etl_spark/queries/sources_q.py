@@ -205,3 +205,66 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderpriority").alias("n_with_priority"),
         F.countDistinct("o_orderpriority").alias("n_priorities"),
     )
+
+
+@query(
+    "source_python_datasource",
+    oracle="""
+    SELECT (id * id) % 97 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(id) AS BIGINT) AS sum_id
+    FROM range(0, 8000) t(id)
+    GROUP BY 1
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Python Data Source API (Spark 4): a
+    DataSource subclass whose reader declares 8 InputPartitions, each
+    generating its id range in a Python worker — the pattern for
+    wrapping REST APIs, message queues, or proprietary formats as
+    first-class parallel scans (partition list on the driver, row
+    generation on executors, Arrow-batched back to the JVM). The
+    generator is deterministic, so DuckDB replays it from range()."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _IdRange(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class _SeqReader(DataSourceReader):
+        def partitions(self):
+            return [_IdRange(i * 1000, (i + 1) * 1000) for i in range(8)]
+
+        def read(self, partition):
+            # yield Arrow RecordBatches, not per-row tuples: the API
+            # accepts either, and the batch path skips per-row pickling
+            # (same Arrow lane the pandas UDFs use)
+            import numpy as np
+            import pyarrow as pa
+
+            ids = np.arange(partition.start, partition.end, dtype="int64")
+            yield pa.RecordBatch.from_pydict(
+                {"id": ids, "bucket": (ids * ids) % 97}
+            )
+
+    class _SeqSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "fes_seq"
+
+        def schema(self) -> str:
+            return "id bigint, bucket bigint"
+
+        def reader(self, schema):
+            return _SeqReader()
+
+    spark.dataSource.register(_SeqSource)
+    df = spark.read.format("fes_seq").load()
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("id").cast("long").alias("sum_id"),
+    )

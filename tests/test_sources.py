@@ -127,3 +127,21 @@ def test_max_records_per_file_bounds_file_size(spark, tmp_path):
     files = glob.glob(out + "/part-*.parquet")
     assert len(files) >= 6
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_python_datasource_reads_partition_parallel(spark):
+    """The custom Python data source must expose its 8 InputPartitions
+    as 8 Spark scan partitions (parallel Python workers), not one."""
+    import pyspark.sql.functions as F
+
+    import free_etl_spark.queries as q
+    from tests.conftest import SF_DIR
+
+    # build the raw scan the same way the query does
+    q.QUERIES["source_python_datasource"](spark, SF_DIR)  # registers source
+    raw = spark.read.format("fes_seq").load()
+    nparts = raw.select(
+        F.spark_partition_id().alias("p")
+    ).distinct().count()
+    assert nparts == 8
+    assert raw.count() == 8000

@@ -55,6 +55,15 @@ PROBE_QUERIES = [
     "events_sessionize",
     "events_gap_fill",
     "tpch_q1_pricing_summary",
+    # r5 wave-3: iterative-graph + robust stats + streaming CDC apply
+    # (distillation / percentile pass / merge rewrite are the
+    # data-bound parts; the rank/recursion iterations are
+    # aggregate-sized and should stay flat as the corpus grows)
+    "graph_pagerank_2iter",
+    "graph_reachability_rcte",
+    "events_winsorized_stats",
+    "events_welch_ttest",
+    "streaming_cdc_upsert",
 ]
 
 

@@ -27,6 +27,8 @@ _SWITCH_TARGETS = [
     "source_csv_roundtrip",
     "join_bucketed_colocated",
     "dedup_pipeline_keep_set",
+    "graph_pagerank_2iter",      # per-corpus transition-edge cache
+    "streaming_cdc_upsert",      # per-application target dir rebuild
 ]
 
 
