@@ -265,3 +265,41 @@ def test_no_python_stage_creep_across_registry(spark):
         if a["python_stages"] != 0:
             offenders.append((name, f"python_stages={a['python_stages']}"))
     assert not offenders, offenders
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime bloom-filter semi-join reduction (the AQE-era runtime
+    filter): when a sort-merge join's build side carries a selective
+    filter, the optimizer injects might_contain(bloom_agg(keys)) onto
+    the fact-side scan so most fact rows drop BEFORE the shuffle — at
+    100 TB this is the difference between shuffling the whole fact
+    table and shuffling the matching slice. Thresholds are lowered to
+    make the tiny test tables eligible; production defaults (10 MB
+    creation side / 10 GB application side) express the same shape."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
