@@ -93,3 +93,116 @@ def quality_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame
     long_docs = doc_rules.unpivot([], doc_rules.columns, "rule", "n")
     long_ev = ev_rules.unpivot([], ev_rules.columns, "rule", "n")
     return long_docs.union(long_ev)
+
+
+@query(
+    "quality_psi_drift",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ),
+    bounds AS (
+      SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid FROM ev
+    ),
+    halves AS (
+      SELECT e.event_type, e.value,
+             CASE WHEN e.ts_us < b.mid THEN 0 ELSE 1 END AS half
+      FROM ev e CROSS JOIN bounds b
+    ),
+    cuts AS (
+      SELECT quantile_cont(value, 0.25) AS c1,
+             quantile_cont(value, 0.50) AS c2,
+             quantile_cont(value, 0.75) AS c3
+      FROM halves WHERE half = 0
+    ),
+    bucketed AS (
+      SELECT h.event_type, h.half,
+             CASE WHEN h.value < c.c1 THEN 0
+                  WHEN h.value < c.c2 THEN 1
+                  WHEN h.value < c.c3 THEN 2
+                  ELSE 3 END AS bucket
+      FROM halves h CROSS JOIN cuts c
+    ),
+    counts AS (
+      SELECT event_type, bucket,
+             COUNT(*) FILTER (WHERE half = 0) AS n_base,
+             COUNT(*) FILTER (WHERE half = 1) AS n_cur
+      FROM bucketed GROUP BY event_type, bucket
+    ),
+    totals AS (
+      SELECT event_type,
+             SUM(n_base) AS t_base, SUM(n_cur) AS t_cur
+      FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(SUM(c.n_base) AS BIGINT) AS n_baseline,
+           CAST(SUM(c.n_cur) AS BIGINT)  AS n_current,
+           ROUND(SUM(
+             ((c.n_base + 0.5) / (t.t_base + 2.0)
+              - (c.n_cur + 0.5) / (t.t_cur + 2.0))
+             * LN(((c.n_base + 0.5) / (t.t_base + 2.0))
+                  / ((c.n_cur + 0.5) / (t.t_cur + 2.0)))
+           ), 6) AS psi
+    FROM counts c JOIN totals t USING (event_type)
+    GROUP BY c.event_type
+    """,
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift report per event type: the
+    value distribution of the log's second time half against the
+    first (baseline) half, bucketed by the baseline's exact quartiles,
+    Laplace-smoothed (+0.5 per bucket) so empty buckets stay finite.
+    PSI > 0.2 is the conventional retrain/alert threshold. Three
+    passes, all mergeable aggregates: time bounds (one row), baseline
+    quartiles (one row, broadcast), bucket counts (|types|x4 rows) —
+    the 100 TB fact table is scanned, never shuffled row-wise. The
+    midpoint split and quartile cuts are integer/order-statistic
+    arithmetic, so both engines classify rows identically
+    (docs/ORACLE.md rules)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "ts_us"
+    )
+    bounds = ev.agg(
+        ((F.min("ts_us") + F.max("ts_us")) / 2).cast("long").alias("mid")
+    )
+    halves = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "value",
+        F.when(F.col("ts_us") < F.col("mid"), 0).otherwise(1).alias("half"),
+    )
+    cuts = (
+        halves.filter(F.col("half") == 0)
+        .agg(F.expr("percentile(value, array(0.25, 0.5, 0.75))").alias("c"))
+        .select(
+            F.col("c")[0].alias("c1"),
+            F.col("c")[1].alias("c2"),
+            F.col("c")[2].alias("c3"),
+        )
+    )
+    bucketed = halves.crossJoin(F.broadcast(cuts)).select(
+        "event_type",
+        "half",
+        F.when(F.col("value") < F.col("c1"), 0)
+        .when(F.col("value") < F.col("c2"), 1)
+        .when(F.col("value") < F.col("c3"), 2)
+        .otherwise(3)
+        .alias("bucket"),
+    )
+    counts = bucketed.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    w_tot = F.sum
+    totals = counts.groupBy("event_type").agg(
+        w_tot("n_base").alias("t_base"), w_tot("n_cur").alias("t_cur")
+    )
+    j = counts.join(totals, "event_type")
+    p = (F.col("n_base") + 0.5) / (F.col("t_base") + 2.0)
+    q = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 2.0)
+    return j.groupBy("event_type").agg(
+        F.sum("n_base").cast("long").alias("n_baseline"),
+        F.sum("n_cur").cast("long").alias("n_current"),
+        F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+    )
