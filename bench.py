@@ -85,6 +85,11 @@ HEADLINE = [
     "graph_pagerank_2iter",
     "udf_map_in_arrow_stats",
     "events_winsorized_stats",
+    # r5 fourth wave: in-engine recursion (distill-once), streaming
+    # CDC apply, PSI drift report
+    "graph_reachability_rcte",
+    "streaming_cdc_upsert",
+    "quality_psi_drift",
 ]
 
 
