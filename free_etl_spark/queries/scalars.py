@@ -398,3 +398,45 @@ def scalar_collation_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.contains(name, F.lit("CUSTOMER")).alias("name_has_word_ci"),
         seg.isin("machinery", "household").alias("seg_in_ci"),
     )
+
+
+@query(
+    "scalar_url_funcs",
+    oracle="""
+    SELECT doc_id,
+           'src' || (doc_id % 20) || '.example.com'            AS host,
+           '/' || lang || '/' || doc_id                         AS path,
+           'q=' || lang                                         AS query_str,
+           lang                                                 AS q_param,
+           'a+b%2Bc'                                            AS enc
+    FROM documents
+    """,
+)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing functions — the domain-extraction primitive behind
+    URL-based corpus filtering (blocklists, per-domain quotas).
+    The corpus has no URL column, so a deterministic URL is built per
+    document and parsed back with parse_url (HOST/PATH/QUERY and a
+    keyed query parameter) plus url_encode; the oracle reconstructs
+    each component with plain string arithmetic, so any parse_url
+    deviation from RFC component splitting breaks the hash. JVM
+    codegen end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://src"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?q="),
+        F.col("lang"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query_str"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q_param"),
+        F.url_encode(F.lit("a b+c")).alias("enc"),
+    )
