@@ -1084,6 +1084,43 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def welch_pairs(grouped: DataFrame) -> DataFrame:
+    """Pairwise Welch t/dof over a per-group (event_type, n, m, v)
+    relation. NULLIF guards the degenerate zero-pooled-variance pair:
+    under ANSI mode (Spark 4 default) a bare division would raise
+    DIVIDE_BY_ZERO; with the guard both engines emit NULL."""
+    a, b = grouped.alias("a"), grouped.alias("b")
+    na, nb = F.col("a.n"), F.col("b.n")
+    se_a, se_b = F.col("a.v") / na, F.col("b.v") / nb
+    se2 = se_a + se_b
+    return a.join(b, F.col("a.event_type") < F.col("b.event_type")).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(
+            (F.col("a.m") - F.col("b.m")) / F.nullif(F.sqrt(se2), F.lit(0.0)),
+            6,
+        ).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / F.nullif(
+                F.pow(se_a, 2) / (na - 1) + F.pow(se_b, 2) / (nb - 1),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("dof"),
+    )
+
+
+def welch_group_stats(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+
+
 @query(
     "events_welch_ttest",
     oracle="""
@@ -1096,10 +1133,11 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.event_type AS type_a, b.event_type AS type_b,
            CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
-           ROUND((a.m - b.m) / SQRT(a.v / a.n + b.v / b.n), 6) AS t_stat,
+           ROUND((a.m - b.m) / NULLIF(SQRT(a.v / a.n + b.v / b.n), 0), 6)
+             AS t_stat,
            ROUND(POWER(a.v / a.n + b.v / b.n, 2)
-                 / (POWER(a.v / a.n, 2) / (a.n - 1)
-                    + POWER(b.v / b.n, 2) / (b.n - 1)), 4) AS dof
+                 / NULLIF(POWER(a.v / a.n, 2) / (a.n - 1)
+                          + POWER(b.v / b.n, 2) / (b.n - 1), 0), 4) AS dof
     FROM s a JOIN s b ON a.event_type < b.event_type
     """,
 )
@@ -1112,24 +1150,4 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     of aggregate rows, broadcast NL by construction — never the fact
     table)."""
     ev = load_table(spark, sf_dir, "events")
-    s = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.avg("value").alias("m"),
-        F.var_samp("value").alias("v"),
-    )
-    a, b = s.alias("a"), s.alias("b")
-    na, nb = F.col("a.n"), F.col("b.n")
-    se_a, se_b = F.col("a.v") / na, F.col("b.v") / nb
-    se2 = se_a + se_b
-    return a.join(b, F.col("a.event_type") < F.col("b.event_type")).select(
-        F.col("a.event_type").alias("type_a"),
-        F.col("b.event_type").alias("type_b"),
-        na.cast("long").alias("n_a"),
-        nb.cast("long").alias("n_b"),
-        F.round((F.col("a.m") - F.col("b.m")) / F.sqrt(se2), 6).alias("t_stat"),
-        F.round(
-            F.pow(se2, 2)
-            / (F.pow(se_a, 2) / (na - 1) + F.pow(se_b, 2) / (nb - 1)),
-            4,
-        ).alias("dof"),
-    )
+    return welch_pairs(welch_group_stats(ev))

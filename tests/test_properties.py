@@ -305,3 +305,93 @@ def test_pack_sequences_matches_bruteforce(spark, rows, budget):
         for r in pack_sequences(docs, budget).collect()
     }
     assert got == _brute_pack(rows, budget)
+
+
+# ---- Welch t-test vs direct arithmetic --------------------------------
+
+_WELCH_VALS = st.lists(
+    st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(a=_WELCH_VALS, b=_WELCH_VALS)
+def test_welch_ttest_matches_direct_formula(spark, a, b):
+    """The SQL/DataFrame Welch t and dof must match a direct Python
+    evaluation of the textbook formulas on the same samples."""
+    import math
+    import statistics
+
+    # degenerate variance pairs make t undefined; the operator emits
+    # null there, the brute force skips them
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    from free_etl_spark.queries.events import welch_group_stats, welch_pairs
+
+    got = welch_pairs(welch_group_stats(ev)).first()
+    va, vb = statistics.variance(a), statistics.variance(b)
+    if va == 0 and vb == 0:
+        assert got["t_stat"] is None  # zero pooled SE -> NULL, not error
+        return
+    se2_py = va / len(a) + vb / len(b)
+    t_py = (statistics.fmean(a) - statistics.fmean(b)) / math.sqrt(se2_py)
+    dof_py = se2_py**2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert math.isclose(got["t_stat"], round(t_py, 6), rel_tol=1e-6, abs_tol=2e-6)
+    if not (va == 0 or vb == 0):
+        assert math.isclose(got["dof"], round(dof_py, 4), rel_tol=1e-6, abs_tol=2e-4)
+
+
+# ---- PageRank vs numpy power iteration --------------------------------
+
+_EDGE_SET = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 4)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(raw_edges=_EDGE_SET, iters=st.sampled_from([1, 2]))
+def test_pagerank_matches_numpy_power_iteration(spark, raw_edges, iters):
+    import numpy as np
+
+    from free_etl_spark.queries.graph import pagerank
+
+    # collapse duplicates into weights, like transition_edges does
+    weights: dict[tuple[int, int], float] = {}
+    for s_, d_ in raw_edges:
+        weights[(s_, d_)] = weights.get((s_, d_), 0.0) + 1.0
+    edges = spark.createDataFrame(
+        [(f"n{s_}", f"n{d_}", w) for (s_, d_), w in weights.items()],
+        "src string, dst string, w double",
+    )
+    got = {r["node"]: r["r"] for r in pagerank(edges, iters).collect()}
+
+    nodes = sorted({n for e in weights for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    P = np.zeros((n, n))
+    outw = {}
+    for (s_, d_), w in weights.items():
+        outw[s_] = outw.get(s_, 0.0) + w
+    for (s_, d_), w in weights.items():
+        P[idx[d_], idx[s_]] = w / outw[s_]
+    dangling = np.array([1.0 if u not in outw else 0.0 for u in nodes])
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dm = float(r @ dangling)
+        r = 0.15 / n + 0.85 * (P @ r + dm / n)
+    for u in nodes:
+        assert abs(got[f"n{u}"] - r[idx[u]]) < 1e-9, (u, got, r)
