@@ -147,6 +147,9 @@ def synthesize(spark, src: str, dst: str, mult: int) -> dict:
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    # optional trailing query names restrict the probe (re-probing one
+    # family at a higher multiplier without re-timing the heavy ones)
+    subset = [a for a in sys.argv[3:] if a in q.QUERIES]
     dst = f"/tmp/scale_probe_mult{mult}"
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -156,7 +159,7 @@ def main() -> None:
     else:
         rows = {}
     timings = {}
-    for name in PROBE_QUERIES:
+    for name in subset or PROBE_QUERIES:
         t0 = time.time()
         q.QUERIES[name](spark, dst).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
