@@ -1151,3 +1151,66 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     table)."""
     ev = load_table(spark, sf_dir, "events")
     return welch_pairs(welch_group_stats(ev))
+
+
+@query(
+    "events_seasonal_decompose",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             SUM(value) / COUNT(*) AS hm
+      FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+      SELECT event_type, hr, hm,
+             AVG(hm) OVER (PARTITION BY event_type ORDER BY hr
+                           ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+               AS trend
+      FROM hourly
+    ),
+    seasoned AS (
+      SELECT event_type, hr, hm, trend,
+             AVG(hm - trend) OVER (PARTITION BY event_type,
+                                   EXTRACT(hour FROM hr)) AS seasonal
+      FROM trended
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)                        AS n_hours,
+           ROUND(stddev_samp(hm), 4)                       AS sd_series,
+           ROUND(stddev_samp(hm - trend), 4)               AS sd_detrended,
+           ROUND(stddev_samp(hm - trend - seasonal), 4)    AS sd_residual
+    FROM seasoned GROUP BY event_type
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly mean
+    series per event type: a 24-hour centered moving-average trend,
+    an hour-of-day seasonal component estimated from the detrended
+    series, and the residual — reported as the variance reduction at
+    each stage (sd_series → sd_detrended → sd_residual), the signal a
+    metrics pipeline uses to pick an anomaly threshold. One groupBy
+    collapses the log to (type × hours) rows; both window passes run
+    over that hourly series, so cost scales with the time span, never
+    the raw event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg((F.sum("value") / F.count(F.lit(1))).alias("hm"))
+    w_trend = (
+        Window.partitionBy("event_type").orderBy("hr").rowsBetween(-12, 11)
+    )
+    trended = hourly.withColumn("trend", F.avg("hm").over(w_trend))
+    w_season = Window.partitionBy("event_type", F.hour("hr"))
+    seasoned = trended.withColumn(
+        "seasonal", F.avg(F.col("hm") - F.col("trend")).over(w_season)
+    )
+    resid = F.col("hm") - F.col("trend") - F.col("seasonal")
+    return seasoned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(F.stddev_samp("hm"), 4).alias("sd_series"),
+        F.round(F.stddev_samp(F.col("hm") - F.col("trend")), 4).alias(
+            "sd_detrended"
+        ),
+        F.round(F.stddev_samp(resid), 4).alias("sd_residual"),
+    )
