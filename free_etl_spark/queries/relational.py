@@ -843,3 +843,39 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT l_returnflag, l_linestatus, sum_qty, revenue, n
         """
     )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000 AND 200000
+      AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named parameter markers, Spark 3.4+/4): the
+    values bind as literals AFTER parsing, so user input can never
+    splice into the query text (the injection-safe templating path a
+    service layer needs) and Catalyst still constant-folds and pushes
+    the bound predicates to the scan. The oracle inlines the same
+    constants."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "param_orders_in"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM param_orders_in
+        WHERE o_totalprice BETWEEN :lo AND :hi
+          AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"lo": 50000, "hi": 200000, "status": "F"},
+    )

@@ -129,12 +129,29 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     upsert_latest_parquet(spark, target, seed, ["user_id"], ["ts", "event_id"])
 
-    # change stream: the odd half, applied per micro-batch
-    ev = events_stream(spark, sf_dir).select(*cols).filter(
-        F.col("event_id") % 2 == 1
+    # change stream: the odd half, laid out as 4 parquet files and
+    # replayed with maxFilesPerTrigger=1 so the apply loop runs over
+    # FOUR separate micro-batches (each carrying an arbitrary slice of
+    # each key's history) — the order-insensitive merge must still
+    # converge to the global latest-per-key
+    changes_dir = f"{target}_changes"
+    changes = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .select(*cols)
+        .filter(F.col("event_id") % 2 == 1)
+    )
+    changes.repartition(4).write.mode("overwrite").parquet(changes_dir)
+    ev = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes_dir)
     )
 
-    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    n_batches = []
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        n_batches.append(batch_id)
         upsert_latest_parquet(
             spark, target, batch_df, ["user_id"], ["ts", "event_id"]
         )
@@ -145,6 +162,7 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    assert len(n_batches) >= 2, n_batches  # genuinely multi-batch
 
     final = spark.read.parquet(target)
     return final.select(
