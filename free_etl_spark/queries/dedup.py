@@ -936,3 +936,104 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment"
         ),
     ).filter(F.col("containment") >= _CONTAIN_T)
+
+
+@query(
+    "dedup_semdedup_keep",
+    oracle=f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    parm AS (SELECT GREATEST(16, CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))
+                    AS BIGINT)) AS k FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM v
+             WHERE vec_id < (SELECT k FROM parm)),
+    asnd AS (
+      SELECT vec_id, cent_id, d2 FROM (
+        SELECT v.vec_id, cent.cent_id,
+               list_sum(list_transform(list_zip(v.emb, cent.cemb),
+                        z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(v.emb, cent.cemb),
+                          z -> (z[1] - z[2]) * (z[1] - z[2]))), cent.cent_id)
+                 AS rn
+        FROM v CROSS JOIN cent)
+      WHERE rn = 1
+    ),
+    n AS (SELECT vec_id, emb,
+                 SQRT(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM v),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM asnd a JOIN asnd b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      JOIN n na ON na.vec_id = a.vec_id
+      JOIN n nb ON nb.vec_id = b.vec_id
+      WHERE ROUND(list_sum(list_transform(list_zip(na.emb, nb.emb),
+                  z -> z[1] * z[2])) / (na.nrm * nb.nrm), 6) >= {_COS_T}
+    ),
+    edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+              UNION SELECT vec_b, vec_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT v.vec_id,
+             LEAST(v.vec_id, COALESCE(MIN(r.b), v.vec_id)) AS component
+      FROM v LEFT JOIN reach r ON r.a = v.vec_id
+      GROUP BY v.vec_id
+    )
+    SELECT c.vec_id, c.component,
+           ROUND(SQRT(a.d2), 6) AS cent_dist,
+           ROW_NUMBER() OVER (PARTITION BY c.component
+                              ORDER BY a.d2 DESC, c.vec_id) = 1 AS keep
+    FROM comp c JOIN asnd a ON a.vec_id = c.vec_id
+    """,
+)
+def dedup_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (semantic dedup over embedding clusters): the
+    cluster-then-pairwise candidate generation is dedup_embedding_
+    cosine's IVF-bucketed pair relation; this operator adds the
+    paper's keep policy — duplicate pairs are closed into components
+    (distributed min-label propagation) and within each component the
+    vector FARTHEST from its assigned centroid survives (keeping the
+    least prototypical example preserves diversity; singletons keep
+    themselves). The oracle replays assignment, pairs, a recursive
+    transitive closure, and the argmax keep rule. The within-array
+    fold order is identical in both engines, so raw d2 doubles are
+    bit-equal and the DESC ordering cannot flip."""
+    from free_etl_spark.operators.components import connected_components
+    from free_etl_spark.operators.vectors import (
+        centroid_rank,
+        probe_dim,
+        scaled_centroid_k,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent = emb.filter(F.col("vec_id") < scaled_centroid_k(emb.count())).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    )
+    dim = probe_dim(emb)
+    asn = (
+        centroid_rank(emb, cent, dim)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id", "d2")
+    )
+    pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    comps = connected_components(
+        emb.select("vec_id"), pairs, node_col="vec_id", src_col="vec_a",
+        dst_col="vec_b",
+    )
+    j = comps.join(asn, "vec_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("d2").desc(), F.col("vec_id")
+    )
+    return j.select(
+        "vec_id",
+        "component",
+        F.round(F.sqrt("d2"), 6).alias("cent_dist"),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
