@@ -303,3 +303,22 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_observation_metrics_free_audit(spark):
+    """df.observe collects audit aggregates DURING the action — the
+    zero-extra-pass row-count/sum audit a 100 TB pipeline attaches to
+    its writes instead of running a second COUNT(*) scan."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    obs = Observation("audit")
+    df = spark.range(1000).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("id").alias("id_sum"),
+        F.max("id").alias("id_max"),
+    )
+    assert df.count() == 1000  # the action that populates the metrics
+    got = obs.get
+    assert got == {"n_rows": 1000, "id_sum": 499500, "id_max": 999}

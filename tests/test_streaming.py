@@ -268,3 +268,52 @@ def test_streaming_quality_gate_equals_batch(spark):
         .sort_values("lang", ignore_index=True)
     )
     pd.testing.assert_frame_equal(res, batch[res.columns])
+
+
+def test_checkpoint_recovery_processes_each_file_exactly_once(spark, tmp_path):
+    """Exactly-once across restarts: two AvailableNow runs sharing one
+    checkpoint — files drained by run 1 must NOT be re-delivered to
+    run 2, and files added between runs are picked up. The foreachBatch
+    sink appends raw rows, so any replay would show up as duplicates."""
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def write_file(name: str, start: int, n: int) -> None:
+        spark.range(start, start + n).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(str(sink))
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_file("f1", 0, 10)
+    write_file("f2", 100, 10)
+    drain()
+    got1 = spark.read.parquet(str(sink))
+    assert got1.count() == 20 and got1.select("id").distinct().count() == 20
+
+    write_file("f3", 200, 10)
+    drain()  # same checkpoint: must deliver ONLY f3
+    got2 = spark.read.parquet(str(sink))
+    assert got2.count() == 30
+    assert got2.select("id").distinct().count() == 30
+    assert got2.agg(F.sum("id")).first()[0] == sum(range(10)) + sum(
+        range(100, 110)
+    ) + sum(range(200, 210))
