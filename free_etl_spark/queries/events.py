@@ -1214,3 +1214,74 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.stddev_samp(resid), 4).alias("sd_residual"),
     )
+
+
+@query(
+    "events_anomaly_hours",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             SUM(value) / COUNT(*) AS hm
+      FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+      SELECT event_type, hr, hm,
+             AVG(hm) OVER (PARTITION BY event_type ORDER BY hr
+                           ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+               AS trend
+      FROM hourly
+    ),
+    seasoned AS (
+      SELECT event_type, hr, hm, trend,
+             AVG(hm - trend) OVER (PARTITION BY event_type,
+                                   EXTRACT(hour FROM hr)) AS seasonal
+      FROM trended
+    ),
+    scored AS (
+      SELECT event_type, hr,
+             hm - trend - seasonal AS resid,
+             stddev_samp(hm - trend - seasonal)
+               OVER (PARTITION BY event_type) AS sd
+      FROM seasoned
+    )
+    SELECT event_type, CAST(hr AS TIMESTAMP) AS hr,
+           ROUND(resid / sd, 4) AS z
+    FROM scored
+    WHERE ABS(resid) > 3 * sd
+    """,
+)
+def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-residual anomaly detection: hours whose residual after
+    removing the 24h moving-average trend and hour-of-day seasonal
+    exceeds 3 sigma of the per-type residual distribution — the
+    decomposition from events_seasonal_decompose turned into an alert
+    list. Same scale shape: everything after the first groupBy runs
+    over the (type x hours) series. The 3-sigma comparison uses the
+    raw doubles (identical fold order both engines); only the reported
+    z-score is rounded."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg((F.sum("value") / F.count(F.lit(1))).alias("hm"))
+    w_trend = (
+        Window.partitionBy("event_type").orderBy("hr").rowsBetween(-12, 11)
+    )
+    trended = hourly.withColumn("trend", F.avg("hm").over(w_trend))
+    w_season = Window.partitionBy("event_type", F.hour("hr"))
+    seasoned = trended.withColumn(
+        "seasonal", F.avg(F.col("hm") - F.col("trend")).over(w_season)
+    )
+    scored = seasoned.select(
+        "event_type",
+        "hr",
+        (F.col("hm") - F.col("trend") - F.col("seasonal")).alias("resid"),
+    ).withColumn(
+        "sd",
+        F.stddev_samp("resid").over(Window.partitionBy("event_type")),
+    )
+    return scored.filter(F.abs(F.col("resid")) > 3 * F.col("sd")).select(
+        "event_type",
+        F.col("hr").cast("timestamp_ntz").alias("hr"),
+        F.round(F.col("resid") / F.col("sd"), 4).alias("z"),
+    )
