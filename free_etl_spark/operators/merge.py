@@ -63,21 +63,38 @@ def upsert_parquet(
     )
     cond = [scope[k] == u[f"__u_{k}"] for k in key_cols]
     joined = scope.join(u, cond, "full_outer")
+    # row-presence predicate, NOT per-column coalesce: a NULL in an
+    # update column must replace the target value (wholesale-replace
+    # contract) rather than silently resurrect it. Keys are non-null
+    # by contract, so a null joined key means "no update row matched".
+    u_present = F.col(f"__u_{key_cols[0]}").isNotNull()
     merged = joined.select(
         *[
-            F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c)
+            F.when(u_present, F.col(f"__u_{c}")).otherwise(F.col(c)).alias(c)
             for c in updates.columns
         ]
     )
 
+    # dynamic partition overwrite is scoped to THIS write: leaving it
+    # set session-wide silently changes the semantics of every later
+    # unrelated overwrite in the session
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    # materialize (executor-side) before overwriting the directory the
-    # plan reads from — never a driver collect
-    out = merged.localCheckpoint(eager=True)
-    writer = out.write.mode("overwrite")
-    if partition_col:
-        writer = writer.partitionBy(partition_col)
-    writer.parquet(target_dir)
+    try:
+        # materialize (executor-side) before overwriting the directory
+        # the plan reads from — never a driver collect
+        out = merged.localCheckpoint(eager=True)
+        writer = out.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(target_dir)
+    finally:
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
 
 
 def apply_deletes(
@@ -139,13 +156,24 @@ def apply_deletes(
         part_dirs = [(r[0], r["__dir"]) for r in doomed_stats]
     else:
         doomed = scope.join(dk, key_cols, "left_semi").count()
+        if doomed == 0:
+            return 0  # nothing matches: skip the full-table rewrite
     kept = scope.join(dk, key_cols, "left_anti")
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    out = kept.localCheckpoint(eager=True)
-    writer = out.write.mode("overwrite")
-    if partition_col:
-        writer = writer.partitionBy(partition_col)
-    writer.parquet(target_dir)
+    try:
+        out = kept.localCheckpoint(eager=True)
+        writer = out.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(target_dir)
+    finally:
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
     if partition_col:
         # dynamic overwrite only replaces partitions PRESENT in the
         # output — a partition whose every row was deleted is absent
@@ -189,7 +217,24 @@ def scd2_apply(
     ``current`` must carry the three bookkeeping columns; ``changes``
     carries key + tracked columns + ``effective_col``. One shuffle on
     the key for the join; history rows never rewrite.
+
+    A batch carrying several rows for one key is collapsed to that
+    key's LATEST state (row_number over effective desc) before the
+    join — otherwise each change row would close (and re-open) the
+    same current version once, emitting duplicate history rows and
+    multiple is_current versions per key. Batch-SCD2 semantics: the
+    batch is one snapshot transition, not an intra-batch history.
     """
+    from pyspark.sql import Window
+
+    w_latest = Window.partitionBy(*key_cols).orderBy(
+        F.col(effective_col).desc(), *[F.col(c).desc() for c in tracked_cols]
+    )
+    changes = (
+        changes.withColumn("__rn", F.row_number().over(w_latest))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     ch = changes.select(
         *[F.col(c).alias(f"__c_{c}") for c in changes.columns]
     )

@@ -66,16 +66,24 @@ _RELATION_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]
 )
 
 
-def _cached_relation(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
+def _cached_relation(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    build,
+    src_table: str = "documents.parquet",
+) -> DataFrame:
     """Memoize ``build()`` persisted MEMORY_AND_DISK per (session, tag,
-    sf_dir). The cache key includes the documents file's mtime: a
-    regenerated corpus within the same session must rebuild (and the
-    stale persisted relation is dropped, not leaked)."""
+    sf_dir). The cache key includes the source file's mtime (the
+    table the relation derives from — documents for the shingle
+    family, events for graph edges): a regenerated corpus within the
+    same session must rebuild (and the stale persisted relation is
+    dropped, not leaked)."""
     import os
 
     from pyspark import StorageLevel
 
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, src_table)
     try:
         key = (tag, sf_dir, os.path.getmtime(src))
     except OSError:

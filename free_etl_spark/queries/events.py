@@ -550,21 +550,31 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_argmax_events",
     oracle="""
-    SELECT event_type,
-           arg_max(event_id, value * 1000000 + event_id) AS top_event_id,
-           ROUND(MAX(value), 2) AS top_value,
-           arg_min(event_id, value * 1000000 + event_id) AS bottom_event_id
-    FROM events
-    GROUP BY event_type
+    WITH mx AS (
+      SELECT event_type, MAX(value) AS mv, MIN(value) AS mnv
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           MAX(CASE WHEN e.value = m.mv THEN e.event_id END)
+             AS top_event_id,
+           ROUND(MAX(e.value), 2) AS top_value,
+           MIN(CASE WHEN e.value = m.mnv THEN e.event_id END)
+             AS bottom_event_id
+    FROM events e JOIN mx m ON e.event_type = m.event_type
+    GROUP BY e.event_type
     """,
 )
 def agg_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_by/min_by (argmax aggregates): the event carrying each
-    type's extreme value. The ordering key folds event_id into the
-    value (identical double arithmetic in both engines) so value ties
-    resolve identically — DuckDB's arg_max takes no struct key."""
+    """max_by/min_by (argmax aggregates) with a STRUCT ordering key:
+    ties on value resolve to the greatest (top) / least (bottom)
+    event_id, and — unlike the folded value*C+id key this replaced —
+    no event_id magnitude can ever outrank a value difference, so the
+    returned id always carries the true extreme at any corpus size.
+    DuckDB's arg_max takes no struct key, so the oracle replays the
+    semantics as a two-pass conditional aggregate over the exact
+    per-group extremes (double equality on identical stored values)."""
     ev = load_table(spark, sf_dir, "events")
-    key = F.col("value") * 1000000 + F.col("event_id")
+    key = F.struct(F.col("value"), F.col("event_id"))
     return ev.groupBy("event_type").agg(
         F.max_by("event_id", key).alias("top_event_id"),
         F.round(F.max("value"), 2).alias("top_value"),
@@ -991,12 +1001,11 @@ _EWMA_DEPTH = 8    # bounded window: weights below (1-a)^8 truncate
     SELECT event_id, event_type, ts_us, value,
            ROUND((
              {" + ".join(f"COALESCE(l{k}, 0) * {0.5 ** k!r}" for k in range(8))}
-           ) / (
+           ) / NULLIF(
              {" + ".join(
                  f"(CASE WHEN l{k} IS NOT NULL THEN {0.5 ** k!r} ELSE 0 END)"
                  for k in range(8)
-             )}
-           ), 6) AS ewma
+             )}, 0), 6) AS ewma
     FROM lagged
     """,
 )
@@ -1029,7 +1038,10 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "ts_us",
         "value",
-        F.round(num / den, 6).alias("ewma"),
+        # NULLIF: a row whose value and every lag are NULL has zero
+        # renormalizing mass — emit NULL instead of an ANSI
+        # DIVIDE_BY_ZERO error (Spark 4 default)
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("ewma"),
     )
 
 
@@ -1246,9 +1258,9 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM seasoned
     )
     SELECT event_type, CAST(hr AS TIMESTAMP) AS hr,
-           ROUND(resid / sd, 4) AS z
+           ROUND(resid / NULLIF(sd, 0), 4) AS z
     FROM scored
-    WHERE ABS(resid) > 3 * sd
+    WHERE ABS(ROUND(resid / NULLIF(sd, 0), 4)) > 3
     """,
 )
 def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1280,8 +1292,13 @@ def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sd",
         F.stddev_samp("resid").over(Window.partitionBy("event_type")),
     )
-    return scored.filter(F.abs(F.col("resid")) > 3 * F.col("sd")).select(
+    # the cutoff compares the ROUNDED z on both engines (identical
+    # doubles after rounding — an unrounded 3*sd boundary could
+    # straddle the engines' last-ulp difference) and NULLIF guards the
+    # all-residuals-equal degenerate type under ANSI mode
+    z = F.round(F.col("resid") / F.nullif(F.col("sd"), F.lit(0.0)), 4)
+    return scored.filter(F.abs(z) > 3).select(
         "event_type",
         F.col("hr").cast("timestamp_ntz").alias("hr"),
-        F.round(F.col("resid") / F.col("sd"), 4).alias("z"),
+        z.alias("z"),
     )

@@ -24,52 +24,30 @@ from free_etl_spark.tables import load_table
 
 _D = 0.85  # damping factor
 
-# per-(session, sf_dir, mtime) persisted edge relation: the rank loop
-# takes several actions (n, dangling mass per iteration, the final
-# collect) over the same distilled edges — without persistence each
-# action re-runs the full-log window+groupBy. Weak-keyed like
-# dedup._RELATION_CACHE so a stopped session's entry disappears.
-import weakref
-
-_EDGE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]]" = (
-    weakref.WeakKeyDictionary()
-)
-
 
 def transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted directed edges src→dst = consecutive event_type pairs
-    per user (ordered by ts, event_id for a total order)."""
-    import os
+    per user (ordered by ts, event_id for a total order). Persisted
+    per (session, corpus mtime) via the shared relation cache — the
+    rank loop takes several actions over the same distilled edges."""
+    from free_etl_spark.queries.dedup import _cached_relation
 
-    from pyspark import StorageLevel
+    def build() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        ).filter(F.col("dst").isNotNull())
+        return seq.groupBy("src", "dst").agg(
+            F.count(F.lit(1)).cast("double").alias("w")
+        )
 
-    src_file = os.path.join(sf_dir, "events.parquet")
-    try:
-        key = (sf_dir, os.path.getmtime(src_file))
-    except OSError:
-        key = (sf_dir, None)
-    per_session = _EDGE_CACHE.setdefault(spark, {})
-    cached = per_session.get(key)
-    if cached is not None:
-        return cached
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
+    return _cached_relation(
+        spark, sf_dir, "graph_edges", build, src_table="events.parquet"
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        F.col("event_type").alias("src"),
-        F.lead("event_type").over(w).alias("dst"),
-    ).filter(F.col("dst").isNotNull())
-    edges = (
-        seq.groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).cast("double").alias("w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    for old_key in [k for k in per_session if k[0] == sf_dir]:
-        per_session.pop(old_key).unpersist()
-    per_session[key] = edges
-    return edges
 
 
 def pagerank(edges: DataFrame, iterations: int) -> DataFrame:
@@ -93,20 +71,21 @@ def pagerank(edges: DataFrame, iterations: int) -> DataFrame:
     norm = edges.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("outw")).alias("p")
     )
+    # the dangling-node SET is static (nodes with no outgoing edges);
+    # only its rank mass changes per iteration
+    dangling_nodes = nodes.join(outw, nodes.node == outw.src, "left_anti")
     ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             norm.join(ranks, norm.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(F.col("p") * F.col("r")).alias("inflow"))
         )
-        # dangling nodes (no outgoing edges) leak their mass — fold it
-        # back in as a one-row broadcast (stays inside the plan: no
-        # per-iteration driver action, the whole rank chain evaluates
-        # in one job when the result is consumed)
-        dangling = ranks.join(
-            outw, ranks.node == outw.src, "left_anti"
-        ).agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dmass"))
+        # dangling mass leaks — fold it back in as a one-row broadcast
+        # (stays inside the plan: no per-iteration driver action)
+        dangling = dangling_nodes.join(ranks, "node").agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("dmass")
+        )
         ranks = (
             nodes.join(contrib, nodes.node == contrib.dst, "left")
             .crossJoin(F.broadcast(dangling))
@@ -122,6 +101,14 @@ def pagerank(edges: DataFrame, iterations: int) -> DataFrame:
                 ).alias("r"),
             )
         )
+        # each iteration references the previous ranks plan TWICE
+        # (contrib + dangling), so a fully lazy chain doubles the
+        # embedded plan per round (~2^iterations analysis cost).
+        # Fine for the registered 2-iteration query; for deeper runs,
+        # truncate the lineage each round — the materialized relation
+        # is node-set-sized, the cheapest thing in the job.
+        if iterations > 3 and i < iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

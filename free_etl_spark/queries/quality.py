@@ -104,7 +104,9 @@ def quality_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM events
     ),
     bounds AS (
-      SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid FROM ev
+      -- MIN + (MAX-MIN)//2: the offset form keeps the division operand
+      -- nonnegative (floor and truncate agree) and cannot overflow
+      SELECT MIN(ts_us) + (MAX(ts_us) - MIN(ts_us)) // 2 AS mid FROM ev
     ),
     halves AS (
       SELECT e.event_type, e.value,
@@ -165,7 +167,13 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "value", "ts_us"
     )
     bounds = ev.agg(
-        ((F.min("ts_us") + F.max("ts_us")) / 2).cast("long").alias("mid")
+        # integer DIV on the nonnegative span: exact at any magnitude
+        # (double-routed /2 loses exactness past 2^53) and identical
+        # to the oracle's floor division
+        (
+            F.min("ts_us")
+            + F.expr("(MAX(ts_us) - MIN(ts_us)) DIV 2")
+        ).alias("mid")
     )
     halves = ev.crossJoin(F.broadcast(bounds)).select(
         "event_type",

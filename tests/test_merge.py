@@ -236,3 +236,56 @@ def test_upsert_latest_reduces_batch_duplicates(spark, tmp_path):
     )
     upsert_latest_parquet(spark, tgt, batch, ["id"], ["ts"])
     assert _rows(spark.read.parquet(tgt), "id", "ts", "v") == [(1, 300, "c")]
+
+
+def test_upsert_replaces_wholesale_including_nulls(spark, tmp_path):
+    """A NULL in an update column must CLEAR the target value, not
+    silently resurrect the old one (wholesale-replace contract)."""
+    tgt = str(tmp_path / "tgt")
+    base = spark.createDataFrame([(1, "keep@x", 1.0)], "id long, email string, v double")
+    upsert_parquet(spark, tgt, base, ["id"])
+    upd = spark.createDataFrame([(1, None, 2.0)], "id long, email string, v double")
+    upsert_parquet(spark, tgt, upd, ["id"])
+    row = spark.read.parquet(tgt).first()
+    assert row["email"] is None and row["v"] == 2.0
+
+
+def test_upsert_restores_partition_overwrite_mode(spark, tmp_path):
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    base = spark.createDataFrame([(1, "a")], "id long, s string")
+    upsert_parquet(spark, str(tmp_path / "t"), base, ["id"])
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", None
+    ) == prev
+
+
+def test_scd2_collapses_multi_row_batch_to_final_state(spark):
+    cur = spark.createDataFrame(
+        [(1, "v0", 0, None, True)],
+        "id long, val string, valid_from long, valid_to long, is_current boolean",
+    )
+    # two changes for the same key in one batch: only the LATEST state
+    # survives; exactly one closed row and one current row result
+    ch = spark.createDataFrame(
+        [(1, "v1", 10), (1, "v2", 20)], "id long, val string, eff long"
+    )
+    out = scd2_apply(cur, ch, ["id"], ["val"], "eff").collect()
+    assert len(out) == 2
+    current = [r for r in out if r["is_current"]]
+    closed = [r for r in out if not r["is_current"]]
+    assert len(current) == 1 and current[0]["val"] == "v2"
+    assert len(closed) == 1 and closed[0]["valid_to"] == 20
+
+
+def test_apply_deletes_no_match_skips_rewrite(spark, tmp_path):
+    import os
+
+    from free_etl_spark.operators.merge import apply_deletes
+
+    tgt = str(tmp_path / "tgt")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    base.write.parquet(tgt)
+    before = sorted(os.listdir(tgt))
+    dk = spark.createDataFrame([(99,)], "id long")
+    assert apply_deletes(spark, tgt, dk, ["id"]) == 0
+    assert sorted(os.listdir(tgt)) == before  # untouched files
