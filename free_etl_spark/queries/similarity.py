@@ -509,6 +509,91 @@ def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_outlier_zscore",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    upd AS (
+      SELECT label, g.i AS dim, ROUND(AVG(emb[g.i]), 6) AS m
+      FROM v CROSS JOIN generate_series(1, 64) AS g(i)
+      GROUP BY label, g.i
+    ),
+    cent AS (SELECT label, list(m ORDER BY dim) AS cemb FROM upd
+             GROUP BY label),
+    d AS (
+      SELECT v.vec_id, v.label,
+             SQRT(list_sum(list_transform(list_zip(v.emb, c.cemb),
+                  z -> (z[1] - z[2]) * (z[1] - z[2])))) AS dist
+      FROM v JOIN cent c USING (label)
+    ),
+    s AS (SELECT label, AVG(dist) AS mu, STDDEV_POP(dist) AS sd
+          FROM d GROUP BY label)
+    SELECT d.vec_id, d.label, ROUND(d.dist, 6) AS dist,
+           ROUND(CASE WHEN s.sd IS NULL OR s.sd = 0 THEN 0.0
+                 ELSE (d.dist - s.mu) / s.sd END, 6) AS z,
+           ROUND(CASE WHEN s.sd IS NULL OR s.sd = 0 THEN 0.0
+                 ELSE (d.dist - s.mu) / s.sd END, 6) >= 2.0 AS is_outlier
+    FROM d JOIN s USING (label)
+    """,
+)
+def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-class embedding outlier detection (the mislabeled-
+    example pruner of a curation pipeline): distance of each vector
+    to its OWN class centroid, z-scored within the class; z >= 2
+    flags the candidate mislabels/outliers. Three passes, all
+    partial-aggregated: class centroids (|labels|x64 shuffle rows,
+    means rounded to 6dp on both engines so the replay is FP-stable
+    — same contract as emb_kmeans_2iter), per-class distance
+    mean/stddev (|labels| rows), then a map-side scoring join of the
+    two broadcast dimension tables. Per-class stats come from a
+    groupBy + broadcast join, NOT a window over the class partition —
+    at 100 TB a class can hold billions of rows and a window would
+    funnel each class through one task. The z threshold compares the
+    ROUNDED z (round-before-compare, as the cosine gates do) so a
+    last-ulp stddev difference can't flip the boundary."""
+    from free_etl_spark.operators.vectors import l2_sq, probe_dim
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dim = probe_dim(emb)
+    cent = (
+        emb.select("label", F.posexplode("emb").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cemb")
+        )
+    )
+    d = emb.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", F.sqrt(l2_sq("emb", "cemb", dim)).alias("dist")
+    )
+    s = d.groupBy("label").agg(
+        F.avg("dist").alias("mu"), F.stddev_pop("dist").alias("sd")
+    )
+    z = F.round(
+        F.when(F.col("sd").isNull() | (F.col("sd") == 0), 0.0).otherwise(
+            (F.col("dist") - F.col("mu")) / F.col("sd")
+        ),
+        6,
+    )
+    return d.join(F.broadcast(s), "label").select(
+        "vec_id",
+        "label",
+        F.round("dist", 6).alias("dist"),
+        z.alias("z"),
+        (z >= 2.0).alias("is_outlier"),
+    )
+
+
+@query(
     "sim_quantize_int8",
     oracle="""
     WITH s AS (

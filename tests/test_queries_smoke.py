@@ -544,3 +544,25 @@ def test_bigram_lm_repeated_text_scores_low(spark, tmp_path):
         for r in text_bigram_lm_score(spark, out_dir).collect()
     }
     assert got[0] < got[1] - 1.0
+
+
+def test_emb_outlier_zscore_flags_planted_outlier(spark, tmp_path):
+    """A vector far from its class centroid gets a large z and the
+    outlier flag; tight cluster members do not."""
+    import numpy as np
+    from free_etl_spark.queries.similarity import emb_outlier_zscore
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(20):
+        v = (rng.normal(0, 0.01, 64) + 1.0).tolist()
+        rows.append((i, "a", [float(x) for x in v]))
+    rows.append((20, "a", [float(9.0)] * 64))  # planted outlier
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    out_dir = str(tmp_path / "sf")
+    emb.write.parquet(out_dir + "/embeddings.parquet")
+    got = {r["vec_id"]: r for r in emb_outlier_zscore(spark, out_dir).collect()}
+    assert got[20]["is_outlier"] and got[20]["z"] > 2
+    assert sum(1 for r in got.values() if r["is_outlier"]) == 1

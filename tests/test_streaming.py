@@ -317,3 +317,43 @@ def test_checkpoint_recovery_processes_each_file_exactly_once(spark, tmp_path):
     assert got2.agg(F.sum("id")).first()[0] == sum(range(10)) + sum(
         range(100, 110)
     ) + sum(range(200, 210))
+
+
+def test_streaming_neardup_filter_equals_batch_probe(spark):
+    """The streamed map-side band signatures joined against the static
+    index must reproduce the batch band-collision counts exactly."""
+    import pyspark.sql.functions as F
+
+    from free_etl_spark.queries.dedup import _minhash_bands
+    from free_etl_spark.streaming.curation import streaming_neardup_filter
+
+    res = (
+        streaming_neardup_filter(spark, SF_DIR)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    idx = _minhash_bands(spark, SF_DIR)
+    a = idx.alias("a")
+    b = idx.select(
+        F.col("doc_id").alias("idx_doc"),
+        F.col("band_id").alias("idx_band"),
+        F.col("band_key").alias("idx_key"),
+    )
+    batch = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("idx_band"))
+            & (F.col("a.band_key") == F.col("idx_key"))
+            & (F.col("a.doc_id") != F.col("idx_doc")),
+            "left",
+        )
+        .groupBy("a.doc_id")
+        .agg(F.count("idx_doc").cast("long").alias("n_cand_hits"))
+        .select(
+            "doc_id", "n_cand_hits", (F.col("n_cand_hits") > 0).alias("is_neardup")
+        )
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(res, batch[res.columns])
+    assert res["is_neardup"].any()  # the corpus plants near-dup docs
