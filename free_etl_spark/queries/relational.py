@@ -879,3 +879,109 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"lo": 50000, "hi": 200000, "status": "F"},
     )
+
+
+_CMS_D = 4  # sketch depth (independent hash rows)
+_CMS_W = 256  # sketch width (buckets per row)
+
+
+@query(
+    "agg_heavy_hitters_cms",
+    oracle=f"""
+    WITH tok AS (SELECT t.tok FROM documents,
+                 UNNEST(string_split(text, ' ')) AS t(tok)),
+    tokc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok
+             GROUP BY tok),
+    total AS (SELECT SUM(cnt) AS n FROM tokc),
+    buck AS (
+      SELECT tok, cnt, g.d,
+             CAST(('0x' || substr(md5(CAST(g.d AS VARCHAR) || '|' || tok),
+                   1, 8))::UBIGINT % {_CMS_W} AS BIGINT) AS bucket
+      FROM tokc CROSS JOIN generate_series(0, {_CMS_D - 1}) AS g(d)
+    ),
+    sketch AS (SELECT d, bucket, SUM(cnt) AS c FROM buck
+               GROUP BY d, bucket),
+    est AS (
+      SELECT b.tok, MAX(b.cnt) AS exact_cnt,
+             CAST(MIN(s.c) AS BIGINT) AS cms_est
+      FROM buck b JOIN sketch s ON s.d = b.d AND s.bucket = b.bucket
+      GROUP BY b.tok
+    )
+    SELECT tok, exact_cnt, cms_est,
+           CAST(cms_est - exact_cnt AS BIGINT) AS over_est
+    FROM est CROSS JOIN total
+    WHERE cms_est * 200 >= total.n
+    """,
+)
+def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the corpus token stream:
+    a 4x256 counter matrix (depth x width, md5-derived bucket per
+    row) estimates every token's frequency as the min of its 4
+    bucket counters; tokens whose ESTIMATE clears 0.5% of total
+    token volume are reported with their exact count and the CMS
+    overestimate. The sketch is the point: it is MERGEABLE (counter
+    matrices add elementwise — the groupBy (d, bucket) partial
+    aggregation IS the shard merge), so per-partition/per-day
+    sketches roll up without rescanning raw data, the frequency
+    analogue of agg_hll_sketch_union. Plan shape: token counts
+    (two-phase agg), a 1024-row sketch (broadcast), a broadcast
+    probe join, and an integer threshold (est*200 >= N — no FP
+    anywhere). md5 bucketing makes the sketch bit-deterministic, so
+    the oracle replays the full matrix; CMS guarantees est >= exact
+    always, and the over_est column shows collision inflation.
+    Candidate enumeration probes the vocabulary-sized count relation
+    — at 100 TB the probe set would be the top-K of a cheap pre-agg,
+    same plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokc = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bucket_structs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(F.lit(f"{d}|"), F.col("tok")).cast(
+                                    "binary"
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % _CMS_W
+                ).alias("bucket"),
+            )
+            for d in range(_CMS_D)
+        ]
+    )
+    buck = tokc.select(
+        "tok", "cnt", F.explode(bucket_structs).alias("b")
+    ).select("tok", "cnt", F.col("b.d").alias("d"), F.col("b.bucket").alias("bucket"))
+    sketch = buck.groupBy("d", "bucket").agg(F.sum("cnt").alias("c"))
+    total = tokc.agg(F.sum("cnt").alias("n"))
+    est = (
+        buck.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("tok")
+        .agg(
+            F.max("cnt").cast("long").alias("exact_cnt"),
+            F.min("c").cast("long").alias("cms_est"),
+        )
+    )
+    return (
+        est.join(F.broadcast(total))
+        .filter(F.col("cms_est") * 200 >= F.col("n"))
+        .select(
+            "tok",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("over_est"),
+        )
+    )

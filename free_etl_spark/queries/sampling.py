@@ -360,3 +360,91 @@ def sample_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@query(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n_lang) AS n FROM c),
+    pw AS (
+      SELECT lang, n_lang, SQRT(CAST(n_lang AS DOUBLE) / tot.n) AS w
+      FROM c CROSS JOIN tot
+    ),
+    sh AS (
+      SELECT lang, n_lang,
+             w / (SELECT SUM(w) FROM pw) AS share
+      FROM pw
+    ),
+    p AS (
+      SELECT sh.lang, sh.n_lang, sh.share,
+             LEAST(1.0, sh.share * tot.n / sh.n_lang) AS rate
+      FROM sh CROSS JOIN tot
+    ),
+    s AS (
+      SELECT d.lang, COUNT(*) AS sampled_cnt
+      FROM documents d JOIN p USING (lang)
+      WHERE {{h16}} < CAST(FLOOR(rate * 65536) AS INT)
+      GROUP BY d.lang
+    )
+    SELECT p.lang,
+           CAST(p.n_lang AS BIGINT) AS n_lang,
+           FLOOR(p.share * 1000000) / 1000000 AS target_share,
+           FLOOR(p.rate * 1000000) / 1000000 AS rate,
+           CAST(COALESCE(s.sampled_cnt, 0) AS BIGINT) AS sampled_cnt
+    FROM p LEFT JOIN s USING (lang)
+    """.format(h16=_H16_SQL.format(c="d.doc_id")),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling (the alpha-sampling mix
+    of XLM-R / mC4-style multilingual pretraining): target share of
+    language i is p_i^alpha / sum p_j^alpha with alpha = 0.5, which
+    upsamples tail languages less aggressively than the uniform
+    rebalance of sample_lang_mix. alpha = 0.5 is deliberately the
+    SQRT exponent: IEEE sqrt is correctly rounded in both engines
+    (bit-identical), where an arbitrary pow() could differ in the
+    last ulp. Same scale shape as sample_lang_mix: |langs|-row rate
+    table broadcast onto a map-side hash-Bernoulli filter — the
+    corpus is never shuffled; the deterministic doc_id hash makes
+    the sample reproducible under repartitioning and retries."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    w = Window.partitionBy()
+    pw = counts.select(
+        "lang",
+        "n_lang",
+        F.sum("n_lang").over(w).alias("n"),
+        F.sqrt(F.col("n_lang").cast("double") / F.sum("n_lang").over(w)).alias(
+            "pwr"
+        ),
+    )
+    shares = pw.select(
+        "lang",
+        "n_lang",
+        "n",
+        (F.col("pwr") / F.sum("pwr").over(w)).alias("share"),
+    ).withColumn(
+        "rate",
+        F.least(
+            F.lit(1.0), F.col("share") * F.col("n") / F.col("n_lang")
+        ),
+    )
+    thresh = F.floor(F.col("rate") * _BUCKETS).cast("int")
+    sampled = (
+        docs.join(F.broadcast(shares.select("lang", "rate")), "lang")
+        .filter(_hash16(F.col("doc_id")) < thresh)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("sampled_cnt"))
+    )
+    return (
+        shares.join(sampled, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_lang").cast("long").alias("n_lang"),
+            (F.floor(F.col("share") * 1000000) / 1000000).alias("target_share"),
+            (F.floor(F.col("rate") * 1000000) / 1000000).alias("rate"),
+            F.coalesce(F.col("sampled_cnt"), F.lit(0))
+            .cast("long")
+            .alias("sampled_cnt"),
+        )
+    )

@@ -1274,3 +1274,69 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_surprisal_bits"),
         )
     )
+
+
+_CODE_KW = (
+    r"\b(def|class|return|import|function|var|const|void|int|"
+    r"public|static|print|if|else|for|while|end)\b"
+)
+
+
+@query(
+    "text_code_detection",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LENGTH(text) AS BIGINT) AS n,
+             CAST(LENGTH(text) - LENGTH(regexp_replace(text,
+                  '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS sym_cnt,
+             CAST(LEN(regexp_extract_all(text, '[{{}}();=\\[\\]]'))
+                  AS BIGINT) AS punct_code_cnt,
+             CAST(LEN(regexp_extract_all(text, '{_CODE_KW}'))
+                  AS BIGINT) AS kw_cnt
+      FROM documents
+    )
+    SELECT doc_id, sym_cnt, punct_code_cnt, kw_cnt,
+           FLOOR(CAST(sym_cnt AS DOUBLE) / GREATEST(n, 1) * 1e6) / 1e6
+             AS sym_frac,
+           (punct_code_cnt >= 5 OR
+            (kw_cnt >= 3 AND
+             FLOOR(CAST(sym_cnt AS DOUBLE) / GREATEST(n, 1) * 1e6) / 1e6
+               >= 0.02)) AS is_code
+    FROM t
+    """,
+)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection — the curation gate that routes
+    source-code documents to a separate pipeline (or drops them from
+    a prose corpus): symbol density outside [a-z0-9 ], code
+    punctuation counts ({{}}();=[]), and code-keyword hits, combined
+    into a rule the same shape as the fastText code detectors
+    (thresholds adapted to this lowercase corpus). Pure map-side
+    regexp counting over one pruned scan — no shuffle, no Python;
+    at 100 TB this runs at scan speed. Patterns stay in the
+    Java-regex ∩ RE2 common subset (same discipline as
+    text_pii_scan) so the oracle replays the matcher; the symbol
+    fraction is floor-truncated, never rounded, because doc lengths
+    exceed the 15625-denominator bound where ROUND stays safe."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text").cast("long")
+    sym_cnt = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))
+    ).cast("long")
+    punct_cnt = F.regexp_count("text", F.lit(r"[{}();=\[\]]")).cast("long")
+    kw_cnt = F.regexp_count("text", F.lit(_CODE_KW)).cast("long")
+    sym_frac = F.floor(
+        sym_cnt.cast("double") / F.greatest(n, F.lit(1)) * 1e6
+    ) / 1e6
+    return docs.select(
+        "doc_id",
+        sym_cnt.alias("sym_cnt"),
+        punct_cnt.alias("punct_code_cnt"),
+        kw_cnt.alias("kw_cnt"),
+        sym_frac.alias("sym_frac"),
+        (
+            (punct_cnt >= 5) | ((kw_cnt >= 3) & (sym_frac >= 0.02))
+        ).alias("is_code"),
+    )

@@ -566,3 +566,49 @@ def test_emb_outlier_zscore_flags_planted_outlier(spark, tmp_path):
     got = {r["vec_id"]: r for r in emb_outlier_zscore(spark, out_dir).collect()}
     assert got[20]["is_outlier"] and got[20]["z"] > 2
     assert sum(1 for r in got.values() if r["is_outlier"]) == 1
+
+
+def test_cms_estimate_never_underestimates(spark):
+    """Count-min sketch invariant: est >= exact for every reported
+    token, and heavy hitters include the corpus's top token."""
+    import __spark_entry__ as em
+
+    df = em.queries()["agg_heavy_hitters_cms"](spark, SF_DIR).toPandas()
+    assert len(df) > 0
+    assert (df["cms_est"] >= df["exact_cnt"]).all()
+    assert (df["over_est"] == df["cms_est"] - df["exact_cnt"]).all()
+
+
+def test_temperature_mix_between_native_and_uniform(spark):
+    """Alpha=0.5 temperature shares sit strictly between the native
+    distribution and uniform: dominant languages keep share above
+    1/|langs| but below their native proportion."""
+    import __spark_entry__ as em
+
+    df = em.queries()["sample_temperature_mix"](spark, SF_DIR).toPandas()
+    n = df["n_lang"].sum()
+    k = len(df)
+    for _, r in df.iterrows():
+        native = r["n_lang"] / n
+        if native > 1.0 / k + 1e-9:
+            assert 1.0 / k < r["target_share"] < native
+        elif native < 1.0 / k - 1e-9:
+            assert native < r["target_share"] < 1.0 / k
+
+
+def test_code_detection_flags_crafted_code_doc(spark, tmp_path):
+    from free_etl_spark.queries.text import text_code_detection
+
+    docs = spark.createDataFrame(
+        [
+            (0, "def main(): return sum([x for x in range(10)]); "
+                "if x == 1: print(x); else: print(0); end", "en", "s", 1),
+            (1, "the quick brown fox jumps over the lazy dog again "
+                "and again with calm steady ease", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out_dir = str(tmp_path / "sf")
+    docs.write.parquet(out_dir + "/documents.parquet")
+    got = {r["doc_id"]: r for r in text_code_detection(spark, out_dir).collect()}
+    assert got[0]["is_code"] and not got[1]["is_code"]
