@@ -90,6 +90,15 @@ HEADLINE = [
     "graph_reachability_rcte",
     "streaming_cdc_upsert",
     "quality_psi_drift",
+    # r5 fifth wave: substring-span dedup, bigram LM surprisal,
+    # triangle counting, stream-vs-static near-dup probe, count-min
+    # heavy hitters, embedding outlier pruning
+    "dedup_substring_spans",
+    "text_bigram_lm_score",
+    "graph_triangle_count",
+    "streaming_neardup_filter",
+    "agg_heavy_hitters_cms",
+    "emb_outlier_zscore",
 ]
 
 

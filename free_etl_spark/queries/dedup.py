@@ -1097,12 +1097,16 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominators where half-up/half-even rounding splits engines.
     is_dup compares integers, no FP at all."""
     docs = load_table(spark, sf_dir, "documents")
+    # tk materialized before the transform (split-in-lambda re-evaluates
+    # per element — see text_bigram_lm_score)
     spans = docs.select(
+        "doc_id", F.split("text", " ").alias("tk")
+    ).select(
         "doc_id",
         F.expr(
-            f"explode(transform(sequence(1, greatest(size(split(text, ' '))"
+            f"explode(transform(sequence(1, greatest(size(tk)"
             f" - {_SPAN_K - 1}, 1), {_SPAN_STRIDE}),"
-            f" s -> array_join(slice(split(text, ' '), s, {_SPAN_K}), ' ')))"
+            f" s -> array_join(slice(tk, s, {_SPAN_K}), ' ')))"
         ).alias("span"),
     )
     dup = (

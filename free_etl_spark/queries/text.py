@@ -726,12 +726,14 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_queries_smoke.py crafts that case).
     """
     docs = load_table(spark, sf_dir, "documents")
-    lines = docs.select(
+    # tk materialized before the transform (split-in-lambda re-evaluates
+    # per element — see text_bigram_lm_score)
+    lines = docs.select("doc_id", _tokens().alias("tk")).select(
         "doc_id",
         F.expr(
-            "inline(transform(sequence(1, size(split(text, ' ')), 10),"
+            "inline(transform(sequence(1, size(tk), 10),"
             " s -> struct(CAST((s - 1) DIV 10 AS INT) AS pos,"
-            " array_join(slice(split(text, ' '), s, 10), ' ') AS line)))"
+            " array_join(slice(tk, s, 10), ' ') AS line)))"
         ),
     )
     return boilerplate_line_filter(lines)
@@ -954,12 +956,14 @@ def text_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_list/array_sort over each doc's own chunks — bounded by
     document size, never corpus size."""
     docs = load_table(spark, sf_dir, "documents")
-    lines = docs.select(
+    # tk materialized before the transform (split-in-lambda re-evaluates
+    # per element — see text_bigram_lm_score)
+    lines = docs.select("doc_id", _tokens().alias("tk")).select(
         "doc_id",
         F.expr(
-            f"inline(transform(sequence(1, size(split(text, ' ')), {_PARA_W}),"
+            f"inline(transform(sequence(1, size(tk), {_PARA_W}),"
             f" s -> struct(CAST((s - 1) DIV {_PARA_W} AS INT) AS pos,"
-            f" array_join(slice(split(text, ' '), s, {_PARA_W}), ' ') AS line)))"
+            f" array_join(slice(tk, s, {_PARA_W}), ' ') AS line)))"
         ),
     )
     return paragraph_dedup_filter(lines)
@@ -1244,13 +1248,20 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the final per-doc aggregation. Docs with < 2 tokens
     have no bigrams and are excluded on both engines."""
     docs = load_table(spark, sf_dir, "documents")
-    bg = docs.filter(F.size(_tokens()) >= 2).select(
-        "doc_id",
-        F.expr(
-            "inline(transform(sequence(1, size(split(text, ' ')) - 1),"
-            " i -> struct(element_at(split(text, ' '), i) AS w1,"
-            " element_at(split(text, ' '), i + 1) AS w2)))"
-        ),
+    # materialize the token array BEFORE the transform: split() written
+    # inline in the lambda re-evaluates per element — O(tokens^2) per
+    # doc, measured 10x slower at sf0.1
+    bg = (
+        docs.select("doc_id", _tokens().alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.expr(
+                "inline(transform(sequence(1, size(tk) - 1),"
+                " i -> struct(element_at(tk, i) AS w1,"
+                " element_at(tk, i + 1) AS w2)))"
+            ),
+        )
     )
     lm2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     lm1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))

@@ -102,14 +102,20 @@ def _stream_band_signatures(docs: DataFrame) -> DataFrame:
     formulations agree string-for-string."""
     from free_etl_spark.queries.dedup import _N_BANDS, _N_HASHES, _NGRAM
 
-    toks = F.split("text", " ")
+    # materialize the token array before the transform: a split()
+    # expression referenced inside the lambda re-evaluates per element
+    # (O(tokens^2) per doc — measured 10x at sf0.1 on the batch side)
     sh_arr = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (_NGRAM - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, _NGRAM)),
+            F.sequence(F.lit(1), F.size("tk") - (_NGRAM - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, _NGRAM)),
         )
     )
-    with_sh = docs.filter(F.size(toks) >= _NGRAM).withColumn("sh_arr", sh_arr)
+    with_sh = (
+        docs.withColumn("tk", F.split("text", " "))
+        .filter(F.size("tk") >= _NGRAM)
+        .withColumn("sh_arr", sh_arr)
+    )
 
     def _minhash(seed: int) -> F.Column:
         # one-arg lambda: a two-parameter callable would make
