@@ -1097,6 +1097,12 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominators where half-up/half-even rounding splits engines.
     is_dup compares integers, no FP at all."""
     docs = load_table(spark, sf_dir, "documents")
+    return substring_span_stats(docs)
+
+
+def substring_span_stats(docs: DataFrame) -> DataFrame:
+    """Core of dedup_substring_spans over any (doc_id, text) relation
+    — exposed for reuse/testing."""
     # tk materialized before the transform (split-in-lambda re-evaluates
     # per element — see text_bigram_lm_score)
     spans = docs.select(

@@ -335,39 +335,66 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from free_etl_spark.queries.dedup import _cached_relation
 
     und = undirected_edges(spark, sf_dir)
-    deg = (
+    deg = node_degrees(und)
+    # the oriented edge list is referenced three times by the wedge
+    # self-join — persist it (edge-set-sized) so the rank window and
+    # upstream distillation run once, not three times
+    er = _cached_relation(
+        spark,
+        sf_dir,
+        "graph_er",
+        lambda: oriented_edges(und, deg),
+        src_table="events.parquet",
+    )
+    return triangle_counts(und, deg=deg, er=er).select(
+        F.col("node").alias("event_type"), "tri_cnt"
+    )
+
+
+def node_degrees(und: DataFrame) -> DataFrame:
+    return (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
 
-    def build_er() -> DataFrame:
-        rk = deg.select(
-            "node", F.row_number().over(Window.orderBy("d", "node")).alias("r")
-        )
-        ra, rb = rk.alias("ra"), rk.alias("rb")
-        return (
-            und.join(F.broadcast(ra), F.col("a") == F.col("ra.node"))
-            .join(F.broadcast(rb), F.col("b") == F.col("rb.node"))
-            .select(
-                F.when(F.col("ra.r") < F.col("rb.r"), F.col("a"))
-                .otherwise(F.col("b"))
-                .alias("lo"),
-                F.when(F.col("ra.r") < F.col("rb.r"), F.col("b"))
-                .otherwise(F.col("a"))
-                .alias("hi"),
-                F.least("ra.r", "rb.r").alias("lo_r"),
-                F.greatest("ra.r", "rb.r").alias("hi_r"),
-            )
-        )
 
-    # the oriented edge list is referenced three times by the wedge
-    # self-join — persist it (edge-set-sized) so the rank window and
-    # upstream distillation run once, not three times
-    er = _cached_relation(
-        spark, sf_dir, "graph_er", build_er, src_table="events.parquet"
+def oriented_edges(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Orient each undirected edge from its lower-(degree, name)-rank
+    endpoint to the higher one: (lo, hi, lo_r, hi_r)."""
+    rk = deg.select(
+        "node", F.row_number().over(Window.orderBy("d", "node")).alias("r")
     )
+    ra, rb = rk.alias("ra"), rk.alias("rb")
+    return (
+        und.join(F.broadcast(ra), F.col("a") == F.col("ra.node"))
+        .join(F.broadcast(rb), F.col("b") == F.col("rb.node"))
+        .select(
+            F.when(F.col("ra.r") < F.col("rb.r"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("lo"),
+            F.when(F.col("ra.r") < F.col("rb.r"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("hi"),
+            F.least("ra.r", "rb.r").alias("lo_r"),
+            F.greatest("ra.r", "rb.r").alias("hi_r"),
+        )
+    )
+
+
+def triangle_counts(
+    und: DataFrame,
+    deg: DataFrame | None = None,
+    er: DataFrame | None = None,
+) -> DataFrame:
+    """Per-node triangle counts (node, tri_cnt) over an undirected
+    (a, b) edge relation — the compact-forward wedge-join pipeline of
+    graph_triangle_count, exposed for reuse/testing. Callers may pass
+    a persisted ``er`` (the registered query does); otherwise the
+    oriented edge list is derived inline."""
+    deg = deg if deg is not None else node_degrees(und)
+    er = er if er is not None else oriented_edges(und, deg)
     e1, e2, e3 = er.alias("e1"), er.alias("e2"), er.alias("e3")
     tri = (
         e1.join(
@@ -393,12 +420,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("tri_cnt"))
     )
-    return (
-        deg.join(cnt, "node", "left")
-        .select(
-            F.col("node").alias("event_type"),
-            F.coalesce(F.col("tri_cnt"), F.lit(0)).cast("long").alias("tri_cnt"),
-        )
+    return deg.join(cnt, "node", "left").select(
+        "node",
+        F.coalesce(F.col("tri_cnt"), F.lit(0)).cast("long").alias("tri_cnt"),
     )
 
 
@@ -467,10 +491,20 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = _cached_relation(
         spark, sf_dir, "graph_nb", build_nb, src_table="events.parquet"
     )
+    return label_propagation_rounds(nb, rounds=2).select(
+        F.col("node").alias("event_type"), "label"
+    )
+
+
+def label_propagation_rounds(nb: DataFrame, rounds: int) -> DataFrame:
+    """Synchronous mode-label propagation over a (node, nbr) neighbor
+    relation, ties broken toward the smallest label; returns
+    (node, label) for every node in the relation. Core of
+    graph_label_propagation, exposed for reuse/testing."""
     nodes = nb.select("node").distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
     rn_w = Window.partitionBy("node").orderBy(F.desc("c"), "label")
-    for _ in range(2):
+    for _ in range(rounds):
         votes = (
             nb.join(
                 F.broadcast(
@@ -490,10 +524,6 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("node", "label")
         )
-    return (
-        nodes.join(labels, "node", "left")
-        .select(
-            F.col("node").alias("event_type"),
-            F.coalesce(F.col("label"), F.col("node")).alias("label"),
-        )
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
     )

@@ -395,3 +395,129 @@ def test_pagerank_matches_numpy_power_iteration(spark, raw_edges, iters):
         r = 0.15 / n + 0.85 * (P @ r + dm / n)
     for u in nodes:
         assert abs(got[f"n{u}"] - r[idx[u]]) < 1e-9, (u, got, r)
+
+
+_EDGE_PAIRS = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(edge_idx=st.sets(st.integers(0, len(_EDGE_PAIRS) - 1), min_size=1, max_size=15))
+def test_triangle_counts_match_bruteforce(spark, edge_idx):
+    """Compact-forward per-node triangle counts equal naive
+    combination enumeration on random graphs up to 6 nodes."""
+    from itertools import combinations
+
+    from free_etl_spark.queries.graph import triangle_counts
+
+    edges = [_EDGE_PAIRS[i] for i in sorted(edge_idx)]
+    eset = {frozenset(e) for e in edges}
+    nodes = sorted({n for e in edges for n in e})
+    expect = {n: 0 for n in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if (
+            frozenset((a, b)) in eset
+            and frozenset((b, c)) in eset
+            and frozenset((a, c)) in eset
+        ):
+            expect[a] += 1
+            expect[b] += 1
+            expect[c] += 1
+    und = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges], "a string, b string"
+    )
+    got = {
+        r["node"]: r["tri_cnt"] for r in triangle_counts(und).collect()
+    }
+    assert got == {str(n): c for n, c in expect.items()}
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    edge_idx=st.sets(st.integers(0, len(_EDGE_PAIRS) - 1), min_size=1, max_size=15),
+    rounds=st.integers(1, 2),
+)
+def test_label_propagation_matches_bruteforce(spark, edge_idx, rounds):
+    """Synchronous mode-label propagation with min tie-break equals a
+    direct Python simulation."""
+    from collections import Counter
+
+    from free_etl_spark.queries.graph import label_propagation_rounds
+
+    edges = [(str(a), str(b)) for a, b in (_EDGE_PAIRS[i] for i in sorted(edge_idx))]
+    nbrs: dict[str, list[str]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    labels = {n: n for n in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for n, ns in nbrs.items():
+            cnt = Counter(labels[m] for m in ns)
+            # tie-break: highest count, then SMALLEST label
+            top = max(cnt.values())
+            new[n] = min(lab for lab, c in cnt.items() if c == top)
+        labels = new
+    nb = spark.createDataFrame(
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges],
+        "node string, nbr string",
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation_rounds(nb, rounds=rounds).collect()
+    }
+    assert got == labels
+
+
+_DOC_TOK = st.lists(
+    st.sampled_from(["aa", "bb", "cc"]), min_size=1, max_size=24
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_DOC_TOK, min_size=1, max_size=5))
+def test_substring_spans_match_bruteforce(spark, docs):
+    """Strided-window duplicated-span stats equal a direct Python
+    computation, including the short-document clamp path."""
+    from free_etl_spark.queries.dedup import _SPAN_K, _SPAN_STRIDE
+    from free_etl_spark.queries.dedup import substring_span_stats
+
+    def spans_of(toks):
+        last = max(len(toks) - (_SPAN_K - 1), 1)
+        # 1-based start positions, inclusive clamp — mirrors sequence()
+        return [
+            " ".join(toks[s - 1 : s - 1 + _SPAN_K])
+            for s in range(1, last + 1, _SPAN_STRIDE)
+        ]
+
+    all_spans = [(i, sp) for i, toks in enumerate(docs) for sp in spans_of(toks)]
+    from collections import defaultdict
+
+    by_span = defaultdict(set)
+    for i, sp in all_spans:
+        by_span[sp].add(i)
+    expect = {}
+    for i, toks in enumerate(docs):
+        sps = spans_of(toks)
+        dup = sum(1 for sp in sps if len(by_span[sp]) >= 2)
+        expect[i] = (len(sps), dup, dup * 2 >= len(sps))
+    sdf = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_spans"], r["is_dup"])
+        for r in substring_span_stats(sdf).collect()
+    }
+    assert got == expect
