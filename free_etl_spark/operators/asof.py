@@ -31,6 +31,7 @@ def asof_join_backward(
     right_ts: str,
     payload_cols: list[str],
     payload_prefix: str = "asof_",
+    tolerance: int | float | None = None,
 ) -> DataFrame:
     """For each left row, attach the payload of the latest right row
     with the same ``on`` keys and ``right[right_ts] <= left[left_ts]``.
@@ -38,6 +39,12 @@ def asof_join_backward(
     Returns the left DataFrame with ``{payload_prefix}{right_ts}`` and
     ``{payload_prefix}{c}`` for each payload column (NULL when no right
     row precedes the left row).
+
+    ``tolerance`` (same units as the ts columns, like pandas
+    ``merge_asof(tolerance=...)``): when set, a carried match further
+    than ``tolerance`` behind the left row is masked back to NULL — a
+    pure post-projection on the carried struct, so the plan (one
+    shuffle, no explosion) is unchanged.
     """
     lcols = left.columns
     payload = F.struct(
@@ -71,6 +78,11 @@ def asof_join_backward(
     carried = tagged_r.unionByName(tagged_l).withColumn(
         "__match", F.last("__payload", ignorenulls=True).over(w)
     )
+    if tolerance is not None:
+        in_tol = F.col("__ts") - F.col(f"__match.{right_ts}") <= F.lit(tolerance)
+        carried = carried.withColumn(
+            "__match", F.when(in_tol, F.col("__match"))
+        )
     out = carried.filter(F.col("__side") == 1).select(
         *lcols,
         F.col(f"__match.{right_ts}").alias(f"{payload_prefix}{right_ts}"),

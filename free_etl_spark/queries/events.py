@@ -117,6 +117,63 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_TOL_US = 24 * 3600 * 1_000_000  # 24-hour match tolerance
+
+
+@query(
+    "join_asof_tolerance_events",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      FROM events WHERE event_type = 'purchase'
+    ), s AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts_us, value AS s_value
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.event_id, p.user_id, p.ts_us, p.value,
+           CASE WHEN p.ts_us - s.s_ts_us <= {_ASOF_TOL_US}
+                THEN s.s_ts_us END AS asof_ts_us,
+           CASE WHEN p.ts_us - s.s_ts_us <= {_ASOF_TOL_US}
+                THEN s.s_value END AS asof_value
+    FROM p ASOF LEFT JOIN s
+      ON p.user_id = s.user_id AND p.ts_us >= s.s_ts_us
+    """,
+)
+def join_asof_tolerance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (pandas merge_asof
+    tolerance= parity): each purchase takes the user's most recent
+    signup at-or-before it ONLY if that signup is within 24 hours —
+    staler matches null out (at sf0.01 this keeps 708 of 1791
+    matches, so both paths are exercised). The tolerance is a pure
+    post-projection on the carried struct (operators/asof.py), so the
+    plan stays the single union+carry-forward shuffle; the oracle
+    masks DuckDB's native ASOF JOIN the same way."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts_us").alias("s_ts_us"), F.col("value").alias("s_value")
+    )
+    return asof_join_backward(
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="s_ts_us",
+        payload_cols=["s_value"],
+        payload_prefix="asof_",
+        tolerance=_ASOF_TOL_US,
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        F.col("asof_s_ts_us").alias("asof_ts_us"),
+        F.col("asof_s_value").alias("asof_value"),
+    )
+
+
 _GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
 
 

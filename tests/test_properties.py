@@ -521,3 +521,37 @@ def test_substring_spans_match_bruteforce(spark, docs):
         for r in substring_span_stats(sdf).collect()
     }
     assert got == expect
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(left=_left_rows, right=_right_rows, tol=st.integers(0, 8))
+def test_asof_tolerance_masks_stale_matches(spark, left, right, tol):
+    """tolerance= masks any carried match older than tol; otherwise
+    identical to the untolerated as-of join."""
+    ldf = spark.createDataFrame(
+        pd.DataFrame(left, columns=["k", "lt"]), "k int, lt int"
+    )
+    rdf = spark.createDataFrame(
+        pd.DataFrame(right, columns=["k", "rt", "rv"]), "k int, rt int, rv int"
+    )
+    got = asof_join_backward(
+        ldf, rdf, on=["k"], left_ts="lt", right_ts="rt",
+        payload_cols=["rv"], tolerance=tol,
+    )
+    rows = [(r["k"], r["lt"], r["asof_rt"], r["asof_rv"]) for r in got.collect()]
+    expect = []
+    for k, lt in left:
+        best = None
+        for rk, rt, rv in right:
+            if rk == k and rt <= lt and (best is None or (rt, rv) > best):
+                best = (rt, rv)
+        if best is not None and lt - best[0] > tol:
+            best = None
+        expect.append((k, lt, None if best is None else best[0],
+                       None if best is None else best[1]))
+    key = lambda r: (r[0], r[1], r[2] is None, r[2] or 0, r[3] is None, r[3] or 0)  # noqa: E731
+    assert sorted(rows, key=key) == sorted(expect, key=key)
