@@ -176,6 +176,12 @@ def test_near_dup_plans_have_no_cartesian_products(spark):
         "sim_pq_topk",
         "text_unigram_logprob",
         "text_boilerplate_lines",
+        "dedup_substring_spans",
+        "text_bigram_lm_score",
+        "graph_triangle_count",
+        "graph_label_propagation",
+        "agg_heavy_hitters_cms",
+        "emb_outlier_zscore",
     ]:
         a = audit(spark, name, SF_DIR)
         assert a["cartesian_joins"] == 0, name
