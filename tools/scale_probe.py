@@ -64,6 +64,18 @@ PROBE_QUERIES = [
     "events_winsorized_stats",
     "events_welch_ttest",
     "streaming_cdc_upsert",
+    # r5 wave-5: duplicated-span volume scales with the planted M-way
+    # duplicate clusters (worst case for the span-frequency shuffle);
+    # bigram LM joins grow with bigram vocabulary; triangle/LPA
+    # distill the grown event log but iterate over aggregates; CMS is
+    # vocabulary-bound; the as-of tolerance mask is a projection
+    "dedup_substring_spans",
+    "text_bigram_lm_score",
+    "graph_triangle_count",
+    "graph_label_propagation",
+    "agg_heavy_hitters_cms",
+    "emb_outlier_zscore",
+    "join_asof_tolerance_events",
 ]
 
 
