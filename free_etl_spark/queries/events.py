@@ -1359,3 +1359,72 @@ def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hr").cast("timestamp_ntz").alias("hr"),
         z.alias("z"),
     )
+
+
+_PATH_LEN = 5  # first-N event types per user
+
+
+@query(
+    "events_path_analysis",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                                         event_id) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= {_PATH_LEN} GROUP BY user_id
+    ),
+    c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users FROM p
+          GROUP BY path)
+    SELECT path, n_users,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_users DESC, path) AS INT)
+             AS rank
+    FROM c
+    ORDER BY rank LIMIT 25
+    """,
+)
+def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys (path analysis, the product-analytics staple
+    beyond transition bigrams): each user's first 5 event types in
+    time order, joined into a path string, counted across users, top
+    25 reported. One shuffle on user_id for the ordering window, one
+    on the path string for the count; the ranked window then runs
+    over the AGGREGATED path relation — path-vocabulary-sized, not
+    user-sized — so the single-partition global sort is cheap at any
+    scale (same argument as text_vocab_coverage). (ts, event_id)
+    totally orders each user's stream; (n_users DESC, path) totally
+    orders the cutoff."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    paths = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PATH_LEN)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    rank_w = Window.orderBy(F.desc("n_users"), "path")
+    return (
+        counts.select(
+            "path", "n_users", F.row_number().over(rank_w).cast("int").alias("rank")
+        )
+        .orderBy("rank")
+        .limit(25)
+    )

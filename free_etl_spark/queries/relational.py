@@ -985,3 +985,77 @@ def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("over_est"),
         )
     )
+
+
+@query(
+    "orders_abc_pareto",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(ROUND(ROUND(SUM(o_totalprice), 2) * 100, 0) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS t FROM c),
+    ranked AS (
+      SELECT o_custkey, rev_cents,
+             CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_cents
+      FROM c
+    )
+    SELECT o_custkey,
+           ROUND(rev_cents / 100.0, 2) AS revenue,
+           FLOOR(CAST(cum_cents AS DOUBLE) / tot.t * 1e6) / 1e6
+             AS cum_share,
+           CASE WHEN cum_cents * 100 <= tot.t * 80 THEN 'A'
+                WHEN cum_cents * 100 <= tot.t * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked CROSS JOIN tot
+    """,
+)
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of customers by revenue: rank by
+    total order value, accumulate revenue share, bucket into A (first
+    80% of revenue), B (to 95%), C (tail) — the inventory/CRM
+    segmentation staple. All accumulation is EXACT integer cents
+    (the 2-decimal money grid times 100): a floating running sum and
+    a floating grand total sum in different orders on the two
+    engines, so their ratio can straddle a class boundary or the
+    floor grid by one ulp — integers cannot. The class gates compare
+    cum_cents*100 against t*80/t*95 (pure integer), and the reported
+    share divides two exactly-representable integers (identical
+    doubles, then floor). Per-customer totals are a partial-agg
+    shuffle; the cumulative window runs over the AGGREGATED customer
+    relation. At 100 TB that relation is |customers|-sized and the
+    single-partition running sum becomes the bottleneck — the
+    distributed form is the standard two-pass prefix sum (range-
+    partition by revenue rank, per-range totals, prefix the range
+    totals, rank within ranges); thresholds and output are unchanged.
+    (revenue DESC, custkey) totally orders ties."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.round(F.round(F.sum("o_totalprice"), 2) * 100, 0)
+        .cast("long")
+        .alias("rev_cents")
+    )
+    tot = c.agg(F.sum("rev_cents").cast("long").alias("t"))
+    cum_w = Window.orderBy(F.desc("rev_cents"), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = c.select(
+        "o_custkey",
+        "rev_cents",
+        F.sum("rev_cents").over(cum_w).cast("long").alias("cum_cents"),
+    )
+    return ranked.join(F.broadcast(tot)).select(
+        "o_custkey",
+        F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+        (
+            F.floor(F.col("cum_cents").cast("double") / F.col("t") * 1e6) / 1e6
+        ).alias("cum_share"),
+        F.when(F.col("cum_cents") * 100 <= F.col("t") * 80, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("t") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

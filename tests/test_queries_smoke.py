@@ -612,3 +612,33 @@ def test_code_detection_flags_crafted_code_doc(spark, tmp_path):
     docs.write.parquet(out_dir + "/documents.parquet")
     got = {r["doc_id"]: r for r in text_code_detection(spark, out_dir).collect()}
     assert got[0]["is_code"] and not got[1]["is_code"]
+
+
+def test_path_analysis_counts_cover_users(spark):
+    """Top-25 path users cannot exceed total users; every path has
+    exactly 5 or fewer hops."""
+    import __spark_entry__ as em
+    from free_etl_spark.tables import load_table
+
+    df = em.queries()["events_path_analysis"](spark, SF_DIR).toPandas()
+    n_users = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert df["n_users"].sum() <= n_users
+    assert (df["path"].str.count(">") <= 4).all()
+    assert list(df["rank"]) == sorted(df["rank"])
+
+
+def test_abc_pareto_class_shares(spark):
+    """A-class customers hold <= 80% of revenue plus one straddling
+    customer; classes partition the customer set, ordered A>=B tail."""
+    import __spark_entry__ as em
+
+    df = em.queries()["orders_abc_pareto"](spark, SF_DIR).toPandas()
+    total = df["revenue"].sum()
+    a = df[df["abc_class"] == "A"]["revenue"].sum()
+    assert a <= 0.8 * total + df["revenue"].max()
+    assert set(df["abc_class"]) <= {"A", "B", "C"}
+    # cumulative share monotone in rank order
+    s = df.sort_values(["revenue", "o_custkey"], ascending=[False, True])
+    assert s["cum_share"].is_monotonic_increasing
