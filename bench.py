@@ -99,6 +99,13 @@ HEADLINE = [
     "streaming_neardup_filter",
     "agg_heavy_hitters_cms",
     "emb_outlier_zscore",
+    # r5 sixth wave: tolerance as-of, temperature mix, code gate,
+    # user journeys, ABC revenue classes
+    "join_asof_tolerance_events",
+    "sample_temperature_mix",
+    "text_code_detection",
+    "events_path_analysis",
+    "orders_abc_pareto",
 ]
 
 
