@@ -28,6 +28,9 @@ _SWITCH_TARGETS = [
     "join_bucketed_colocated",
     "dedup_pipeline_keep_set",
     "graph_pagerank_2iter",      # per-corpus transition-edge cache
+    "graph_triangle_count",      # per-corpus oriented-edge cache
+    "graph_label_propagation",   # per-corpus neighbor cache
+    "streaming_neardup_filter",  # per-corpus minhash band index
     "streaming_cdc_upsert",      # per-application target dir rebuild
 ]
 
