@@ -555,3 +555,58 @@ def test_asof_tolerance_masks_stale_matches(spark, left, right, tol):
                        None if best is None else best[1]))
     key = lambda r: (r[0], r[1], r[2] is None, r[2] or 0, r[3] is None, r[3] or 0)  # noqa: E731
     assert sorted(rows, key=key) == sorted(expect, key=key)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=20),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_cms_matches_hashlib_replication(spark, docs, tmp_path_factory):
+    """The count-min sketch estimate equals a pure-Python hashlib
+    replication (independent of both engines' SQL)."""
+    import hashlib
+    from collections import Counter
+
+    from free_etl_spark.queries.relational import (
+        _CMS_D,
+        _CMS_W,
+        agg_heavy_hitters_cms,
+    )
+
+    out_dir = str(tmp_path_factory.mktemp("cms") / "sf")
+    sdf = spark.createDataFrame(
+        [(i, " ".join(toks), "en", "s", 1) for i, toks in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sdf.write.parquet(out_dir + "/documents.parquet")
+
+    exact = Counter(t for toks in docs for t in toks)
+    total = sum(exact.values())
+    sketch: dict[tuple[int, int], int] = {}
+    for tok, c in exact.items():
+        for d in range(_CMS_D):
+            b = int(hashlib.md5(f"{d}|{tok}".encode()).hexdigest()[:8], 16) % _CMS_W
+            sketch[(d, b)] = sketch.get((d, b), 0) + c
+    expect = {}
+    for tok, c in exact.items():
+        est = min(
+            sketch[
+                (d, int(hashlib.md5(f"{d}|{tok}".encode()).hexdigest()[:8], 16) % _CMS_W)
+            ]
+            for d in range(_CMS_D)
+        )
+        if est * 200 >= total:
+            expect[tok] = (c, est)
+    got = {
+        r["tok"]: (r["exact_cnt"], r["cms_est"])
+        for r in agg_heavy_hitters_cms(spark, out_dir).collect()
+    }
+    assert got == expect
