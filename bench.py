@@ -194,46 +194,68 @@ def main() -> None:
     total = round(
         sum(v for k, v in timings.items() if not k.endswith("_mb_per_s")), 3
     )
+    here = os.path.dirname(os.path.abspath(__file__))
+    # Per-query regression diff vs the previous bench run's side file
+    # (BENCH_QUERIES.json is committed each round, so within a fresh
+    # checkout this diffs against the prior round). Fallback: scan
+    # prior BENCH_r*.json driver artifacts for a parsable queries dict.
+    prev_q, prev_src = {}, None
+    try:
+        _pq = json.load(open(os.path.join(here, "BENCH_QUERIES.json")))
+        prev_q, prev_src = _pq.get("queries", {}), "BENCH_QUERIES.json"
+    except Exception:
+        pass
+    if not prev_q:
+        import glob as _bglob
+
+        for path in sorted(
+            _bglob.glob(os.path.join(here, "BENCH_r*.json"))
+        )[::-1]:
+            try:
+                prev = json.load(open(path))
+                prev_q = (prev.get("parsed") or {}).get("queries", {})
+                if not prev_q:  # older shape — parse the stdout tail
+                    m_prev = re.search(r'\{"metric".*\}', prev.get("tail", ""))
+                    prev_q = (
+                        json.loads(m_prev.group(0))["queries"] if m_prev else {}
+                    )
+                if prev_q:
+                    prev_src = os.path.basename(path)
+                    break
+            except Exception:
+                continue
+    if prev_q:
+        diag = {
+            "prev_round": prev_src,
+            "delta_vs_prev": {
+                k: round(v - prev_q[k], 3)
+                for k, v in timings.items()
+                if k in prev_q and not k.endswith("_mb_per_s")
+            },
+        }
+        print(json.dumps(diag))
+        with open(os.path.join(here, "BENCH_DELTA.json"), "w") as f:
+            json.dump(diag, f, indent=1)
+    # Per-query timings: their own stdout line + a side file — NEVER
+    # on the final line. The driver stores only a 2000-char stdout
+    # tail and regex-matches '{"metric"...' in it; r4 AND r5 both
+    # recorded parsed:null because the final line carried the
+    # 65-entry per-query dict (~2.2 KB) and the opener was truncated
+    # away. The canonical final line below is a few hundred bytes and
+    # cannot outgrow the window no matter how many queries register.
+    qline = {"queries": timings, "sf": sf}
+    print(json.dumps(qline))
+    with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as f:
+        json.dump(qline, f, indent=1)
     out = {
         "metric": "headline_query_suite_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "n_queries": sum(
+            1 for k in timings if not k.endswith("_mb_per_s")
+        ),
         "sf": sf,
     }
-    # Per-query regression diff vs the newest prior round's BENCH json.
-    # Emitted on its OWN stdout line and into a side file, never into
-    # the final line: r4 appended it to the canonical object, the line
-    # outgrew the driver's stdout tail window, and BENCH_r04 recorded
-    # parsed:null. The final line must stay compact.
-    import glob as _bglob
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    # newest round whose artifact is actually parsable (r4's is
-    # parsed:null with a truncated tail — skip past such rounds)
-    for path in sorted(_bglob.glob(os.path.join(here, "BENCH_r*.json")))[::-1]:
-        try:
-            prev = json.load(open(path))
-            prev_q = (prev.get("parsed") or {}).get("queries", {})
-            if not prev_q:  # older artifact shape — parse the stdout tail
-                m_prev = re.search(r'\{"metric".*\}', prev.get("tail", ""))
-                prev_q = json.loads(m_prev.group(0))["queries"] if m_prev else {}
-            if not prev_q:
-                continue
-            diag = {
-                "prev_round": os.path.basename(path),
-                "delta_vs_prev": {
-                    k: round(v - prev_q[k], 3)
-                    for k, v in timings.items()
-                    if k in prev_q and not k.endswith("_mb_per_s")
-                },
-            }
-            print(json.dumps(diag))
-            with open(os.path.join(here, "BENCH_DELTA.json"), "w") as f:
-                json.dump(diag, f, indent=1)
-            break
-        except Exception:  # prior artifact unparsable — try the next older
-            continue
     print(json.dumps(out))
     spark.stop()
 

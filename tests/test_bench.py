@@ -1,18 +1,23 @@
-"""Driver-contract guard: bench.py must run end-to-end and print one
-valid JSON line with the expected shape (the per-round driver executes
-it verbatim)."""
+"""Driver-contract guard: bench.py must run end-to-end and its FINAL
+stdout line must survive the grading driver's capture: the driver
+stores only the last 2000 chars of stdout and regex-matches
+'{"metric"...}' inside that tail. Rounds 4 and 5 both recorded
+parsed:null because the final line carried the full per-query dict
+and outgrew the window — this test simulates the driver's capture
+exactly so that defect cannot recur."""
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_emits_one_json_line():
+def test_bench_final_line_survives_driver_tail_window():
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "4"
@@ -25,13 +30,32 @@ def test_bench_emits_one_json_line():
         cwd=_REPO,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    json_lines = [
-        l for l in out.stdout.splitlines() if l.startswith('{"metric"')
-    ]
-    assert len(json_lines) == 1, out.stdout[-2000:]
-    payload = json.loads(json_lines[0])
+    lines = out.stdout.splitlines()
+    metric_lines = [l for l in lines if l.startswith('{"metric"')]
+    assert len(metric_lines) == 1, out.stdout[-2000:]
+    # The canonical line must be LAST and compact — small enough that
+    # it can never be truncated out of a 2000-char tail even with the
+    # per-query line immediately before it.
+    assert lines[-1] == metric_lines[0]
+    assert len(metric_lines[0]) < 500, len(metric_lines[0])
+    payload = json.loads(metric_lines[0])
     assert payload["unit"] == "sec"
     assert payload["sf"] == 0.001
     assert payload["value"] > 0
-    assert len(payload["queries"]) >= 25
-    assert all(v >= 0 for v in payload["queries"].values())
+    assert payload["n_queries"] >= 25
+    assert "queries" not in payload  # the dict lives on its own line
+
+    # Driver simulation: last 2000 chars, driver-style regex.
+    tail = out.stdout[-2000:]
+    m = re.search(r'\{"metric".*\}', tail)
+    assert m, tail
+    assert json.loads(m.group(0))["value"] == payload["value"]
+
+    # Per-query timings: own stdout line + side file, identical shape.
+    qlines = [l for l in lines if l.startswith('{"queries"')]
+    assert len(qlines) == 1
+    qpayload = json.loads(qlines[0])
+    assert len(qpayload["queries"]) >= 25
+    assert all(v >= 0 for v in qpayload["queries"].values())
+    side = json.load(open(os.path.join(_REPO, "BENCH_QUERIES.json")))
+    assert side["queries"] == qpayload["queries"]
