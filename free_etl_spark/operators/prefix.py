@@ -1,0 +1,189 @@
+"""Distributed global-order prefix aggregation.
+
+Global cumulative windows (``Window.orderBy`` with no partitionBy)
+funnel the whole relation through ONE task: correct at test scale,
+a guaranteed stall at 100 TB where the windowed relation grows with
+the corpus (customers, vocabulary, the orders fact itself). This
+module provides the standard two-pass range-partitioned prefix sum
+so those queries keep every executor busy:
+
+1. ``repartitionByRange`` on the total order — Spark's range
+   partitioner guarantees partition ``i`` holds rows strictly before
+   partition ``i+1`` in the requested sort order, so a per-partition
+   running sum only lacks the totals of earlier partitions.
+2. A pid-local window (``Window.partitionBy(spark_partition_id())``)
+   computes local row numbers / running sums fully in parallel.
+3. Per-partition totals (one row per shuffle partition — a constant-
+   size relation independent of data volume) are prefixed by a tiny
+   triangular join (``t2.pid < t1.pid``) instead of yet another
+   global window, so the WHOLE plan contains no single-partition
+   window exchange — a shape tests/test_plans.py asserts.
+4. The offsets broadcast-join back on pid; global value = local +
+   offset.
+
+The helpers are value-deterministic regardless of where the range
+partitioner places its boundaries: a prefix at a row is the sum over
+all rows ordered at-or-before it, which no boundary placement can
+change (orders need a TOTAL order — callers must include a unique
+tie-breaker column, same rule their DuckDB oracles already follow).
+
+``global_ntile`` reproduces SQL NTILE(k) exactly from the global row
+number and the total count: with n = q*k + r, buckets 1..r get q+1
+rows and buckets r+1..k get q rows — the same positional assignment
+NTILE makes, so oracle NTILE output is matched value-for-value
+without any global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_INTERNAL = ("__pid", "__lrn", "__o_rn")
+
+# (session, tag) -> persisted range-partitioned relation. The persist
+# below is CORRECTNESS, not tuning: the partitioned+pid relation is
+# referenced by two plan branches (the local windows and the
+# per-partition totals), and without a shared materialization
+# Catalyst prunes each branch differently, the two range exchanges
+# stop being reusable, and each samples ITS OWN boundaries — the
+# offsets then describe a different partitioning than the local
+# prefix sums and the result is nondeterministically wrong (observed
+# at sf0.01: NTILE off by one near quartile boundaries). The
+# CacheManager replaces both canonically-equal subtrees with the same
+# InMemoryRelation, so boundaries are sampled exactly once per
+# execution. The tag registry bounds the entries: re-constructing the
+# same query replaces (and unpersists) its previous entry instead of
+# accumulating one per construction.
+_PART_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _persist_part(df: DataFrame, tag: str) -> DataFrame:
+    key = (df.sparkSession, tag)
+    old = _PART_CACHE.pop(key, None)
+    if old is not None:
+        old.unpersist()
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PART_CACHE[key] = out
+    return out
+
+
+def ordered_prefix(
+    df: DataFrame,
+    order: list[Column | str],
+    *,
+    cache_tag: str,
+    sums: dict[str, Column | str] | None = None,
+    rn: str | None = None,
+    grand: dict[str, Column | str] | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Attach global-order prefix columns to ``df`` without a
+    single-partition window.
+
+    order      total order (include a unique tie-breaker!); Columns
+               may carry ``.desc()``.
+    cache_tag  stable identifier for the persisted partitioned
+               relation (see _PART_CACHE) — one live cache entry per
+               tag per session.
+    sums       out_alias -> column: inclusive running sum in that
+               order (``SUM(col) OVER (ORDER BY ... ROWS UNBOUNDED
+               PRECEDING)``).
+    rn         alias for the global 1-based row number (long).
+    grand      out_alias -> column: whole-relation sum attached as a
+               constant column (computed from the per-partition
+               totals — no second scan of ``df``).
+    partitions range-partition count; defaults to the session's
+               shuffle partitions.
+    """
+    sums = dict(sums or {})
+    grand = dict(grand or {})
+    if partitions is None:
+        try:
+            partitions = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except Exception:
+            partitions = 32
+    part = _persist_part(
+        df.repartitionByRange(partitions, *order).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        cache_tag,
+    )
+    w_loc = Window.partitionBy("__pid").orderBy(*order)
+    w_cum = w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = part.withColumn("__lrn", F.row_number().over(w_loc))
+    for alias, col in sums.items():
+        local = local.withColumn(f"__l_{alias}", F.sum(col).over(w_cum))
+    # Per-partition totals from the PRE-window relation: Catalyst
+    # reuses the range exchange for both branches; the totals
+    # relation has at most `partitions` rows forever.
+    aggs = [F.count(F.lit(1)).alias("__cnt")]
+    aggs += [F.sum(col).alias(f"__s_{a}") for a, col in sums.items()]
+    aggs += [F.sum(col).alias(f"__g_{a}") for a, col in grand.items()]
+    totals = part.groupBy("__pid").agg(*aggs)
+    # Exclusive prefix of the totals via a triangular join over the
+    # constant-size totals relation — NOT a global window, so no
+    # Exchange SinglePartition enters the plan.
+    t1, t2 = totals.alias("t1"), totals.alias("t2")
+    off_aggs = [F.coalesce(F.sum("t2.__cnt"), F.lit(0)).alias("__o_rn")]
+    off_aggs += [
+        F.coalesce(F.sum(f"t2.__s_{a}"), F.lit(0)).alias(f"__o_{a}")
+        for a in sums
+    ]
+    offsets = (
+        t1.join(t2, F.col("t2.__pid") < F.col("t1.__pid"), "left")
+        .groupBy(F.col("t1.__pid").alias("__pid"))
+        .agg(*off_aggs)
+    )
+    out = local.join(F.broadcast(offsets), "__pid")
+    if rn is not None:
+        out = out.withColumn(rn, (F.col("__lrn") + F.col("__o_rn")).cast("long"))
+    drop = list(_INTERNAL)
+    for alias in sums:
+        out = out.withColumn(alias, F.col(f"__l_{alias}") + F.col(f"__o_{alias}"))
+        drop += [f"__l_{alias}", f"__o_{alias}"]
+    if grand:
+        g = totals.agg(*[F.sum(f"__g_{a}").alias(a) for a in grand])
+        out = out.join(F.broadcast(g))
+    return out.drop(*drop)
+
+
+def _ceil_div(a: Column, b: Column) -> Column:
+    """Exact ceil(a/b) for positive integer columns (values < 2^53 so
+    the intermediate double division is exact enough: a correctly
+    rounded quotient of exactly representable ints never crosses an
+    integer boundary at these magnitudes)."""
+    return F.ceil(a / b)
+
+
+def global_ntile(
+    df: DataFrame,
+    order: list[Column | str],
+    k: int,
+    alias: str,
+    *,
+    cache_tag: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """``NTILE(k) OVER (ORDER BY order)`` with identical output to the
+    SQL window function, computed distributed (range partition +
+    prefix row number + closed-form bucket assignment)."""
+    pre = ordered_prefix(
+        df,
+        order,
+        cache_tag=cache_tag,
+        rn="__grn",
+        grand={"__n": F.lit(1)},
+        partitions=partitions,
+    )
+    n, rn = F.col("__n"), F.col("__grn")
+    q = F.floor(n / k)
+    r = n % k
+    big = r * (q + F.lit(1))  # rows covered by the (q+1)-sized buckets
+    bucket = F.when(rn <= big, _ceil_div(rn, q + F.lit(1))).otherwise(
+        r + _ceil_div(rn - big, q)
+    )
+    return pre.withColumn(alias, bucket.cast("int")).drop("__grn", "__n")

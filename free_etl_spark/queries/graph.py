@@ -327,10 +327,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     found exactly once, and centering wedges on the lowest-DEGREE
     vertex bounds the wedge relation by sum(d_v * min-degree) instead
     of sum(d_v^2) — the standard fix that keeps the self-join from
-    exploding on skewed (power-law) graphs at scale. All joins are
-    equi-joins on vertex keys plus an AQE-visible rank inequality;
-    the degree/rank relations are node-set-sized. The global rank
-    window runs over that dimension-sized relation, not the corpus.
+    exploding on skewed (power-law) graphs at scale. The (degree,
+    name) total order is compared directly as a tuple (see
+    oriented_edges): no rank window over the node set and no
+    node-sized broadcast anywhere — all joins are equi-joins on
+    vertex keys plus the lexicographic (hi_d, hi) inequality, which
+    encodes the identical order the oracle's ROW_NUMBER rank does.
     Nodes in no triangle report 0 via the left join."""
     from free_etl_spark.queries.dedup import _cached_relation
 
@@ -361,24 +363,29 @@ def node_degrees(und: DataFrame) -> DataFrame:
 
 
 def oriented_edges(und: DataFrame, deg: DataFrame) -> DataFrame:
-    """Orient each undirected edge from its lower-(degree, name)-rank
-    endpoint to the higher one: (lo, hi, lo_r, hi_r)."""
-    rk = deg.select(
-        "node", F.row_number().over(Window.orderBy("d", "node")).alias("r")
+    """Orient each undirected edge from its lower-(degree, name)
+    endpoint to the higher one: (lo, hi, hi_d).
+
+    The total order is compared DIRECTLY as the (d, node) tuple — no
+    ``row_number`` materialization: a global rank window would funnel
+    the whole node set through one task AND force a node-sized
+    broadcast of the rank table, while the tuple order needs only
+    equi-joins on the degree relation (AQE picks broadcast vs shuffle
+    by actual size). Downstream wedge joins compare (hi_d, hi)
+    lexicographically — the same order the rank encoded."""
+    da, db = deg.alias("da"), deg.alias("db")
+    a_first = (F.col("da.d") < F.col("db.d")) | (
+        (F.col("da.d") == F.col("db.d")) & (F.col("a") < F.col("b"))
     )
-    ra, rb = rk.alias("ra"), rk.alias("rb")
     return (
-        und.join(F.broadcast(ra), F.col("a") == F.col("ra.node"))
-        .join(F.broadcast(rb), F.col("b") == F.col("rb.node"))
+        und.join(da, F.col("a") == F.col("da.node"))
+        .join(db, F.col("b") == F.col("db.node"))
         .select(
-            F.when(F.col("ra.r") < F.col("rb.r"), F.col("a"))
-            .otherwise(F.col("b"))
-            .alias("lo"),
-            F.when(F.col("ra.r") < F.col("rb.r"), F.col("b"))
-            .otherwise(F.col("a"))
-            .alias("hi"),
-            F.least("ra.r", "rb.r").alias("lo_r"),
-            F.greatest("ra.r", "rb.r").alias("hi_r"),
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.when(a_first, F.col("db.d")).otherwise(F.col("da.d")).alias(
+                "hi_d"
+            ),
         )
     )
 
@@ -400,7 +407,13 @@ def triangle_counts(
         e1.join(
             e2,
             (F.col("e2.lo") == F.col("e1.lo"))
-            & (F.col("e2.hi_r") > F.col("e1.hi_r")),
+            & (
+                (F.col("e2.hi_d") > F.col("e1.hi_d"))
+                | (
+                    (F.col("e2.hi_d") == F.col("e1.hi_d"))
+                    & (F.col("e2.hi") > F.col("e1.hi"))
+                )
+            ),
         )
         .join(
             e3,

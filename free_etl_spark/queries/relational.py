@@ -699,11 +699,13 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     recency, count, and spend, each NTILE(5)-scored (1 = best; ties
     broken by custkey so the quintile boundaries are deterministic),
     aggregated to segment cells. Scale note: the per-customer rollup
-    is an ordinary partial-agg shuffle, but global NTILE is a
-    single-partition sort over the CUSTOMER dimension (not the orders
-    fact) — acceptable for dimension-sized inputs; at billions of
-    customers swap NTILE for approx_percentile boundary lookups, which
-    this repo's percentiles_by_type already demonstrates."""
+    is an ordinary partial-agg shuffle; the three global NTILE(5)
+    scores — which at billions of customers must NOT be a
+    single-partition sort — are three sequential
+    operators/prefix.global_ntile passes on one lineage (range
+    partition + pid-local row number + closed-form bucket), each
+    value-identical to the oracle's NTILE with the custkey tie-break
+    and none introducing a single-partition window exchange."""
     o = _t(spark, sf_dir, "orders")
     maxd = o.agg(F.max("o_orderdate").alias("gmax"))
     cust = (
@@ -715,12 +717,16 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_totalprice").alias("monetary"),
         )
     )
-    r = F.ntile(5).over(Window.orderBy(F.asc("recency_days"), "o_custkey"))
-    f_ = F.ntile(5).over(Window.orderBy(F.desc("frequency"), "o_custkey"))
-    m = F.ntile(5).over(Window.orderBy(F.desc("monetary"), "o_custkey"))
-    scored = cust.select(
-        "o_custkey", r.alias("r"), f_.alias("f"), m.alias("m"), "monetary"
-    )
+    from free_etl_spark.operators.prefix import global_ntile
+
+    scored = cust
+    for alias, order in (
+        ("r", [F.asc("recency_days"), F.col("o_custkey")]),
+        ("f", [F.desc("frequency"), F.col("o_custkey")]),
+        ("m", [F.desc("monetary"), F.col("o_custkey")]),
+    ):
+        scored = global_ntile(scored, order, 5, alias, cache_tag=f"rfm_{alias}")
+    scored = scored.select("o_custkey", "r", "f", "m", "monetary")
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.round(F.sum("monetary"), 2).alias("total_monetary"),
@@ -1026,29 +1032,37 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum_cents*100 against t*80/t*95 (pure integer), and the reported
     share divides two exactly-representable integers (identical
     doubles, then floor). Per-customer totals are a partial-agg
-    shuffle; the cumulative window runs over the AGGREGATED customer
-    relation. At 100 TB that relation is |customers|-sized and the
-    single-partition running sum becomes the bottleneck — the
-    distributed form is the standard two-pass prefix sum (range-
-    partition by revenue rank, per-range totals, prefix the range
-    totals, rank within ranges); thresholds and output are unchanged.
-    (revenue DESC, custkey) totally orders ties."""
+    shuffle; the cumulative sum over the AGGREGATED customer relation
+    — |customers|-sized at 100 TB, far too big for a single-partition
+    running sum — is the two-pass range-partitioned prefix sum
+    (operators/prefix.py): range-partition by (revenue DESC, custkey),
+    pid-local running sums, constant-size per-partition totals
+    prefixed by a triangular join and broadcast back; the grand total
+    rides the same totals relation, saving the second scan the old
+    `c.agg(sum)` branch paid. Thresholds and output are unchanged;
+    (revenue DESC, custkey) totally orders ties so the prefix is
+    boundary-placement-invariant."""
+    from free_etl_spark.operators.prefix import ordered_prefix
+
     o = _t(spark, sf_dir, "orders")
     c = o.groupBy("o_custkey").agg(
         F.round(F.round(F.sum("o_totalprice"), 2) * 100, 0)
         .cast("long")
         .alias("rev_cents")
     )
-    tot = c.agg(F.sum("rev_cents").cast("long").alias("t"))
-    cum_w = Window.orderBy(F.desc("rev_cents"), "o_custkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = c.select(
+    ranked = ordered_prefix(
+        c,
+        [F.desc("rev_cents"), F.col("o_custkey")],
+        cache_tag="abc_pareto",
+        sums={"__cum": "rev_cents"},
+        grand={"__t": "rev_cents"},
+    ).select(
         "o_custkey",
         "rev_cents",
-        F.sum("rev_cents").over(cum_w).cast("long").alias("cum_cents"),
+        F.col("__cum").cast("long").alias("cum_cents"),
+        F.col("__t").cast("long").alias("t"),
     )
-    return ranked.join(F.broadcast(tot)).select(
+    return ranked.select(
         "o_custkey",
         F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
         (

@@ -833,31 +833,40 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token-frequency index: top-50 tokens by count with
     cumulative corpus coverage — what tokenizer-vocabulary and
     coverage-threshold decisions read. One shuffle on token for the
-    counts (two-phase partial agg); the ranked window then runs over
-    the AGGREGATED vocab relation — dimension-sized (|vocab|, not
-    |corpus|), so the single-partition global sort is deliberate and
-    cheap at any corpus size. Ties order by (count DESC, token) for a
-    total deterministic order."""
+    counts (two-phase partial agg); the global rank + cumulative
+    share over the AGGREGATED vocab relation — which on a web-scale
+    corpus with noisy tokens is 10^8+ rows, too big for a
+    single-partition window — is the two-pass range-partitioned
+    prefix sum (operators/prefix.py): global row number and running
+    count both come from pid-local windows plus constant-size
+    partition-total offsets, and the corpus-total token count rides
+    the same totals relation. Ties order by (count DESC, token) for
+    a total deterministic order; the final top-50 is a TakeOrdered,
+    not a sort."""
+    from free_etl_spark.operators.prefix import ordered_prefix
+
     docs = load_table(spark, sf_dir, "documents")
     cnt = (
         docs.select(F.explode(_tokens()).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = cnt.agg(F.sum("cnt").cast("double").alias("s"))
-    w = Window.orderBy(F.desc("cnt"), "tok")
-    cum = Window.orderBy(F.desc("cnt"), "tok").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    pre = ordered_prefix(
+        cnt,
+        [F.desc("cnt"), F.col("tok")],
+        cache_tag="vocab_coverage",
+        sums={"__cum": "cnt"},
+        rn="__rank",
+        grand={"__s": "cnt"},
     )
     return (
-        cnt.join(F.broadcast(total))
-        .select(
+        pre.select(
             "tok",
-            F.row_number().over(w).cast("int").alias("rank"),
+            F.col("__rank").cast("int").alias("rank"),
             "cnt",
-            F.round(F.sum("cnt").over(cum).cast("double") / F.col("s"), 6).alias(
-                "cum_share"
-            ),
+            F.round(
+                F.col("__cum").cast("double") / F.col("__s").cast("double"), 6
+            ).alias("cum_share"),
         )
         .orderBy("rank")
         .limit(50)

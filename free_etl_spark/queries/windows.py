@@ -128,18 +128,32 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_movavg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE bucketing + bounded moving-average frame."""
+    """NTILE bucketing + bounded moving-average frame. The quartile is
+    a GLOBAL ntile over the orders FACT table — the one place a bare
+    ``F.ntile`` would sort the whole corpus in a single task — so it
+    uses operators.prefix.global_ntile: range-partitioned global row
+    number + closed-form NTILE bucket assignment, value-identical to
+    the oracle's NTILE(4) (unique (price, orderkey) tie-break) with
+    no single-partition window exchange in the plan."""
+    from free_etl_spark.operators.prefix import global_ntile
+
     orders = load_table(spark, sf_dir, "orders")
-    w_ntile = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    ranked = global_ntile(
+        orders,
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        4,
+        "__q4",
+        cache_tag="ntile_movavg",
+    )
     w_mov = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(-2, Window.currentRow)
     )
-    return orders.select(
+    return ranked.select(
         "o_orderkey",
         "o_custkey",
-        F.ntile(4).over(w_ntile).cast("long").alias("price_quartile"),
+        F.col("__q4").cast("long").alias("price_quartile"),
         F.round(F.avg("o_totalprice").over(w_mov), 4).alias("movavg3"),
     )
 

@@ -328,3 +328,36 @@ def test_observation_metrics_free_audit(spark):
     assert df.count() == 1000  # the action that populates the metrics
     got = obs.get
     assert got == {"n_rows": 1000, "id_sum": 499500, "id_max": 999}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "window_ntile_movavg",
+        "orders_abc_pareto",
+        "orders_rfm_segmentation",
+        "text_vocab_coverage",
+        "graph_triangle_count",
+    ],
+)
+def test_corpus_scale_queries_have_no_global_window(spark, name):
+    """The five queries that used to run an unpartitioned
+    Window.orderBy over a corpus-growing relation (VERDICT r5 task #3)
+    now use the distributed prefix-sum / tuple-orientation forms
+    (operators/prefix.py, graph.oriented_edges). Guard the shape: no
+    Window operator in their plans may sit on a single-partition
+    exchange. Scalar aggregates (constant-size combine) remain
+    legitimately single-partition — only windows are gated."""
+    import re
+
+    import free_etl_spark.queries as q
+
+    df = q.QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # A global window compiles to Window ← Sort ← Exchange
+    # SinglePartition within adjacent plan lines.
+    bad = re.search(
+        r"Window [^\n]*\n[^\n]*(?:Sort [^\n]*\n[^\n]*)?Exchange SinglePartition",
+        plan,
+    )
+    assert not bad, f"single-partition window in {name}:\n{bad.group(0)}"

@@ -455,26 +455,15 @@ def test_triangle_count_on_crafted_graph(spark):
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    rk = deg.select(
-        "node", F.row_number().over(Window.orderBy("d", "node")).alias("r")
-    )
-    ra, rb = rk.alias("ra"), rk.alias("rb")
-    er = (
-        und.join(ra, F.col("a") == F.col("ra.node"))
-        .join(rb, F.col("b") == F.col("rb.node"))
-        .select(
-            F.when(F.col("ra.r") < F.col("rb.r"), F.col("a"))
-            .otherwise(F.col("b")).alias("lo"),
-            F.when(F.col("ra.r") < F.col("rb.r"), F.col("b"))
-            .otherwise(F.col("a")).alias("hi"),
-            F.least("ra.r", "rb.r").alias("lo_r"),
-            F.greatest("ra.r", "rb.r").alias("hi_r"),
-        )
-    )
+    from free_etl_spark.queries.graph import oriented_edges
+
+    er = oriented_edges(und, deg)
     e1, e2, e3 = er.alias("e1"), er.alias("e2"), er.alias("e3")
     tri = (
         e1.join(e2, (F.col("e2.lo") == F.col("e1.lo"))
-                & (F.col("e2.hi_r") > F.col("e1.hi_r")))
+                & ((F.col("e2.hi_d") > F.col("e1.hi_d"))
+                   | ((F.col("e2.hi_d") == F.col("e1.hi_d"))
+                      & (F.col("e2.hi") > F.col("e1.hi")))))
         .join(e3, (F.col("e3.lo") == F.col("e1.hi"))
               & (F.col("e3.hi") == F.col("e2.hi")))
         .select(F.col("e1.lo").alias("x"), F.col("e1.hi").alias("y"),
