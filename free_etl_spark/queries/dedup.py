@@ -34,11 +34,20 @@ _DF_CAP = 256  # max document frequency a shingle may have and still join
 # shared DuckDB CTE: distinct word-3-gram shingles per document
 _SH_SQL = f"""
     t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    ser AS (SELECT i FROM generate_series(1, 4096) AS g(i)),
-    sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+{_NGRAM - 1}], ' ') AS sh
-           FROM t JOIN ser ON ser.i <= len(toks) - {_NGRAM - 1}),
+    shpos AS (SELECT doc_id, toks,
+              unnest(generate_series(1, len(toks) - {_NGRAM - 1})) AS i
+              FROM t),
+    sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(toks[i:i+{_NGRAM - 1}], ' ') AS sh
+           FROM shpos),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
 """
+# shingle start positions come from the scalar-list generate_series
+# (unnest-zipped, bounded per row by len(toks)) — NOT a fixed
+# generate_series(1, N) join: a static cap silently truncates the
+# oracle's shingle set for any document longer than N tokens while
+# the Spark side (F.sequence) is uncapped, so the two engines would
+# diverge exactly on long documents.
 
 # df-capped variant for the exact-Jaccard posting-list join: shingles
 # shared by more than _DF_CAP documents carry no near-dup signal but
@@ -1121,7 +1130,12 @@ def substring_span_stats(docs: DataFrame) -> DataFrame:
         .filter(F.col("nd") >= 2)
         .select("span", F.lit(True).alias("is_dup_span"))
     )
-    flagged = spans.join(F.broadcast(dup), "span", "left").withColumn(
+    # no broadcast hint: the duplicated-span set is boilerplate-
+    # dominated and unbounded on a real web corpus (every corpus-
+    # repeated window, stored as text) — a forced broadcast disables
+    # AQE's size-based fallback and OOMs at scale; AQE broadcasts it
+    # when it actually fits
+    flagged = spans.join(dup, "span", "left").withColumn(
         "is_dup_span", F.coalesce(F.col("is_dup_span"), F.lit(False))
     )
     n = F.count(F.lit(1))

@@ -517,9 +517,14 @@ def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ),
     upd AS (
-      SELECT label, g.i AS dim, ROUND(AVG(emb[g.i]), 6) AS m
-      FROM v CROSS JOIN generate_series(1, 64) AS g(i)
-      GROUP BY label, g.i
+      -- dim bound derives from len(emb) (zipped unnest), not a
+      -- hardcoded 64: regenerating the corpus at another width keeps
+      -- oracle parity with the Spark side's probe_dim()
+      SELECT label, dim, ROUND(AVG(val), 6) AS m FROM (
+        SELECT label, unnest(generate_series(1, len(emb))) AS dim,
+               unnest(emb) AS val
+        FROM v
+      ) GROUP BY label, dim
     ),
     cent AS (SELECT label, list(m ORDER BY dim) AS cemb FROM upd
              GROUP BY label),

@@ -357,3 +357,40 @@ def test_streaming_neardup_filter_equals_batch_probe(spark):
     )
     pd.testing.assert_frame_equal(res, batch[res.columns])
     assert res["is_neardup"].any()  # the corpus plants near-dup docs
+
+
+def test_neardup_signatures_long_document(spark):
+    """A document longer than 4096 tokens must produce IDENTICAL band
+    signatures in the Spark streaming path and the DuckDB oracle
+    replay. The oracle's shingle CTE used to enumerate start positions
+    from a static generate_series(1, 4096) join while the Spark side
+    (F.sequence) is unbounded per row — diverging exactly on long
+    documents; the CTE is now bounded per row by len(toks)."""
+    import duckdb
+
+    from free_etl_spark.queries.dedup import _SH_SQL, _minhash_band_sql
+    from free_etl_spark.streaming.curation import _stream_band_signatures
+
+    long_text = " ".join(f"w{i % 97}x{i % 31}" for i in range(4500))
+    short_text = " ".join(f"tok{i}" for i in range(40))
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "text": [long_text, short_text]}
+    )
+    got = (
+        _stream_band_signatures(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values(["doc_id", "band_id"], ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = (
+        con.execute(
+            f"WITH {_SH_SQL}, {_minhash_band_sql()} "
+            "SELECT doc_id, band_id, band_key FROM bands "
+            "ORDER BY doc_id, band_id"
+        )
+        .fetchdf()
+        .reset_index(drop=True)
+    )
+    assert list(got["band_key"]) == list(oracle["band_key"])
+    assert list(got["doc_id"]) == list(oracle["doc_id"].astype(int))
