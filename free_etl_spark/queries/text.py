@@ -596,12 +596,19 @@ _PII_IPV4 = (
     r"\b(?:25[0-5]|2[0-4]\d|1?\d?\d)"
     r"(?:\.(?:25[0-5]|2[0-4]\d|1?\d?\d)){3}\b"
 )
-# Phone requires separator structure — 3+ digit groups split by
-# space/hyphen with an optional +CC and parenthesized area code —
-# instead of the old "any 9+ run of digits/spaces/hyphens", which
-# flagged year lists, IDs, and ISBNs. No lookahead: RE2 (the oracle's
-# engine) doesn't support it.
-_PII_PHONE = r"\+?\(?\d{1,4}\)?(?:[ -]\d{2,4}){2,4}\b"
+# Phone requires REAL telephone structure, not just separated digit
+# groups: space-separated groups only count with a +country-code or a
+# parenthesized area code in front (so "1990 1991 1992" year lists
+# and "12 05 2024" date sequences no longer flag), while bare groups
+# must be dash-separated ("555-123-4567"). ISBNs don't survive the
+# 2-4-digit group shape + word boundaries. No lookahead: RE2 (the
+# oracle's engine) doesn't support it; alternation is leftmost-first
+# in both Java and RE2.
+_PII_PHONE = (
+    r"\+\d{1,4}(?:[ -]\(?\d{2,4}\)?){2,4}\b"  # +CC, any separator
+    r"|\(\d{1,4}\)(?:[ -]?\d{2,4}){2,4}\b"  # (area) prefix
+    r"|\b\d{1,4}(?:-\d{2,4}){2,4}\b"  # bare: dashes required
+)
 
 
 @query(

