@@ -172,3 +172,151 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("last_value"),
         F.col("ts").cast("timestamp_ntz").alias("last_ts"),
     )
+
+
+@query(
+    "streaming_cdc_with_deletes",
+    oracle="""
+    WITH seed AS (
+      SELECT user_id, event_id, ts, event_type, value, FALSE AS is_del,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+                                         event_id DESC) AS rn
+      FROM events WHERE event_id % 2 = 0
+    ),
+    allr AS (
+      SELECT user_id, event_id, ts, event_type, value, is_del
+      FROM seed WHERE rn = 1
+      UNION ALL
+      SELECT user_id, event_id, ts, event_type, value,
+             (event_id % 10 = 5) AS is_del
+      FROM events WHERE event_id % 2 = 1
+    ),
+    latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+                                            event_id DESC) AS rn2
+      FROM allr
+    )
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           ROUND(value, 2) AS last_value, CAST(ts AS TIMESTAMP) AS last_ts
+    FROM latest WHERE rn2 = 1 AND NOT is_del
+    """,
+)
+def streaming_cdc_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply with BOTH change kinds: the odd-event_id half of the
+    log replays as op∈{upsert, delete} micro-batches (delete iff
+    event_id % 10 = 5) against a target seeded with the latest-per-key
+    even snapshot — the half of CDC (deletes) most likely to corrupt a
+    real mirror, exercised as real foreachBatch micro-batches.
+
+    Delete semantics: TOMBSTONE RETENTION + terminal compaction (the
+    Kafka-compacted-topic / Delta pattern). Each micro-batch feeds the
+    SAME keep-newest merge with is_del carried as a column, so a
+    delete participates in (ts, event_id) recency exactly like an
+    upsert — physically removing the key inside the batch loop is
+    provably wrong on a plain-parquet mirror, because a later batch
+    can carry an OLDER upsert for the key and the merge would
+    resurrect it (observed: +7 phantom keys at sf0.01 before the
+    tombstones). The stream drained, one operators/merge.apply_deletes
+    pass compacts every tombstoned key out of the mirror. Because the
+    merge is order/replay-insensitive and compaction is terminal, ANY
+    batch slicing or checkpoint-recovery replay converges to the
+    op-aware global latest per key — present iff the newest of
+    {seed row, all changes} is an upsert — exactly what the oracle
+    compacts. Scale: each micro-batch is one partition-scoped merge;
+    the compaction is one anti-join rewrite."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from free_etl_spark.operators.merge import (
+        apply_deletes,
+        upsert_latest_parquet,
+    )
+    from free_etl_spark.tables import load_table
+
+    target = (
+        f"/tmp/fes_cdc_del_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(target, ignore_errors=True)
+
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    seed = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .select(*cols)
+        .filter(F.col("event_id") % 2 == 0)
+        .withColumn("is_del", F.lit(False))
+    )
+    upsert_latest_parquet(spark, target, seed, ["user_id"], ["ts", "event_id"])
+
+    changes_dir = f"{target}_changes"
+    changes = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .select(*cols)
+        .filter(F.col("event_id") % 2 == 1)
+        .withColumn("is_del", F.col("event_id") % 10 == 5)
+    )
+    changes.repartition(4).write.mode("overwrite").parquet(changes_dir)
+    ev = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes_dir)
+    )
+
+    n_batches: list[int] = []
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        n_batches.append(batch_id)
+        apply_cdc_batch(spark, target, batch_df)
+
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(n_batches) >= 2, n_batches  # genuinely multi-batch
+
+    compact_cdc_tombstones(spark, target)
+    final = spark.read.parquet(target)
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 2).alias("last_value"),
+        F.col("ts").cast("timestamp_ntz").alias("last_ts"),
+    )
+
+
+def apply_cdc_batch(
+    spark: SparkSession,
+    target: str,
+    batch_df: DataFrame,
+) -> None:
+    """Apply one op-tagged CDC micro-batch (is_del column) to a
+    parquet mirror — exposed for the recovery test. A delete is a
+    TOMBSTONE ROW through the same keep-newest (ts, event_id) merge
+    as an upsert, so recency arbitration is uniform and replay-safe;
+    physical removal is deferred to compact_cdc_tombstones."""
+    from free_etl_spark.operators.merge import upsert_latest_parquet
+
+    upsert_latest_parquet(
+        spark, target, batch_df, ["user_id"], ["ts", "event_id"]
+    )
+
+
+def compact_cdc_tombstones(spark: SparkSession, target: str) -> int:
+    """Terminal compaction: physically remove every key whose CURRENT
+    mirror row is a tombstone (operators/merge.apply_deletes — the
+    right-to-be-forgotten rewrite). Returns rows removed."""
+    from free_etl_spark.operators.merge import apply_deletes
+
+    doomed = (
+        spark.read.parquet(target).filter(F.col("is_del")).select("user_id")
+    )
+    return apply_deletes(spark, target, doomed, ["user_id"])

@@ -448,3 +448,107 @@ def test_ts_unit_probe_rejects_non_timestamp(tmp_path):
     )
     with pytest.raises(ValueError, match="unexpected type"):
         _events_ts_to_micros_expr(str(tmp_path))
+
+
+def test_cdc_with_deletes_recovers_after_kill(spark, tmp_path):
+    """Exactly-once CDC-with-deletes: the query dies BETWEEN the
+    delete-carrying batch and its successor; restarting from the same
+    checkpoint must converge to the op-aware latest state — including
+    NOT resurrecting a deleted key from an older upsert that arrives
+    after the delete (the tombstone-retention property)."""
+    import os
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from free_etl_spark.operators.merge import upsert_latest_parquet
+    from free_etl_spark.streaming.stateful import (
+        apply_cdc_batch,
+        compact_cdc_tombstones,
+    )
+
+    schema = (
+        "user_id long, event_id long, ts timestamp, event_type string, "
+        "value double, is_del boolean"
+    )
+
+    def row(uid, eid, t, is_del=False):
+        return (uid, eid, f"2024-01-01 00:00:{t:02d}", "t", float(eid), is_del)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(
+            [(u, e, ts, ty, v, d) for u, e, ts, ty, v, d in rows],
+            "user_id long, event_id long, ts string, event_type string, "
+            "value double, is_del boolean",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        p = str(tmp_path / "changes" / name)
+        df.coalesce(1).write.mode("overwrite").parquet(p + ".tmp")
+        part = [
+            f for f in os.listdir(p + ".tmp") if f.endswith(".parquet")
+        ][0]
+        os.makedirs(str(tmp_path / "changes"), exist_ok=True)
+        os.replace(os.path.join(p + ".tmp", part), p)
+        os.utime(p, (mtime, mtime))
+
+    target = str(tmp_path / "mirror")
+    seed = spark.createDataFrame(
+        [row(1, 10, 1), row(2, 20, 1)], schema.replace("timestamp", "string")
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    upsert_latest_parquet(spark, target, seed, ["user_id"], ["ts", "event_id"])
+
+    base = _time.time() - 100
+    # f1: DELETE key 1 (newest for key 1) + upsert key 3
+    write_file("f1.parquet", [row(1, 31, 30, True), row(3, 33, 30)], base)
+    # f2 (after the kill): an OLDER upsert for key 1 (must not
+    # resurrect) + newer upsert for key 2
+    write_file("f2.parquet", [row(1, 15, 5), row(2, 41, 40)], base + 10)
+
+    applied: list[int] = []
+
+    def bomb(batch_df, batch_id):
+        apply_cdc_batch(spark, target, batch_df)
+        applied.append(batch_id)
+        if len(applied) == 1:
+            raise RuntimeError("killed between delete batch and successor")
+
+    ckpt = str(tmp_path / "ckpt")
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "changes"))
+    )
+    q = (
+        stream()
+        .writeStream.foreachBatch(bomb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="killed|Terminated"):
+        q.awaitTermination()
+    assert applied == [0]
+
+    # restart from the SAME checkpoint: only the unprocessed work runs
+    q2 = (
+        stream()
+        .writeStream.foreachBatch(
+            lambda df, bid: apply_cdc_batch(spark, target, df)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    removed = compact_cdc_tombstones(spark, target)
+    assert removed == 1  # exactly key 1's tombstone
+    final = (
+        spark.read.parquet(target)
+        .select("user_id", "event_id")
+        .toPandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    # key 1 deleted (older upsert did NOT resurrect it), key 2 updated
+    # to eid 41, key 3 inserted
+    assert list(final["user_id"]) == [2, 3]
+    assert list(final["event_id"]) == [41, 33]
