@@ -1073,3 +1073,70 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k, ROUND(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+    ),
+    b AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 8 = 1
+                  THEN ROUND(ROUND(o_totalprice, 2) * 1.1, 2)
+                  ELSE ROUND(o_totalprice, 2) END AS price
+      FROM orders WHERE o_orderkey % 4 IN (1, 2, 3)
+    ),
+    d AS (
+      SELECT COALESCE(a.k, b.k) AS k,
+             CASE WHEN a.k IS NULL THEN 'added'
+                  WHEN b.k IS NULL THEN 'removed'
+                  WHEN a.price <> b.price THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM a FULL OUTER JOIN b ON a.k = b.k
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_checksum
+    FROM d GROUP BY status
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the data-versioning audit between two table
+    versions (the check a pipeline runs after a backfill or CDC apply
+    to quantify what moved): full outer join on the key classifying
+    each row added / removed / changed / unchanged, rolled up with a
+    key checksum per class. The two versions are deterministic slices
+    of orders (old = keys %4∈{0,1,2}; new = %4∈{1,2,3} with a 10%
+    price bump on %8=1), so both engines diff identical inputs. At
+    100 TB the join shuffles both snapshots once on the key — or zero
+    times if both versions are bucket-partitioned by key, the layout
+    operators/partitioning.py demonstrates; the rollup output is
+    4 rows. Money compares on the rounded 2dp grid (exact in both
+    engines), never raw FP."""
+    o = _t(spark, sf_dir, "orders")
+    price = F.round("o_totalprice", 2)
+    a = o.filter((F.col("o_orderkey") % 4).isin(0, 1, 2)).select(
+        F.col("o_orderkey").alias("k"), price.alias("price_a")
+    )
+    b = o.filter((F.col("o_orderkey") % 4).isin(1, 2, 3)).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            F.col("o_orderkey") % 8 == 1, F.round(price * 1.1, 2)
+        )
+        .otherwise(price)
+        .alias("price_b"),
+    )
+    d = a.join(b, "k", "full_outer").select(
+        "k",
+        F.when(F.col("price_a").isNull(), "added")
+        .when(F.col("price_b").isNull(), "removed")
+        .when(F.col("price_a") != F.col("price_b"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("k").cast("long").alias("key_checksum"),
+    )

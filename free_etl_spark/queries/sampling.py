@@ -448,3 +448,135 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sampled_cnt"),
         )
     )
+
+
+@query(
+    "sample_leakage_safe_split",
+    oracle=None,  # assigned below: reuses the components CTE
+)
+def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/test split: the hash that assigns a document
+    to a split is computed over its NEAR-DUP CLUSTER representative
+    (dedup_cluster_components min-label), not the doc itself — so two
+    near-duplicate documents can never land in different splits, the
+    train→test leakage a doc-keyed hash split silently allows. This is
+    the standard leakage guard for LLM eval sets (e.g. dedup-aware
+    held-out construction). Scale: one components pass (distributed
+    min-label) + a map-side hash projection; the split stats are a
+    4-row aggregate. no_leakage re-derives the invariant from the
+    split assignment itself: the number of distinct (component, split)
+    pairs must equal the number of distinct components."""
+    from free_etl_spark.queries.dedup import dedup_cluster_components
+
+    comp = dedup_cluster_components(spark, sf_dir)  # (doc_id, component)
+    split = F.when(
+        _hash16(F.col("component")) < int(0.8 * _BUCKETS), F.lit("train")
+    ).otherwise(F.lit("test"))
+    tagged = comp.select("doc_id", "component", split.alias("split"))
+    stats = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("component").cast("long").alias("n_components"),
+    )
+    audit = tagged.agg(
+        (
+            F.countDistinct("component", "split")
+            == F.countDistinct("component")
+        ).alias("no_leakage")
+    )
+    return stats.join(F.broadcast(audit))
+
+
+def _leakage_split_oracle() -> str:
+    # force dedup's registrations (module import order in queries/
+    # __init__ puts sampling before dedup)
+    import free_etl_spark.queries.dedup  # noqa: F401
+    from free_etl_spark.registry import ORACLES as _ALL
+
+    comp_sql = _ALL["dedup_cluster_components"].strip().rstrip(";")
+    h = _H16_SQL.format(c="component")
+    return f"""
+    WITH comp AS ({comp_sql}),
+    tagged AS (
+      SELECT doc_id, component,
+             CASE WHEN {h} < CAST(0.8 * 65536 AS INT)
+                  THEN 'train' ELSE 'test' END AS split
+      FROM comp
+    ),
+    audit AS (
+      SELECT COUNT(DISTINCT (component, split)) = COUNT(DISTINCT component)
+               AS no_leakage
+      FROM tagged
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+           audit.no_leakage
+    FROM tagged CROSS JOIN audit
+    GROUP BY split, audit.no_leakage
+    """
+
+
+from free_etl_spark.registry import ORACLES as _REG_ORACLES  # noqa: E402
+
+_REG_ORACLES["sample_leakage_safe_split"] = _leakage_split_oracle()
+
+
+@query(
+    "sample_curriculum_shards",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             ROUND(0.4 * LEAST(1.0, LEN(string_split(text, ' ')) / 80.0)
+                 + 0.3 * (CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                          / LEN(string_split(text, ' ')))
+                 + 0.3 * LEAST(1.0, CAST(LENGTH(text) AS DOUBLE) / 400.0), 6)
+               AS quality
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, quality,
+             CAST(NTILE(16) OVER (ORDER BY quality DESC, doc_id) AS INT)
+               AS shard
+      FROM q
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(MIN(quality), 6) AS min_q, ROUND(MAX(quality), 6) AS max_q
+    FROM sharded GROUP BY shard
+    """,
+)
+def sample_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered shard assignment: documents ranked by the
+    (oracle-stable, 6dp-rounded) quality score, highest first, and cut
+    into 16 equal shards — shard 1 is the cleanest data, the tail
+    shards the noisiest, the layout a curriculum or quality-annealed
+    training schedule consumes. The global NTILE over the corpus-
+    sized relation uses operators/prefix.global_ntile (range-
+    partitioned prefix row number + closed-form bucket), NOT a
+    single-task window — same discipline as window_ntile_movavg; the
+    quality expression is exactly text_quality_score's, rounded
+    BEFORE ordering so both engines rank identical doubles
+    ((quality DESC, doc_id) is a total order)."""
+    from free_etl_spark.operators.prefix import global_ntile
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    chars = F.length("text").cast("double")
+    quality = F.round(
+        0.4 * F.least(F.lit(1.0), F.size(toks) / F.lit(80.0))
+        + 0.3
+        * (F.size(F.array_distinct(toks)).cast("double") / F.size(toks))
+        + 0.3 * F.least(F.lit(1.0), chars / 400.0),
+        6,
+    )
+    scored = docs.select("doc_id", quality.alias("quality"))
+    sharded = global_ntile(
+        scored,
+        [F.desc("quality"), F.col("doc_id")],
+        16,
+        "shard",
+        cache_tag="curriculum_shards",
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.min("quality"), 6).alias("min_q"),
+        F.round(F.max("quality"), 6).alias("max_q"),
+    )

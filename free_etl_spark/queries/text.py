@@ -1367,3 +1367,142 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (punct_cnt >= 5) | ((kw_cnt >= 3) & (sym_frac >= 0.02))
         ).alias("is_code"),
     )
+
+
+_BM25_TERMS = ("the", "data", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "text_bm25_search",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+    stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                     COUNT(*) AS n FROM dl),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
+           WHERE term IN ('the', 'data', 'scan') GROUP BY doc_id, term),
+    idf AS (SELECT term,
+                   LN(1 + (stats.n - COUNT(DISTINCT doc_id) + 0.5)
+                          / (COUNT(DISTINCT doc_id) + 0.5)) AS idf
+            FROM tok CROSS JOIN stats
+            WHERE term IN ('the', 'data', 'scan')
+            GROUP BY term, stats.n),
+    scored AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(idf.idf * tf.tf * ({_BM25_K1} + 1)
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                      + {_BM25_B} * dl.dl / stats.avgdl))), 6) AS bm25,
+             CAST(COUNT(*) AS BIGINT) AS n_hit_terms
+      FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25, n_hit_terms FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over the corpus (the retrieval scorer a
+    training-data pipeline uses for targeted subset mining and
+    RAG-style eval-set construction): Okapi BM25 with k1=1.2, b=0.75
+    for a fixed 3-term query, top-20 documents. Plan shape at 100 TB:
+    one explode→filter pass computes tf restricted to the QUERY terms
+    (the filter reaches the exploded generator — tf state is
+    |hit docs|×|terms|, never |corpus vocab|), df/idf is a 3-row
+    broadcast, doc lengths ride a map-side projection, and the final
+    top-20 is a TakeOrdered, no global sort. All BM25 inputs are
+    integers so both engines build identical doubles; the summed
+    score is rounded to 6dp BEFORE ordering (tie-break doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = list(_BM25_TERMS)
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    hit = tok.filter(F.col("term").isin(terms))
+    dl = docs.select("doc_id", F.size(_tokens()).cast("long").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tf = hit.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    idf = (
+        hit.join(F.broadcast(stats))
+        .groupBy("term", "n")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select(
+            "term",
+            F.log(
+                1
+                + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    k1, b = _BM25_K1, _BM25_B
+    contrib = (
+        F.col("idf")
+        * F.col("tf")
+        * (k1 + 1)
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("bm25"),
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), "doc_id").limit(20)
+
+
+@query(
+    "text_source_reputation",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source, n_chars,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS toks,
+             CAST(n_chars < 100 AS INT) AS is_short
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           FLOOR(CAST(SUM(is_short) AS DOUBLE) / COUNT(*) * 1e6) / 1e6
+             AS short_frac,
+           (CAST(SUM(is_short) AS DOUBLE) / COUNT(*) > 0.5
+            OR CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) < 120) AS flagged
+    FROM per_doc GROUP BY source
+    """,
+)
+def text_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/domain-level reputation rollup — the RefinedWeb-style
+    curation stage that filters by PROVENANCE before looking at
+    individual documents (a domain whose output is mostly short junk
+    is dropped wholesale, far cheaper than per-doc classification):
+    per-source doc counts, mean length, short-document fraction, and
+    a keep/drop flag. One partial-aggregated shuffle on source
+    (|domains| rows out); means use sum-over-count (integer grid),
+    the fraction floor-truncates (power-of-two denominators), and the
+    flag compares the same doubles both engines derived from integer
+    sums — no raw-FP boundary anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    short = F.sum((F.col("n_chars") < 100).cast("int"))
+    avg_chars = F.sum("n_chars").cast("double") / n
+    short_frac_exact = short.cast("double") / n
+    return docs.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        avg_chars.alias("avg_chars"),
+        (F.floor(short_frac_exact * 1e6) / 1e6).alias("short_frac"),
+        ((short_frac_exact > 0.5) | (avg_chars < 120)).alias("flagged"),
+    )

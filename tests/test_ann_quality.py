@@ -297,3 +297,23 @@ def test_pq_recall_at_10(spark):
         recalls.append(len(got.get(q, set()) & set(exact)) / 10)
     assert min(recalls) >= 0.6, recalls
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_matryoshka_rerank_recall_at_5(spark):
+    """sim_matryoshka_rerank's 32-of-64-dim shortlist + exact re-rank
+    must recover most of the exact cosine top-5 (measured mean 0.92):
+    the prefix is an untrained slice, so demand mean recall ≥ 0.8 and
+    every query ≥ 0.6 (the remaining gap documents what MRL training
+    buys)."""
+    ids, C = _corpus()
+    got: dict[int, set[int]] = {}
+    for r in QUERIES["sim_matryoshka_rerank"](spark, SF_DIR).collect():
+        got.setdefault(r.qid, set()).add(r.cid)
+    recalls = []
+    for q in range(5):
+        qi = int(np.where(ids == q)[0][0])
+        order = np.argsort(-C[qi])
+        exact = [int(ids[j]) for j in order if ids[j] != q][:5]
+        recalls.append(len(got.get(q, set()) & set(exact)) / 5)
+    assert min(recalls) >= 0.6, recalls
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
