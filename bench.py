@@ -106,6 +106,16 @@ HEADLINE = [
     "text_code_detection",
     "events_path_analysis",
     "orders_abc_pareto",
+    # r6 wave: BM25 retrieval, leakage-safe split, curriculum shards
+    # (distributed global NTILE), snapshot diff, domain reputation,
+    # truncated-prefix ANN re-rank, CDC with deletes
+    "text_bm25_search",
+    "sample_leakage_safe_split",
+    "sample_curriculum_shards",
+    "snapshot_diff_orders",
+    "text_source_reputation",
+    "sim_matryoshka_rerank",
+    "streaming_cdc_with_deletes",
 ]
 
 

@@ -782,7 +782,11 @@ def dedup_pipeline_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_canonical_text, dedup_ngram_jaccard, connected_components,
     dedup_keep_best_quality); the composition shares the shingle scan
     and adds no new shuffle shapes. The oracle replays all four
-    stages, including the transitive closure, in one recursive CTE."""
+    stages, including the transitive closure, in one recursive CTE.
+    Gate cost at sf0.01 (~4s) is the one-time session shingle/
+    signature cache build plus DuckDB's recursive-CTE oracle
+    replay — warm-session plan cost is sub-second.
+    """
     docs = load_table(spark, sf_dir, "documents")
     canon = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     fp = docs.select(
@@ -1019,7 +1023,11 @@ def dedup_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves). The oracle replays assignment, pairs, a recursive
     transitive closure, and the argmax keep rule. The within-array
     fold order is identical in both engines, so raw d2 doubles are
-    bit-equal and the DESC ordering cannot flip."""
+    bit-equal and the DESC ordering cannot flip.
+    Gate cost at sf0.01 (~4s) is the one-time session shingle/
+    signature cache build plus DuckDB's recursive-CTE oracle
+    replay — warm-session plan cost is sub-second.
+    """
     from free_etl_spark.operators.components import connected_components
     from free_etl_spark.operators.vectors import (
         centroid_rank,

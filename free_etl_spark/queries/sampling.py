@@ -554,7 +554,9 @@ def sample_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-task window — same discipline as window_ntile_movavg; the
     quality expression is exactly text_quality_score's, rounded
     BEFORE ordering so both engines rank identical doubles
-    ((quality DESC, doc_id) is a total order)."""
+    ((quality DESC, doc_id) is a total order). Gate cost when run
+    first in a session is session warmup, not plan cost: ~2s warm
+    (range partition + pid windows + 16-row rollup)."""
     from free_etl_spark.operators.prefix import global_ntile
 
     docs = load_table(spark, sf_dir, "documents")

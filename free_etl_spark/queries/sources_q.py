@@ -224,7 +224,10 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrapping REST APIs, message queues, or proprietary formats as
     first-class parallel scans (partition list on the driver, row
     generation on executors, Arrow-batched back to the JVM). The
-    generator is deterministic, so DuckDB replays it from range()."""
+    generator is deterministic, so DuckDB replays it from range().
+    Gate cost (~4s) is datasource registration + Python-worker
+    startup for the 8 partition generators — fixed overhead, not
+    data-dependent."""
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,

@@ -106,7 +106,10 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay converges to the same table, which must equal the global
     latest-per-key compaction (the oracle). This is the foreachBatch
     materialized-upsert pattern a production CDC sink uses when no
-    transactional table format is available."""
+    transactional table format is available. Gate cost is dominated
+    by fixed micro-batch machinery (4 real triggers + checkpoint +
+    per-batch parquet rewrite), not plan cost — it does not grow
+    with sf (4.6s at sf0.01 vs ~5s at sf0.1)."""
     import os
     import shutil
 
