@@ -32,6 +32,11 @@ _SWITCH_TARGETS = [
     "graph_label_propagation",   # per-corpus neighbor cache
     "streaming_neardup_filter",  # per-corpus minhash band index
     "streaming_cdc_upsert",      # per-application target dir rebuild
+    "streaming_cdc_with_deletes",  # tombstone target dir rebuild
+    "sample_leakage_safe_split",  # rides the components/shingle caches
+    "sample_curriculum_shards",  # prefix._PART_CACHE replace-on-tag
+    "window_ntile_movavg",       # prefix._PART_CACHE replace-on-tag
+    "orders_rfm_segmentation",   # three prefix tags per construction
 ]
 
 
