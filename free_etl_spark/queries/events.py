@@ -1428,3 +1428,98 @@ def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
         .limit(25)
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    v AS (SELECT user_id, MIN(us) AS vt FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(us) AS ct FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND us > vt GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(us) AS pt FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND us > ct GROUP BY e.user_id),
+    n AS (SELECT (SELECT COUNT(*) FROM v) AS n1,
+                 (SELECT COUNT(*) FROM c) AS n2,
+                 (SELECT COUNT(*) FROM p) AS n3)
+    SELECT step, n_users, conv_from_prev, conv_from_first FROM (
+      SELECT '1_view' AS step, CAST(n1 AS BIGINT) AS n_users,
+             1.0 AS conv_from_prev, 1.0 AS conv_from_first FROM n
+      UNION ALL
+      SELECT '2_click', CAST(n2 AS BIGINT),
+             ROUND(n2 / CAST(n1 AS DOUBLE), 6),
+             ROUND(n2 / CAST(n1 AS DOUBLE), 6) FROM n
+      UNION ALL
+      SELECT '3_purchase', CAST(n3 AS BIGINT),
+             ROUND(n3 / CAST(n2 AS DOUBLE), 6),
+             ROUND(n3 / CAST(n1 AS DOUBLE), 6) FROM n
+    )
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase): a user
+    counts at step k only if step k's FIRST qualifying event is
+    strictly after their step-(k-1) anchor — the product-analytics
+    staple that path_analysis's unordered journeys cannot answer.
+    Each stage is a partial-aggregated min() on user_id followed by a
+    user-keyed join, so the whole funnel is |users|-bounded state on
+    shuffles keyed by one uniform key; at 100 TB no stage ever holds
+    more than first-event-per-user, and the output is 3 rows.
+    Conversion ratios divide two user counts (ints, denominator far
+    under the 15625 ROUND-safety bound), rounded identically in both
+    engines. Anchors compare on the raw micros instant (us >, strict)
+    so ties exclude identically in both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("vt"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("pt"))
+    )
+    n1 = v.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = c.agg(F.count(F.lit(1)).alias("n2"))
+    n3 = p.agg(F.count(F.lit(1)).alias("n3"))
+    n = n1.join(F.broadcast(n2)).join(F.broadcast(n3))
+    one = F.lit(1.0)
+    r = lambda a, b: F.round(  # noqa: E731
+        F.col(a) / F.col(b).cast("double"), 6
+    )
+    s1 = n.select(
+        F.lit("1_view").alias("step"),
+        F.col("n1").cast("long").alias("n_users"),
+        one.alias("conv_from_prev"),
+        one.alias("conv_from_first"),
+    )
+    s2 = n.select(
+        F.lit("2_click").alias("step"),
+        F.col("n2").cast("long").alias("n_users"),
+        r("n2", "n1").alias("conv_from_prev"),
+        r("n2", "n1").alias("conv_from_first"),
+    )
+    s3 = n.select(
+        F.lit("3_purchase").alias("step"),
+        F.col("n3").cast("long").alias("n_users"),
+        r("n3", "n2").alias("conv_from_prev"),
+        r("n3", "n1").alias("conv_from_first"),
+    )
+    return s1.unionAll(s2).unionAll(s3)

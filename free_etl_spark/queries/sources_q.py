@@ -271,3 +271,71 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("id").cast("long").alias("sum_id"),
     )
+
+
+@query(
+    "source_time_travel",
+    oracle="""
+    WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_orderkey % 3 = 0),
+    v2 AS (SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey % 3 IN (0, 1)),
+    v3 AS (SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey % 3 = 2)
+    SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS price_sum FROM v1
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2) FROM v2
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2) FROM v3
+    """,
+)
+def source_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned table with AS-OF reads on plain parquet
+    (operators/timetravel.py — the Delta/Iceberg time-travel shape:
+    immutable data files + a JSON commit log whose zero-padded entry
+    create is the atomic publish). The query builds a 3-version
+    history — v1 overwrite (keys %3=0), v2 append (%3=1), v3
+    overwrite (%3=2) — then reads EVERY version by log replay and
+    reports per-version row counts + money checksums: v2 must see
+    v1's files plus its own, v3 must see neither. AS-OF reads plan as
+    ordinary multi-path parquet scans, so pushdown/pruning work
+    unchanged at any scale; manifests are driver-side KBs."""
+    import shutil
+
+    from free_etl_spark.operators.timetravel import (
+        commit_version,
+        read_version,
+    )
+
+    table = os.path.join(
+        "/tmp",
+        f"fes_timetravel_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    commit_version(
+        spark, table, orders.filter(F.col("o_orderkey") % 3 == 0), "overwrite"
+    )
+    commit_version(
+        spark, table, orders.filter(F.col("o_orderkey") % 3 == 1), "append"
+    )
+    commit_version(
+        spark, table, orders.filter(F.col("o_orderkey") % 3 == 2), "overwrite"
+    )
+    parts = []
+    for v in (1, 2, 3):
+        parts.append(
+            read_version(spark, table, v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
