@@ -23,10 +23,15 @@ _STREAMING = {n for n in q.QUERIES if n.startswith("streaming_")}
 def audit(spark, name: str, sf_dir: str) -> dict:
     df = q.QUERIES[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # an InMemoryTableScan prints its cached child plan (including the
+    # original FileScan) inside the tree — count cache hits separately
+    # and don't let their embedded scans inflate the scan count
+    cache_scans = plan.count("InMemoryTableScan")
     scans = re.findall(r"FileScan parquet \S*?\[([^\]]*)\]", plan)
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     return {
         "scans": len(scans),
+        "cache_scans": cache_scans,
         "scan_cols": [len([c for c in s.split(",") if c.strip()]) for s in scans],
         "pushed_filters": sum(1 for p in pushed if p.strip()),
         "broadcast_joins": plan.count("BroadcastHashJoin"),
@@ -47,7 +52,7 @@ def main() -> None:
     names = sys.argv[2:] or [n for n in q.QUERIES if n not in _STREAMING]
     spark = get_spark("plan-audit")
     hdr = (
-        f"{'query':34s} scans cols/scan pushed bhj smj bnl exch py wsc"
+        f"{'query':34s} scans cache cols/scan pushed bhj smj bnl exch py wsc"
     )
     print(hdr)
     for name in names:
@@ -58,7 +63,7 @@ def main() -> None:
             continue
         cols = ",".join(str(c) for c in a["scan_cols"])
         print(
-            f"{name:34s} {a['scans']:5d} {cols:9s} {a['pushed_filters']:6d} "
+            f"{name:34s} {a['scans']:5d} {a['cache_scans']:5d} {cols:9s} {a['pushed_filters']:6d} "
             f"{a['broadcast_joins']:3d} {a['sortmerge_joins']:3d} {a['bnl_joins']:3d} "
             f"{a['exchanges']:4d} {a['python_stages']:2d} {a['codegen_spans']:3d}"
         )
