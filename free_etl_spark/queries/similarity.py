@@ -220,6 +220,15 @@ def lsh_band_keys(emb: DataFrame, bits: int) -> DataFrame:
     # built as ONE SQL string parsed JVM-side: composing it from
     # thousands of nested F.lit/F.array calls costs a py4j round-trip
     # per element (~8s of driver time at 64 planes × 64 dims).
+    #
+    # Do NOT "optimize" this into unrolled element_at chains (the
+    # vectors.py dot/l2_sq fast path): that trick wins 5.7× for ONE
+    # 64-term dot per row, but 64 planes × 64 dims in one projection
+    # is a ~16k-node expression — Janino fails to compile it, Spark
+    # retries then falls back to interpreted for the whole stage, and
+    # the query measured ~25× SLOWER (49s vs 1.8s at sf0.1). The
+    # interpreted fold over a literal array is the right form at this
+    # plane count.
     def _arr(vals) -> str:
         return "array(" + ", ".join(vals) + ")"
 
