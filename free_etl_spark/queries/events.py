@@ -1523,3 +1523,108 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         r("n3", "n1").alias("conv_from_first"),
     )
     return s1.unionAll(s2).unionAll(s3)
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH RECURSIVE h AS (
+      SELECT event_type AS et,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT et, x,
+             CAST(ROW_NUMBER() OVER (PARTITION BY et ORDER BY hr) AS BIGINT)
+               AS rn
+      FROM h
+    ),
+    parm AS (
+      SELECT et, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+             SUM(x * x) AS sxx
+      FROM seq GROUP BY et
+    ),
+    parm2 AS (
+      SELECT et, n, sx / n + 0.5 * SQRT((sxx - sx * sx / n) / n) AS drift,
+             4 * SQRT((sxx - sx * sx / n) / n) AS hlim
+      FROM parm
+    ),
+    c AS (
+      SELECT seq.et, seq.rn,
+             GREATEST(0.0, seq.x - p.drift) AS s
+      FROM seq JOIN parm2 p USING (et) WHERE seq.rn = 1
+      UNION ALL
+      SELECT seq.et, seq.rn, GREATEST(0.0, c.s + seq.x - p.drift)
+      FROM c
+      JOIN seq ON seq.et = c.et AND seq.rn = c.rn + 1
+      JOIN parm2 p ON p.et = seq.et
+    )
+    SELECT c.et AS event_type, p.n AS n_hours,
+           ROUND(MAX(c.s), 6) AS max_cusum,
+           CAST(COALESCE(MIN(CASE WHEN c.s > p.hlim THEN c.rn END), 0)
+                AS BIGINT) AS first_alarm_rn
+    FROM c JOIN parm2 p ON p.et = c.et
+    GROUP BY c.et, p.n
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection per event type over the
+    hourly series — statistical process control for pipeline volume
+    monitoring: S_t = max(0, S_{t-1} + x_t - (mean + 0.5·sd)), alarm
+    when S exceeds 4·sd. The recursion is inherently sequential, but
+    the SEQUENCE is the hourly grid — length = time span, NOT event
+    volume — so it folds JVM-side over a per-type collected array
+    (span-bounded, ~10^4 entries/year) after one partial-agg shuffle
+    of the raw events; the corpus itself is never sequenced.
+    Determinism: mean/sd come from explicit integer-valued sums (not
+    engine-variant VAR_POP fold orders), the fold adds the identical
+    terms in the identical order as the oracle's recursive CTE, and
+    the alarm compares bit-identical doubles — so no rounding is
+    needed before the threshold compare."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    w = Window.partitionBy("et").orderBy("hr")
+    seq = h.select(
+        "et", "x", F.row_number().over(w).cast("long").alias("rn")
+    )
+    g = seq.groupBy("et").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sort_array(F.collect_list(F.struct("rn", "x"))).alias("xs"),
+    )
+    sd = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")
+    )
+    g = g.withColumn("drift", F.col("sx") / F.col("n") + 0.5 * sd).withColumn(
+        "hlim", 4 * sd
+    )
+    init = F.struct(
+        F.lit(0.0).alias("s"),
+        F.lit(0.0).alias("mx"),
+        F.lit(0).cast("long").alias("al"),
+    )
+
+    def step(acc, e):
+        s2 = F.greatest(F.lit(0.0), acc["s"] + e["x"] - F.col("drift"))
+        return F.struct(
+            s2.alias("s"),
+            F.greatest(acc["mx"], s2).alias("mx"),
+            F.when(acc["al"] > 0, acc["al"])
+            .when(s2 > F.col("hlim"), e["rn"])
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("al"),
+        )
+
+    res = F.aggregate(F.col("xs"), init, step)
+    return g.select(
+        F.col("et").alias("event_type"),
+        F.col("n").alias("n_hours"),
+        F.round(res["mx"], 6).alias("max_cusum"),
+        res["al"].alias("first_alarm_rn"),
+    )

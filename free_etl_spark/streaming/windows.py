@@ -239,3 +239,63 @@ def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_cnt",
         "sum_value",
     )
+
+
+@query(
+    "streaming_approx_distinct_users",
+    oracle="""
+    SELECT win_start, event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS sketch_ok
+    FROM (
+      SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS win_start,
+             event_type, user_id
+      FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def streaming_approx_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct-user cardinality per tumbling hour per event type with
+    a STREAMING HLL sketch (approx_count_distinct inside a watermarked
+    windowed agg — mergeable sketch state per open window, the only
+    cardinality shape an unbounded stream can afford: exact distinct
+    would hold every user id in state forever). The emitted sketch
+    estimate is gated against the batch-exact count computed on the
+    same corpus — |approx − exact| must be within 5% (rsd default
+    ~2.3%) — and the oracle pins that boolean TRUE for every window,
+    the same within-tolerance contract agg_hll_sketch_union uses. At
+    100 TB: state is one HLL register set per open (window, type)
+    group, bounded by the watermark; the batch-exact side here is the
+    TEST HARNESS, not part of the streaming plan."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+    stream_out = run_to_completion(agg, "complete").select(
+        F.col("window.start").cast("timestamp_ntz").alias("win_start"),
+        "event_type",
+        "approx_users",
+    )
+    from free_etl_spark.tables import load_table
+
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("win_start"),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    )
+    return exact.join(stream_out, ["win_start", "event_type"]).select(
+        "win_start",
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.col("exact_users") * 0.05, F.lit(5.0))
+        ).alias("sketch_ok"),
+    )
