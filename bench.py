@@ -205,24 +205,33 @@ def main() -> None:
         sum(v for k, v in timings.items() if not k.endswith("_mb_per_s")), 3
     )
     here = os.path.dirname(os.path.abspath(__file__))
-    # Per-query regression diff vs the previous bench run's side file
-    # (BENCH_QUERIES.json is committed each round, so within a fresh
-    # checkout this diffs against the prior round). Fallback: scan
-    # prior BENCH_r*.json driver artifacts for a parsable queries dict.
-    prev_q, prev_src = {}, None
-    try:
-        _pq = json.load(open(os.path.join(here, "BENCH_QUERIES.json")))
-        prev_q, prev_src = _pq.get("queries", {}), "BENCH_QUERIES.json"
-    except Exception:
-        pass
-    if not prev_q:
-        import glob as _bglob
+    # Per-query regression diff against the ACTUAL previous round.
+    # BENCH_QUERIES.json alone is overwritten by every local bench run
+    # (including sf0.01 iteration runs), so diffing against it could
+    # compare r(N) vs a mid-round or pre-r(N-1) snapshot — r6's
+    # BENCH_DELTA claimed +1.3s where the true r5→r6 delta was +0.15s.
+    # Fix: the current round is 1 + the highest driver-written
+    # BENCH_r{N}.json; each full-SF run snapshots its per-query dict to
+    # a round-stamped BENCH_QUERIES_r{N}.json, and the delta diffs
+    # against the previous round's stamped file (falling back to the
+    # driver's BENCH_r{N}.json parsed dict), naming it in prev_round.
+    import glob as _bglob
 
-        for path in sorted(
-            _bglob.glob(os.path.join(here, "BENCH_r*.json"))
-        )[::-1]:
+    rounds = []
+    for path in _bglob.glob(os.path.join(here, "BENCH_r*.json")):
+        m_r = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m_r:
+            rounds.append(int(m_r.group(1)))
+    cur_round = (max(rounds) if rounds else 0) + 1
+    prev_q, prev_src = {}, None
+    for n in sorted(rounds, reverse=True):
+        stamped = os.path.join(here, f"BENCH_QUERIES_r{n:02d}.json")
+        try:
+            _pq = json.load(open(stamped))
+            prev_q, prev_src = _pq.get("queries", {}), os.path.basename(stamped)
+        except Exception:
             try:
-                prev = json.load(open(path))
+                prev = json.load(open(os.path.join(here, f"BENCH_r{n:02d}.json")))
                 prev_q = (prev.get("parsed") or {}).get("queries", {})
                 if not prev_q:  # older shape — parse the stdout tail
                     m_prev = re.search(r'\{"metric".*\}', prev.get("tail", ""))
@@ -230,10 +239,11 @@ def main() -> None:
                         json.loads(m_prev.group(0))["queries"] if m_prev else {}
                     )
                 if prev_q:
-                    prev_src = os.path.basename(path)
-                    break
+                    prev_src = f"BENCH_r{n:02d}.json"
             except Exception:
-                continue
+                pass
+        if prev_q:
+            break
     if prev_q:
         diag = {
             "prev_round": prev_src,
@@ -244,8 +254,9 @@ def main() -> None:
             },
         }
         print(json.dumps(diag))
-        with open(os.path.join(here, "BENCH_DELTA.json"), "w") as f:
-            json.dump(diag, f, indent=1)
+        if sf >= 0.1:  # cross-SF deltas are meaningless
+            with open(os.path.join(here, "BENCH_DELTA.json"), "w") as f:
+                json.dump(diag, f, indent=1)
     # Per-query timings: their own stdout line + a side file — NEVER
     # on the final line. The driver stores only a 2000-char stdout
     # tail and regex-matches '{"metric"...' in it; r4 AND r5 both
@@ -257,6 +268,12 @@ def main() -> None:
     print(json.dumps(qline))
     with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as f:
         json.dump(qline, f, indent=1)
+    if sf >= 0.1:  # stamp only full-SF runs; sf0.01 iteration runs
+        # must not become a round's snapshot
+        with open(
+            os.path.join(here, f"BENCH_QUERIES_r{cur_round:02d}.json"), "w"
+        ) as f:
+            json.dump(qline, f, indent=1)
     out = {
         "metric": "headline_query_suite_runtime",
         "value": total,
