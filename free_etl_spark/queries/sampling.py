@@ -33,7 +33,7 @@ _H16_SQL = "CAST(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 4))::UBIGINT AS I
     oracle=f"""
     SELECT doc_id, lang, n_chars
     FROM documents
-    WHERE {_H16_SQL.format(c="doc_id")} < CAST(0.10 * 65536 AS INT)
+    WHERE {_H16_SQL.format(c="doc_id")} < CAST(FLOOR(0.10 * 65536) AS INT)
     """,
 )
 def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,7 +116,7 @@ def data_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM (
-      SELECT CASE WHEN {_H16_SQL.format(c="doc_id")} < CAST(0.8 * 65536 AS INT)
+      SELECT CASE WHEN {_H16_SQL.format(c="doc_id")} < CAST(FLOOR(0.8 * 65536) AS INT)
                   THEN 'train' ELSE 'test' END AS split,
              n_chars
       FROM documents
@@ -498,7 +498,7 @@ def _leakage_split_oracle() -> str:
     WITH comp AS ({comp_sql}),
     tagged AS (
       SELECT doc_id, component,
-             CASE WHEN {h} < CAST(0.8 * 65536 AS INT)
+             CASE WHEN {h} < CAST(FLOOR(0.8 * 65536) AS INT)
                   THEN 'train' ELSE 'test' END AS split
       FROM comp
     ),
