@@ -36,36 +36,75 @@ without any global sort.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _INTERNAL = ("__pid", "__lrn", "__o_rn")
 
-# (session, tag) -> persisted range-partitioned relation. The persist
-# below is CORRECTNESS, not tuning: the partitioned+pid relation is
-# referenced by two plan branches (the local windows and the
-# per-partition totals), and without a shared materialization
-# Catalyst prunes each branch differently, the two range exchanges
-# stop being reusable, and each samples ITS OWN boundaries — the
-# offsets then describe a different partitioning than the local
-# prefix sums and the result is nondeterministically wrong (observed
-# at sf0.01: NTILE off by one near quartile boundaries). The
-# CacheManager replaces both canonically-equal subtrees with the same
-# InMemoryRelation, so boundaries are sampled exactly once per
-# execution. The tag registry bounds the entries: re-constructing the
-# same query replaces (and unpersists) its previous entry instead of
-# accumulating one per construction.
+# (session, tag, plan-semantic-hash) -> persisted range-partitioned
+# relation. The persist is CORRECTNESS, not tuning: the
+# partitioned+pid relation is referenced by two plan branches (the
+# local windows and the per-partition totals), and without a shared
+# materialization Catalyst prunes each branch differently, the two
+# range exchanges stop being reusable, and each samples ITS OWN
+# boundaries — the offsets then describe a different partitioning
+# than the local prefix sums and the result is nondeterministically
+# wrong (observed at sf0.01: NTILE off by one near quartile
+# boundaries). The CacheManager replaces both canonically-equal
+# subtrees with the same InMemoryRelation, so boundaries are sampled
+# exactly once per execution.
+#
+# Keying by the analyzed plan's semanticHash means re-constructing
+# the SAME query returns the same persisted relation — no unpersist
+# happens, so a still-live DataFrame handle from an earlier
+# construction keeps its materialization (an eager unpersist here
+# would silently strip the persist out from under that handle and
+# reintroduce the boundary-resampling hazard on its next execution).
+# When a tag's plan genuinely changes (different sf dir / partition
+# count), the superseded entry is retired but its unpersist is
+# deferred one generation, giving in-flight handles of the previous
+# construction a grace window. Bound: ≤1 live + ≤1 retired persisted
+# relation per (session, tag). All mutation is under _LOCK — intake
+# and soak drive queries from driver-side thread pools.
 _PART_CACHE: dict[tuple, DataFrame] = {}
+_RETIRED: dict[tuple, list[DataFrame]] = {}
+_LOCK = threading.Lock()
+
+
+def _sem_hash(df: DataFrame) -> int | None:
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # non-JVM session / API drift — never cache-hit
+        return None
 
 
 def _persist_part(df: DataFrame, tag: str) -> DataFrame:
-    key = (df.sparkSession, tag)
-    old = _PART_CACHE.pop(key, None)
-    if old is not None:
-        old.unpersist()
-    out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PART_CACHE[key] = out
+    sess = df.sparkSession
+    h = _sem_hash(df)
+    key = (sess, tag, h)
+    with _LOCK:
+        if h is not None:
+            hit = _PART_CACHE.get(key)
+            if hit is not None:
+                return hit
+        stale = [
+            k
+            for k in _PART_CACHE
+            if k[0] is sess and k[1] == tag and k != key
+        ]
+        retired = _RETIRED.setdefault((sess, tag), [])
+        for k in stale:
+            retired.append(_PART_CACHE.pop(k))
+        while len(retired) > 1:
+            try:
+                retired.pop(0).unpersist()
+            except Exception:
+                pass
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _PART_CACHE[key] = out
     return out
 
 

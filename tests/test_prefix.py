@@ -99,5 +99,71 @@ def test_repeated_construction_is_stable_and_bounded(spark, scrambled):
         vals.append(tuple(df.orderBy("k").toPandas()["b"]))
     assert vals[0] == vals[1] == vals[2]
     assert (
-        sum(1 for (_, tag) in _PART_CACHE if tag == "test_stable") == 1
+        sum(1 for (_, tag, _h) in _PART_CACHE if tag == "test_stable") == 1
     )
+
+
+def test_persist_gate_plan_shape(spark, scrambled):
+    """The boundary-consistency guard is the shared InMemoryRelation:
+    both plan branches (local windows and per-partition totals) must
+    read the SAME cached range-partitioned relation, so exactly one
+    range exchange samples boundaries. If a refactor drops the
+    _persist_part persist, the cache scan disappears from the plan and
+    each branch re-samples its own boundaries — the off-by-one NTILE
+    bug observed at sf0.01. This pins the plan shape."""
+    df = ordered_prefix(
+        scrambled,
+        [F.col("k")],
+        cache_tag="test_plan_gate",
+        sums={"cs": "v"},
+        rn="rn",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both branches hit the cache ...
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    # ... and the only range exchange lives inside the cached subtree
+    # (TableCacheQueryStage / InMemoryRelation), never duplicated in
+    # the outer plan
+    outer = plan.split("InMemoryTableScan")[0]
+    assert "Exchange rangepartitioning" not in outer, outer
+
+
+def test_stale_handle_keeps_persist_one_generation(spark, scrambled):
+    """A still-live DataFrame from an earlier construction must keep
+    its materialization when the same tag is rebuilt: an identical
+    rebuild reuses the same persisted relation (semantic-hash cache
+    hit), and a changed plan defers the unpersist one generation."""
+    from free_etl_spark.operators.prefix import _persist_part
+
+    base = scrambled.repartitionByRange(4, "k").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    first = _persist_part(base, "test_stale_handle")
+    # identical rebuild: same object back, still persisted
+    again = _persist_part(
+        scrambled.repartitionByRange(4, "k").withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        "test_stale_handle",
+    )
+    assert again is first
+    assert first.storageLevel.useMemory
+    # changed plan (different partition count): first is retired but
+    # NOT yet unpersisted — a live handle may still execute it
+    second = _persist_part(
+        scrambled.repartitionByRange(8, "k").withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        "test_stale_handle",
+    )
+    assert second is not first
+    assert first.storageLevel.useMemory
+    # a second distinct rebuild finally evicts the oldest generation
+    _persist_part(
+        scrambled.repartitionByRange(16, "k").withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        "test_stale_handle",
+    )
+    assert not first.storageLevel.useMemory
+    assert second.storageLevel.useMemory
