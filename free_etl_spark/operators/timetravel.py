@@ -67,11 +67,23 @@ def commit_version(
     """Commit ``df`` as the next version (op: 'append'|'overwrite').
     Returns the new version number. Data is written BEFORE the log
     entry is published, so a crash mid-commit leaves an invisible
-    orphan directory, never a half-visible version."""
+    orphan directory, never a half-visible version. An orphan left by
+    a previous crashed commit (data dir present, log entry absent) is
+    swept here before writing — by the write-then-publish invariant it
+    was never visible to any reader, so removal is safe, and without
+    the sweep the errorifexists write would block this and every
+    future commit at the same version number."""
     if op not in ("append", "overwrite"):
         raise ValueError(f"unknown op {op!r}")
     v = latest_version(table_dir) + 1
     vdir = f"v{v}"
+    target = os.path.join(table_dir, vdir)
+    if os.path.isdir(target) and not os.path.exists(
+        os.path.join(_log_dir(table_dir), f"{v:08d}.json")
+    ):
+        import shutil
+
+        shutil.rmtree(target)
     df.write.mode("errorifexists").parquet(os.path.join(table_dir, vdir))
     files = sorted(
         os.path.join(vdir, f)

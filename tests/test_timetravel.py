@@ -46,10 +46,13 @@ def test_unpublished_data_is_invisible(spark, tmp_path):
     spark.range(50, 60).write.parquet(str(t / "v2"))
     assert _ids(spark, t) == [0, 1]
     assert latest_version(str(t)) == 1
-    # a subsequent commit survives: the committer never reuses an
-    # existing data directory silently
-    with pytest.raises(Exception):
-        commit_version(spark, str(t), spark.range(7, 8), "append")
+    # recovery: the next commit sweeps the never-published orphan
+    # (invisible by the protocol, so removal is safe) instead of
+    # colliding with it forever; none of the orphan's rows leak into
+    # the committed version
+    v = commit_version(spark, str(t), spark.range(7, 8), "append")
+    assert v == 2
+    assert _ids(spark, t) == [0, 1, 7]
 
 
 def test_vacuum_retention(spark, tmp_path):
