@@ -84,6 +84,41 @@ _PARSE_ERR_MARKERS = (
 )
 
 
+def _is_parse_failure(e: Exception) -> bool:
+    """Classify a failed read/write job as a row-level parse error.
+
+    Matching str(e) alone is fragile: Spark can wrap the FAILFAST
+    parser error in layers whose own message carries no parse hint
+    ('Job aborted', 'Task failed while writing rows'). So collect the
+    error condition (PySpark 4 CapturedException.getCondition, e.g.
+    MALFORMED_RECORD_IN_PARSING.*) and the JVM cause chain's class
+    names + messages (BadRecordException sits a few causes deep), then
+    scan the whole blob for the parse markers."""
+    texts = [str(e)]
+    getter = getattr(e, "getCondition", None) or getattr(
+        e, "getErrorClass", None
+    )
+    if getter is not None:
+        try:
+            cond = getter()
+            if cond:
+                texts.append(cond)
+        except Exception:
+            pass
+    try:
+        je = e.java_exception  # type: ignore[attr-defined]
+        for _ in range(10):
+            if je is None:
+                break
+            texts.append(je.getClass().getName())
+            texts.append(je.getMessage() or "")
+            je = je.getCause()
+    except Exception:
+        pass
+    blob = "\n".join(t for t in texts if t)
+    return any(m in blob for m in _PARSE_ERR_MARKERS)
+
+
 def validate_file(spark: SparkSession, path: str, cfg: AppConfig) -> tuple[SparkFileAudit, DataFrame | None]:
     """Validate one landing file; returns (audit, normalized DataFrame
     or None). Issue strings match the reference exactly
@@ -291,7 +326,7 @@ def _ingest_files(
             audit.acceptable = True
         except Exception as e:  # per-file isolation
             first = str(e).splitlines()[0] if str(e) else repr(e)
-            if any(m in str(e) for m in _PARSE_ERR_MARKERS):
+            if _is_parse_failure(e):
                 audit.issues.append(f"Failed to parse file: {first[:300]}")
             else:
                 audit.issues.append(f"Failed to normalize to CSV: {first[:300]}")

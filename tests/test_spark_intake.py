@@ -103,3 +103,18 @@ def test_validate_file_xlsx_scale_path(spark, tmp_path):
     audit2, df2 = validate_file(spark, str(p), cfg_no_xlsx)
     assert df2 is None
     assert audit2.issues == ["Unsupported file type. Use CSV or XLSX."]
+
+
+def test_parse_failure_classified_by_condition_not_message():
+    """A FAILFAST error wrapped so its top-level message carries no
+    parse marker ('Task failed while writing rows') must still be
+    classified as a parse failure via the error condition / cause
+    chain, and an unrelated failure must not be."""
+    from free_etl_spark.intake.spark_intake import _is_parse_failure
+
+    class Wrapped(Exception):
+        def getCondition(self):
+            return "MALFORMED_RECORD_IN_PARSING.WITHOUT_SUGGESTION"
+
+    assert _is_parse_failure(Wrapped("Task failed while writing rows"))
+    assert not _is_parse_failure(OSError("No space left on device"))
