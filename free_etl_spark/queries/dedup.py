@@ -860,6 +860,87 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# benchmark membership for the fuzzy decontamination probe: every
+# 10th doc_id stands in for the held-out eval set
+_BENCH_MOD = 10
+
+
+@query(
+    "text_contamination_fuzzy",
+    oracle=f"""
+    WITH {_SH_SQL},
+    {_minhash_band_sql()},
+    hits AS (
+      SELECT DISTINCT
+        CASE WHEN doc_a % {_BENCH_MOD} = 0 THEN doc_b ELSE doc_a END AS train_doc,
+        CASE WHEN doc_a % {_BENCH_MOD} = 0 THEN doc_a ELSE doc_b END AS bench_doc
+      FROM cand
+      WHERE (doc_a % {_BENCH_MOD} = 0) <> (doc_b % {_BENCH_MOD} = 0)
+    ),
+    inter AS (
+      SELECT h.train_doc, h.bench_doc, COUNT(*) AS inter
+      FROM hits h
+      JOIN sh a ON a.doc_id = h.train_doc
+      JOIN sh b ON b.doc_id = h.bench_doc AND b.sh = a.sh
+      GROUP BY 1, 2
+    )
+    SELECT i.train_doc, i.bench_doc,
+           ROUND(CAST(inter AS DOUBLE) / (st.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes st ON i.train_doc = st.doc_id
+    JOIN sizes sb ON i.bench_doc = sb.doc_id
+    WHERE ROUND(CAST(inter AS DOUBLE) / (st.n_sh + sb.n_sh - inter), 6)
+          >= {_JACCARD_T}
+    """,
+)
+def text_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination — the near-duplicate variant of
+    text_contamination_check: exact n-gram overlap misses *paraphrased*
+    eval leakage, so the corpus is probed against the benchmark set's
+    banded minhash index and candidates are verified with exact
+    Jaccard. Training docs whose similarity to any benchmark doc
+    clears τ must be dropped before a training run.
+
+    Shape at 100 TB: the benchmark set is tiny (thousands of eval
+    documents) — its band index broadcasts to every executor, so the
+    corpus side is a MAP-SIDE probe: no shuffle of corpus bands, no
+    self-join. Cost is O(corpus bands) probe + exact verify on the
+    (few) band-collision pairs; the corpus is never paired with
+    itself. Reuses the persisted _minhash_bands relation, same md5
+    minhash as dedup_minhash_lsh so DuckDB replays it exactly."""
+    sh = _shingles(spark, sf_dir)
+    bands = _minhash_bands(spark, sf_dir)
+    bench_b = bands.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_doc"), "band_id", "band_key"
+    )
+    corp_b = bands.filter(F.col("doc_id") % _BENCH_MOD != 0).select(
+        F.col("doc_id").alias("train_doc"), "band_id", "band_key"
+    )
+    cand = (
+        corp_b.join(F.broadcast(bench_b), ["band_id", "band_key"])
+        .select("train_doc", "bench_doc")
+        .distinct()
+    )
+    # exact-Jaccard verify: shingle arrays keyed on doc id (see
+    # dedup_minhash_lsh) — the benchmark side is broadcast again
+    sh_arr = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
+    t_arr = sh_arr.select(
+        F.col("doc_id").alias("train_doc"), F.col("shs").alias("shs_t")
+    )
+    b_arr = sh_arr.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_doc"), F.col("shs").alias("shs_b")
+    )
+    inter = F.size(F.array_intersect("shs_t", "shs_b"))
+    union = F.size("shs_t") + F.size("shs_b") - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        cand.join(t_arr, "train_doc")
+        .join(F.broadcast(b_arr), "bench_doc")
+        .select("train_doc", "bench_doc", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_T)
+    )
+
+
 @query(
     "dedup_keep_best_quality",
     oracle="""

@@ -317,3 +317,36 @@ def test_matryoshka_rerank_recall_at_5(spark):
         recalls.append(len(got.get(q, set()) & set(exact)) / 5)
     assert min(recalls) >= 0.6, recalls
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_fuzzy_contamination_planted_recall(spark):
+    """Paraphrased-leakage recall: every training doc whose exact
+    n-gram Jaccard with some benchmark doc clears 0.9 (the planted
+    near-dup grade) must be flagged by the banded-minhash probe —
+    brute-force ground truth over the split, computed driver-side at
+    test scale."""
+    from itertools import product
+
+    from free_etl_spark.queries.dedup import _BENCH_MOD, _shingles
+
+    got = {
+        (r.train_doc, r.bench_doc)
+        for r in QUERIES["text_contamination_fuzzy"](spark, SF_DIR).collect()
+    }
+    sh = (
+        _shingles(spark, SF_DIR)
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("shs"))
+        .collect()
+    )
+    sets = {r.doc_id: set(r.shs) for r in sh}
+    bench = [d for d in sets if d % _BENCH_MOD == 0]
+    train = [d for d in sets if d % _BENCH_MOD != 0]
+    truth = set()
+    for t, b in product(train, bench):
+        inter = len(sets[t] & sets[b])
+        if inter and inter / len(sets[t] | sets[b]) >= 0.9:
+            truth.add((t, b))
+    assert truth, "corpus lost its planted cross-split near-dups"
+    missed = truth - got
+    assert not missed, f"fuzzy probe missed planted leakage: {missed}"
