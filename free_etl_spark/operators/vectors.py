@@ -249,6 +249,49 @@ def ivf_write(
         .partitionBy("cent_id")
         .parquet(path)
     )
+    # persist the codebook beside the data (underscore prefix = hidden
+    # to Spark's file listing, like _SUCCESS) so ivf_append can assign
+    # new vectors without the caller carrying the centroid table
+    import os
+
+    cent.write.mode("overwrite").parquet(os.path.join(path, "_codebook"))
+    return cent
+
+
+def ivf_append(
+    emb_new: DataFrame, path: str, cent: DataFrame | None = None
+) -> DataFrame:
+    """Incrementally add vectors to an existing ivf_write layout: assign
+    each new vector to its nearest centroid of the EXISTING codebook
+    (read from ``{path}/_codebook`` unless passed) and append into the
+    cent_id-partitioned directory tree. No rebuild — committed cluster
+    files are never rewritten, and partition-pruned probes see the new
+    vectors immediately (a probe reads whole cent_id=N directories, so
+    appended part-files inside them are picked up with no index
+    maintenance). This is what a growing corpus needs: O(batch) work
+    per append vs O(corpus) for a rebuild; periodic re-clustering only
+    when codebook drift degrades probe recall
+    (tests/test_ann_quality.py pins recall after append).
+
+    Returns the centroid table used, so callers can chain appends
+    without re-reading the codebook."""
+    import os
+
+    if cent is None:
+        cent = emb_new.sparkSession.read.parquet(
+            os.path.join(path, "_codebook")
+        )
+    asn = (
+        centroid_rank(emb_new, cent, probe_dim(emb_new))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    (
+        emb_new.join(asn, "vec_id")
+        .write.mode("append")
+        .partitionBy("cent_id")
+        .parquet(path)
+    )
     return cent
 
 

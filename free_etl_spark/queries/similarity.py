@@ -1074,3 +1074,95 @@ def sim_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _MRL_K)
         .select("qid", "cid", "cosine", "rank")
     )
+
+
+@query(
+    "sim_ivf_append",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    base AS (SELECT * FROM v WHERE vec_id % 10 <> 0),
+    newb AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+    kk AS (SELECT GREATEST(16, CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))
+                                    AS BIGINT)) AS k FROM base),
+    cent AS (
+      SELECT vec_id AS cent_id, emb AS cemb FROM base
+      QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)
+    ),
+    a_base AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT b.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(b.emb, c.cemb),
+                          z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cent_id) AS rn
+        FROM base b CROSS JOIN cent c)
+      WHERE rn = 1
+    ),
+    a_new AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT b.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(b.emb, c.cemb),
+                          z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cent_id) AS rn
+        FROM newb b CROSS JOIN cent c)
+      WHERE rn = 1
+    )
+    SELECT nb.cent_id, nb.n_base,
+           CAST(COALESCE(nn.n_new, 0) AS BIGINT) AS n_new
+    FROM (SELECT cent_id, COUNT(*) AS n_base FROM a_base GROUP BY cent_id) nb
+    LEFT JOIN (SELECT cent_id, COUNT(*) AS n_new FROM a_new GROUP BY cent_id) nn
+      USING (cent_id)
+    """,
+)
+def sim_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance (operators.vectors.ivf_append):
+    new vectors (every 10th vec_id stands in for an arriving batch) are
+    assigned to the EXISTING base-corpus codebook — the map-side argmin
+    against the broadcast centroid table — and appended into the
+    cent_id-partitioned layout without a rebuild. The query exposes the
+    relational core of the append (per-cluster base vs appended
+    occupancy) so DuckDB replays the assignment exactly; the physical
+    layout semantics (append-only part files, unchanged partition
+    pruning, post-append recall) are pinned by
+    tests/test_ann_quality.py::test_ivf_append_findable_and_pruned.
+
+    Shape at 100 TB: appends cost O(batch × K) map-side distance work +
+    one partitioned write of the batch; committed cluster files are
+    never rewritten, probes need no index maintenance."""
+    from free_etl_spark.operators.vectors import (
+        centroid_rank,
+        probe_dim,
+        scaled_centroid_k,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    newb = emb.filter(F.col("vec_id") % 10 == 0)
+    k = scaled_centroid_k(base.count())
+    cent = (
+        base.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb"))
+    )
+    dim = probe_dim(emb)
+    a_base = (
+        centroid_rank(base, cent, dim)
+        .filter(F.col("rn") == 1)
+        .select("cent_id")
+    )
+    a_new = (
+        centroid_rank(newb, cent, dim)
+        .filter(F.col("rn") == 1)
+        .select("cent_id")
+    )
+    nb = a_base.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_base"))
+    nn = a_new.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_new"))
+    return nb.join(nn, "cent_id", "left").select(
+        "cent_id",
+        "n_base",
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+    )

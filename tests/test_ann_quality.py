@@ -350,3 +350,65 @@ def test_fuzzy_contamination_planted_recall(spark):
     assert truth, "corpus lost its planted cross-split near-dups"
     missed = truth - got
     assert not missed, f"fuzzy probe missed planted leakage: {missed}"
+
+
+def test_ivf_append_findable_and_pruned(spark, tmp_path):
+    """ivf_append must (a) leave every committed base part-file
+    untouched (append-only), (b) make appended vectors findable via
+    the same partition-pruned probe with no index maintenance, and
+    (c) assign them with the persisted codebook — no rebuild."""
+    import glob as g
+    import os
+
+    from free_etl_spark.operators.vectors import (
+        centroid_rank,
+        ivf_append,
+        ivf_probe,
+        ivf_write,
+        probe_dim,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "ivf")
+    cent = ivf_write(base, path)
+    before = set(g.glob(os.path.join(path, "cent_id=*", "*.parquet")))
+
+    ret = ivf_append(batch, path)  # codebook read from {path}/_codebook
+    after = set(g.glob(os.path.join(path, "cent_id=*", "*.parquet")))
+    # append-only: every pre-existing file survives byte-identical in place
+    assert before <= after and len(after) > len(before)
+    # returned codebook == persisted codebook == the one ivf_write built
+    assert {(r.cent_id, tuple(r.cemb)) for r in ret.collect()} == {
+        (r.cent_id, tuple(r.cemb)) for r in cent.collect()
+    }
+
+    # every appended vector is findable by probing ITS nearest cluster
+    asn = (
+        centroid_rank(batch, cent, probe_dim(batch))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+        .collect()
+    )
+    by_cluster: dict[int, set] = {}
+    for r in asn:
+        by_cluster.setdefault(r.cent_id, set()).add(r.vec_id)
+    some = sorted(by_cluster)[:3]
+    for cid in some:
+        got = {
+            r.vec_id
+            for r in ivf_probe(spark, path, [cid]).select("vec_id").collect()
+        }
+        assert by_cluster[cid] <= got, (cid, by_cluster[cid] - got)
+    # pruning unchanged after append: probe still a PartitionFilters read
+    plan = (
+        ivf_probe(spark, path, some)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cent_id" in pf[0], plan[:500]
