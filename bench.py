@@ -116,6 +116,32 @@ HEADLINE = [
     "text_source_reputation",
     "sim_matryoshka_rerank",
     "streaming_cdc_with_deletes",
+    # r7 wave: the most expensive registered non-streaming queries not
+    # yet benched (from tools/query_times.json) so long-tail perf
+    # regressions are visible round-over-round, plus the r7-new surface
+    "dedup_semdedup_keep",
+    "source_python_datasource",
+    "dedup_pipeline_keep_set",
+    "orders_rfm_segmentation",
+    "dedup_simhash_pairs",
+    "text_contamination_fuzzy",
+    "emb_kmeans_2iter",
+    "agg_approx_distinct",
+    "dedup_simhash",
+    "source_time_travel",
+    "sim_ivf_append",
+    "events_funnel_windowed",
+    "events_funnel_conversion",
+    "sim_ivf_topk",
+    "dedup_embedding_cosine",
+    "graph_label_propagation",
+    "dedup_canonical_text",
+    "window_ntile_movavg",
+    "dedup_cluster_components",
+    "join_bucketed_colocated",
+    "events_cusum_changepoint",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_parts",
 ]
 
 
