@@ -582,3 +582,64 @@ def sample_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("quality"), 6).alias("min_q"),
         F.round(F.max("quality"), 6).alias("max_q"),
     )
+
+
+_RESERVOIR_R = 8
+
+
+@query(
+    "sample_reservoir_per_group",
+    oracle=f"""
+    WITH h AS (
+      SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ),
+    r AS (
+      SELECT lang, doc_id, h,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+      FROM h
+    )
+    SELECT lang, doc_id, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= {_RESERVOIR_R}
+    """,
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic R-per-group uniform sample ('give me 8 random
+    docs per language for eval') — hash-ordered, so stable under
+    reruns, repartitioning and file splits, unlike seeded sample().
+
+    The scale shape is the MERGEABLE two-phase top-R, not a per-group
+    window: a ROW_NUMBER() OVER (PARTITION BY lang) funnels each
+    language through ONE task — with a handful of languages over a
+    100 TB corpus that is a guaranteed skew stall. Instead (1) each
+    (lang, input-partition) cell keeps its local R smallest (hash,
+    doc_id) structs — aggregate buffers bounded by rows-per-partition,
+    output bounded at R rows per cell; (2) the per-cell winners
+    (R x n_partitions rows per lang, corpus-size-independent) merge to
+    the global R smallest. Both phases are hash aggregates with
+    partial combine; order within the final array gives the rank.
+    The DuckDB oracle states the same semantics with the window it can
+    afford single-node."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    s = F.struct(h.alias("h"), F.col("doc_id").alias("doc_id"))
+    local = (
+        docs.select("lang", s.alias("s"))
+        .groupBy("lang", F.spark_partition_id().alias("pid"))
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("s")), 1, _RESERVOIR_R
+            ).alias("top")
+        )
+    )
+    final = local.groupBy("lang").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("top"))), 1, _RESERVOIR_R
+        ).alias("top")
+    )
+    return final.select(
+        "lang", F.posexplode("top").alias("pos", "s")
+    ).select(
+        "lang",
+        F.col("s.doc_id").alias("doc_id"),
+        (F.col("pos") + 1).cast("int").alias("rk"),
+    )

@@ -1506,3 +1506,77 @@ def text_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(short_frac_exact * 1e6) / 1e6).alias("short_frac"),
         ((short_frac_exact > 0.5) | (avg_chars < 120)).alias("flagged"),
     )
+
+
+@query(
+    "text_quality_percentile_cut",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(LENGTH(text) AS DOUBLE) AS chars,
+             CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS toks,
+             CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE) AS uniq
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             ROUND(0.4 * LEAST(1.0, toks / 80.0)
+                 + 0.3 * (uniq / toks)
+                 + 0.3 * LEAST(1.0, chars / 400.0), 6) AS quality_score
+      FROM t
+    ),
+    r AS (
+      SELECT lang, quality_score,
+             ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM s
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           MIN(quality_score) AS min_score,
+           MAX(quality_score) AS max_score
+    FROM r WHERE rn * 10 <= n * 3
+    GROUP BY lang
+    """,
+)
+def text_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quantile-threshold quality cut — 'keep the best 30% of
+    the corpus by score' (the FineWeb/DCLM selection step where the
+    budget, not an absolute threshold, decides the cut). The global
+    rank comes from operators/prefix.ordered_prefix (range partition +
+    pid-local windows + triangular offset join), so NO single-task
+    window touches the corpus-sized relation — the oracle's
+    ROW_NUMBER() OVER (ORDER BY ...) is exactly what this replaces at
+    100 TB. Keep rule rn*10 <= n*3 is integer-exact floor(0.3 n) in
+    both engines; the unique (score desc, doc_id) order makes the cut
+    deterministic. Output per-lang kept counts with min/max score
+    (order-insensitive exact aggregates)."""
+    from free_etl_spark.operators.prefix import ordered_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.length("text").cast("double")
+    toks = F.size(_tokens()).cast("double")
+    uniq = F.size(F.array_distinct(_tokens())).cast("double")
+    score = (
+        0.4 * F.least(F.lit(1.0), toks / 80.0)
+        + 0.3 * (uniq / toks)
+        + 0.3 * F.least(F.lit(1.0), chars / 400.0)
+    )
+    scored = docs.select(
+        "doc_id", "lang", F.round(score, 6).alias("quality_score")
+    )
+    pre = ordered_prefix(
+        scored,
+        [F.desc("quality_score"), F.col("doc_id")],
+        cache_tag="quality_cut",
+        rn="rn",
+        grand={"n": F.lit(1)},
+    )
+    return (
+        pre.filter(F.col("rn") * 10 <= F.col("n") * 3)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("quality_score").alias("min_score"),
+            F.max("quality_score").alias("max_score"),
+        )
+    )

@@ -338,6 +338,8 @@ def test_observation_metrics_free_audit(spark):
         "orders_rfm_segmentation",
         "text_vocab_coverage",
         "graph_triangle_count",
+        "sample_curriculum_shards",
+        "text_quality_percentile_cut",
     ],
 )
 def test_corpus_scale_queries_have_no_global_window(spark, name):
