@@ -1474,9 +1474,33 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the 15625 ROUND-safety bound), rounded identically in both
     engines. Anchors compare on the raw micros instant (us >, strict)
     so ties exclude identically in both engines."""
+    return _funnel_result(spark, sf_dir, t_us=None)
+
+
+_FUNNEL_T_US = 24 * 3600 * 1_000_000  # 24-hour step-to-step window
+
+
+def _funnel_result(
+    spark: SparkSession, sf_dir: str, t_us: int | None
+) -> DataFrame:
+    """Shared funnel executor (unbounded when t_us is None, 24h-boxed
+    otherwise). Plan shape: the three stage anchors chain v → c → p
+    (each one partial-aggregated min() keyed on user_id), then ONE
+    left-joined anchor row per view-user feeds a SINGLE count
+    aggregate — the step counts are never re-derived as separate
+    aggregate trees (the original form compiled each count's whole
+    upstream chain again: 18 fact scans at sf0.01; this form plans 3
+    stage scans plus reused exchanges)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts_us"
     )
+
+    def within(anchor: str) -> F.Column:
+        after = F.col("ts_us") > F.col(anchor)
+        if t_us is None:
+            return after
+        return after & (F.col("ts_us") <= F.col(anchor) + F.lit(t_us))
+
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -1485,24 +1509,26 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
-        .filter(F.col("ts_us") > F.col("vt"))
+        .filter(within("vt"))
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("ct"))
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")
-        .filter(F.col("ts_us") > F.col("ct"))
+        .filter(within("ct"))
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("pt"))
     )
-    n1 = v.agg(F.count(F.lit(1)).alias("n1"))
-    n2 = c.agg(F.count(F.lit(1)).alias("n2"))
-    n3 = p.agg(F.count(F.lit(1)).alias("n3"))
-    n = n1.join(F.broadcast(n2)).join(F.broadcast(n3))
+    a = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    n = a.agg(
+        F.count("vt").alias("n1"),
+        F.count("ct").alias("n2"),
+        F.count("pt").alias("n3"),
+    )
     one = F.lit(1.0)
-    r = lambda a, b: F.round(  # noqa: E731
-        F.col(a) / F.col(b).cast("double"), 6
+    r = lambda x, y: F.round(  # noqa: E731
+        F.col(x) / F.col(y).cast("double"), 6
     )
     s1 = n.select(
         F.lit("1_view").alias("step"),
@@ -1523,9 +1549,6 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         r("n3", "n1").alias("conv_from_first"),
     )
     return s1.unionAll(s2).unionAll(s3)
-
-
-_FUNNEL_T_US = 24 * 3600 * 1_000_000  # 24-hour step-to-step window
 
 
 @query(
@@ -1572,61 +1595,7 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, so no extra shuffle or state. At sf0.01 the 24 h box
     prunes the funnel 150 → 60 → 25 vs the unbounded variant —
     the two queries together expose drop-off vs slow-burn users."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts_us"
-    )
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("vt"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(
-            (F.col("ts_us") > F.col("vt"))
-            & (F.col("ts_us") <= F.col("vt") + F.lit(_FUNNEL_T_US))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("ct"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(
-            (F.col("ts_us") > F.col("ct"))
-            & (F.col("ts_us") <= F.col("ct") + F.lit(_FUNNEL_T_US))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("pt"))
-    )
-    n1 = v.agg(F.count(F.lit(1)).alias("n1"))
-    n2 = c.agg(F.count(F.lit(1)).alias("n2"))
-    n3 = p.agg(F.count(F.lit(1)).alias("n3"))
-    n = n1.join(F.broadcast(n2)).join(F.broadcast(n3))
-    one = F.lit(1.0)
-    r = lambda a, b: F.round(  # noqa: E731
-        F.col(a) / F.col(b).cast("double"), 6
-    )
-    s1 = n.select(
-        F.lit("1_view").alias("step"),
-        F.col("n1").cast("long").alias("n_users"),
-        one.alias("conv_from_prev"),
-        one.alias("conv_from_first"),
-    )
-    s2 = n.select(
-        F.lit("2_click").alias("step"),
-        F.col("n2").cast("long").alias("n_users"),
-        r("n2", "n1").alias("conv_from_prev"),
-        r("n2", "n1").alias("conv_from_first"),
-    )
-    s3 = n.select(
-        F.lit("3_purchase").alias("step"),
-        F.col("n3").cast("long").alias("n_users"),
-        r("n3", "n2").alias("conv_from_prev"),
-        r("n3", "n1").alias("conv_from_first"),
-    )
-    return s1.unionAll(s2).unionAll(s3)
+    return _funnel_result(spark, sf_dir, t_us=_FUNNEL_T_US)
 
 
 @query(
