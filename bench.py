@@ -142,6 +142,10 @@ HEADLINE = [
     "events_cusum_changepoint",
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_parts",
+    "text_quality_percentile_cut",
+    "sample_reservoir_per_group",
+    "source_table_changes",
+    "multimodal_audio_energy",
 ]
 
 
