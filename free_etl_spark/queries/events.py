@@ -1701,3 +1701,87 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(res["mx"], 6).alias("max_cusum"),
         res["al"].alias("first_alarm_rn"),
     )
+
+
+@query(
+    "events_scd2_intervals",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_type, us,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    grp AS (
+      SELECT user_id, event_type, us,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS g
+      FROM flagged
+    ),
+    runs AS (
+      SELECT user_id, MIN(event_type) AS status,
+             MIN(us) AS valid_from_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM grp GROUP BY user_id, g
+    )
+    SELECT user_id, status, valid_from_us,
+           COALESCE(LEAD(valid_from_us)
+                      OVER (PARTITION BY user_id ORDER BY valid_from_us),
+                    0) AS valid_to_us,
+           LEAD(valid_from_us)
+             OVER (PARTITION BY user_id ORDER BY valid_from_us) IS NULL
+             AS is_current,
+           n_events
+    FROM runs
+    """,
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history from an event log: per user, each change of
+    event_type opens a new validity interval [valid_from, valid_to)
+    (the half-open convention), closed by the next change; the open
+    interval is flagged is_current — the warehouse dimension-history
+    staple built from the classic gaps-and-islands run grouping
+    (lag-change flag → running change count → per-run aggregate →
+    lead for the closing edge).
+
+    Scale: every window is PARTITIONED BY user_id — state per task is
+    one user's events, so the op parallelizes over users with one
+    shuffle; nothing global. Ties in ts break on event_id in the run
+    window so both engines see the same total order; the lead over
+    runs needs no tie-break (valid_from is unique per user by
+    construction: each run starts at a distinct min timestamp)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts_us"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    grp = ev.withColumn("chg", chg).withColumn(
+        "g",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = grp.groupBy("user_id", "g").agg(
+        F.min("event_type").alias("status"),
+        F.min("ts_us").alias("valid_from_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us")
+    nxt = F.lead("valid_from_us").over(w2)
+    return runs.select(
+        "user_id",
+        "status",
+        "valid_from_us",
+        F.coalesce(nxt, F.lit(0)).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+        "n_events",
+    )
