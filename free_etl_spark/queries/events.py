@@ -1785,3 +1785,59 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         "n_events",
     )
+
+
+@query(
+    "mv_incremental_refresh",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-(type, hour)
+    aggregate MV is refreshed by merging the OLD MV with the delta
+    aggregate of newly-arrived rows (event_id % 5 = 4 stands in for
+    the new batch) — one full-outer join + coalesced partial-state
+    merge, the Delta-Live-Tables / Materialize refresh shape. Because
+    count and sum are associative partial states, merge(old, delta)
+    must equal the full recompute — and the ORACLE IS the full
+    recompute, so a pass proves the incremental path bit-for-bit.
+
+    Scale: the delta aggregate touches only the batch; the merge join
+    is keyed on the MV's (type, hour) key — MV-sized, not fact-sized.
+    At 100 TB the old MV is a stored table and the refresh cost is
+    O(batch) + O(MV), never a rescan of history."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "value",
+    )
+    is_new = F.col("event_id") % 5 == 4
+
+    def agg(df: DataFrame, n: str, s: str) -> DataFrame:
+        return df.groupBy("event_type", "hr").agg(
+            F.count(F.lit(1)).cast("long").alias(n),
+            F.sum("value").alias(s),
+        )
+
+    old = agg(ev.filter(~is_new), "n_old", "s_old")
+    delta = agg(ev.filter(is_new), "n_new", "s_new")
+    merged = old.join(delta, ["event_type", "hr"], "full_outer")
+    zero_l = F.lit(0).cast("long")
+    return merged.select(
+        "event_type",
+        "hr",
+        (F.coalesce("n_old", zero_l) + F.coalesce("n_new", zero_l)).alias(
+            "n_events"
+        ),
+        F.round(
+            F.coalesce("s_old", F.lit(0.0)) + F.coalesce("s_new", F.lit(0.0)),
+            2,
+        ).alias("value_sum"),
+    )

@@ -214,3 +214,128 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_cur").cast("long").alias("n_current"),
         F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
     )
+
+
+@query(
+    "quality_expectations_audit",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_pos,
+             CAST(SUM(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_cap
+      FROM orders
+    ),
+    l AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+             CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_disc
+      FROM lineitem
+    ),
+    ro AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    ),
+    rl AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lineitem
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    )
+    SELECT rule, n_checked, n_violations, n_violations = 0 AS passed FROM (
+      SELECT 'orders_totalprice_positive' AS rule, o.n AS n_checked,
+             o.v_pos AS n_violations FROM o
+      UNION ALL
+      SELECT 'orders_totalprice_under_400k', o.n, o.v_cap FROM o
+      UNION ALL
+      SELECT 'orders_custkey_in_customer', o.n, ro.v FROM o, ro
+      UNION ALL
+      SELECT 'lineitem_quantity_in_1_50', l.n, l.v_qty FROM l
+      UNION ALL
+      SELECT 'lineitem_discount_in_0_01', l.n, l.v_disc FROM l
+      UNION ALL
+      SELECT 'lineitem_orderkey_in_orders', l.n, rl.v FROM l, rl
+    )
+    """,
+)
+def quality_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite audit (the dbt-tests / Great Expectations
+    shape): value-range, not-null-by-construction and referential-
+    integrity rules evaluated in one pass per fact table plus one
+    broadcast anti-join per foreign key, emitted as a uniform
+    (rule, n_checked, n_violations, passed) report. One rule
+    (totalprice under 400k) is a deliberately tight bound that FAILS
+    on TPC-H-shaped data, proving the violation counter counts.
+
+    Scale: range rules are conditional sums inside the same partial
+    aggregate (one scan per table, no shuffle beyond the 1-row
+    combine); each referential rule is an anti-join against a
+    broadcastable key set — at 100 TB the key sides (customer,
+    orders keys) broadcast or AQE picks SMJ, and the audit output is
+    6 rows regardless of volume."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    o = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long"))
+        .cast("long")
+        .alias("v_pos"),
+        F.sum((F.col("o_totalprice") > 400000).cast("long"))
+        .cast("long")
+        .alias("v_cap"),
+    )
+    li = lineitem.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("v_qty"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("v_disc"),
+    )
+    ro = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    rl = (
+        lineitem.join(
+            orders.select("o_orderkey").distinct(),
+            lineitem.l_orderkey == orders.o_orderkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+
+    def row(rule: str, n_col, v_col, src: DataFrame) -> DataFrame:
+        return src.select(
+            F.lit(rule).alias("rule"),
+            F.col(n_col).alias("n_checked"),
+            F.col(v_col).alias("n_violations"),
+        )
+
+    o_ro = o.join(F.broadcast(ro))
+    l_rl = li.join(F.broadcast(rl))
+    out = (
+        row("orders_totalprice_positive", "n", "v_pos", o)
+        .unionAll(row("orders_totalprice_under_400k", "n", "v_cap", o))
+        .unionAll(row("orders_custkey_in_customer", "n", "v", o_ro))
+        .unionAll(row("lineitem_quantity_in_1_50", "n", "v_qty", li))
+        .unionAll(row("lineitem_discount_in_0_01", "n", "v_disc", li))
+        .unionAll(row("lineitem_orderkey_in_orders", "n", "v", l_rl))
+    )
+    return out.withColumn("passed", F.col("n_violations") == 0)
