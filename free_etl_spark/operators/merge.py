@@ -310,3 +310,42 @@ def upsert_latest_parquet(
     )
     out = merged.localCheckpoint(eager=True)
     out.write.mode("overwrite").parquet(target_dir)
+
+
+def merge_additive_parquet(
+    spark: SparkSession,
+    target_dir: str,
+    delta: DataFrame,
+    key_cols: list[str],
+    add_cols: list[str],
+) -> None:
+    """Merge an ADDITIVE partial-state delta (counts/sums keyed on the
+    MV's group columns) into a stored aggregate table: full-outer join
+    on the keys, null-coalesced addition of every state column —
+    the incremental materialized-view refresh primitive. Cost is
+    O(delta) + O(MV); history is never rescanned. Only associative,
+    commutative states belong here (count, sum, min/max need
+    coalesce-greatest variants); non-decomposable aggregates need a
+    rewrite to partial states first."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(target_dir)  # noqa: SLF001
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(jvm_path):
+        delta.write.mode("overwrite").parquet(target_dir)
+        return
+    target = spark.read.parquet(target_dir)
+    u = delta.select(*[F.col(c).alias(f"__u_{c}") for c in delta.columns])
+    cond = [target[k] == u[f"__u_{k}"] for k in key_cols]
+    joined = target.join(u, cond, "full_outer")
+    out_cols = [
+        F.coalesce(F.col(k), F.col(f"__u_{k}")).alias(k) for k in key_cols
+    ]
+    for c in add_cols:
+        zero = F.lit(0).cast(target.schema[c].dataType)
+        out_cols.append(
+            (
+                F.coalesce(F.col(c), zero) + F.coalesce(F.col(f"__u_{c}"), zero)
+            ).alias(c)
+        )
+    merged = joined.select(*out_cols)
+    out = merged.localCheckpoint(eager=True)
+    out.write.mode("overwrite").parquet(target_dir)

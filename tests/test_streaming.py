@@ -552,3 +552,35 @@ def test_cdc_with_deletes_recovers_after_kill(spark, tmp_path):
     # to eid 41, key 3 inserted
     assert list(final["user_id"]) == [2, 3]
     assert list(final["event_id"]) == [41, 33]
+
+
+def test_merge_additive_replay_marker_prevents_double_count(spark, tmp_path):
+    """merge_additive_parquet is deliberately NOT idempotent (additive
+    states double on re-apply); streaming_mv_refresh therefore skips
+    replayed batch_ids via marker files. Pin both halves: re-applying
+    the same delta doubles the state (so the helper alone is unsafe
+    under replay), and the MV after seed+delta equals the direct
+    aggregate of the union."""
+    import pyspark.sql.functions as F
+
+    from free_etl_spark.operators.merge import merge_additive_parquet
+
+    target = str(tmp_path / "mv")
+    seed = spark.createDataFrame(
+        [("a", 2, 10.0), ("b", 1, 5.0)], "k string, n long, s double"
+    )
+    delta = spark.createDataFrame(
+        [("b", 3, 7.0), ("c", 1, 1.0)], "k string, n long, s double"
+    )
+    merge_additive_parquet(spark, target, seed, ["k"], ["n", "s"])
+    merge_additive_parquet(spark, target, delta, ["k"], ["n", "s"])
+    got = {
+        r.k: (r.n, r.s)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {"a": (2, 10.0), "b": (4, 12.0), "c": (1, 1.0)}
+    # replay WITHOUT the marker guard: state doubles — the hazard the
+    # batch-id markers in streaming_mv_refresh exist to prevent
+    merge_additive_parquet(spark, target, delta, ["k"], ["n", "s"])
+    got2 = {r.k: r.n for r in spark.read.parquet(target).collect()}
+    assert got2["b"] == 7 and got2["c"] == 2
