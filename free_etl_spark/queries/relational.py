@@ -1140,3 +1140,38 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("k").cast("long").alias("key_checksum"),
     )
+
+
+@query(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT n.n_name, c.c_name, c.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer
+             WHERE c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+    """,
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — per-nation
+    top-2 customers by balance, written the way an analyst writes it.
+    Catalyst DECORRELATES the lateral into a ranked window over one
+    customer shuffle (no per-nation re-execution, which is what a
+    naive nested-loop interpretation would do at 100 TB); DuckDB runs
+    the identical SQL. The unique (acctbal DESC, name) order makes
+    the LIMIT deterministic in both engines."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "lat_nation_in"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "lat_customer_in"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM lat_nation_in n,
+        LATERAL (SELECT c_name, c_acctbal FROM lat_customer_in
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        """
+    )
