@@ -1175,3 +1175,80 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
         """
     )
+
+
+@query(
+    "agg_hll_set_algebra",
+    oracle="""
+    WITH v AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase'),
+    x AS (SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+                 CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
+                 CAST((SELECT COUNT(*) FROM v JOIN p USING (user_id))
+                      AS BIGINT) AS exact_overlap)
+    SELECT n_view, n_purchase, exact_overlap,
+           TRUE AS union_within_tol, TRUE AS inter_within_tol
+    FROM x
+    """,
+)
+def agg_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA — the audience-overlap question ('how many
+    users both viewed AND purchased?') answered from two per-segment
+    HLL sketches with NO join of the raw sets: |A∩B| ≈ |A| + |B| -
+    |A∪B| by inclusion-exclusion, where |A∪B| is the union-sketch
+    estimate. At 100 TB the segment sketches are KB-sized stored
+    aggregates (per day / per campaign); overlap queries between any
+    pair cost sketch-merge time, not a rescan or a set join. The
+    intersection estimate compounds the errors of three ±~0.8%
+    (lgK=14) estimates, so its tolerance is wider (15% of the true
+    overlap, floor 50) — the documented weakness of sketch
+    intersection on small overlaps; exact values ride along so the
+    oracle pins them and the booleans pin the estimates."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view")
+    p = ev.filter(F.col("event_type") == "purchase")
+    sk = (
+        v.agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk_v"))
+        .join(p.agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk_p")))
+    )
+    est = sk.select(
+        F.expr("hll_sketch_estimate(sk_v)").alias("e_v"),
+        F.expr("hll_sketch_estimate(sk_p)").alias("e_p"),
+        F.expr(
+            "hll_sketch_estimate(hll_union(sk_v, sk_p))"
+        ).alias("e_u"),
+    )
+    exact = (
+        v.select("user_id")
+        .distinct()
+        .join(p.select("user_id").distinct(), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+    )
+    nv = v.agg(F.countDistinct("user_id").cast("long").alias("n_view"))
+    np_ = p.agg(
+        F.countDistinct("user_id").cast("long").alias("n_purchase")
+    )
+    out = est.join(F.broadcast(exact)).join(F.broadcast(nv)).join(
+        F.broadcast(np_)
+    )
+    e_inter = F.col("e_v") + F.col("e_p") - F.col("e_u")
+    return out.select(
+        "n_view",
+        "n_purchase",
+        "exact_overlap",
+        (
+            F.abs(F.col("e_u") - (F.col("n_view") + F.col("n_purchase")
+                                  - F.col("exact_overlap")))
+            <= F.greatest(
+                F.lit(1.0),
+                0.05 * (F.col("n_view") + F.col("n_purchase")
+                        - F.col("exact_overlap")),
+            )
+        ).alias("union_within_tol"),
+        (
+            F.abs(e_inter - F.col("exact_overlap"))
+            <= F.greatest(F.lit(50.0), 0.15 * F.col("exact_overlap"))
+        ).alias("inter_within_tol"),
+    )
