@@ -1235,3 +1235,100 @@ def substring_span_stats(docs: DataFrame) -> DataFrame:
         (F.floor(d.cast("double") / n * 1e6) / 1e6).alias("dup_frac"),
         (d * 2 >= n).alias("is_dup"),
     )
+
+
+@query(
+    "dedup_bloom_prescreen",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string((string_split(text, ' '))[1:8], ' '))
+               AS canon_fp
+      FROM documents
+    ),
+    corpus AS (SELECT DISTINCT canon_fp FROM fp WHERE doc_id < 400),
+    batch  AS (SELECT doc_id, canon_fp FROM fp WHERE doc_id >= 400),
+    bloom AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || canon_fp),
+                             1, 4))::INT AS pos
+      FROM corpus CROSS JOIN generate_series(0, 2) AS g(k)
+    ),
+    probe AS (
+      SELECT b.doc_id, b.canon_fp,
+             ('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || b.canon_fp),
+                             1, 4))::INT AS pos
+      FROM batch b CROSS JOIN generate_series(0, 2) AS g(k)
+    ),
+    cand AS (
+      SELECT doc_id, canon_fp FROM probe
+      GROUP BY doc_id, canon_fp
+      HAVING BOOL_AND(pos IN (SELECT pos FROM bloom))
+    )
+    SELECT c.doc_id,
+           CASE WHEN x.canon_fp IS NULL THEN 0 ELSE 1 END AS is_dup
+    FROM cand c
+    LEFT JOIN corpus x ON c.canon_fp = x.canon_fp
+    """,
+)
+def dedup_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-screen for incremental ingest dedup: the
+    corpus's 8-token-PREFIX fingerprints (the dedup key for
+    boilerplate-led duplicates — shared openings survive edits deeper
+    in the document) hash into a 2^16-position bloom
+    (k=3 md5-derived positions each); the incoming batch tests
+    membership MAP-SIDE against the broadcast position set and only
+    might-contain candidates proceed to the exact fingerprint join.
+    Output = the candidate set with its exact verdict — false
+    positives surface as is_dup=0 rows; false negatives are
+    impossible (a true duplicate\'s positions are all set by its own
+    corpus twin), which is the property that makes the screen safe.
+
+    The md5 position derivation makes the whole structure
+    engine-replayable, so this carries a FULL value oracle (not the
+    tolerance-boolean sketch convention). At 100 TB the position set
+    becomes a real bitmap (GB-scale blooms broadcast fine: 1 GB ≈
+    8.6e9 bits handles 6e8 keys at 1% FP) and the screen is what
+    keeps continuous-ingest dedup O(batch): the overwhelmingly-new
+    majority is discarded before any shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))
+    fp = docs.select("doc_id", F.md5(prefix.cast("binary")).alias("canon_fp"))
+    corpus = fp.filter(F.col("doc_id") < 400).select("canon_fp").distinct()
+    batch = fp.filter(F.col("doc_id") >= 400)
+
+    def positions(col: F.Column) -> F.Column:
+        return F.array(
+            *[
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{k}|"), col).cast("binary")),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                for k in range(3)
+            ]
+        )
+
+    bloom = corpus.select(
+        F.explode(positions(F.col("canon_fp"))).alias("pos")
+    ).agg(F.array_sort(F.collect_set("pos")).alias("bloom_arr"))
+    # map-side membership: candidate iff every probe position is set
+    cand = (
+        batch.join(F.broadcast(bloom))
+        .filter(
+            F.size(
+                F.array_except(positions(F.col("canon_fp")), F.col("bloom_arr"))
+            )
+            == 0
+        )
+        .select("doc_id", "canon_fp")
+    )
+    c = corpus.withColumnRenamed("canon_fp", "corpus_fp")
+    return cand.join(c, cand.canon_fp == c.corpus_fp, "left").select(
+        "doc_id",
+        F.when(F.col("corpus_fp").isNull(), 0).otherwise(1).alias("is_dup"),
+    )
