@@ -1580,3 +1580,67 @@ def text_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("quality_score").alias("max_score"),
         )
     )
+
+
+@query(
+    "text_lang_confusion",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             {_marker_cnt_sql('the')}  AS cnt_the,
+             {_marker_cnt_sql('data')} AS cnt_data,
+             {_marker_cnt_sql('scan')} AS cnt_scan
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS declared,
+             CASE WHEN cnt_the >= cnt_data AND cnt_the >= cnt_scan THEN 'en'
+                  WHEN cnt_data >= cnt_scan THEN 'data-heavy'
+                  ELSE 'scan-heavy' END AS detected
+      FROM m
+    ),
+    cm AS (
+      SELECT declared, detected, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM pred GROUP BY declared, detected
+    ),
+    tot AS (SELECT declared, SUM(n_docs) AS t FROM cm GROUP BY declared)
+    SELECT cm.declared, cm.detected, cm.n_docs,
+           ROUND(CAST(cm.n_docs AS DOUBLE) / tot.t, 6) AS frac_of_declared
+    FROM cm JOIN tot USING (declared)
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix — the QA report
+    every lang-ID gate ships with: cross-tabulate the metadata `lang`
+    column against the classifier's output (text_lang_id's marker
+    argmax) with per-declared-language fractions, surfacing both
+    mislabeled metadata and classifier drift. One aggregate over the
+    map-side classification plus a (languages × classes)-bounded
+    join — the matrix is dimension-sized regardless of corpus volume.
+    The fraction divides two counts per cell; denominators are
+    per-language doc counts (safe under the ROUND(int-ratio)
+    convention at these magnitudes only because n_docs/t is a ratio
+    of ints with denominator < 15625 at every SF the gate runs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt_the = _marker_cnt("the")
+    cnt_data = _marker_cnt("data")
+    cnt_scan = _marker_cnt("scan")
+    detected = (
+        F.when((cnt_the >= cnt_data) & (cnt_the >= cnt_scan), F.lit("en"))
+        .when(cnt_data >= cnt_scan, F.lit("data-heavy"))
+        .otherwise(F.lit("scan-heavy"))
+    )
+    cm = (
+        docs.select(F.col("lang").alias("declared"), detected.alias("detected"))
+        .groupBy("declared", "detected")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    tot = cm.groupBy("declared").agg(F.sum("n_docs").alias("t"))
+    return cm.join(F.broadcast(tot), "declared").select(
+        "declared",
+        "detected",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("t"), 6).alias(
+            "frac_of_declared"
+        ),
+    )
