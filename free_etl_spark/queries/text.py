@@ -1644,3 +1644,68 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_of_declared"
         ),
     )
+
+
+_CHUNK_TOKS = 64
+_CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    st AS (
+      SELECT doc_id, tk, g.s,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY g.s) - 1
+               AS chunk_id
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(tk), {_CHUNK_STRIDE})) AS s
+      ) g
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(s AS INT) AS start_tok,
+           CAST(LEAST({_CHUNK_TOKS}, len(tk) - s + 1) AS INT) AS n_toks,
+           md5(array_to_string(tk[s : s + {_CHUNK_TOKS - 1}], ' '))
+             AS chunk_fp
+    FROM st
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap — the preprocessing step
+    that turns long documents into trainable/embeddable windows:
+    {_CHUNK_TOKS}-token chunks every {_CHUNK_STRIDE} tokens (16-token
+    overlap preserves cross-boundary context). Emits chunk metadata +
+    content fingerprint rather than duplicated text (at 100 TB the
+    chunk table would multiply storage; downstream readers re-slice
+    from the doc store by (start_tok, n_toks)). MAP-ONLY: the token
+    array is materialized once per doc and chunk starts come from one
+    sequence() — no shuffle, no re-evaluation of split() inside the
+    lambda (the O(tokens²) trap documented in the verify notes)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    starts = F.sequence(
+        F.lit(1), F.size("tk"), F.lit(_CHUNK_STRIDE)
+    )
+    chunk = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            s.cast("int").alias("start_tok"),
+            F.least(F.lit(_CHUNK_TOKS), F.size("tk") - s + 1)
+            .cast("int")
+            .alias("n_toks"),
+            F.md5(
+                F.concat_ws(" ", F.slice("tk", s, _CHUNK_TOKS)).cast("binary")
+            ).alias("chunk_fp"),
+        ),
+    )
+    return docs.select("doc_id", F.explode(chunk).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.col("c.n_toks").alias("n_toks"),
+        F.col("c.chunk_fp").alias("chunk_fp"),
+    )
