@@ -1841,3 +1841,70 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("value_sum"),
     )
+
+
+@query(
+    "events_dau_wau_mau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    contrib AS (
+      SELECT user_id, d + to_days(CAST(g.o AS INT)) AS target_d, g.o
+      FROM ud, LATERAL (SELECT unnest(generate_series(0, 27)) AS o) g
+    )
+    SELECT CAST(days.d AS TIMESTAMP) AS day,
+           CAST(COUNT(DISTINCT CASE WHEN c.o = 0 THEN c.user_id END)
+                AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT CASE WHEN c.o < 7 THEN c.user_id END)
+                AS BIGINT) AS wau,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS mau
+    FROM days JOIN contrib c ON c.target_d = days.d
+    GROUP BY days.d
+    """,
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active users (DAU / 7-day WAU / 28-day MAU) — the
+    product-analytics headline metric. Rolling COUNT DISTINCT cannot
+    use a window frame (distincts don't merge), so each (user, day)
+    activity row is EXPLODED into the 28 target days it contributes
+    to and the per-day distinct count is one aggregate — cost is
+    |user-days| x 28 rows through one shuffle, linear in activity and
+    independent of raw event volume (the user-day relation is the
+    deduplication of the log). Only days with actual activity are
+    emitted (join against observed days), so leading days carry
+    partial windows exactly as observed. The HLL-sketch variant
+    (agg_hll_sketch_union) is the approximate path when exactness can
+    be traded for mergeable per-day sketches."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    )
+    ud = ev.distinct()
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id",
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("o"),
+    ).select(
+        "user_id",
+        "o",
+        F.date_add(F.col("d").cast("date"), F.col("o"))
+        .cast("timestamp")
+        .alias("target_d"),
+    )
+    return (
+        days.join(contrib, days.d == contrib.target_d)
+        .groupBy(days.d.alias("day"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("o") == 0, F.col("user_id"))
+            ).cast("long").alias("dau"),
+            F.countDistinct(
+                F.when(F.col("o") < 7, F.col("user_id"))
+            ).cast("long").alias("wau"),
+            F.countDistinct("user_id").cast("long").alias("mau"),
+        )
+    )

@@ -1166,3 +1166,71 @@ def sim_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_base",
         F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
     )
+
+
+@query(
+    "emb_dimension_variance",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    d AS (
+      SELECT g.i AS dim, emb[g.i] AS x
+      FROM v CROSS JOIN generate_series(1, 64) AS g(i)
+    ),
+    stats AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+             SUM(x * x) AS sxx
+      FROM d GROUP BY dim
+    ),
+    var AS (
+      SELECT CAST(dim AS INT) AS dim,
+             sxx / n - (sx / n) * (sx / n) AS raw_var
+      FROM stats
+    ),
+    tot AS (SELECT SUM(raw_var) AS tv FROM var)
+    SELECT dim, ROUND(raw_var, 6) AS variance,
+           ROUND(SUM(raw_var) OVER (ORDER BY raw_var DESC, dim) / tot.tv, 6)
+             AS cum_frac
+    FROM var, tot
+    """,
+)
+def emb_dimension_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding variance with cumulative variance
+    fraction (descending) — the diagnostic behind truncation choices
+    like the Matryoshka 32-of-64 shortlist (sim_matryoshka_rerank):
+    if the top-k raw dimensions carry most of the variance, prefix
+    truncation is cheap. One posexplode + one groupBy on dim (64
+    groups); the cum_frac window runs over the 64-row,
+    DIMENSION-bounded variance relation — the legitimate global
+    window case (state never grows with the corpus). Variance from
+    explicit (n, Σx, Σx²) so both engines evaluate the identical
+    expression."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        )
+    )
+    stats = emb.groupBy((F.col("pos") + 1).cast("int").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    raw_var = (
+        F.col("sxx") / F.col("n")
+        - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))
+    )
+    var = stats.select("dim", raw_var.alias("raw_var"))
+    tot = var.agg(F.sum("raw_var").alias("tv"))
+    w = Window.orderBy(F.col("raw_var").desc(), F.col("dim"))
+    return (
+        var.join(F.broadcast(tot))
+        .select(
+            "dim",
+            F.round("raw_var", 6).alias("variance"),
+            F.round(F.sum("raw_var").over(w) / F.col("tv"), 6).alias(
+                "cum_frac"
+            ),
+        )
+    )
