@@ -426,3 +426,84 @@ def source_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.round(F.sum("price"), 2).alias("price_sum"),
     )
+
+
+@query(
+    "source_write_audit_publish",
+    oracle="""
+    WITH good1 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    good3 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 1
+    ),
+    final AS (SELECT * FROM good1 UNION ALL SELECT * FROM good3)
+    SELECT CAST(2 AS BIGINT) AS n_versions,
+           CAST(1 AS BIGINT) AS n_rejected_batches,
+           CAST((SELECT COUNT(*) FROM final) AS BIGINT) AS n_rows,
+           ROUND((SELECT SUM(o_totalprice) FROM final), 2) AS price_sum
+    """,
+)
+def source_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (the Iceberg/dbt WAP pattern): each batch
+    is audited BEFORE its commit publishes — a batch failing its
+    expectation (here: all totalprice strictly positive) is rejected
+    and the table is untouched, because the time-travel committer's
+    write-then-publish protocol means unpublished data is invisible
+    and the orphan sweep reclaims it on the next commit. Three
+    batches: good (%3=0, committed), poisoned (%3=2 with negated
+    prices on every 5th key — audit fails, NOT committed), good
+    (%3=1, committed). Output pins the version count (2 — the bad
+    batch left no version), the rejected count, and the published
+    rows/checksum (exactly the two good batches).
+
+    Scale: the audit is one conditional-sum aggregate over the staged
+    batch (O(batch)); publish is the driver-side KB log write. This
+    is the composition the expectation suite + versioned commits
+    exist for."""
+    import shutil
+
+    from free_etl_spark.operators.timetravel import (
+        commit_version,
+        latest_version,
+        read_version,
+    )
+
+    table = os.path.join(
+        "/tmp",
+        f"fes_wap_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    k3 = F.col("o_orderkey") % 3
+    batches = [
+        orders.filter(k3 == 0),
+        orders.filter(k3 == 2).select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, -F.col("o_totalprice")
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        ),
+        orders.filter(k3 == 1),
+    ]
+    n_rejected = 0
+    for b in batches:
+        bad = b.agg(
+            F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("v")
+        ).first()["v"]
+        if bad and bad > 0:  # audit failed — do not publish
+            n_rejected += 1
+            continue
+        commit_version(spark, table, b, "append")
+    final = read_version(spark, table)
+    return final.agg(
+        F.lit(latest_version(table)).cast("long").alias("n_versions"),
+        F.lit(n_rejected).cast("long").alias("n_rejected_batches"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+    )
