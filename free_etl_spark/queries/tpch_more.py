@@ -994,3 +994,39 @@ def orders_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _ALSO_TOPK)
         .select("part", "also", "n_co", "rn")
     )
+
+
+@query(
+    "orders_decimal_exact_totals",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+             AS total_exact,
+           CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact money arithmetic: the 2-decimal price column summed as
+    DECIMAL(18,2) (and as integer cents — two independent exact
+    paths that must agree) instead of accumulating FP error in a
+    DOUBLE sum. At 100 TB a double sum of billions of prices drifts
+    by whole cents depending on partial-aggregation order — the
+    classic finance-pipeline defect; decimal partial sums are exact
+    and order-insensitive, so the merged total is THE total on any
+    cluster layout. Spark's decimal aggregate carries widened
+    precision through partial/final merge; the final cast to DOUBLE
+    is one deterministic conversion of an exact value."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_exact"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).cast("long").alias("total_cents"),
+    )
