@@ -146,6 +146,20 @@ HEADLINE = [
     "sample_reservoir_per_group",
     "source_table_changes",
     "multimodal_audio_energy",
+    "events_scd2_intervals",
+    "mv_incremental_refresh",
+    "streaming_mv_refresh",
+    "quality_expectations_audit",
+    "agg_hll_set_algebra",
+    "dedup_bloom_prescreen",
+    "text_lang_confusion",
+    "text_chunk_overlap",
+    "sql_lateral_topk",
+    "orders_also_bought",
+    "events_dau_wau_mau",
+    "emb_dimension_variance",
+    "source_write_audit_publish",
+    "orders_decimal_exact_totals",
 ]
 
 
