@@ -349,3 +349,30 @@ def merge_additive_parquet(
     merged = joined.select(*out_cols)
     out = merged.localCheckpoint(eager=True)
     out.write.mode("overwrite").parquet(target_dir)
+
+
+def merge_additive_once(
+    spark: SparkSession,
+    target_dir: str,
+    delta: DataFrame,
+    key_cols: list[str],
+    add_cols: list[str],
+    applied_dir: str,
+    batch_id: int,
+) -> bool:
+    """Replay-safe wrapper for ``merge_additive_parquet`` inside
+    foreachBatch: additive merges are NOT idempotent, so each applied
+    batch_id is recorded as a marker file and a replayed batch is
+    skipped. Returns True if the merge ran, False if skipped. The
+    marker lands AFTER the merge — a transactional table format would
+    make the pair atomic; on plain parquet this narrows (not closes)
+    the crash window, which is the honest plain-parquet contract."""
+    import os
+
+    os.makedirs(applied_dir, exist_ok=True)
+    marker = os.path.join(applied_dir, f"batch_{batch_id}")
+    if os.path.exists(marker):
+        return False
+    merge_additive_parquet(spark, target_dir, delta, key_cols, add_cols)
+    open(marker, "w").close()
+    return True

@@ -407,22 +407,22 @@ def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     applied_dir = f"{target}_applied"
-    os.makedirs(applied_dir, exist_ok=True)
     n_batches = []
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(applied_dir, f"batch_{batch_id}")
-        if os.path.exists(marker):  # replayed batch — skip, not re-add
-            return
-        n_batches.append(batch_id)
-        merge_additive_parquet(
+        from free_etl_spark.operators.merge import merge_additive_once
+
+        ran = merge_additive_once(
             spark,
             target,
             mv_agg(batch_df),
             ["event_type", "hr"],
             ["n_events", "value_sum"],
+            applied_dir,
+            batch_id,
         )
-        open(marker, "w").close()
+        if ran:
+            n_batches.append(batch_id)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)

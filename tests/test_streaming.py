@@ -584,3 +584,95 @@ def test_merge_additive_replay_marker_prevents_double_count(spark, tmp_path):
     merge_additive_parquet(spark, target, delta, ["k"], ["n", "s"])
     got2 = {r.k: r.n for r in spark.read.parquet(target).collect()}
     assert got2["b"] == 7 and got2["c"] == 2
+
+
+def test_streaming_mv_refresh_recovers_after_kill(spark, tmp_path):
+    """Kill-recovery for the additive MV refresh: the query dies AFTER
+    batch 0's merge+marker but BEFORE its checkpoint commit, so the
+    restart re-delivers batch 0 — the marker must skip it (no double
+    count) and the remaining batch applies; the final MV equals the
+    direct aggregate of seed + both deltas."""
+    import os
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from free_etl_spark.operators.merge import (
+        merge_additive_once,
+        merge_additive_parquet,
+    )
+
+    schema = "k string, n long, s double"
+    target = str(tmp_path / "mv")
+    applied = str(tmp_path / "applied")
+    seed = spark.createDataFrame([("a", 2, 10.0), ("b", 1, 5.0)], schema)
+    merge_additive_parquet(spark, target, seed, ["k"], ["n", "s"])
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, schema)
+        p = str(tmp_path / "deltas" / name)
+        df.coalesce(1).write.mode("overwrite").parquet(p + ".tmp")
+        part = [
+            f for f in os.listdir(p + ".tmp") if f.endswith(".parquet")
+        ][0]
+        os.makedirs(str(tmp_path / "deltas"), exist_ok=True)
+        os.replace(os.path.join(p + ".tmp", part), p)
+        os.utime(p, (mtime, mtime))
+
+    base = _time.time() - 100
+    write_file("d0.parquet", [("a", 1, 1.0), ("c", 2, 2.0)], base)
+    write_file("d1.parquet", [("b", 3, 3.0)], base + 10)
+
+    calls: list[int] = []
+
+    def bomb(batch_df, batch_id):
+        merge_additive_once(
+            spark, target, batch_df, ["k"], ["n", "s"], applied, batch_id
+        )
+        calls.append(batch_id)
+        if len(calls) == 1:
+            raise RuntimeError("killed after merge, before commit")
+
+    ckpt = str(tmp_path / "ckpt")
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "deltas"))
+    )
+    q = (
+        stream()
+        .writeStream.foreachBatch(bomb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="killed|Terminated"):
+        q.awaitTermination()
+
+    replays: list[tuple[int, bool]] = []
+    q2 = (
+        stream()
+        .writeStream.foreachBatch(
+            lambda df, bid: replays.append(
+                (
+                    bid,
+                    merge_additive_once(
+                        spark, target, df, ["k"], ["n", "s"], applied, bid
+                    ),
+                )
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    # any re-delivered batch 0 must have been SKIPPED (ran=False)
+    assert all(ran is False for bid, ran in replays if bid == 0)
+
+    got = {r.k: (r.n, r.s) for r in spark.read.parquet(target).collect()}
+    assert got == {
+        "a": (3, 11.0),
+        "b": (4, 8.0),
+        "c": (2, 2.0),
+    }, got
