@@ -76,6 +76,21 @@ PROBE_QUERIES = [
     "agg_heavy_hitters_cms",
     "emb_outlier_zscore",
     "join_asof_tolerance_events",
+    # r7 wave: the fuzzy-decontamination band probe and IVF append
+    # scale with corpus bands / batch size; percentile cut + reservoir
+    # exercise the prefix/two-phase-top-R forms; also-bought's pair
+    # join is the co-occurrence quadratic risk (basket-capped); SCD2
+    # and DAU/WAU/MAU grow with user-days; audio energy is the
+    # map-only linearity check; bloom prescreen is map-side probe
+    "text_contamination_fuzzy",
+    "sim_ivf_append",
+    "text_quality_percentile_cut",
+    "sample_reservoir_per_group",
+    "orders_also_bought",
+    "events_scd2_intervals",
+    "events_dau_wau_mau",
+    "multimodal_audio_energy",
+    "dedup_bloom_prescreen",
 ]
 
 
