@@ -334,15 +334,24 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples", (F.length("hx") / 4).cast("int")
     )
 
-    def _sample(i):
+    def _sample_u(i):
+        # unsigned int16: one conv+substr per byte; the sign fixup runs
+        # in a SECOND cheap transform over ints so the hi byte is
+        # never evaluated twice (interpreted HOFs have no
+        # common-subexpression elimination — measured ~25% of the
+        # per-sample cost)
         lo = F.conv(F.col("hx").substr(4 * i - 3, F.lit(2)), 16, 10).cast("int")
         hi = F.conv(F.col("hx").substr(4 * i - 1, F.lit(2)), 16, 10).cast("int")
-        return (
-            lo + 256 * hi - F.when(hi >= 128, F.lit(65536)).otherwise(F.lit(0))
-        ).cast("int")
+        return (lo + 256 * hi).cast("int")
 
+    samples_u = F.transform(
+        F.sequence(F.lit(1), F.col("n_samples")), _sample_u
+    )
     samples = F.transform(
-        F.sequence(F.lit(1), F.col("n_samples")), _sample
+        samples_u,
+        lambda x: (
+            x - F.when(x >= 32768, F.lit(65536)).otherwise(F.lit(0))
+        ).cast("int"),
     )
     with_samples = base.filter(F.col("n_samples") > 0).select(
         "doc_id", "n_samples", samples.alias("samples")
