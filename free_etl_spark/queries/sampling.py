@@ -643,3 +643,44 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.doc_id").alias("doc_id"),
         (F.col("pos") + 1).cast("int").alias("rk"),
     )
+
+
+def _downweight_oracle() -> str:
+    import free_etl_spark.queries.dedup  # noqa: F401
+    from free_etl_spark.registry import ORACLES as _ALL
+
+    comp_sql = _ALL["dedup_cluster_components"].strip().rstrip(";")
+    return f"""
+    WITH comp AS ({comp_sql}),
+    sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY component)
+    SELECT c.doc_id, c.component, s.cluster_size,
+           ROUND(1.0 / s.cluster_size, 6) AS weight
+    FROM comp c JOIN sizes s USING (component)
+    """
+
+
+@query("sample_downweight_duplicates", oracle=_downweight_oracle())
+def sample_downweight_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup by down-weighting: instead of DROPPING near-dup
+    cluster members (dedup_pipeline_keep_set) every document survives
+    with sampling weight 1/cluster_size, so each duplicate CLUSTER
+    contributes one document's worth of probability mass to training —
+    the keep-everything alternative real pipelines use when duplicates
+    carry distribution signal (natural over-representation that hard
+    dedup would erase). Reuses the near-dup components; the weight is
+    a component-keyed aggregate joined back — one extra shuffle over
+    the |docs| relation, and the weight column composes directly with
+    the hash-Bernoulli samplers (accept iff h16/65536 < rate * weight)."""
+    import free_etl_spark.queries.dedup as _dedup
+
+    comp = _dedup.dedup_cluster_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        "doc_id",
+        "component",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+    )
