@@ -1234,3 +1234,114 @@ def emb_dimension_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_RRF_K = 60
+_RRF_TOPK = 10
+
+
+def _hybrid_rrf_oracle() -> str:
+    import free_etl_spark.queries.text  # noqa: F401  (force registration)
+    from free_etl_spark.registry import ORACLES as _ALL
+
+    bm25_sql = _ALL["text_bm25_search"].strip().rstrip(";")
+    return f"""
+    WITH lex AS ({bm25_sql}),
+    lexr AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+      FROM lex
+    ),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, emb,
+                 SQRT(list_sum(list_transform(emb, x -> x * x))) AS nrm
+          FROM v),
+    q AS (SELECT emb, nrm FROM n WHERE vec_id = 0),
+    cos AS (
+      SELECT n.vec_id,
+             ROUND(list_sum(list_transform(list_zip(n.emb, q.emb),
+                   z -> z[1] * z[2])) / (n.nrm * q.nrm), 6) AS cosine
+      FROM n, q WHERE n.vec_id <> 0
+    ),
+    sem AS (SELECT vec_id, cosine FROM cos
+            ORDER BY cosine DESC, vec_id LIMIT 20),
+    semr AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS r_sem
+      FROM sem
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             CAST(COALESCE(l.r_lex, 0) AS INT) AS r_lex,
+             CAST(COALESCE(s.r_sem, 0) AS INT) AS r_sem,
+             ROUND(COALESCE(1.0 / ({_RRF_K} + l.r_lex), 0)
+                 + COALESCE(1.0 / ({_RRF_K} + s.r_sem), 0), 6) AS rrf
+      FROM lexr l FULL OUTER JOIN semr s USING (doc_id)
+    )
+    SELECT doc_id, r_lex, r_sem, rrf FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOPK}
+    """
+
+
+@query("sim_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion — the
+    lexical+semantic fusion modern retrieval stacks ship: the BM25
+    top-20 (text_bm25_search's fixed query) and the cosine top-20 for
+    the query embedding (vec 0) fuse by RRF(d) = Σ 1/(60 + rank_i(d)),
+    so a document strong in EITHER ranking surfaces without score
+    calibration between incomparable scales (the reason RRF beats
+    weighted score sums in practice). Scale: each leg ends in a
+    TakeOrdered top-20 — the rank windows then run over 20-row,
+    K-bounded relations, and the fusion is a 20x20 full-outer join;
+    nothing rank-orders the corpus."""
+    from free_etl_spark.queries.text import text_bm25_search
+
+    lex20 = text_bm25_search(spark, sf_dir)
+    w_lex = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    lexr = lex20.select(
+        "doc_id", F.row_number().over(w_lex).cast("int").alias("r_lex")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    nrm = F.sqrt(F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x))
+    n = emb.select("vec_id", "emb", nrm.alias("nrm"))
+    q = n.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    dot = F.aggregate(
+        F.zip_with("emb", "q_emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cos = (
+        n.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(dot / (F.col("nrm") * F.col("q_nrm")), 6).alias("cosine"),
+        )
+    )
+    sem20 = cos.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(20)
+    w_sem = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    semr = sem20.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_sem).cast("int").alias("r_sem"),
+    )
+    fused = lexr.join(semr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("r_lex", F.lit(0)).cast("int").alias("r_lex"),
+        F.coalesce("r_sem", F.lit(0)).cast("int").alias("r_sem"),
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("r_sem")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(
+        _RRF_TOPK
+    )
