@@ -1709,3 +1709,92 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.n_toks").alias("n_toks"),
         F.col("c.chunk_fp").alias("chunk_fp"),
     )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    uni AS (
+      SELECT u.tok AS term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t, UNNEST(tk) AS u(tok) GROUP BY u.tok
+    ),
+    nuni AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    bi AS (
+      SELECT tk[g.i] AS term_a, tk[g.i + 1] AS term_b,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) g
+      GROUP BY 1, 2
+    ),
+    nbi AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS m FROM bi)
+    SELECT b.term_a, b.term_b, b.c_ab,
+           ROUND(LN((CAST(b.c_ab AS DOUBLE) * n.n * n.n)
+                    / (CAST(nb.m AS DOUBLE) * ua.c * ub.c)), 6) AS pmi
+    FROM bi b
+    JOIN uni ua ON b.term_a = ua.term
+    JOIN uni ub ON b.term_b = ub.term
+    CROSS JOIN nuni n CROSS JOIN nbi nb
+    WHERE b.c_ab >= {_PMI_MIN_COUNT}
+    ORDER BY pmi DESC, b.term_a, b.term_b LIMIT {_PMI_TOPK}
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: bigrams
+    whose co-occurrence beats the independence expectation, PMI =
+    ln(p(ab) / (p(a) p(b))) with a count floor of {_PMI_MIN_COUNT}
+    (rare pairs have unreliable PMI — the standard floor). Surfaces
+    multi-word expressions worth protecting from tokenization /
+    shuffling in a training pipeline. One unigram aggregate + one
+    bigram aggregate (token array materialized BEFORE the index
+    lambda), two term-keyed joins to attach marginals, TakeOrdered
+    top-{_PMI_TOPK}; every PMI input is an integer count so both
+    engines build identical doubles."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    uni = (
+        docs.select(F.explode("tk").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    nuni = uni.agg(F.sum("c").cast("long").alias("n"))
+    bigram = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 1),
+        lambda i: F.struct(
+            F.element_at("tk", i).alias("term_a"),
+            F.element_at("tk", i + 1).alias("term_b"),
+        ),
+    )
+    bi = (
+        docs.filter(F.size("tk") >= 2)
+        .select(F.explode(bigram).alias("b"))
+        .groupBy(
+            F.col("b.term_a").alias("term_a"),
+            F.col("b.term_b").alias("term_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    nbi = bi.agg(F.sum("c_ab").cast("long").alias("m"))
+    ua = uni.select(F.col("term").alias("term_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("term").alias("term_b"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") * F.col("n") * F.col("n"))
+            / (F.col("m").cast("double") * F.col("c_a") * F.col("c_b"))
+        ),
+        6,
+    )
+    return (
+        bi.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .join(ua, "term_a")
+        .join(ub, "term_b")
+        .join(F.broadcast(nuni))
+        .join(F.broadcast(nbi))
+        .select("term_a", "term_b", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "term_a", "term_b")
+        .limit(_PMI_TOPK)
+    )
