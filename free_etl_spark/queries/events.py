@@ -1908,3 +1908,87 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("long").alias("mau"),
         )
     )
+
+
+_ATTR_LOOKBACK_US = 6 * 3600 * 1_000_000  # 6-hour attribution window
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    conv AS (SELECT user_id, event_id AS conv_id, us AS conv_us
+             FROM e WHERE event_type = 'purchase'),
+    touch AS (SELECT user_id, event_id, event_type, us FROM e
+              WHERE event_type IN ('view', 'click')),
+    attributed AS (
+      SELECT c.conv_id, t.event_type AS channel
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.us < c.conv_us
+       AND t.us >= c.conv_us - {_ATTR_LOOKBACK_US}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                                 ORDER BY t.us DESC, t.event_id DESC) = 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM conv)
+    SELECT a.channel, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / n.total, 6) AS share_of_conv
+    FROM attributed a CROSS JOIN n
+    GROUP BY a.channel, n.total
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase credits the
+    most recent view/click touchpoint within a 6-hour lookback —
+    the marketing staple behind channel ROI. Shape: the conv×touch
+    join is keyed on user_id (per-user touch lists, never a cross
+    join across users) with the lookback bound as a row predicate;
+    the per-conversion argmax is a window PARTITIONED BY conversion
+    id — state bounded by one conversion's in-window touches. Output
+    is |channels| rows with conversion shares (integer-count ratio,
+    ROUND-safe at these denominators). Unattributed purchases (no
+    touch in window) are excluded, matching the standard
+    'direct/unattributed' bucket being reported separately."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts_us"
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("ts_us").alias("conv_us"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.col("ts_us").alias("touch_us"),
+    )
+    joined = conv.join(touch, "user_id").filter(
+        (F.col("touch_us") < F.col("conv_us"))
+        & (F.col("touch_us") >= F.col("conv_us") - F.lit(_ATTR_LOOKBACK_US))
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_us").desc(), F.col("touch_id").desc()
+    )
+    attributed = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("conv_id", "channel")
+    )
+    n = conv.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    return (
+        attributed.groupBy("channel")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
+        .join(F.broadcast(n))
+        .select(
+            "channel",
+            "n_conversions",
+            F.round(
+                F.col("n_conversions").cast("double") / F.col("total"), 6
+            ).alias("share_of_conv"),
+        )
+    )
