@@ -1992,3 +1992,105 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("share_of_conv"),
         )
     )
+
+
+@query(
+    "join_point_in_time_scd2",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    st AS (SELECT * FROM e WHERE event_type <> 'error'),
+    flagged AS (
+      SELECT user_id, event_type, us,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM st
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    grp AS (
+      SELECT user_id, event_type, us,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS g
+      FROM flagged
+    ),
+    runs AS (
+      SELECT user_id, MIN(event_type) AS status,
+             MIN(us) AS valid_from_us
+      FROM grp GROUP BY user_id, g
+    ),
+    iv AS (
+      SELECT user_id, status, valid_from_us,
+             LEAD(valid_from_us)
+               OVER (PARTITION BY user_id ORDER BY valid_from_us)
+               AS valid_to_us
+      FROM runs
+    ),
+    err AS (SELECT user_id, event_id, us FROM e
+            WHERE event_type = 'error')
+    SELECT iv.status AS status_at_error,
+           CAST(COUNT(*) AS BIGINT) AS n_errors,
+           CAST(COUNT(DISTINCT err.user_id) AS BIGINT) AS n_users
+    FROM err JOIN iv
+      ON iv.user_id = err.user_id
+     AND err.us >= iv.valid_from_us
+     AND (iv.valid_to_us IS NULL OR err.us < iv.valid_to_us)
+    GROUP BY iv.status
+    """,
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join — the feature-store correctness staple: each
+    'error' event joins the SCD2 status interval VALID AT its
+    timestamp ([valid_from, valid_to) half-open, open interval
+    NULL-bounded), so features reflect what was knowable AT event
+    time, never the future (the leakage a naive latest-value join
+    causes). The interval relation is the events_scd2_intervals
+    derivation; the PIT join is user-keyed with the containment
+    predicate as a post-join filter — per-user interval lists are
+    run-length-bounded, so the join never crosses users, and the
+    output aggregates to |statuses| rows. Status intervals derive
+    from the NON-error state events, so an error's PIT status is the
+    last state entered before it; errors preceding any state event
+    drop out (the standard 'no feature yet' bucket)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts_us"
+    )
+    state = ev.filter(F.col("event_type") != "error")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    grp = state.withColumn("chg", chg).withColumn(
+        "g",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = grp.groupBy("user_id", "g").agg(
+        F.min("event_type").alias("status"),
+        F.min("ts_us").alias("valid_from_us"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us")
+    iv = runs.select(
+        F.col("user_id").alias("iv_user"),
+        "status",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", F.col("ts_us").alias("err_us")
+    )
+    pit = err.join(iv, err.user_id == iv.iv_user).filter(
+        (F.col("err_us") >= F.col("valid_from_us"))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("err_us") < F.col("valid_to_us"))
+        )
+    )
+    return pit.groupBy(F.col("status").alias("status_at_error")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_errors"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
