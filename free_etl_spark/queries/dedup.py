@@ -1332,3 +1332,63 @@ def dedup_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(F.col("corpus_fp").isNull(), 0).otherwise(1).alias("is_dup"),
     )
+
+
+@query(
+    "dedup_threshold_sensitivity",
+    oracle=f"""
+    WITH {_SH_SQL},
+    {_SHC_SQL},
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6)
+               AS j
+      FROM cand
+      JOIN csizes sa ON cand.doc_a = sa.doc_id
+      JOIN csizes sb ON cand.doc_b = sb.doc_id
+      WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6)
+            >= {_JACCARD_T}
+    ),
+    banded AS (
+      SELECT CAST(LEAST(FLOOR(j * 10), 9) AS INT) AS band,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM jac GROUP BY 1
+    )
+    SELECT band,
+           ROUND(band / 10.0, 1) AS threshold,
+           n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY band DESC) AS BIGINT)
+             AS n_pairs_at_or_above
+    FROM banded
+    """,
+)
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold tuning curve: candidate near-dup pairs banded
+    by Jaccard decile with the cumulative pair count at-or-above each
+    band — the report that answers 'how many pairs would τ=0.8 merge
+    vs τ=0.9?' BEFORE committing to a threshold (threshold choice is
+    the highest-leverage dedup decision and re-running the full
+    pipeline per candidate τ is the naive alternative). One extra
+    decile aggregate over the existing capped pair relation; the
+    cumulative window runs over ≤10 band rows."""
+    pairs = _jaccard_pairs(_shingles(spark, sf_dir)).filter(
+        F.col("jaccard") >= _JACCARD_T
+    )
+    banded = pairs.groupBy(
+        F.least(F.floor(F.col("jaccard") * 10), F.lit(9))
+        .cast("int")
+        .alias("band")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    w = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return banded.select(
+        "band",
+        F.round(F.col("band") / 10.0, 1).alias("threshold"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_or_above"),
+    )
