@@ -160,6 +160,12 @@ HEADLINE = [
     "emb_dimension_variance",
     "source_write_audit_publish",
     "orders_decimal_exact_totals",
+    "sample_downweight_duplicates",
+    "sim_hybrid_rrf",
+    "text_pmi_collocations",
+    "events_attribution_last_touch",
+    "join_point_in_time_scd2",
+    "dedup_threshold_sensitivity",
 ]
 
 

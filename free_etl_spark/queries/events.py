@@ -2094,3 +2094,76 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_errors"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+@query(
+    "events_forecast_backtest",
+    oracle="""
+    WITH h AS (
+      SELECT event_type AS et,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    cutoff AS (
+      SELECT date_trunc('day', MAX(hr)) - INTERVAL 6 DAY AS c FROM h
+    ),
+    train AS (SELECT h.* FROM h, cutoff WHERE h.hr < cutoff.c),
+    test AS (SELECT h.* FROM h, cutoff WHERE h.hr >= cutoff.c),
+    prof AS (
+      SELECT et, dayofweek(hr) AS dow, hour(hr) AS hod,
+             CAST(SUM(n) AS DOUBLE) / COUNT(*) AS pred
+      FROM train GROUP BY 1, 2, 3
+    )
+    SELECT t.et AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_test_hours,
+           ROUND(SUM(ABS(p.pred - t.n)) / COUNT(*), 4) AS mae,
+           ROUND(SUM(ABS(p.pred - t.n) / t.n) / COUNT(*), 4) AS mape
+    FROM test t
+    JOIN prof p ON p.et = t.et AND p.dow = dayofweek(t.hr)
+               AND p.hod = hour(t.hr)
+    GROUP BY t.et
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every real
+    forecasting system must beat, evaluated the honest way: the last
+    7 days are held out, each held-out hour is predicted by the TRAIN
+    period's mean count for the same (day-of-week, hour-of-day) and
+    event type, and per-type MAE/MAPE are reported. The profile is
+    |types| x 7 x 24 rows (time-span-bounded, never event-bounded);
+    the backtest join is a broadcast of that profile onto the held-out
+    hours. Only observed hours participate on both sides — identical
+    in both engines. All predictor inputs are integer sums, so both
+    engines build the same doubles; error sums round at 4dp."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    )
+    h = ev.groupBy(F.col("event_type").alias("et"), "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cutoff = h.agg(
+        F.date_trunc("day", F.max("hr")).alias("mx")
+    ).select((F.col("mx") - F.expr("INTERVAL 6 DAYS")).alias("c"))
+    hc = h.join(F.broadcast(cutoff))
+    train = hc.filter(F.col("hr") < F.col("c"))
+    test = hc.filter(F.col("hr") >= F.col("c"))
+    prof = train.groupBy(
+        "et",
+        F.dayofweek("hr").alias("dow"),
+        F.hour("hr").alias("hod"),
+    ).agg((F.sum("n").cast("double") / F.count(F.lit(1))).alias("pred"))
+    joined = test.join(
+        F.broadcast(prof),
+        (prof.et == test.et)
+        & (prof.dow == F.dayofweek(test.hr))
+        & (prof.hod == F.hour(test.hr)),
+    )
+    err = F.abs(prof.pred - test.n)
+    return joined.groupBy(test.et.alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_hours"),
+        F.round(F.sum(err) / F.count(F.lit(1)), 4).alias("mae"),
+        F.round(
+            F.sum(err / test.n) / F.count(F.lit(1)), 4
+        ).alias("mape"),
+    )

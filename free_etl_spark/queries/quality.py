@@ -339,3 +339,64 @@ def quality_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("lineitem_orderkey_in_orders", "n", "v", l_rl))
     )
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+@query(
+    "quality_benford_check",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d
+            GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM obs),
+    ben AS (
+      SELECT g.d AS digit, LOG10(1.0 + 1.0 / g.d) AS p_expected
+      FROM generate_series(1, 9) AS g(d)
+    )
+    SELECT ben.digit,
+           COALESCE(obs.n, 0) AS n_observed,
+           ROUND(COALESCE(obs.n, 0) / tot.t, 6) AS p_observed,
+           ROUND(ben.p_expected, 6) AS p_expected,
+           ROUND(POW(COALESCE(obs.n, 0) - tot.t * ben.p_expected, 2)
+                 / (tot.t * ben.p_expected), 6) AS chi2_term
+    FROM ben LEFT JOIN obs USING (digit) CROSS JOIN tot
+    """,
+)
+def quality_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on the money column — the
+    fraud/fabrication screen auditors run on transaction amounts:
+    observed leading-digit frequencies vs log10(1 + 1/d), with the
+    per-digit chi-square terms (sum them against the 15.51 critical
+    value for 8 df at alpha=0.05 — natural multi-magnitude amounts
+    conform, fabricated or truncated data does not). One conditional
+    aggregate over the fact scan; the digit table is 9 rows. The
+    leading digit comes from the INTEGER part's decimal rendering
+    (truncation, both engines), so prices under 1 are excluded rather
+    than leading-zero-polluted."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.col("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = obs.agg(F.sum("n").cast("double").alias("t"))
+    ben = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"),
+        F.log10(1.0 + 1.0 / F.col("id")).alias("p_expected"),
+    )
+    out = ben.join(obs, "digit", "left").join(F.broadcast(tot))
+    n_obs = F.coalesce(F.col("n"), F.lit(0))
+    exp = F.col("t") * F.col("p_expected")
+    return out.select(
+        "digit",
+        n_obs.cast("long").alias("n_observed"),
+        F.round(n_obs / F.col("t"), 6).alias("p_observed"),
+        F.round("p_expected", 6).alias("p_expected"),
+        F.round(F.pow(n_obs - exp, 2) / exp, 6).alias("chi2_term"),
+    )
