@@ -440,3 +440,54 @@ def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q_param"),
         F.url_encode(F.lit("a b+c")).alias("enc"),
     )
+
+
+@query(
+    "scalar_try_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE FLOOR(o_totalprice * 100 / (o_orderkey % 7)) / 100 END
+             AS safe_div,
+           TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE CAST(FLOOR(o_totalprice) AS BIGINT) % (o_orderkey % 3) END
+             AS safe_mod
+    FROM orders
+    WHERE o_orderkey <= 100
+    """,
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar family (try_divide / try_cast / try_mod —
+    Spark 3.5/4's ANSI-mode companions): failures that would abort a
+    100 TB job under ANSI semantics (division by zero, unparseable
+    casts, modulo zero) degrade to NULL per-row, which is what a
+    curation pipeline wants for dirty columns — quarantine the row,
+    not kill the job. Map-only; DuckDB mirrors with TRY_CAST and
+    NULL-guarding CASE (its /0 and %0 raise, exactly the behavior
+    try_* exists to absorb). safe_mod's integer part goes through
+    FLOOR on both engines (Spark's bigint cast truncates, DuckDB's
+    rounds — the recurring cross-engine cast trap); keys<=100 bound
+    the output."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 100
+    )
+    return orders.select(
+        "o_orderkey",
+        (
+            F.floor(
+                F.try_divide(
+                    F.col("o_totalprice") * 100, F.col("o_orderkey") % 7
+                )
+            )
+            / 100
+        ).alias("safe_div"),
+        F.try_to_number("o_orderpriority", F.lit("999")).cast("int").alias(
+            "bad_cast"
+        ),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_num"),
+        F.try_mod(
+            F.floor("o_totalprice").cast("bigint"), F.col("o_orderkey") % 3
+        ).alias("safe_mod"),
+    )
