@@ -166,6 +166,9 @@ HEADLINE = [
     "events_attribution_last_touch",
     "join_point_in_time_scd2",
     "dedup_threshold_sensitivity",
+    "quality_benford_check",
+    "events_forecast_backtest",
+    "scalar_try_funcs",
 ]
 
 
