@@ -2167,3 +2167,347 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(err / test.n) / F.count(F.lit(1)), 4
         ).alias("mape"),
     )
+
+
+@query(
+    "events_rolling_corr",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS lo,
+             date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS hi
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                  AS TIMESTAMP) AS hr
+      FROM bounds
+    ),
+    hc AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS clicks,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS views
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+    ),
+    filled AS (
+      SELECT s.hr, COALESCE(hc.clicks, 0) AS clicks,
+             COALESCE(hc.views, 0) AS views
+      FROM spine s LEFT JOIN hc ON s.hr = hc.hr
+    ),
+    roll AS (
+      SELECT hr, clicks, views,
+             COUNT(*) OVER w AS n_window,
+             SUM(clicks) OVER w AS sx, SUM(views) OVER w AS sy,
+             SUM(clicks * views) OVER w AS sxy,
+             SUM(clicks * clicks) OVER w AS sxx,
+             SUM(views * views) OVER w AS syy
+      FROM filled
+      WINDOW w AS (ORDER BY hr ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT hr, CAST(clicks AS BIGINT) AS clicks,
+           CAST(views AS BIGINT) AS views,
+           CASE WHEN (sxx - sx * sx / 24) > 1e-12
+                 AND (syy - sy * sy / 24) > 1e-12
+                THEN ROUND((sxy - sx * sy / 24)
+                           / sqrt((sxx - sx * sx / 24)
+                                  * (syy - sy * sy / 24)), 6)
+                ELSE NULL END AS corr_24h
+    FROM roll WHERE n_window = 24
+    """,
+)
+def events_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-hour Pearson correlation between the hourly 'click'
+    and 'view' count series — the co-movement diagnostic behind
+    "did these two metrics decouple?" alerting. Hour spine built with
+    sequence() so silent hours contribute zeros instead of vanishing
+    (a missing-row gap would silently shrink the window and bias the
+    correlation). The window is over the HOUR spine — bounded by the
+    calendar span of the data, not its row count — so the empty
+    partitionBy is the documented bounded-domain case; the per-hour
+    counts underneath shuffle in parallel. The correlation is derived
+    from explicit moment sums with a guarded denominator: Spark's
+    window corr() throws DIVIDE_BY_ZERO under ANSI mode on a
+    constant 24-hour stretch where DuckDB's returns NULL, so neither
+    engine's builtin is used."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    hr = F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz")
+    hc = ev.groupBy(hr.alias("hr")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("double")
+        .alias("views"),
+    )
+    spine = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr")
+        )
+        .select(F.col("hr").cast("timestamp_ntz").alias("hr"))
+    )
+    filled = spine.join(hc, "hr", "left").select(
+        "hr",
+        F.coalesce("clicks", F.lit(0.0)).alias("clicks"),
+        F.coalesce("views", F.lit(0.0)).alias("views"),
+    )
+    w = Window.orderBy("hr").rowsBetween(-23, 0)
+    roll = filled.select(
+        "hr",
+        "clicks",
+        "views",
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.sum("clicks").over(w).alias("sx"),
+        F.sum("views").over(w).alias("sy"),
+        F.sum(F.col("clicks") * F.col("views")).over(w).alias("sxy"),
+        F.sum(F.col("clicks") * F.col("clicks")).over(w).alias("sxx"),
+        F.sum(F.col("views") * F.col("views")).over(w).alias("syy"),
+    )
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / 24
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / 24
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / 24
+    return roll.filter(F.col("n_window") == 24).select(
+        "hr",
+        F.col("clicks").cast("long").alias("clicks"),
+        F.col("views").cast("long").alias("views"),
+        F.when(
+            (vx > 1e-12) & (vy > 1e-12),
+            F.round(cov / F.sqrt(vx * vy), 6),
+        ).alias("corr_24h"),
+    )
+
+
+@query(
+    "events_kaplan_meier",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS m FROM events),
+    users AS (
+      SELECT user_id,
+             CAST(datediff('day',
+                           date_trunc('day', MIN(CAST(ts AS TIMESTAMP))),
+                           date_trunc('day', MAX(CAST(ts AS TIMESTAMP))))
+                  AS INT) AS dur,
+             CASE WHEN MAX(CAST(ts AS TIMESTAMP))
+                       < (SELECT m FROM mx) - INTERVAL 7 DAY
+                  THEN 1 ELSE 0 END AS churned
+      FROM events GROUP BY user_id
+    ),
+    at_t AS (
+      SELECT dur AS t, CAST(SUM(churned) AS BIGINT) AS d,
+             CAST(SUM(1 - churned) AS BIGINT) AS c
+      FROM users GROUP BY dur
+    ),
+    risk AS (
+      SELECT t, d, c,
+             CAST((SELECT COUNT(*) FROM users) AS BIGINT)
+               - COALESCE(SUM(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+      FROM at_t
+    ),
+    surv AS (
+      SELECT t, d, c, n_at_risk,
+             MAX(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t) AS hit_zero,
+             SUM(CASE WHEN d < n_at_risk
+                      THEN ln(1.0 - CAST(d AS DOUBLE) / n_at_risk)
+                      ELSE 0 END) OVER (ORDER BY t) AS logsum
+      FROM risk
+    )
+    SELECT t, d AS n_churned, c AS n_censored,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CASE WHEN hit_zero = 1 THEN 0.0
+                ELSE ROUND(exp(logsum), 6) END AS survival
+    FROM surv
+    """,
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of user lifetime (days between
+    first and last activity), right-censoring users still active in
+    the final 7 days of the corpus. S(t) is the running product of
+    (1 - d_i/n_i) computed as exp(sum(ln .)) — Spark's log() returns
+    NULL at 0 where DuckDB returns -inf, so the d_i = n_i terminal
+    factor is handled by an explicit hit-zero flag on both sides
+    instead of relying on engine-specific ln(0). The ordered windows
+    run over DISTINCT lifetime days — bounded by the calendar span,
+    not the user count; the per-user aggregate underneath is the only
+    full-data shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    mx = ev.agg(F.max("ts").alias("m"))
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.datediff(F.max(day), F.min(day)).cast("int").alias("dur"),
+            F.max("ts").alias("last_ts"),
+        )
+        .join(F.broadcast(mx))
+        .select(
+            "dur",
+            F.when(
+                F.col("last_ts") < F.col("m") - F.expr("INTERVAL 7 DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )
+    at_t = users.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("churned").cast("long").alias("d"),
+        F.sum(1 - F.col("churned")).cast("long").alias("c"),
+    )
+    total = users.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("t")
+    risk = at_t.join(F.broadcast(total)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    factor_ok = F.col("d") < F.col("n_at_risk")
+    surv = risk.select(
+        "t",
+        "d",
+        "c",
+        "n_at_risk",
+        F.max(F.when(~factor_ok, 1).otherwise(0)).over(wcum).alias("hit_zero"),
+        F.sum(
+            F.when(
+                factor_ok,
+                F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk")),
+            ).otherwise(0.0)
+        )
+        .over(wcum)
+        .alias("logsum"),
+    )
+    return surv.select(
+        "t",
+        F.col("d").alias("n_churned"),
+        F.col("c").alias("n_censored"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("logsum"), 6))
+        .alias("survival"),
+    )
+
+
+@query(
+    "events_ab_proportion_test",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                  ::UBIGINT AS INT) % 2 AS arm,
+             CASE WHEN COALESCE(AVG(CASE WHEN event_type = 'purchase'
+                                         THEN value END), 0) >= 50
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM users GROUP BY arm
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+             MAX(CASE WHEN arm = 0 THEN conv END) AS conv_a,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+             MAX(CASE WHEN arm = 1 THEN conv END) AS conv_b
+      FROM arms
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS p_a,
+           ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS p_b,
+           CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                THEN NULL
+                ELSE ROUND((CAST(conv_a AS DOUBLE) / n_a
+                            - CAST(conv_b AS DOUBLE) / n_b)
+                     / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                            * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                                     / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 6) END AS z_score
+    FROM wide
+    """,
+)
+def events_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic 50/50 experiment
+    split: users are hashed into arms by the first 16 bits of
+    md5(user_id) (the same engine-portable hash the sampling family
+    uses), conversion is "mean purchase value >= 50" (a metric with
+    real variance — every user has *some* purchase, so bare
+    did-purchase would be degenerate and make the pooled SE zero),
+    and the z-score uses the pooled-proportion standard error with
+    an explicit NULL guard on the all-converted/none-converted
+    degenerate cases (Spark ANSI raises DIVIDE_BY_ZERO there; DuckDB
+    does not). One user-keyed aggregate then a 2-row pivot — the
+    statistic itself is computed on a single 1-row relation, so the
+    heavy lifting is exactly one shuffle regardless of corpus
+    size."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    users = ev.groupBy("user_id").agg(
+        F.first(arm).alias("arm"),
+        F.when(
+            F.coalesce(
+                F.avg(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                ),
+                F.lit(0.0),
+            )
+            >= 50,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(pool * (1.0 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    conv_tot = F.col("conv_a") + F.col("conv_b")
+    n_tot = F.col("n_a") + F.col("n_b")
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.when(
+            (conv_tot != 0) & (conv_tot != n_tot),
+            F.round((p_a - p_b) / se, 6),
+        ).alias("z_score"),
+    )
