@@ -540,3 +540,234 @@ def label_propagation_rounds(nb: DataFrame, rounds: int) -> DataFrame:
     return nodes.join(labels, "node", "left").select(
         "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
     )
+
+
+def user_copresence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected user-user edges: two users are connected when they
+    were active in >= 2 of the same clock hours. Built as distinct
+    (user, hour) -> hour-keyed self-join (u_a < u_b) -> weight
+    filter: the join fan-out is quadratic in the per-hour ACTIVE-user
+    count, never in total users, so at 100 TB the knobs are the
+    bucket width (hour) and a per-bucket cap/salt on pathological hot
+    windows — the distilled edge relation the algorithms below
+    consume is orders of magnitude smaller than the event log.
+    Persisted via the shared relation cache (k-core takes several
+    actions over it)."""
+    from free_etl_spark.queries.dedup import _cached_relation
+
+    def build() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        uh = ev.select(
+            F.col("user_id").alias("u"),
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        ).distinct()
+        a, b = uh.alias("a"), uh.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.u") < F.col("b.u")),
+            )
+            .groupBy(
+                F.col("a.u").alias("ua"), F.col("b.u").alias("ub")
+            )
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        return pairs.filter(F.col("w") >= 2).select("ua", "ub")
+
+    return _cached_relation(
+        spark, sf_dir, "user_edges", build, src_table="events.parquet"
+    )
+
+
+_USER_EDGES_SQL = """
+    uh AS (
+      SELECT DISTINCT user_id AS u,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+      FROM events
+    ),
+    edges AS (
+      SELECT ua, ub FROM (
+        SELECT a.u AS ua, b.u AS ub, COUNT(*) AS w
+        FROM uh a JOIN uh b ON a.h = b.h AND a.u < b.u
+        GROUP BY 1, 2
+      ) WHERE w >= 2
+    )
+"""
+
+
+@query(
+    "graph_degree_stats",
+    oracle=f"""
+    WITH {_USER_EDGES_SQL},
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS DOUBLE) AS d FROM (
+        SELECT ua AS node FROM edges UNION ALL SELECT ub FROM edges
+      ) GROUP BY node
+    ),
+    ends AS (
+      SELECT da.d AS dx, db.d AS dy
+      FROM edges JOIN deg da ON da.node = edges.ua
+                 JOIN deg db ON db.node = edges.ub
+      UNION ALL
+      SELECT db.d, da.d
+      FROM edges JOIN deg da ON da.node = edges.ua
+                 JOIN deg db ON db.node = edges.ub
+    ),
+    mom AS (
+      SELECT COUNT(*) AS m, SUM(dx) AS sx, SUM(dy) AS sy,
+             SUM(dx * dy) AS sxy, SUM(dx * dx) AS sxx,
+             SUM(dy * dy) AS syy
+      FROM ends
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT ROUND(AVG(d), 6) FROM deg) AS avg_degree,
+           (SELECT CAST(MAX(d) AS BIGINT) FROM deg) AS max_degree,
+           CASE WHEN (sxx - sx * sx / m) > 1e-9
+                THEN ROUND((sxy - sx * sy / m)
+                           / sqrt((sxx - sx * sx / m)
+                                  * (syy - sy * sy / m)), 6)
+                ELSE NULL END AS assortativity
+    FROM mom
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree summary + degree assortativity (Pearson correlation of
+    endpoint degrees over the symmetrized edge list — Newman 2002's
+    r) for the user co-presence graph. Positive r: hubs attach to
+    hubs; negative: hub-and-spoke. The correlation uses explicit
+    moment sums with a guarded denominator (a regular graph has zero
+    degree variance — Spark ANSI would raise DIVIDE_BY_ZERO where
+    DuckDB returns NULL/NaN). Everything is degree-relation joins —
+    the node table never leaves the cluster."""
+    edges = user_copresence_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("ua").alias("node"))
+        .unionAll(edges.select(F.col("ub").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("ua"), F.col("d").alias("dxa"))
+    db = deg.select(F.col("node").alias("ub"), F.col("d").alias("dxb"))
+    ej = edges.join(da, "ua").join(db, "ub")
+    ends = ej.select(
+        F.col("dxa").alias("dx"), F.col("dxb").alias("dy")
+    ).unionAll(ej.select(F.col("dxb").alias("dx"), F.col("dxa").alias("dy")))
+    mom = ends.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    summary = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.round(F.avg("d"), 6).alias("avg_degree"),
+        F.max("d").cast("long").alias("max_degree"),
+    ).join(edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("m")
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("m")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("m")
+    return summary.join(mom).select(
+        "n_nodes",
+        "n_edges",
+        "avg_degree",
+        "max_degree",
+        F.when(vx > 1e-9, F.round(cov / F.sqrt(vx * vy), 6)).alias(
+            "assortativity"
+        ),
+    )
+
+
+def _induced_degrees(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("ua").alias("node"))
+        .unionAll(edges.select(F.col("ub").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """``rounds`` synchronous peels toward the k-core: each round
+    drops every node whose degree IN THE SURVIVING SUBGRAPH is < k,
+    then recomputes induced degrees. Returns the surviving node set.
+    Each round is two semi-joins + one groupBy — the classic
+    Pregel-style lowering; at scale you persist the (shrinking) edge
+    relation per round and stop when a count() fixpoint check shows
+    no change (here the round count is pinned so the DuckDB oracle
+    can unroll the identical computation)."""
+    surv_edges = edges
+    for _ in range(rounds):
+        keep = _induced_degrees(surv_edges).filter(F.col("d") >= k)
+        surv_edges = surv_edges.join(
+            keep.select(F.col("node").alias("ua")), "ua", "semi"
+        ).join(keep.select(F.col("node").alias("ub")), "ub", "semi")
+        # cut the lineage per round (pagerank does the same): without
+        # this every later action replays all prior rounds' joins and
+        # the plan grows multiplicatively (measured ~650 stages / 27 s
+        # at sf0.001 for 3 rounds; ~3 s with the checkpoint).
+        surv_edges = surv_edges.localCheckpoint(eager=False)
+    return _induced_degrees(surv_edges).filter(F.col("d") >= k).select("node")
+
+
+@query(
+    "graph_kcore",
+    oracle=f"""
+    WITH {_USER_EDGES_SQL},
+    deg0 AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT ua AS node FROM edges UNION ALL SELECT ub FROM edges
+      ) GROUP BY node
+    ),
+    s1 AS (SELECT node FROM deg0 WHERE d >= 3),
+    e1 AS (
+      SELECT ua, ub FROM edges
+      WHERE ua IN (SELECT node FROM s1) AND ub IN (SELECT node FROM s1)
+    ),
+    deg1 AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT ua AS node FROM e1 UNION ALL SELECT ub FROM e1
+      ) GROUP BY node
+    ),
+    s2 AS (SELECT node FROM deg1 WHERE d >= 3),
+    e2 AS (
+      SELECT ua, ub FROM e1
+      WHERE ua IN (SELECT node FROM s2) AND ub IN (SELECT node FROM s2)
+    ),
+    deg2 AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT ua AS node FROM e2 UNION ALL SELECT ub FROM e2
+      ) GROUP BY node
+    ),
+    s3 AS (SELECT node FROM deg2 WHERE d >= 3)
+    SELECT d0.node AS user_id, d0.d AS degree,
+           CASE WHEN d0.node IN (SELECT node FROM s3)
+                THEN TRUE ELSE FALSE END AS in_3core
+    FROM deg0 d0
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core membership of the user co-presence graph after three
+    synchronous peel rounds — the community-density screen ("which
+    users sit in a tight cluster of mutually co-active users") used
+    to find engaged cohorts and bot rings. The round count is pinned
+    at 3 so the oracle unrolls the identical peels; the Spark side
+    runs the same loop via ``kcore_peel`` (which at scale would run
+    to a count-fixpoint instead). Output: every node with its
+    original degree and its 3-core survival flag. Gate cost is
+    dominated by the three checkpointed round-jobs (fixed
+    job-submission overhead like graph_pagerank_2iter, not plan
+    cost)."""
+    edges = user_copresence_edges(spark, sf_dir)
+    deg0 = _induced_degrees(edges)
+    core = kcore_peel(edges, k=3, rounds=3).withColumn(
+        "in_3core", F.lit(True)
+    )
+    return deg0.join(core, "node", "left").select(
+        F.col("node").alias("user_id"),
+        F.col("d").alias("degree"),
+        F.coalesce("in_3core", F.lit(False)).alias("in_3core"),
+    )
