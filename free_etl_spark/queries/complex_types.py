@@ -296,3 +296,47 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(2, 0.05).alias("within_p75"),
         within(3, 0.35).alias("within_p99"),
     )
+
+
+@query(
+    "histogram_equidepth",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice AS v, o_orderkey AS k,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
+               AS bucket
+      FROM orders
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(v) AS lo, MAX(v) AS hi
+    FROM t GROUP BY bucket
+    """,
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of order totals: 10
+    buckets each holding the same row count, with the realized value
+    range of each — the histogram form optimizers and drift monitors
+    prefer over equi-width because every bucket is statistically
+    meaningful regardless of skew. The NTILE global order runs
+    through operators/prefix.global_ntile (range partition + prefix
+    row number + closed-form bucket assignment), so unlike the SQL
+    window form there is no single-task sort at any scale.
+    o_orderkey breaks ties for a total order (registry rule)."""
+    from free_etl_spark.operators.prefix import global_ntile
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), F.col("o_orderkey").alias("k")
+    )
+    t = global_ntile(
+        orders,
+        [F.col("v"), F.col("k")],
+        10,
+        "bucket",
+        cache_tag="equidepth_price",
+    )
+    return t.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )

@@ -2511,3 +2511,125 @@ def events_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((p_a - p_b) / se, 6),
         ).alias("z_score"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1 * sum 1/k!):
+# identical literal doubles on both engines so the deterministic
+# md5-uniform draw maps to the identical weight.
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.919698602928606,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+_B_REPS = 32
+
+
+def _pois1_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t!r} THEN {w}" for w, t in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+@query(
+    "agg_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT e.event_id, e.value,
+             unnest(generate_series(0, {_B_REPS - 1})) AS rep
+      FROM events e
+    ),
+    draw AS (
+      SELECT rep, value,
+             (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                                       || '_' || CAST(rep AS VARCHAR)),
+                                   1, 4))::UBIGINT AS INT) + 0.5)
+               / 65536.0 AS u
+      FROM reps
+    ),
+    means AS (
+      SELECT rep,
+             ROUND(SUM({_pois1_case_sql('u')} * value), 2)
+               / SUM({_pois1_case_sql('u')}) AS m
+      FROM draw GROUP BY rep
+    ),
+    full_mean AS (
+      SELECT ROUND(SUM(value), 2) / COUNT(*) AS fm FROM events
+    )
+    SELECT {_B_REPS} AS n_reps,
+           FLOOR(fm * 1e6) / 1e6 AS mean_value,
+           FLOOR(quantile_cont(m, 0.025) * 1e6) / 1e6 AS ci_lo,
+           FLOOR(quantile_cont(m, 0.975) * 1e6) / 1e6 AS ci_hi
+    FROM means, full_mean
+    GROUP BY fm
+    """,
+)
+def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean event value via
+    the POISSON bootstrap — the resampling scheme that actually
+    works distributed (Chamandy et al.): instead of drawing n rows
+    with replacement (which needs global coordination), every row draws
+    an independent Poisson(1) replication weight per replicate, from
+    a deterministic md5 inverse-CDF lookup so both engines draw the
+    identical resample. The explode to {_B_REPS} replicates looks
+    like a {_B_REPS}x blowup but map-side partial aggregation
+    collapses it to {_B_REPS} rows per task before the shuffle —
+    one pass over the data, constant-size shuffle. Replicate means
+    follow the money-grid rule (ROUND(SUM,2)/SUM(w)); the percentile
+    interpolates 32 identical doubles in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    reps = ev.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_B_REPS - 1))).alias("rep"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("event_id").cast("string"),
+                        F.col("rep").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        + 0.5
+    ) / 65536.0
+    w = F.lit(7)
+    for wt, t in reversed(list(enumerate(_POIS1_CDF))):
+        w = F.when(u < t, wt).otherwise(w)
+    means = reps.groupBy("rep").agg(
+        (
+            F.round(F.sum(w * F.col("value")), 2) / F.sum(w)
+        ).alias("m")
+    )
+    full_mean = ev.agg(
+        (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("fm")
+    )
+
+    def floor6(c):
+        return F.floor(c * 1e6) / 1e6
+
+    return (
+        means.agg(
+            F.percentile(F.col("m"), F.lit(0.025)).alias("qlo"),
+            F.percentile(F.col("m"), F.lit(0.975)).alias("qhi"),
+        )
+        .join(F.broadcast(full_mean))
+        .select(
+            F.lit(_B_REPS).alias("n_reps"),
+            floor6(F.col("fm")).alias("mean_value"),
+            floor6(F.col("qlo")).alias("ci_lo"),
+            floor6(F.col("qhi")).alias("ci_hi"),
+        )
+    )

@@ -400,3 +400,136 @@ def quality_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_expected", 6).alias("p_expected"),
         F.round(F.pow(n_obs - exp, 2) / exp, 6).alias("chi2_term"),
     )
+
+
+@query(
+    "quality_key_skew_report",
+    oracle="""
+    WITH kc AS (
+      SELECT user_id AS k, CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY user_id
+    ),
+    rk AS (
+      SELECT k, x,
+             ROW_NUMBER() OVER (ORDER BY x, k) AS rn_asc,
+             ROW_NUMBER() OVER (ORDER BY x DESC, k) AS rn_desc
+      FROM kc
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             SUM(x) AS total,
+             MAX(x) AS mx,
+             SUM(CASE WHEN rn_desc <= 10 THEN x ELSE 0 END) AS top10,
+             SUM(rn_asc * x) AS weighted
+      FROM rk
+    )
+    SELECT n_keys,
+           CAST(total AS BIGINT) AS n_rows,
+           FLOOR(mx / total * 1e6) / 1e6 AS max_key_share,
+           FLOOR(top10 / total * 1e6) / 1e6 AS top10_share,
+           FLOOR((2.0 * weighted / (n_keys * total)
+                  - (n_keys + 1.0) / n_keys) * 1e6) / 1e6 AS gini
+    FROM agg
+    """,
+)
+def quality_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics for the event log's user_id — the
+    report you read before choosing a salting factor: key count, max
+    single-key share, top-10-key share, and the Gini coefficient of
+    the per-key row distribution (0 = perfectly uniform keys, ->1 =
+    one key owns the table). The Gini needs a GLOBAL rank of keys by
+    count; that runs through operators/prefix.ordered_prefix (range-
+    partitioned two-pass row number), not a single-task window, so
+    the report itself scales to the key cardinalities it is meant to
+    diagnose. Ratios are FLOOR(x*1e6)/1e6 on both sides (ROUND
+    half-boundary rule)."""
+    from free_etl_spark.operators.prefix import ordered_prefix
+
+    ev = load_table(spark, sf_dir, "events")
+    kc = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    pre = ordered_prefix(
+        kc,
+        [F.col("x"), F.col("k")],
+        cache_tag="skew_keys_asc",
+        rn="rn_asc",
+        grand={"total": "x"},
+    )
+    agg = pre.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.first("total").alias("total"),
+        F.max("x").alias("mx"),
+        F.sum(F.col("rn_asc") * F.col("x")).alias("weighted"),
+    )
+    # top-10 share needs the other direction's rank; a second prefix
+    # pass would work, but 10 rows is driver-safe via TakeOrdered —
+    # the aggregate below is the constant-size path.
+    top10 = kc.orderBy(F.col("x").desc(), "k").limit(10).agg(
+        F.sum("x").alias("top10")
+    )
+
+    def floor6(c):
+        return F.floor(c * 1e6) / 1e6
+
+    return agg.join(F.broadcast(top10)).select(
+        "n_keys",
+        F.col("total").cast("long").alias("n_rows"),
+        floor6(F.col("mx") / F.col("total")).alias("max_key_share"),
+        floor6(F.col("top10") / F.col("total")).alias("top10_share"),
+        floor6(
+            2.0 * F.col("weighted") / (F.col("n_keys") * F.col("total"))
+            - (F.col("n_keys") + 1.0) / F.col("n_keys")
+        ).alias("gini"),
+    )
+
+
+@query(
+    "quality_k_anonymity",
+    oracle="""
+    WITH qi AS (
+      SELECT lang, source,
+             CAST(FLOOR(n_chars / 100) AS BIGINT) AS size_bucket,
+             COUNT(*) AS grp_n
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_groups,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(MIN(grp_n) AS BIGINT) AS min_group_size,
+           FLOOR(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END)
+                 / CAST(SUM(grp_n) AS DOUBLE) * 1e6) / 1e6
+             AS at_risk_fraction
+    FROM qi
+    """,
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier tuple
+    (lang, source, 100-char size bucket) of the documents table: a
+    release is k-anonymous when every QI combination matches >= k
+    rows; groups below k are re-identification risks the curation
+    pipeline must generalize or suppress before publishing. One
+    groupBy on the QI tuple then a constant-size summary — the
+    audit costs exactly one shuffle at any corpus size. FLOOR(/100)
+    bucketing (both engines truncate — the cast-rounds gotcha);
+    fraction FLOORed at 1e6."""
+    docs = load_table(spark, sf_dir, "documents")
+    qi = docs.groupBy(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("size_bucket"),
+    ).agg(F.count(F.lit(1)).alias("grp_n"))
+    risk = F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0))
+    return qi.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("grp_n") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("violating_groups"),
+        risk.cast("long").alias("rows_at_risk"),
+        F.min("grp_n").cast("long").alias("min_group_size"),
+        (
+            F.floor(risk / F.sum("grp_n").cast("double") * 1e6) / 1e6
+        ).alias("at_risk_fraction"),
+    )

@@ -1030,3 +1030,100 @@ def orders_decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long")
         ).cast("long").alias("total_cents"),
     )
+
+
+_MBL_MIN_CO = 2   # association-rule noise floor (same as also-bought)
+_MBL_TOPK = 100
+
+
+@query(
+    "orders_market_basket_lift",
+    oracle=f"""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS ord, l_partkey AS part FROM lineitem
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT ord) AS DOUBLE) AS n_orders FROM b),
+    item AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_item
+             FROM b GROUP BY part),
+    pairs AS (
+      SELECT a.part AS part_a, c.part AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_co
+      FROM b a JOIN b c ON a.ord = c.ord AND a.part < c.part
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_MBL_MIN_CO}
+    )
+    SELECT part_a, part_b, n_co,
+           FLOOR(n_co / nb.n_orders * 1e6) / 1e6 AS support,
+           FLOOR(CAST(n_co AS DOUBLE) / ia.n_item * 1e6) / 1e6
+             AS confidence,
+           FLOOR(nb.n_orders * n_co
+                 / (CAST(ia.n_item AS DOUBLE) * ib.n_item) * 1e6) / 1e6
+             AS lift
+    FROM pairs JOIN item ia ON ia.part = pairs.part_a
+               JOIN item ib ON ib.part = pairs.part_b
+               CROSS JOIN nb
+    ORDER BY n_co DESC, part_a, part_b LIMIT {_MBL_TOPK}
+    """,
+)
+def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order-level baskets: support,
+    confidence(a->b) and lift for every part pair co-purchased in
+    >= {_MBL_MIN_CO} orders — the classic market-basket trio on top
+    of the same capped self-join shape as orders_also_bought (the
+    basket key here is the ORDER, whose size is bounded by order
+    line-count, so no explicit cap is needed; a customer-keyed
+    variant would reuse the cap). The ratios are FLOOR(x*1e6)/1e6 on
+    both sides — ROUND at a power-of-ten boundary differs between
+    engines (Spark half-up, DuckDB half-even) and int-ratio
+    denominators here (n_item products) exceed the 5^6 safe bound.
+    Ordering is by the integer co-count with part tie-breakers, so
+    the LIMIT is decided on exact values only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("ord"), F.col("l_partkey").alias("part")
+    ).distinct()
+    nb = b.agg(F.countDistinct("ord").cast("double").alias("n_orders"))
+    item = b.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    a2, c2 = b.alias("a"), b.alias("c")
+    pairs = (
+        a2.join(
+            c2,
+            (F.col("a.ord") == F.col("c.ord"))
+            & (F.col("a.part") < F.col("c.part")),
+        )
+        .groupBy(
+            F.col("a.part").alias("part_a"), F.col("c.part").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= _MBL_MIN_CO)
+    )
+    ia = item.select(
+        F.col("part").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item.select(
+        F.col("part").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    joined = pairs.join(ia, "part_a").join(ib, "part_b").join(F.broadcast(nb))
+
+    def floor6(c):
+        return F.floor(c * 1e6) / 1e6
+
+    return (
+        joined.select(
+            "part_a",
+            "part_b",
+            "n_co",
+            floor6(F.col("n_co") / F.col("n_orders")).alias("support"),
+            floor6(
+                F.col("n_co").cast("double") / F.col("n_a")
+            ).alias("confidence"),
+            floor6(
+                F.col("n_orders")
+                * F.col("n_co")
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_co").desc(), "part_a", "part_b")
+        .limit(_MBL_TOPK)
+    )
