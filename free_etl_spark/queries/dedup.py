@@ -1392,3 +1392,87 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_or_above"),
     )
+
+
+@query(
+    "dedup_editdistance_qgram",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name AS s FROM part),
+    grams AS (
+      SELECT DISTINCT s, substr(s, CAST(i AS INT), 2) AS g
+      FROM names, unnest(generate_series(1, length(s) - 1)) AS t(i)
+    ),
+    freq AS (SELECT g, COUNT(*) AS cnt FROM grams GROUP BY g),
+    pre AS (
+      SELECT s, g FROM (
+        SELECT grams.s, grams.g,
+               ROW_NUMBER() OVER (PARTITION BY grams.s
+                                  ORDER BY freq.cnt, grams.g) AS rn
+        FROM grams JOIN freq USING (g)
+      ) WHERE rn <= 5
+    ),
+    cand AS (
+      SELECT DISTINCT a.s AS name_a, b.s AS name_b
+      FROM pre a JOIN pre b ON a.g = b.g AND a.s < b.s
+      WHERE abs(length(a.s) - length(b.s)) <= 2
+    )
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INT) AS edit_dist
+    FROM cand WHERE levenshtein(name_a, name_b) <= 2
+    """,
+)
+def dedup_editdistance_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (d <= 2) via q-gram PREFIX
+    FILTERING (Ed-Join, Xiao et al. 2008): each string indexes only
+    its q*d+1 = 5 rarest 2-grams (rarest-first global order = (gram
+    frequency, gram)), candidates come from an equi-join on those
+    prefix grams plus a length-difference filter, and exact
+    levenshtein verifies. Unlike last-word blocking
+    (text_fuzzy_name_match) the prefix filter has a RECALL GUARANTEE:
+    strings within d edits share enough q-grams that their
+    rarest-5 prefixes must intersect (pinned against brute force in
+    tests/test_ann_quality.py). Cost scales with gram-bucket collisions —
+    the rarest-first order makes buckets small by construction — and
+    every stage is an equi-join or bounded per-string window; the
+    gram-frequency relation shuffles in parallel."""
+    names = load_table(spark, sf_dir, "part").select(
+        F.col("p_name").alias("s")
+    ).distinct()
+    withlen = names.select("s", F.length("s").alias("ln"))
+    grams = (
+        withlen.select(
+            "s",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("ln") - 1),
+                    lambda i: F.col("s").substr(i, F.lit(2)),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("s").orderBy("cnt", "g")
+    pre = (
+        grams.join(freq, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("s", "g")
+    )
+    a = pre.select(F.col("s").alias("name_a"), "g")
+    b = pre.select(F.col("s").alias("name_b"), "g")
+    cand = (
+        a.join(b, "g")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= 2
+            )
+        )
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b").cast("int")
+    return cand.select(
+        "name_a", "name_b", dist.alias("edit_dist")
+    ).filter(F.col("edit_dist") <= 2)

@@ -684,3 +684,63 @@ def sample_downweight_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
     )
+
+
+def sample_grouped_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware 5-fold cross-validation assignment: each near-dup
+    cluster (dedup_cluster_components min-label representative) is
+    hashed to one of 5 folds, so near-duplicate documents always share a
+    fold and no fold's held-out set leaks into another's training
+    set — sample_leakage_safe_split's invariant generalized from one
+    80/20 split to k rotating splits. The fold id is the md5-uniform
+    16-bit hash mod 5 (engine-portable); the audit re-derives the
+    no-cross-fold-cluster invariant from the assignment. Same scale
+    shape as the split: one components pass + map-side hash."""
+    from free_etl_spark.queries.dedup import dedup_cluster_components
+
+    comp = dedup_cluster_components(spark, sf_dir)
+    fold = (_hash16(F.col("component")) % 5).cast("int")
+    tagged = comp.select("doc_id", "component", fold.alias("fold"))
+    stats = tagged.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("component").cast("long").alias("n_components"),
+    )
+    audit = tagged.agg(
+        (
+            F.countDistinct("component", "fold")
+            == F.countDistinct("component")
+        ).alias("no_leakage")
+    )
+    return stats.join(F.broadcast(audit))
+
+
+def _grouped_kfold_oracle() -> str:
+    import free_etl_spark.queries.dedup  # noqa: F401
+    from free_etl_spark.registry import ORACLES as _ALL
+
+    comp_sql = _ALL["dedup_cluster_components"].strip().rstrip(";")
+    h = _H16_SQL.format(c="component")
+    return f"""
+    WITH comp AS ({comp_sql}),
+    tagged AS (
+      SELECT doc_id, component, CAST({h} % 5 AS INT) AS fold
+      FROM comp
+    ),
+    audit AS (
+      SELECT COUNT(DISTINCT (component, fold)) = COUNT(DISTINCT component)
+               AS no_leakage
+      FROM tagged
+    )
+    SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+           audit.no_leakage
+    FROM tagged CROSS JOIN audit
+    GROUP BY fold, audit.no_leakage
+    """
+
+
+from free_etl_spark.registry import query as _q_late  # noqa: E402
+
+_q_late("sample_grouped_kfold", oracle=_grouped_kfold_oracle())(
+    sample_grouped_kfold
+)

@@ -1345,3 +1345,117 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(
         _RRF_TOPK
     )
+
+
+@query(
+    "emb_power_iteration",
+    oracle="""
+    WITH long AS (
+      SELECT vec_id, g.i AS dim, CAST(embedding[g.i] AS DOUBLE) AS val
+      FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+    ),
+    mu AS (SELECT dim, ROUND(AVG(val), 6) AS m FROM long GROUP BY dim),
+    c AS (
+      SELECT vec_id, long.dim, ROUND(val - mu.m, 6) AS cv
+      FROM long JOIN mu ON long.dim = mu.dim
+    ),
+    s1 AS (
+      SELECT vec_id, ROUND(SUM(cv) / 8.0, 6) AS s FROM c GROUP BY vec_id
+    ),
+    w1 AS (
+      SELECT dim, ROUND(SUM(c.cv * s1.s), 6) AS w
+      FROM c JOIN s1 ON c.vec_id = s1.vec_id GROUP BY dim
+    ),
+    n1 AS (SELECT sqrt(SUM(w * w)) AS n FROM w1),
+    v1 AS (SELECT dim, ROUND(w / n1.n, 6) AS v FROM w1 CROSS JOIN n1),
+    s2 AS (
+      SELECT c.vec_id, ROUND(SUM(c.cv * v1.v), 6) AS s
+      FROM c JOIN v1 ON c.dim = v1.dim GROUP BY c.vec_id
+    ),
+    w2 AS (
+      SELECT dim, ROUND(SUM(c.cv * s2.s), 6) AS w
+      FROM c JOIN s2 ON c.vec_id = s2.vec_id GROUP BY dim
+    ),
+    n2 AS (SELECT sqrt(SUM(w * w)) AS n FROM w2),
+    v2 AS (SELECT dim, ROUND(w / n2.n, 6) AS v FROM w2 CROSS JOIN n2),
+    flip AS (
+      SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sgn
+      FROM v2 ORDER BY abs(v) DESC, dim LIMIT 1
+    ),
+    tot AS (SELECT SUM(cv * cv) AS ss FROM c)
+    SELECT CAST(v2.dim AS INT) AS dim,
+           ROUND(v2.v * flip.sgn, 6) AS loading,
+           FLOOR(n2.n / tot.ss * 1e6) / 1e6 AS eigen_share
+    FROM v2 CROSS JOIN flip CROSS JOIN n2 CROSS JOIN tot
+    """,
+)
+def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus via two
+    matrix-free power iterations: w = C'(Cv) computed as two chained
+    aggregations over the (vec, dim, centered-value) long form — the
+    covariance matrix itself is never materialized, which is the
+    point at 100 TB (the shuffled state per iteration is one scalar
+    per vector plus one scalar per dimension). Deterministic init
+    v0 = 1/8 per dim; intermediates are ROUND(6)-stabilized at every
+    aggregate (the emb_kmeans_2iter recipe) so both engines walk the
+    identical FP trajectory; the sign is canonicalized by making the
+    largest-|loading| component positive. eigen_share is the
+    Rayleigh-quotient estimate ||C'Cv|| / tr(C'C) — the fraction of
+    variance the top component explains. Fixed DAG, no driver
+    loop."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    long = emb.select(
+        "vec_id", F.posexplode("emb").alias("pos", "val")
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "val")
+    mu = long.groupBy("dim").agg(F.round(F.avg("val"), 6).alias("m"))
+    c = long.join(F.broadcast(mu), "dim").select(
+        "vec_id", "dim", F.round(F.col("val") - F.col("m"), 6).alias("cv")
+    )
+    s1 = c.groupBy("vec_id").agg(
+        F.round(F.sum("cv") / 8.0, 6).alias("s")
+    )
+    w1 = (
+        c.join(s1, "vec_id")
+        .groupBy("dim")
+        .agg(F.round(F.sum(F.col("cv") * F.col("s")), 6).alias("w"))
+    )
+    n1 = w1.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("n"))
+    v1 = w1.join(F.broadcast(n1)).select(
+        "dim", F.round(F.col("w") / F.col("n"), 6).alias("v")
+    )
+    s2 = (
+        c.join(F.broadcast(v1), "dim")
+        .groupBy("vec_id")
+        .agg(F.round(F.sum(F.col("cv") * F.col("v")), 6).alias("s"))
+    )
+    w2 = (
+        c.join(s2, "vec_id")
+        .groupBy("dim")
+        .agg(F.round(F.sum(F.col("cv") * F.col("s")), 6).alias("w"))
+    )
+    n2 = w2.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("n"))
+    v2 = w2.join(F.broadcast(n2)).select(
+        "dim", F.round(F.col("w") / F.col("n"), 6).alias("v")
+    )
+    flip = (
+        v2.orderBy(F.abs(F.col("v")).desc(), "dim")
+        .limit(1)
+        .select(
+            F.when(F.col("v") < 0, -1.0).otherwise(1.0).alias("sgn")
+        )
+    )
+    tot = c.agg(F.sum(F.col("cv") * F.col("cv")).alias("ss"))
+    return (
+        v2.join(F.broadcast(flip))
+        .join(F.broadcast(n2))
+        .join(F.broadcast(tot))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.round(F.col("v") * F.col("sgn"), 6).alias("loading"),
+            (F.floor(F.col("n") / F.col("ss") * 1e6) / 1e6).alias(
+                "eigen_share"
+            ),
+        )
+    )

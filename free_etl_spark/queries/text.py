@@ -1798,3 +1798,51 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "term_a", "term_b")
         .limit(_PMI_TOPK)
     )
+
+
+@query(
+    "text_feature_hashing",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, tk,
+             CAST(('0x' || substr(md5(tk), 1, 4))::UBIGINT AS INT) % 64
+               AS bucket
+      FROM tok WHERE tk <> ''
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT tk) AS BIGINT) AS n_distinct_tokens,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009): tokens
+    map straight to one of 64 feature buckets via the md5 16-bit
+    hash — no vocabulary build, no fit step, which is exactly why
+    the trick is the scale answer for bag-of-words features (the
+    vocabulary relation never exists; a 100 TB corpus featurizes in
+    one map pass). Output is the bucket occupancy audit you check
+    before picking the dimensionality: token mass, distinct tokens
+    (collision pressure) and document reach per bucket. One explode
+    + one groupBy on a 64-value key (hash-uniform, skew-free by
+    construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tk")
+    ).filter(F.col("tk") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tk")), 1, 4), 16, 10).cast("int")
+        % 64
+    )
+    return tok.select("doc_id", "tk", bucket.alias("bucket")).groupBy(
+        "bucket"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("tk").cast("long").alias("n_distinct_tokens"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )

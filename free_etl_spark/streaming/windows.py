@@ -299,3 +299,59 @@ def streaming_approx_distinct_users(
             <= F.greatest(F.col("exact_users") * 0.05, F.lit(5.0))
         ).alias("sketch_ok"),
     )
+
+
+@query(
+    "streaming_trending_terms",
+    oracle="""
+    WITH wc AS (
+      SELECT CAST(to_timestamp(6 * 3600 *
+                    FLOOR(epoch(CAST(ts AS TIMESTAMP)) / (6 * 3600)))
+                  AS TIMESTAMP) AS win_start,
+             CAST(CAST(json_extract(props, '$.k') AS INT) % 20 AS INT)
+               AS term,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT win_start, term, cnt, CAST(rn AS INT) AS rn FROM (
+      SELECT win_start, term, cnt,
+             ROW_NUMBER() OVER (PARTITION BY win_start
+                                ORDER BY cnt DESC, term) AS rn
+      FROM wc
+    ) WHERE rn <= 3
+    """,
+)
+def streaming_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending terms per 6-hour tumbling window as a Structured
+    Streaming job: the 'term' is the event's props.k bucketed mod 20
+    (a stand-in for a token/hashtag id), counted in a watermarked
+    windowed aggregation; the top-3-per-window ranking runs as a
+    batch projection over the completed stream output (ranking
+    inside a live stream would need 'update'-mode sorting the sink
+    can't express — the standard pattern is aggregate-in-stream,
+    rank-at-read). State per window is bounded by the term
+    vocabulary (20 here; at real vocab sizes a CMS-backed candidate
+    filter caps it — see agg_heavy_hitters_cms). The per-window
+    ranking window is bounded by the term count, never the corpus."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    term = (
+        F.get_json_object(F.col("props"), "$.k").cast("int") % 20
+    ).cast("int")
+    agg = ev.groupBy(
+        F.window("ts", "6 hours"), term.alias("term")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    out = run_to_completion(agg, "complete")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("win_start").orderBy(
+        F.col("cnt").desc(), F.col("term")
+    )
+    return (
+        out.select(
+            F.col("window.start").cast("timestamp_ntz").alias("win_start"),
+            "term",
+            "cnt",
+        )
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+    )

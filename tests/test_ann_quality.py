@@ -412,3 +412,27 @@ def test_ivf_append_findable_and_pruned(spark, tmp_path):
     )
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "cent_id" in pf[0], plan[:500]
+
+
+def test_editdistance_qgram_prefix_filter_full_recall(spark):
+    """The Ed-Join prefix filter (rarest q*d+1 = 5 bigrams per
+    string) must find EVERY pair within edit distance 2 — compare
+    against the unfiltered brute-force join on the same names."""
+    got = QUERIES["dedup_editdistance_qgram"](spark, SF_DIR)
+    got_pairs = {(r.name_a, r.name_b) for r in got.collect()}
+
+    names = load_table(spark, SF_DIR, "part").select(
+        F.col("p_name").alias("s")
+    ).distinct()
+    a = names.select(F.col("s").alias("na"))
+    b = names.select(F.col("s").alias("nb"))
+    brute = (
+        a.join(b, F.col("na") < F.col("nb"))
+        .filter(F.levenshtein("na", "nb") <= 2)
+        .collect()
+    )
+    truth = {(r.na, r.nb) for r in brute}
+    assert truth, "degenerate fixture: no close pairs"
+    assert got_pairs == truth, (
+        f"missed={truth - got_pairs} extra={got_pairs - truth}"
+    )
