@@ -2633,3 +2633,204 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             floor6(F.col("qhi")).alias("ci_hi"),
         )
     )
+
+
+@query(
+    "events_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'click'
+                      THEN CAST(ts AS TIMESTAMP) END) AS first_click
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT f.user_id,
+             MIN(CASE WHEN e.event_type = 'purchase'
+                       AND CAST(e.ts AS TIMESTAMP) >= f.first_click
+                      THEN CAST(e.ts AS TIMESTAMP) END) AS first_purchase,
+             f.first_click
+      FROM firsts f JOIN events e ON e.user_id = f.user_id
+      WHERE f.first_click IS NOT NULL
+      GROUP BY f.user_id, f.first_click
+    )
+    SELECT CAST(FLOOR(epoch(first_purchase - first_click) / 3600.0)
+                AS BIGINT) AS delay_hours,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM conv WHERE first_purchase IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: hours between each user's first
+    'click' and their first 'purchase' at-or-after it, histogrammed
+    by whole hours — the funnel-latency curve behind "how long does
+    conversion take". Emitting the HISTOGRAM (not a percentile
+    scalar) is deliberate scale design: exact percentiles over
+    per-user delays would concentrate every delay in one reducer,
+    while the bucket counts stay one user-keyed aggregate + one
+    bounded-key aggregate. FLOOR (both engines truncate toward
+    -inf on positive values) avoids the cast-rounds gotcha."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("first_click")
+    )
+    conv = (
+        ev.join(firsts, "user_id")
+        .filter(F.col("first_click").isNotNull())
+        .groupBy("user_id", "first_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("first_click")),
+                    F.col("ts"),
+                )
+            ).alias("first_purchase")
+        )
+    )
+    delay = F.floor(
+        (
+            F.unix_timestamp("first_purchase")
+            - F.unix_timestamp("first_click")
+        )
+        / 3600.0
+    ).cast("long")
+    return (
+        conv.filter(F.col("first_purchase").isNotNull())
+        .groupBy(delay.alias("delay_hours"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+@query(
+    "events_user_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             CAST(d AS DATE)
+               - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INT) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM streaks GROUP BY user_id
+    """,
+)
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user by the gaps-and-
+    islands trick: within a user's distinct active days, day minus
+    its per-user row number is CONSTANT across a consecutive run, so
+    grouping on that difference splits the runs with no self-join —
+    the engagement metric (current/longest streak) every retention
+    dashboard carries. The only windows are partitioned by user and
+    bounded by that user's active-day count (calendar-bounded), and
+    the distinct + two aggregates all shuffle on user_id — one
+    partitioning reused end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id",
+        "d",
+        F.date_sub(
+            F.col("d").cast("date"), F.row_number().over(w)
+        ).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+    )
+
+
+@query(
+    "events_theilsen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT CAST(datediff('day', (SELECT MIN(day) FROM daily), day)
+                  AS DOUBLE) AS x, y
+      FROM daily
+    ),
+    slopes AS (
+      SELECT (b.y - a.y) / (b.x - a.x) AS s
+      FROM idx a JOIN idx b ON a.x < b.x
+    ),
+    med AS (SELECT median(s) AS slope FROM slopes),
+    icpt AS (
+      SELECT median(y - med.slope * x) AS intercept
+      FROM idx CROSS JOIN med
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM idx) AS n_days,
+           FLOOR(med.slope * 1e6) / 1e6 AS slope,
+           FLOOR(icpt.intercept * 1e6) / 1e6 AS intercept
+    FROM med CROSS JOIN icpt
+    """,
+)
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily event volume: the median of
+    all pairwise slopes (breakdown point 29%, immune to the outlier
+    days that wreck OLS) plus the median-residual intercept. The
+    pairwise self-join is quadratic in DISTINCT DAYS — bounded by
+    the calendar, not the corpus, the legitimate bounded-domain
+    case (30 days -> 435 pairs; ten years -> 6.7M, still trivial) —
+    while the daily aggregate underneath is the only full-data
+    shuffle. Slopes are exact ratios of identical doubles in both
+    engines; the median interpolates them identically; FLOOR-6 at
+    the boundary."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    mn = daily.agg(F.min("day").alias("d0"))
+    idx = daily.join(F.broadcast(mn)).select(
+        F.datediff("day", "d0").cast("double").alias("x"), "y"
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias(
+            "s"
+        )
+    )
+    med = slopes.agg(F.median("s").alias("slope"))
+    icpt = idx.join(F.broadcast(med)).agg(
+        F.median(F.col("y") - F.col("slope") * F.col("x")).alias("intercept")
+    )
+    n = idx.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+
+    def floor6(c):
+        return F.floor(c * 1e6) / 1e6
+
+    return (
+        n.join(F.broadcast(med))
+        .join(F.broadcast(icpt))
+        .select(
+            "n_days",
+            floor6(F.col("slope")).alias("slope"),
+            floor6(F.col("intercept")).alias("intercept"),
+        )
+    )

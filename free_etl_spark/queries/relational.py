@@ -1252,3 +1252,60 @@ def agg_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.lit(50.0), 0.15 * F.col("exact_overlap"))
         ).alias("inter_within_tol"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH t AS (
+      SELECT l_extendedprice AS v, l_quantity AS w,
+             l_orderkey AS k1, l_linenumber AS k2
+      FROM lineitem
+    ),
+    pre AS (
+      SELECT v, w,
+             SUM(w) OVER (ORDER BY v, k1, k2
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER () AS tw
+      FROM t
+    )
+    SELECT CAST(tw AS DOUBLE) AS total_weight, MIN(v) AS weighted_median
+    FROM pre WHERE cw >= tw / 2.0 GROUP BY tw
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median of the line-item price, weighted by quantity:
+    the smallest value whose running weight reaches half the total —
+    the robust center a revenue-weighted SLA or pricing analysis
+    needs (plain median ignores that a 50-unit line matters 50x a
+    1-unit line). The running weight is a GLOBAL ordered prefix sum:
+    SQL's window form funnels the fact table through one task, so
+    this runs on operators/prefix.ordered_prefix (range partition +
+    pid-local sums + constant-size offset join) and then takes the
+    min qualifying value — every stage parallel at any scale.
+    (l_orderkey, l_linenumber) is the unique tie-breaker both
+    engines order by."""
+    from free_etl_spark.operators.prefix import ordered_prefix
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").alias("w"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+    )
+    pre = ordered_prefix(
+        li,
+        [F.col("v"), F.col("k1"), F.col("k2")],
+        cache_tag="wmedian_price",
+        sums={"cw": "w"},
+        grand={"tw": "w"},
+    )
+    return (
+        pre.filter(F.col("cw") >= F.col("tw") / 2.0)
+        .groupBy("tw")
+        .agg(F.min("v").alias("weighted_median"))
+        .select(
+            F.col("tw").cast("double").alias("total_weight"),
+            "weighted_median",
+        )
+    )

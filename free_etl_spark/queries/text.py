@@ -1846,3 +1846,66 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("tk").cast("long").alias("n_distinct_tokens"),
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
     )
+
+
+@query(
+    "text_readability_flesch",
+    oracle="""
+    WITH counts AS (
+      SELECT doc_id,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(GREATEST(1, LEN(list_filter(
+                    regexp_split_to_array(text, '[^.!?]+'),
+                    x -> x <> ''))) AS BIGINT) AS n_sentences,
+             CAST(LEN(list_filter(
+                    regexp_split_to_array(lower(text), '[^aeiouy]+'),
+                    x -> x <> '')) AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           ROUND(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+             AS flesch
+    FROM counts WHERE n_words > 0
+    """,
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document: 206.835 - 1.015*(words/
+    sentences) - 84.6*(syllables/words), with syllables approximated
+    by vowel-group count (the standard dictionary-free heuristic)
+    and sentences by [.!?]-run count (clamped to 1 for fragments).
+    A pure map-side projection — three regex splits per row, no
+    shuffle at all, so it rides along any scan at 100 TB. Output is
+    per-document (ints + one rounded double): averaging across docs
+    would put an order-dependent FP sum on the oracle boundary,
+    per-row arithmetic is bit-identical in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("long")
+    sent_groups = F.size(
+        F.filter(F.split(F.col("text"), "[^.!?]+"), lambda x: x != "")
+    )
+    n_sentences = F.greatest(F.lit(1), sent_groups).cast("long")
+    n_syll = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^aeiouy]+"),
+            lambda x: x != "",
+        )
+    ).cast("long")
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    return out.withColumn(
+        "flesch",
+        F.round(
+            206.835
+            - 1.015
+            * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            - 84.6
+            * (F.col("n_syllables").cast("double") / F.col("n_words")),
+            4,
+        ),
+    )
