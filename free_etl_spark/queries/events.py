@@ -2834,3 +2834,63 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             floor6(F.col("intercept")).alias("intercept"),
         )
     )
+
+
+@query(
+    "events_max_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             MIN(CAST(ts AS TIMESTAMP)) AS s,
+             MAX(CAST(ts AS TIMESTAMP)) AS e
+      FROM events GROUP BY 1, 2
+    ),
+    sweep AS (
+      SELECT day, s AS t, 1 AS delta, user_id FROM iv
+      UNION ALL
+      SELECT day, e AS t, -1 AS delta, user_id FROM iv
+    ),
+    run AS (
+      SELECT day,
+             SUM(delta) OVER (ORDER BY t, delta DESC, user_id
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM sweep
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY day
+    """,
+)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day by the classic interval sweep: each
+    user's daily activity span becomes a (+1 at start, -1 at end)
+    event pair, and the maximum of the running sum over the global
+    time order is the largest number of simultaneously-active users
+    — capacity planning's load-peak metric. The running sum is a
+    GLOBAL ordered prefix (starts sort before ends at the same
+    instant so touching intervals count as concurrent), computed via
+    operators/prefix.ordered_prefix — no single-task window — then
+    maxed per day. The span relation is one user-day aggregate of
+    the log."""
+    from free_etl_spark.operators.prefix import ordered_prefix
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    sweep = iv.select(
+        "day", F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(
+        iv.select(
+            "day", F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id"
+        )
+    )
+    run = ordered_prefix(
+        sweep,
+        [F.col("t"), F.col("delta").desc(), F.col("user_id")],
+        cache_tag="concurrency_sweep",
+        sums={"conc": "delta"},
+    )
+    return run.groupBy(F.col("day").cast("timestamp_ntz").alias("day")).agg(
+        F.max("conc").cast("long").alias("max_concurrent")
+    )

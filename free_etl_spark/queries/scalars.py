@@ -491,3 +491,58 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor("o_totalprice").cast("bigint"), F.col("o_orderkey") % 3
         ).alias("safe_mod"),
     )
+
+
+@query(
+    "scalar_regex_funcs",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)-([a-z]+)', 1) AS first_hyphen_head,
+           CAST(LEN(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+             AS n_number_runs,
+           COALESCE(array_to_string(regexp_extract_all(substr(text, 1, 120),
+                                                        '[A-Z][a-z]+'), ','),
+                    '') AS capitalized_head,
+           regexp_matches(text, '(data|model|train)') AS mentions_ml,
+           CAST(LENGTH(regexp_replace(text, '[aeiou]', '*', 'g'))
+                AS BIGINT) AS len_starred,
+           CASE WHEN regexp_matches(text, '[0-9][0-9]')
+                THEN CAST(strpos(text, regexp_extract(text, '[0-9][0-9]'))
+                          AS BIGINT)
+                ELSE 0 END AS first_2digit_pos
+    FROM documents
+    """,
+)
+def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar family: extract / extract_all / count / like /
+    replace-all / instr, kept to POSIX character classes so the Java
+    (Spark) and RE2-ish (DuckDB) dialects agree. DuckDB spells some
+    differently (count = LEN(extract_all); replace needs the 'g'
+    flag where Spark replaces all by default; instr = guarded
+    strpos-of-first-match, exact because the regex match is
+    leftmost; array_to_string of an empty list is NULL where Spark's
+    array_join is '' — COALESCEd). All map-side, codegen'd,
+    shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)-([a-z]+)", 1).alias(
+            "first_hyphen_head"
+        ),
+        F.regexp_count("text", F.lit(r"[0-9]+"))
+        .cast("long")
+        .alias("n_number_runs"),
+        F.array_join(
+            F.regexp_extract_all(
+                F.substring("text", 1, 120), F.lit(r"[A-Z][a-z]+")
+            ),
+            ",",
+        ).alias("capitalized_head"),
+        F.col("text").rlike(r"(data|model|train)").alias("mentions_ml"),
+        F.length(F.regexp_replace("text", r"[aeiou]", "*"))
+        .cast("long")
+        .alias("len_starred"),
+        F.regexp_instr("text", F.lit(r"[0-9][0-9]"))
+        .cast("long")
+        .alias("first_2digit_pos"),
+    )

@@ -1459,3 +1459,98 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "emb_centroid_drift",
+    oracle="""
+    WITH halves AS (
+      SELECT vec_id, label, CAST(vec_id % 2 AS INT) AS half,
+             g.i AS dim, CAST(embedding[g.i] AS DOUBLE) AS val
+      FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+    ),
+    cents AS (
+      SELECT label, half, dim, ROUND(AVG(val), 6) AS c
+      FROM halves GROUP BY label, half, dim
+    ),
+    n_per AS (
+      SELECT label,
+             CAST(COUNT(DISTINCT CASE WHEN vec_id % 2 = 0
+                                      THEN vec_id END) AS BIGINT) AS n_a,
+             CAST(COUNT(DISTINCT CASE WHEN vec_id % 2 = 1
+                                      THEN vec_id END) AS BIGINT) AS n_b
+      FROM embeddings GROUP BY label
+    ),
+    paired AS (
+      SELECT a.label, SUM(a.c * b.c) AS dot,
+             SUM(a.c * a.c) AS na2, SUM(b.c * b.c) AS nb2
+      FROM cents a JOIN cents b
+        ON a.label = b.label AND a.dim = b.dim
+       AND a.half = 0 AND b.half = 1
+      GROUP BY a.label
+    )
+    SELECT p.label, n.n_a, n.n_b,
+           FLOOR(dot / sqrt(na2 * nb2) * 1e6) / 1e6 AS cos_sim
+    FROM paired p JOIN n_per n ON n.label = p.label
+    """,
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift check: cosine similarity between each label's
+    centroid computed over the even-id half of the corpus vs the odd
+    half — the sanity monitor a retraining pipeline runs to see
+    whether a class's representation moved between two snapshots
+    (here the halves stand in for old/new). Long-form per-(label,
+    half, dim) means are ROUND(6)-stabilized (the kmeans recipe)
+    then one 64-row-per-label self-join forms the cosine; nothing is
+    ever vector-count-sized on one node. A healthy corpus shows
+    cos_sim ~= 1; a drifted class drops."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    halves = emb.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    ).select("vec_id", "label", "half", (F.col("pos") + 1).alias("dim"), "val")
+    cents = halves.groupBy("label", "half", "dim").agg(
+        F.round(F.avg("val"), 6).alias("c")
+    )
+    n_per = emb.groupBy("label").agg(
+        F.countDistinct(
+            F.when(F.col("vec_id") % 2 == 0, F.col("vec_id"))
+        )
+        .cast("long")
+        .alias("n_a"),
+        F.countDistinct(
+            F.when(F.col("vec_id") % 2 == 1, F.col("vec_id"))
+        )
+        .cast("long")
+        .alias("n_b"),
+    )
+    a = cents.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("ca")
+    )
+    b = cents.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("c").alias("cb")
+    )
+    paired = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sum(F.col("ca") * F.col("ca")).alias("na2"),
+            F.sum(F.col("cb") * F.col("cb")).alias("nb2"),
+        )
+    )
+    return paired.join(n_per, "label").select(
+        "label",
+        "n_a",
+        "n_b",
+        (
+            F.floor(
+                F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2")) * 1e6
+            )
+            / 1e6
+        ).alias("cos_sim"),
+    )

@@ -1909,3 +1909,73 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ),
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE LEN(string_split(text, ' ')) >= 3
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, LEN(t) - 2),
+                      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+                 AS g
+        FROM tk
+      )
+    ),
+    first_seen AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+    SELECT grams.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN first_seen.first_doc = grams.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           FLOOR(SUM(CASE WHEN first_seen.first_doc = grams.doc_id
+                          THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6 AS novelty
+    FROM grams JOIN first_seen USING (g)
+    GROUP BY grams.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty: the fraction of a document's
+    distinct word trigrams whose corpus-wide FIRST appearance (min
+    doc_id) is the document itself — the curve data engineers read
+    to see where a crawl stops contributing new content (novelty
+    collapsing toward 0 = the corpus is re-crawling itself). First
+    occurrence is attributed with one gram-keyed min-aggregate then
+    a gram join back — never a cross-doc comparison. The token
+    array is materialized BEFORE the trigram lambda (interpreted
+    HOFs have no CSE — re-splitting inside the lambda is O(tokens²)
+    per doc). Ties on doc_id give the earliest doc novelty credit,
+    deterministically in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 3)
+    gram = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("t"), i),
+                F.element_at(F.col("t"), i + 1),
+                F.element_at(F.col("t"), i + 2),
+            ),
+        )
+    )
+    grams = tk.select("doc_id", gram.alias("g")).distinct()
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = grams.join(first_seen, "g")
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        novel.cast("long").alias("n_novel"),
+        (
+            F.floor(novel / F.count(F.lit(1)).cast("double") * 1e6) / 1e6
+        ).alias("novelty"),
+    )
