@@ -2894,3 +2894,101 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy(F.col("day").cast("timestamp_ntz").alias("day")).agg(
         F.max("conc").cast("long").alias("max_concurrent")
     )
+
+
+@query(
+    "agg_quantile_sketch",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(64 * LOG10(1 + value)) AS INT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE value >= 0 GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, n,
+             SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(n) OVER () AS tot
+      FROM b
+    ),
+    est AS (
+      SELECT
+        MIN(CASE WHEN c >= 0.50 * tot THEN bin END) AS b50,
+        MIN(CASE WHEN c >= 0.95 * tot THEN bin END) AS b95,
+        MIN(CASE WHEN c >= 0.99 * tot THEN bin END) AS b99,
+        CAST(MAX(tot) AS BIGINT) AS n_rows
+      FROM cum
+    ),
+    ex AS (
+      SELECT quantile_cont(value, 0.50) AS q50,
+             quantile_cont(value, 0.95) AS q95,
+             quantile_cont(value, 0.99) AS q99
+      FROM events WHERE value >= 0
+    )
+    SELECT n_rows,
+           abs(POW(10, (b50 + 0.5) / 64.0) - 1 - q50)
+             <= GREATEST(0.15 * q50, 0.5) AS p50_ok,
+           abs(POW(10, (b95 + 0.5) / 64.0) - 1 - q95)
+             <= GREATEST(0.15 * q95, 0.5) AS p95_ok,
+           abs(POW(10, (b99 + 0.5) / 64.0) - 1 - q99)
+             <= GREATEST(0.15 * q99, 0.5) AS p99_ok
+    FROM est CROSS JOIN ex
+    """,
+)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch: a log-spaced histogram (64 bins per
+    decade of 1+value, giving ~3.7% relative bin width) whose
+    per-bin counts merge associatively across partitions, streams
+    and days — the property exact quantiles lack and the reason
+    production monitoring uses sketches (t-digest/KLL are this plus
+    adaptive bins). Quantile estimate = back-transformed midpoint of
+    the first bin whose cumulative count crosses q*N; the query
+    verifies p50/p95/p99 against the EXACT quantile within
+    max(15%, 0.5) and exposes the booleans (the HLL-family oracle
+    contract — the sketch itself is integer-deterministic). The
+    cumulative walk is over the BIN relation (<=160 rows by
+    construction at any corpus size)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") >= 0)
+    b = ev.groupBy(
+        F.floor(64 * F.log10(1 + F.col("value"))).cast("int").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = b.select(
+        "bin",
+        F.sum("n").over(w).alias("c"),
+        F.sum("n").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tot"),
+    )
+    est = cum.agg(
+        F.min(F.when(F.col("c") >= 0.50 * F.col("tot"), F.col("bin"))).alias(
+            "b50"
+        ),
+        F.min(F.when(F.col("c") >= 0.95 * F.col("tot"), F.col("bin"))).alias(
+            "b95"
+        ),
+        F.min(F.when(F.col("c") >= 0.99 * F.col("tot"), F.col("bin"))).alias(
+            "b99"
+        ),
+        F.max("tot").cast("long").alias("n_rows"),
+    )
+    ex = ev.agg(
+        F.percentile("value", F.lit(0.50)).alias("q50"),
+        F.percentile("value", F.lit(0.95)).alias("q95"),
+        F.percentile("value", F.lit(0.99)).alias("q99"),
+    )
+
+    def ok(bcol, qcol):
+        approx = F.pow(10.0, (F.col(bcol) + 0.5) / 64.0) - 1
+        return (
+            F.abs(approx - F.col(qcol))
+            <= F.greatest(0.15 * F.col(qcol), F.lit(0.5))
+        )
+
+    return est.join(F.broadcast(ex)).select(
+        "n_rows",
+        ok("b50", "q50").alias("p50_ok"),
+        ok("b95", "q95").alias("p95_ok"),
+        ok("b99", "q99").alias("p99_ok"),
+    )

@@ -744,3 +744,46 @@ from free_etl_spark.registry import query as _q_late  # noqa: E402
 _q_late("sample_grouped_kfold", oracle=_grouped_kfold_oracle())(
     sample_grouped_kfold
 )
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH strata AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_h,
+             ROUND(stddev_samp(CAST(n_chars AS DOUBLE)), 6) AS sd_h
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_h * sd_h) AS denom FROM strata)
+    SELECT source, n_h, sd_h,
+           CAST(FLOOR(200.0 * n_h * sd_h / tot.denom) AS INT)
+             AS alloc
+    FROM strata CROSS JOIN tot
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: a 200-doc budget
+    split across sources proportional to N_h * sigma_h (stratum size
+    times within-stratum stddev of document length) — the design
+    that minimizes estimator variance for a fixed budget, vs the
+    proportional allocation sample_stratified_topn uses. One
+    stratum aggregate + a broadcast denominator; the stddev is
+    ROUND(6)-stabilized before the allocation arithmetic so both
+    engines divide identical doubles, and the final seat count
+    FLOORs (the cast-rounds gotcha)."""
+    docs = load_table(spark, sf_dir, "documents")
+    strata = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.round(F.stddev_samp(F.col("n_chars").cast("double")), 6).alias(
+            "sd_h"
+        ),
+    )
+    tot = strata.agg(F.sum(F.col("n_h") * F.col("sd_h")).alias("denom"))
+    return strata.join(F.broadcast(tot)).select(
+        "source",
+        "n_h",
+        "sd_h",
+        F.floor(200.0 * F.col("n_h") * F.col("sd_h") / F.col("denom"))
+        .cast("int")
+        .alias("alloc"),
+    )

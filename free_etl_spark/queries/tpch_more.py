@@ -1127,3 +1127,52 @@ def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_co").desc(), "part_a", "part_b")
         .limit(_MBL_TOPK)
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             date_trunc('month', MIN(o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+      SELECT f.cohort_month,
+             CAST((year(o.o_orderdate) - year(f.cohort_month)) * 12
+                  + (month(o.o_orderdate) - month(f.cohort_month))
+                  AS INT) AS months_since,
+             o.o_totalprice AS p, o.o_custkey AS c
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    )
+    SELECT CAST(cohort_month AS TIMESTAMP) AS cohort_month, months_since,
+           CAST(COUNT(DISTINCT c) AS BIGINT) AS active_customers,
+           ROUND(SUM(p), 2) AS revenue
+    FROM rev GROUP BY 1, 2
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value triangle: revenue by first-order-month
+    cohort x months-since-acquisition — the LTV payback table every
+    subscription/commerce dashboard opens with (read a row
+    left-to-right to see a cohort mature; read a column to compare
+    cohorts at the same age). Both aggregates shuffle on o_custkey
+    and the cohort join reuses that partitioning; months_since is
+    integer year/month arithmetic (identical in both engines, no
+    date-diff rounding)."""
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    rev = orders.join(firsts, "o_custkey")
+    months_since = (
+        (F.year("o_orderdate") - F.year("cohort_month")) * 12
+        + (F.month("o_orderdate") - F.month("cohort_month"))
+    ).cast("int")
+    return rev.groupBy(
+        F.col("cohort_month").cast("timestamp_ntz").alias("cohort_month"),
+        months_since.alias("months_since"),
+    ).agg(
+        F.countDistinct("o_custkey").cast("long").alias("active_customers"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
