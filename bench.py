@@ -169,6 +169,42 @@ HEADLINE = [
     "quality_benford_check",
     "events_forecast_backtest",
     "scalar_try_funcs",
+    # r7 continuation wave: survival/AB/bootstrap statistics, user
+    # graph (k-core, assortativity), association rules, prefix-sum
+    # ops (weighted median, equi-depth, concurrency sweep, Gini),
+    # Ed-Join, PCA power iteration, novelty/readability/feature-hash
+    # text ops, quantile sketch, cohort LTV, Neyman allocation
+    "events_rolling_corr",
+    "events_kaplan_meier",
+    "events_ab_proportion_test",
+    "graph_kcore",
+    "graph_degree_stats",
+    "orders_market_basket_lift",
+    "quality_key_skew_report",
+    "quality_k_anonymity",
+    "histogram_equidepth",
+    "agg_poisson_bootstrap_ci",
+    "dedup_editdistance_qgram",
+    "sample_grouped_kfold",
+    "text_feature_hashing",
+    "emb_power_iteration",
+    "streaming_trending_terms",
+    "agg_weighted_median",
+    "events_time_to_convert",
+    "events_user_streaks",
+    "text_readability_flesch",
+    "events_theilsen_trend",
+    "scalar_regex_funcs",
+    "text_ngram_novelty",
+    "emb_centroid_drift",
+    "events_max_concurrency",
+    "agg_quantile_sketch",
+    "orders_cohort_ltv",
+    "sample_neyman_allocation",
+    "events_conformal_interval",
+    "events_periodogram",
+    "quality_fd_check",
+    "events_behavior_entropy",
 ]
 
 

@@ -2992,3 +2992,279 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("b95", "q95").alias("p95_ok"),
         ok("b99", "q99").alias("p99_ok"),
     )
+
+
+@query(
+    "events_conformal_interval",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_id, event_type, value,
+             CASE
+               WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                         1, 4))::UBIGINT AS INT)
+                    < CAST(FLOOR(0.5 * 65536) AS INT) THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                         1, 4))::UBIGINT AS INT)
+                    < CAST(FLOOR(0.75 * 65536) AS INT) THEN 'cal'
+               ELSE 'test' END AS part
+      FROM events
+    ),
+    pred AS (
+      SELECT event_type, ROUND(SUM(value), 2) / COUNT(*) AS mu
+      FROM tagged WHERE part = 'train' GROUP BY event_type
+    ),
+    cal AS (
+      SELECT t.event_type,
+             quantile_disc(ROUND(abs(t.value - p.mu), 6), 0.95) AS qhat,
+             CAST(COUNT(*) AS BIGINT) AS n_cal
+      FROM tagged t JOIN pred p ON t.event_type = p.event_type
+      WHERE t.part = 'cal' GROUP BY t.event_type
+    )
+    SELECT t.event_type, cal.n_cal, cal.qhat AS interval_halfwidth,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           FLOOR(SUM(CASE WHEN ROUND(abs(t.value - p.mu), 6) <= cal.qhat
+                          THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6 AS coverage
+    FROM tagged t
+    JOIN pred p ON t.event_type = p.event_type
+    JOIN cal ON cal.event_type = t.event_type
+    WHERE t.part = 'test'
+    GROUP BY t.event_type, cal.n_cal, cal.qhat
+    """,
+)
+def events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals per event type: 50/25/25
+    hash split (train/calibration/test), per-type mean predictor
+    from train, interval half-width = the 95th DISCRETE percentile
+    of calibration |residual| (an actual data value at sorted rank
+    ceil(0.95*n) — matched in Spark by an explicit per-type rank, in
+    DuckDB by quantile_disc), and the realized test coverage that
+    conformal theory guarantees ~>= 95% distribution-free.
+    Residuals are ROUND(6)-stabilized before ranking so both engines
+    order identical doubles. The calibration ranking window is
+    per-type over the 25% calibration slice — in production conformal
+    runs the calibration set is a bounded sample by construction;
+    at unbounded scale the rank would come from the log-histogram
+    sketch (agg_quantile_sketch) instead."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.col("event_id").cast("string").cast("binary")), 1, 4
+        ),
+        16,
+        10,
+    ).cast("int")
+    part = (
+        F.when(h < int(0.5 * 65536), "train")
+        .when(h < int(0.75 * 65536), "cal")
+        .otherwise("test")
+    )
+    tagged = ev.select("event_id", "event_type", "value", part.alias("part"))
+    pred = (
+        tagged.filter(F.col("part") == "train")
+        .groupBy("event_type")
+        .agg((F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("mu"))
+    )
+    resid = F.round(F.abs(F.col("value") - F.col("mu")), 6)
+    calrows = (
+        tagged.filter(F.col("part") == "cal")
+        .join(F.broadcast(pred), "event_type")
+        .select("event_type", "event_id", resid.alias("r"))
+    )
+    wrk = Window.partitionBy("event_type").orderBy("r", "event_id")
+    ncal = calrows.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cal")
+    )
+    ranked = calrows.withColumn("rk", F.row_number().over(wrk)).join(
+        F.broadcast(ncal), "event_type"
+    )
+    cal = (
+        ranked.filter(
+            F.col("rk") == F.ceil(0.95 * F.col("n_cal")).cast("int")
+        )
+        .groupBy("event_type", "n_cal")
+        .agg(F.min("r").alias("qhat"))
+    )
+    test = (
+        tagged.filter(F.col("part") == "test")
+        .join(F.broadcast(pred), "event_type")
+        .join(F.broadcast(cal), "event_type")
+    )
+    covered = F.sum(F.when(resid <= F.col("qhat"), 1).otherwise(0))
+    return test.groupBy("event_type", "n_cal", F.col("qhat").alias(
+        "interval_halfwidth"
+    )).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        (
+            F.floor(covered / F.count(F.lit(1)).cast("double") * 1e6) / 1e6
+        ).alias("coverage"),
+    )
+
+
+@query(
+    "events_periodogram",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(datediff('day',
+                           (SELECT MIN(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                            FROM events),
+                           date_trunc('day', CAST(ts AS TIMESTAMP)))
+                  AS DOUBLE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1
+    ),
+    centered AS (
+      SELECT d, ROUND(y - (SELECT SUM(y) / COUNT(*) FROM daily), 6) AS yc
+      FROM daily
+    ),
+    per AS (SELECT unnest([2.0, 3.0, 7.0, 14.0, 30.0]) AS period)
+    SELECT period,
+           ROUND(POW(SUM(yc * cos(2 * pi() * d / period)), 2)
+                 + POW(SUM(yc * sin(2 * pi() * d / period)), 2), 2)
+             AS power
+    FROM centered CROSS JOIN per
+    GROUP BY period
+    """,
+)
+def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete periodogram of daily event volume at candidate
+    periods (2/3/7/14/30 days): spectral power |Σ y_c e^{-2πi d/T}|²
+    of the mean-centered series — the seasonality detector behind
+    "is this metric weekly?" (a strong 7-day peak = weekday
+    pattern). Each period is two trig-weighted SUM aggregates over
+    the daily relation — a 5-period cross join of a calendar-bounded
+    series, all map-side math. Centered values are ROUND(6)-
+    stabilized; the final power rounds to 2 (trig libm agrees to
+    ~1 ulp, the summed error is orders below the grid)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    mn = daily.agg(
+        F.min("day").alias("d0"),
+        (F.sum("y") / F.count(F.lit(1))).alias("mu"),
+    )
+    centered = daily.join(F.broadcast(mn)).select(
+        F.datediff("day", "d0").cast("double").alias("d"),
+        F.round(F.col("y") - F.col("mu"), 6).alias("yc"),
+    )
+    per = spark.createDataFrame(
+        [(2.0,), (3.0,), (7.0,), (14.0,), (30.0,)], "period double"
+    )
+    ang = 2 * F.lit(3.141592653589793) * F.col("d") / F.col("period")
+    return (
+        centered.crossJoin(F.broadcast(per))
+        .groupBy("period")
+        .agg(
+            F.round(
+                F.pow(F.sum(F.col("yc") * F.cos(ang)), 2)
+                + F.pow(F.sum(F.col("yc") * F.sin(ang)), 2),
+                2,
+            ).alias("power")
+        )
+    )
+
+
+@query(
+    "events_behavior_entropy",
+    oracle="""
+    WITH tc AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT user_id, SUM(n) AS t FROM tc GROUP BY user_id),
+    h_type AS (
+      SELECT tc.user_id,
+             -SUM((n / t) * ln(n / t)) AS h
+      FROM tc JOIN tot ON tc.user_id = tot.user_id
+      GROUP BY tc.user_id
+    ),
+    seq AS (
+      SELECT user_id, event_type AS a,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS b
+      FROM events
+    ),
+    pc AS (
+      SELECT user_id, a, b, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM seq WHERE b IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    pa AS (SELECT user_id, a, SUM(n) AS na FROM pc GROUP BY 1, 2),
+    ptot AS (SELECT user_id, SUM(n) AS t FROM pc GROUP BY user_id),
+    h_trans AS (
+      SELECT pc.user_id,
+             -SUM((pc.n / ptot.t) * ln(pc.n / pa.na)) AS h
+      FROM pc JOIN pa ON pc.user_id = pa.user_id AND pc.a = pa.a
+              JOIN ptot ON pc.user_id = ptot.user_id
+      GROUP BY pc.user_id
+    )
+    SELECT tot.user_id, CAST(tot.t AS BIGINT) AS n_events,
+           FLOOR(h_type.h * 1e6) / 1e6 AS type_entropy,
+           FLOOR(h_trans.h * 1e6) / 1e6 AS transition_entropy
+    FROM tot JOIN h_type ON h_type.user_id = tot.user_id
+             JOIN h_trans ON h_trans.user_id = tot.user_id
+    """,
+)
+def events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral predictability per user: Shannon entropy of the
+    event-type distribution plus the first-order Markov transition
+    entropy rate -Σ π(a,b) ln P(b|a) — low transition entropy with
+    high type entropy marks ritualized behavior (bots cycling
+    through a fixed loop); both high marks noise. The bot/abuse
+    screen that complements graph_kcore's structural one. All terms
+    are ratios of per-user integer counts (identical doubles in both
+    engines); sums run over at most |types|² per user; the only
+    corpus-scale shuffles are the user-keyed aggregates and the
+    per-user lag window (bounded by a user's history, the standard
+    sessionize shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    tc = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tot = tc.groupBy("user_id").agg(F.sum("n").alias("t"))
+    h_type = (
+        tc.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            (-F.sum((F.col("n") / F.col("t")) * F.log(F.col("n") / F.col("t"))))
+            .alias("h")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    pc = seq.groupBy("user_id", "a", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    pa = pc.groupBy("user_id", "a").agg(F.sum("n").alias("na"))
+    ptot = pc.groupBy("user_id").agg(F.sum("n").alias("t"))
+    h_trans = (
+        pc.join(pa, ["user_id", "a"])
+        .join(ptot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            (
+                -F.sum(
+                    (F.col("n") / F.col("t"))
+                    * F.log(F.col("n") / F.col("na"))
+                )
+            ).alias("h")
+        )
+    )
+
+    def floor6(c):
+        return F.floor(c * 1e6) / 1e6
+
+    return (
+        tot.join(h_type.withColumnRenamed("h", "ht"), "user_id")
+        .join(h_trans.withColumnRenamed("h", "htr"), "user_id")
+        .select(
+            "user_id",
+            F.col("t").cast("long").alias("n_events"),
+            floor6(F.col("ht")).alias("type_entropy"),
+            floor6(F.col("htr")).alias("transition_entropy"),
+        )
+    )

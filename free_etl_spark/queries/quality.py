@@ -533,3 +533,81 @@ def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(risk / F.sum("grp_n").cast("double") * 1e6) / 1e6
         ).alias("at_risk_fraction"),
     )
+
+
+@query(
+    "quality_fd_check",
+    oracle="""
+    WITH fd1 AS (
+      SELECT 'l_orderkey->o_custkey' AS fd,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_keys
+      FROM (
+        SELECT l.l_orderkey, COUNT(DISTINCT o.o_custkey) AS n_rhs
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY l.l_orderkey
+      )
+    ),
+    fd2 AS (
+      SELECT 'source->lang' AS fd,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_keys
+      FROM (
+        SELECT source, COUNT(DISTINCT lang) AS n_rhs
+        FROM documents GROUP BY source
+      )
+    ),
+    fd3 AS (
+      SELECT 'user_id->event_type' AS fd,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_keys
+      FROM (
+        SELECT user_id, COUNT(DISTINCT event_type) AS n_rhs
+        FROM events GROUP BY user_id
+      )
+    )
+    SELECT fd, n_keys, violating_keys,
+           violating_keys = 0 AS holds
+    FROM (SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+          UNION ALL SELECT * FROM fd3)
+    """,
+)
+def quality_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery probe: for each candidate
+    A -> B dependency, count determinant values mapping to more than
+    one dependent value — the schema-inference / normalization audit
+    data profilers (Deequ/Metanome style) run. A TRUE FD
+    (l_orderkey -> o_custkey, through the FK join) pins the
+    machinery; the two behavioral candidates quantify HOW false they
+    are (violating key count), which is the interesting number when
+    deciding a denormalization. Each check is one distinct-count
+    aggregate on the determinant — one shuffle per FD, unioned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+
+    def check(rel: DataFrame, lhs: str, rhs: str, name: str) -> DataFrame:
+        per_key = rel.groupBy(lhs).agg(
+            F.countDistinct(rhs).alias("n_rhs")
+        )
+        return per_key.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("violating_keys"),
+        )
+
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "o_custkey"
+    )
+    out = (
+        check(joined, "l_orderkey", "o_custkey", "l_orderkey->o_custkey")
+        .unionAll(check(docs, "source", "lang", "source->lang"))
+        .unionAll(check(ev, "user_id", "event_type", "user_id->event_type"))
+    )
+    return out.withColumn("holds", F.col("violating_keys") == 0)
