@@ -116,6 +116,7 @@ def ordered_prefix(
     sums: dict[str, Column | str] | None = None,
     rn: str | None = None,
     grand: dict[str, Column | str] | None = None,
+    emaxes: dict[str, Column | str] | None = None,
     partitions: int | None = None,
 ) -> DataFrame:
     """Attach global-order prefix columns to ``df`` without a
@@ -133,11 +134,16 @@ def ordered_prefix(
     grand      out_alias -> column: whole-relation sum attached as a
                constant column (computed from the per-partition
                totals — no second scan of ``df``).
+    emaxes     out_alias -> column: EXCLUSIVE running max in that
+               order (``MAX(col) OVER (ORDER BY ... ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING)``) — NULL on the
+               globally first row; the skyline/frontier primitive.
     partitions range-partition count; defaults to the session's
                shuffle partitions.
     """
     sums = dict(sums or {})
     grand = dict(grand or {})
+    emaxes = dict(emaxes or {})
     if partitions is None:
         try:
             partitions = int(
@@ -153,15 +159,19 @@ def ordered_prefix(
     )
     w_loc = Window.partitionBy("__pid").orderBy(*order)
     w_cum = w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_excl = w_loc.rowsBetween(Window.unboundedPreceding, -1)
     local = part.withColumn("__lrn", F.row_number().over(w_loc))
     for alias, col in sums.items():
         local = local.withColumn(f"__l_{alias}", F.sum(col).over(w_cum))
+    for alias, col in emaxes.items():
+        local = local.withColumn(f"__lm_{alias}", F.max(col).over(w_excl))
     # Per-partition totals from the PRE-window relation: Catalyst
     # reuses the range exchange for both branches; the totals
     # relation has at most `partitions` rows forever.
     aggs = [F.count(F.lit(1)).alias("__cnt")]
     aggs += [F.sum(col).alias(f"__s_{a}") for a, col in sums.items()]
     aggs += [F.sum(col).alias(f"__g_{a}") for a, col in grand.items()]
+    aggs += [F.max(col).alias(f"__m_{a}") for a, col in emaxes.items()]
     totals = part.groupBy("__pid").agg(*aggs)
     # Exclusive prefix of the totals via a triangular join over the
     # constant-size totals relation — NOT a global window, so no
@@ -172,6 +182,7 @@ def ordered_prefix(
         F.coalesce(F.sum(f"t2.__s_{a}"), F.lit(0)).alias(f"__o_{a}")
         for a in sums
     ]
+    off_aggs += [F.max(f"t2.__m_{a}").alias(f"__om_{a}") for a in emaxes]
     offsets = (
         t1.join(t2, F.col("t2.__pid") < F.col("t1.__pid"), "left")
         .groupBy(F.col("t1.__pid").alias("__pid"))
@@ -184,6 +195,14 @@ def ordered_prefix(
     for alias in sums:
         out = out.withColumn(alias, F.col(f"__l_{alias}") + F.col(f"__o_{alias}"))
         drop += [f"__l_{alias}", f"__o_{alias}"]
+    for alias in emaxes:
+        # greatest() skips NULLs: first row of a pid has NULL local
+        # exclusive max, pid 0 has NULL offset — the combination is
+        # NULL only on the globally first row, matching the SQL frame.
+        out = out.withColumn(
+            alias, F.greatest(F.col(f"__lm_{alias}"), F.col(f"__om_{alias}"))
+        )
+        drop += [f"__lm_{alias}", f"__om_{alias}"]
     if grand:
         g = totals.agg(*[F.sum(f"__g_{a}").alias(a) for a in grand])
         out = out.join(F.broadcast(g))

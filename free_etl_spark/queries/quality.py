@@ -611,3 +611,176 @@ def quality_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(check(ev, "user_id", "event_type", "user_id->event_type"))
     )
     return out.withColumn("holds", F.col("violating_keys") == 0)
+
+
+@query(
+    "quality_outlier_iqr",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(q.q1, 6) AS q1, ROUND(q.q3, 6) AS q3,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN q ON q.event_type = e.event_type
+    GROUP BY e.event_type, q.q1, q.q3
+    """,
+)
+def quality_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per event type: values outside
+    [Q1 - 1.5*IQR, Q3 + 1.5*IQR] — the boxplot rule, the robust
+    complement to the z-score screens (events_mad_outliers uses MAD;
+    this is the quartile form BI tools draw). Exact quartiles via
+    the percentile aggregate (distributed partial aggregation; both
+    engines linearly interpolate the same sorted values) broadcast
+    back onto one counting pass — two shuffles total regardless of
+    corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("q1") - 1.5 * iqr)
+                    | (F.col("value") > F.col("q3") + 1.5 * iqr),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+    return out.select(
+        "event_type",
+        F.round("q1", 6).alias("q1"),
+        F.round("q3", 6).alias("q3"),
+        "n",
+        "n_outliers",
+    )
+
+
+@query(
+    "quality_join_cardinality_estimate",
+    oracle="""
+    WITH ca AS (
+      SELECT o_orderkey AS k, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM orders GROUP BY 1
+    ),
+    cb AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM lineitem GROUP BY 1
+    ),
+    hha AS (
+      SELECT k, n FROM (
+        SELECT k, n, ROW_NUMBER() OVER (ORDER BY n DESC, k) AS rn FROM ca
+      ) WHERE rn <= 100
+    ),
+    hhb AS (
+      SELECT k, n FROM (
+        SELECT k, n, ROW_NUMBER() OVER (ORDER BY n DESC, k) AS rn FROM cb
+      ) WHERE rn <= 100
+    ),
+    heavy AS (
+      SELECT COALESCE(SUM(hha.n * hhb.n), 0) AS est_heavy
+      FROM hha JOIN hhb ON hha.k = hhb.k
+    ),
+    resta AS (
+      SELECT SUM(n) AS rows_a, COUNT(*) AS nd_a
+      FROM ca WHERE k NOT IN (SELECT k FROM hha)
+    ),
+    restb AS (
+      SELECT SUM(n) AS rows_b, COUNT(*) AS nd_b
+      FROM cb WHERE k NOT IN (SELECT k FROM hhb)
+    ),
+    act AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS actual
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT act.actual,
+           CAST(FLOOR(heavy.est_heavy
+                + COALESCE(resta.rows_a, 0) * COALESCE(restb.rows_b, 0)
+                  / GREATEST(COALESCE(resta.nd_a, 0),
+                             COALESCE(restb.nd_b, 0), 1)) AS BIGINT)
+             AS estimated,
+           abs(heavy.est_heavy
+               + COALESCE(resta.rows_a, 0) * COALESCE(restb.rows_b, 0)
+                 / GREATEST(COALESCE(resta.nd_a, 0),
+                            COALESCE(restb.nd_b, 0), 1)
+               - act.actual) / act.actual <= 0.25 AS within_25pct
+    FROM act CROSS JOIN heavy CROSS JOIN resta CROSS JOIN restb
+    """,
+)
+def quality_join_cardinality_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Join-size estimation the way a cost-based optimizer does it:
+    top-100 heavy-hitter key counts on each side contribute their
+    exact product, and the remainder contributes rows_a*rows_b /
+    max(ndv_a, ndv_b) (the uniform-containment assumption of
+    System-R descendants). The query also computes the TRUE join
+    cardinality and pins the estimate within 25% — i.e. it is a
+    self-auditing statistics calculation, the histogram-quality
+    check you run before trusting broadcast/shuffle planning at
+    100 TB. All relations are key-count aggregates; the heavy-hitter
+    rank is a TakeOrdered top-100, never a global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ca = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    cb = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    hha = ca.orderBy(F.col("n").desc(), "k").limit(100)
+    hhb = cb.orderBy(F.col("n").desc(), "k").limit(100)
+    heavy = (
+        hha.alias("a")
+        .join(hhb.alias("b"), F.col("a.k") == F.col("b.k"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("a.n") * F.col("b.n")), F.lit(0.0)
+            ).alias("est_heavy")
+        )
+    )
+    resta = ca.join(hha.select("k"), "k", "anti").agg(
+        F.sum("n").alias("rows_a"), F.count(F.lit(1)).alias("nd_a")
+    )
+    restb = cb.join(hhb.select("k"), "k", "anti").agg(
+        F.sum("n").alias("rows_b"), F.count(F.lit(1)).alias("nd_b")
+    )
+    act = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .agg(F.count(F.lit(1)).cast("long").alias("actual"))
+    )
+    est = F.col("est_heavy") + F.coalesce(
+        F.col("rows_a"), F.lit(0.0)
+    ) * F.coalesce(F.col("rows_b"), F.lit(0.0)) / F.greatest(
+        F.coalesce(F.col("nd_a"), F.lit(0)).cast("double"),
+        F.coalesce(F.col("nd_b"), F.lit(0)).cast("double"),
+        F.lit(1.0),
+    )
+    return (
+        act.join(F.broadcast(heavy))
+        .join(F.broadcast(resta))
+        .join(F.broadcast(restb))
+        .select(
+            "actual",
+            F.floor(est).cast("long").alias("estimated"),
+            (
+                F.abs(est - F.col("actual")) / F.col("actual") <= 0.25
+            ).alias("within_25pct"),
+        )
+    )

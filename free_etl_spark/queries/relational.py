@@ -1309,3 +1309,51 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_median",
         )
     )
+
+
+@query(
+    "orders_skyline",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS TIMESTAMP)
+               AS o_orderdate,
+             MAX(epoch(o_orderdate)) OVER (
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS emax
+      FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM t
+    WHERE emax IS NULL OR epoch(o_orderdate) > emax
+    """,
+)
+def orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of orders on (cheap, recent): an
+    order survives iff no order earlier in the (price, key) total
+    order has a same-or-later date — the maximal-vector operator
+    behind "best tradeoff" queries (cheapest-for-its-recency). The
+    classic one-pass formulation is a sort + running max; the SQL
+    window form is a single-task global window, so this runs the
+    EXCLUSIVE prefix max through operators/prefix.ordered_prefix's
+    new ``emaxes`` (range partition + pid-local exclusive max +
+    constant-size per-partition offset maxima) — the frontier of a
+    100 TB fact table without one row of global sorting on a single
+    executor."""
+    from free_etl_spark.operators.prefix import ordered_prefix
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+        F.unix_timestamp(F.col("o_orderdate")).alias("ep"),
+    )
+    pre = ordered_prefix(
+        orders,
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        cache_tag="skyline_orders",
+        emaxes={"emax": "ep"},
+    )
+    return pre.filter(
+        F.col("emax").isNull() | (F.col("ep") > F.col("emax"))
+    ).select("o_orderkey", "o_totalprice", "o_orderdate")

@@ -1979,3 +1979,78 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(novel / F.count(F.lit(1)).cast("double") * 1e6) / 1e6
         ).alias("novelty"),
     )
+
+
+@query(
+    "text_kl_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+      FROM documents
+    ),
+    tokc AS (
+      SELECT doc_id, tk, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM tok WHERE tk <> '' GROUP BY doc_id, tk
+    ),
+    doc_tot AS (SELECT doc_id, SUM(n) AS dn FROM tokc GROUP BY doc_id),
+    corp AS (SELECT tk, SUM(n) AS cn FROM tokc GROUP BY tk),
+    corp_tot AS (SELECT SUM(cn) AS ct FROM corp),
+    kl AS (
+      SELECT tokc.doc_id,
+             SUM((tokc.n / doc_tot.dn)
+                 * ln((tokc.n / doc_tot.dn)
+                      / (corp.cn / corp_tot.ct))) AS kl
+      FROM tokc
+      JOIN doc_tot ON doc_tot.doc_id = tokc.doc_id
+      JOIN corp ON corp.tk = tokc.tk
+      CROSS JOIN corp_tot
+      GROUP BY tokc.doc_id
+    )
+    SELECT doc_id, FLOOR(kl * 1e6) / 1e6 AS kl_divergence
+    FROM kl ORDER BY kl DESC, doc_id LIMIT 50
+    """,
+)
+def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional outlier scan: KL(doc || corpus) of each
+    document's unigram distribution against the corpus-wide one —
+    the top-50 most divergent documents are the machine-generated /
+    off-domain / wrong-language candidates a curation pass reviews
+    (complements text_quality_classifier's surface features with an
+    information-theoretic score). Every probability is a ratio of
+    integer counts (identical doubles in both engines); the corpus
+    distribution never exceeds the vocabulary relation and joins
+    back token-keyed; top-50 is TakeOrdered with doc_id tie-break,
+    FLOOR-6 before the cut is NOT applied to the sort key (exact kl
+    sorts, the rounding is display-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
+        .filter(F.col("tk") != "")
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    doc_tot = tokc.groupBy("doc_id").agg(F.sum("n").alias("dn"))
+    corp = tokc.groupBy("tk").agg(F.sum("n").alias("cn"))
+    corp_tot = corp.agg(F.sum("cn").alias("ct"))
+    kl = (
+        tokc.join(doc_tot, "doc_id")
+        .join(corp, "tk")
+        .join(F.broadcast(corp_tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                (F.col("n") / F.col("dn"))
+                * F.log(
+                    (F.col("n") / F.col("dn"))
+                    / (F.col("cn") / F.col("ct"))
+                )
+            ).alias("kl")
+        )
+    )
+    return (
+        kl.orderBy(F.col("kl").desc(), "doc_id")
+        .limit(50)
+        .select(
+            "doc_id", (F.floor(F.col("kl") * 1e6) / 1e6).alias("kl_divergence")
+        )
+    )

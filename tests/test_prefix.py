@@ -167,3 +167,27 @@ def test_stale_handle_keeps_persist_one_generation(spark, scrambled):
     )
     assert not first.storageLevel.useMemory
     assert second.storageLevel.useMemory
+
+
+def test_ordered_prefix_exclusive_max_matches_global_window(spark, scrambled):
+    """emaxes must equal MAX() OVER (ORDER BY ... ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING): NULL on the global first
+    row, running max of all strict predecessors elsewhere — across
+    range-partition boundaries (the offset-maxima path)."""
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r.k: r.m
+        for r in scrambled.select(
+            "k", F.max("v").over(w).alias("m")
+        ).collect()
+    }
+    got = {
+        r.k: r.m
+        for r in ordered_prefix(
+            scrambled, [F.col("k")], cache_tag="t_emax", emaxes={"m": "v"}
+        )
+        .select("k", "m")
+        .collect()
+    }
+    assert got == want
+    assert got[min(got)] is None  # globally-first row has no predecessor
