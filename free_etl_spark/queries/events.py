@@ -3268,3 +3268,328 @@ def events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             floor6(F.col("htr")).alias("transition_entropy"),
         )
     )
+
+
+@query(
+    "events_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT c.event_type, c.hr, c.o,
+             SUM(c.o) OVER (PARTITION BY c.event_type) AS rt,
+             SUM(c.o) OVER (PARTITION BY c.hr) AS ct,
+             SUM(c.o) OVER () AS n
+      FROM cells c
+    ),
+    s AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST((COUNT(DISTINCT event_type) - 1)
+                  * (COUNT(DISTINCT hr) - 1) AS BIGINT) AS dof,
+             SUM( (o * n - rt * ct) * (o * n - rt * ct)
+                  / (CAST(n AS DOUBLE) * n * rt * ct) ) AS chi2,
+             COUNT(DISTINCT event_type) AS r_cnt,
+             COUNT(DISTINCT hr) AS c_cnt
+      FROM m
+    )
+    SELECT n, dof, FLOOR(chi2 * 1e6) / 1e6 AS chi2,
+           FLOOR(sqrt(chi2 / (n * LEAST(r_cnt - 1, c_cnt - 1))) * 1e6)
+             / 1e6 AS cramers_v
+    FROM s
+    """,
+)
+def events_chi_square_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    hour-of-day, plus Cramer's V effect size — the categorical-drift
+    screen that answers "does activity mix change across the day".
+    One groupBy collapses the corpus to an r x c contingency relation
+    (<=120 cells at ANY corpus size); marginals come from windows
+    over those cells, never a second scan. Each term is computed as
+    (O*N - rt*ct)^2 / (N*rt*ct) — a ratio of exact integer products
+    (all < 2^53), so both engines sum identical doubles.
+    Missing cells contribute rt*ct/N each, i.e. exactly
+    (0*N - rt*ct)^2/(N*rt*ct); with this data every (type, hour)
+    cell is occupied, and the cells relation is what both engines
+    enumerate, so the sums range over the same terms."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy(
+            "event_type", F.hour("ts").alias("hr")
+        ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    m = (
+        cells.withColumn("rt", F.sum("o").over(Window.partitionBy("event_type")))
+        .withColumn("ct", F.sum("o").over(Window.partitionBy("hr")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+    )
+    diff = F.col("o") * F.col("n") - F.col("rt") * F.col("ct")
+    s = m.agg(
+        F.max("n").cast("long").alias("n"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("hr") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+        F.sum(
+            diff * diff
+            / (
+                F.col("n").cast("double")
+                * F.col("n")
+                * F.col("rt")
+                * F.col("ct")
+            )
+        ).alias("chi2"),
+        F.countDistinct("event_type").alias("r_cnt"),
+        F.countDistinct("hr").alias("c_cnt"),
+    )
+    return s.select(
+        "n",
+        "dof",
+        (F.floor(F.col("chi2") * 1e6) / 1e6).alias("chi2"),
+        (
+            F.floor(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n")
+                        * F.least(F.col("r_cnt") - 1, F.col("c_cnt") - 1)
+                    )
+                )
+                * 1e6
+            )
+            / 1e6
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "events_activity_bitmap",
+    oracle="""
+    WITH base AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    masks AS (
+      SELECT user_id,
+             bit_or(CAST(1 AS BIGINT) << date_diff('day', base.d0,
+                    CAST(ts AS DATE))) AS mask
+      FROM events CROSS JOIN base
+      WHERE date_diff('day', base.d0, CAST(ts AS DATE)) < 63
+      GROUP BY user_id
+    )
+    SELECT CAST(bit_count(mask) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN (mask & 32767) <> 0
+                          AND (mask & (32767 << 15)) <> 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_both_halves
+    FROM masks GROUP BY 1
+    """,
+)
+def events_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity as a day-bitmap: one BIGINT per user where
+    bit d = "active on day d since corpus start", built by
+    bit_or(1 << day_offset) — the roaring-bitmap trick that turns
+    retention analytics into bitwise ops (no per-day rows, no
+    explode). Downstream: active-day histogram via bit_count, and
+    both-halves retention via mask intersection with the first/second
+    15-day windows. State per user is EIGHT BYTES regardless of event
+    volume, vs the 28-row explode of events_dau_wau_mau — this is the
+    form that survives a billion-user corpus. Bitmap covers the first
+    63 days from corpus min (BIGINT width, calendar-bounded filter is
+    explicit); shiftleft-by-column goes through F.expr because the
+    Python shiftleft binding only accepts a literal shift."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    off = F.datediff(F.to_date("ts"), F.col("d0"))
+    masks = (
+        ev.join(F.broadcast(base))
+        .withColumn("off", off)
+        .filter(F.col("off") < 63)
+        .groupBy("user_id")
+        .agg(
+            F.expr("bit_or(shiftleft(cast(1 as bigint), cast(off as int)))")
+            .alias("mask")
+        )
+    )
+    half1 = F.lit(32767).cast("long")
+    half2 = F.lit(32767 << 15).cast("long")
+    return (
+        masks.groupBy(
+            F.bit_count("mask").cast("long").alias("n_active_days")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(
+                F.when(
+                    (F.col("mask").bitwiseAND(half1) != 0)
+                    & (F.col("mask").bitwiseAND(half2) != 0),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_both_halves"),
+        )
+    )
+
+
+@query(
+    "events_sequence_pattern",
+    oracle="""
+    WITH sym AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(length(regexp_extract_all(s, 'v[^e]*?c[^e]*?p'))
+                AS BIGINT) AS n_matches
+    FROM sym
+    WHERE length(regexp_extract_all(s, 'v[^e]*?c[^e]*?p')) >= 1
+    ORDER BY n_matches DESC, user_id LIMIT 20
+    """,
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence detection: per user, count
+    non-overlapping view -> click -> purchase journeys with no
+    intervening error, by compiling each user's event stream to a
+    symbol string (first letter of the type, ordered by ts with
+    event_id tie-break) and running a lazy regex
+    ('v[^e]*?c[^e]*?p') over it — the classic emulation of SQL row
+    pattern matching on engines without the clause. State per user is
+    one string bounded by that user's activity (a hot-user length cap
+    is the knob at extreme skew — substr the symbol string); the
+    leftmost-non-overlapping count semantics agree between Java regex
+    and RE2 because the pattern is unambiguous under lazy
+    quantifiers. Top-20 is a TakeOrdered, never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("sym"),
+            ).alias("rec"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("rec")), lambda r: r["sym"]
+                ),
+                "",
+            ).alias("s"),
+        )
+    )
+    pat = r"v[^e]*?c[^e]*?p"
+    return (
+        per_user.withColumn(
+            "n_matches", F.regexp_count("s", F.lit(pat)).cast("long")
+        )
+        .filter(F.col("n_matches") >= 1)
+        .select("user_id", "n_events", "n_matches")
+        .orderBy(F.col("n_matches").desc(), "user_id")
+        .limit(20)
+    )
+
+
+@query(
+    "events_mann_whitney",
+    oracle="""
+    WITH vals AS (
+      SELECT value,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cnt_a
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY value
+    ),
+    ranked AS (
+      SELECT value, cnt, cnt_a,
+             CAST(SUM(cnt) OVER (ORDER BY value
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM vals
+    ),
+    s AS (
+      SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+             CAST(SUM(cnt - cnt_a) AS BIGINT) AS n_b,
+             SUM(cnt_a * (cum - cnt + (cnt + 1) / 2.0)) AS s_a,
+             CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS t_ties
+      FROM ranked
+    ),
+    u AS (
+      SELECT n_a, n_b,
+             s_a - n_a * (n_a + 1) / 2.0 AS u_a,
+             n_a * CAST(n_b AS DOUBLE) / 2.0 AS mu,
+             (n_a * CAST(n_b AS DOUBLE) / 12.0)
+               * ((n_a + n_b + 1)
+                  - t_ties / (CAST(n_a + n_b AS DOUBLE)
+                              * (n_a + n_b - 1.0))) AS var
+      FROM s
+    )
+    SELECT n_a, n_b, u_a AS u_stat,
+           FLOOR((u_a - mu) / sqrt(var) * 1e6) / 1e6 AS z
+    FROM u
+    """,
+)
+def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (click vs purchase event values)
+    with tie correction — the nonparametric A/B test that needs a
+    GLOBAL rank over the pooled sample, which is exactly what breaks
+    naive engines at scale (a corpus-wide ORDER BY). Here the pool
+    first collapses to value-keyed counts (one shuffle), then the
+    running rank comes from operators/prefix.ordered_prefix over the
+    distinct-value relation — no single-task sort at any size. Every
+    tied value's average rank is k + m/2 (a half), so cnt_a*avg_rank
+    is an exact multiple of 0.5 and the rank-sum is EXACT in IEEE
+    double regardless of aggregation order — both engines produce
+    bit-identical U. The z-score is one division + sqrt of identical
+    doubles (FLOOR-6 for display)."""
+    from free_etl_spark.operators.prefix import ordered_prefix
+
+    ev = load_table(spark, sf_dir, "events")
+    vals = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("value")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("cnt_a"),
+        )
+    )
+    ranked = ordered_prefix(
+        vals, [F.col("value")], cache_tag="mann_whitney_vals",
+        sums={"cum": "cnt"},
+    )
+    avg_rank = F.col("cum") - F.col("cnt") + (F.col("cnt") + 1) / 2.0
+    s = ranked.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("long").alias("n_b"),
+        F.sum(F.col("cnt_a") * avg_rank).alias("s_a"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("long")
+        .alias("t_ties"),
+    )
+    n_tot = F.col("n_a") + F.col("n_b")
+    u_a = F.col("s_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    mu = F.col("n_a") * F.col("n_b").cast("double") / 2.0
+    var = (F.col("n_a") * F.col("n_b").cast("double") / 12.0) * (
+        (n_tot + 1)
+        - F.col("t_ties") / (n_tot.cast("double") * (n_tot - 1.0))
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        u_a.alias("u_stat"),
+        (F.floor((u_a - mu) / F.sqrt(var) * 1e6) / 1e6).alias("z"),
+    )

@@ -771,3 +771,79 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("degree"),
         F.coalesce("in_3core", F.lit(False)).alias("in_3core"),
     )
+
+
+@query(
+    "graph_adamic_adar",
+    oracle="""
+    WITH buyers AS (
+      SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    deg AS (
+      SELECT part, CAST(COUNT(*) AS BIGINT) AS d
+      FROM buyers GROUP BY part
+    ),
+    pairs AS (
+      SELECT a.cust AS cust_a, b.cust AS cust_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             SUM(1.0 / ln(deg.d)) AS aa
+      FROM buyers a
+      JOIN buyers b ON a.part = b.part AND a.cust < b.cust
+      JOIN deg ON deg.part = a.part
+      WHERE deg.d BETWEEN 2 AND 64
+      GROUP BY 1, 2
+    )
+    SELECT cust_a, cust_b, n_common,
+           FLOOR(aa * 1e6) / 1e6 AS adamic_adar
+    FROM pairs
+    ORDER BY aa DESC, cust_a, cust_b LIMIT 20
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the customer-part bipartite
+    graph: for customer pairs sharing purchased parts, score
+    sum(1/ln(buyers_of_part)) — rare shared parts count more. The
+    candidate generator is the part-keyed self-join of the distinct
+    (customer, part) relation, so pair enumeration is bounded by
+    per-part buyer count squared, never |customers|^2; parts with
+    more than 64 buyers are excluded BY DEFINITION (ubiquitous items
+    carry ~no signal and their 1/ln weight is minimal — the standard
+    link-prediction cut, and the knob that bounds the worst part's
+    fan-out at 100 TB). Degree joins back part-keyed; top-20 is
+    TakeOrdered with full key tie-break."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    buyers = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+    )
+    deg = buyers.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    a = buyers.alias("a")
+    b = buyers.select(
+        F.col("cust").alias("cust_b"), F.col("part").alias("pb")
+    )
+    pairs = (
+        a.join(b, (F.col("a.part") == F.col("pb")) & (F.col("a.cust") < F.col("cust_b")))
+        .join(deg.filter((F.col("d") >= 2) & (F.col("d") <= 64)), F.col("a.part") == deg.part)
+        .groupBy(F.col("a.cust").alias("cust_a"), "cust_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(1.0 / F.log("d")).alias("aa"),
+        )
+    )
+    return (
+        pairs.orderBy(F.col("aa").desc(), "cust_a", "cust_b")
+        .limit(20)
+        .select(
+            "cust_a",
+            "cust_b",
+            "n_common",
+            (F.floor(F.col("aa") * 1e6) / 1e6).alias("adamic_adar"),
+        )
+    )

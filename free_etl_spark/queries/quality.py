@@ -784,3 +784,114 @@ def quality_join_cardinality_estimate(
             ).alias("within_25pct"),
         )
     )
+
+
+@query(
+    "quality_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           (SELECT COUNT(*) FROM supplier),
+           (SELECT COUNT(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey))
+    UNION ALL
+    SELECT 'nation.n_regionkey->region',
+           (SELECT COUNT(*) FROM nation),
+           (SELECT COUNT(*) FROM nation n
+            WHERE NOT EXISTS (SELECT 1 FROM region r
+                              WHERE r.r_regionkey = n.n_regionkey))
+    UNION ALL
+    SELECT 'events.user_id->customer',
+           (SELECT COUNT(*) FROM events),
+           (SELECT COUNT(*) FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = e.user_id))
+    """,
+)
+def quality_referential_integrity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Foreign-key orphan audit across the whole star schema: for
+    every FK edge, the child row count and the count of child rows
+    whose key has no parent — the referential-integrity scan a
+    warehouse runs before trusting joins (an orphan silently
+    disappears from every inner join downstream). Each edge is one
+    anti-join; parent sides that are small dimensions broadcast, the
+    fact-to-fact edges (lineitem->orders) shuffle on the key like
+    any equi-join. Each fact table is scanned once per edge with
+    only the key column read (column pruning); counts union into a
+    constant 8-row report."""
+    t = {n: load_table(spark, sf_dir, n) for n in (
+        "lineitem", "orders", "customer", "supplier", "nation",
+        "region", "part", "events",
+    )}
+
+    def edge(name, child, key, parent, pkey, bcast):
+        c = t[child].select(F.col(key).alias("k"))
+        p = t[parent].select(F.col(pkey).alias("k")).distinct()
+        if bcast:
+            p = F.broadcast(p)
+        orphans = c.join(p, "k", "anti").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orphans")
+        )
+        total = c.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+        return (
+            total.join(orphans)
+            .select(
+                F.lit(name).alias("fk_edge"), "n_child", "n_orphans"
+            )
+        )
+
+    edges = [
+        edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+             "orders", "o_orderkey", False),
+        edge("lineitem.l_partkey->part", "lineitem", "l_partkey",
+             "part", "p_partkey", True),
+        edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+             "supplier", "s_suppkey", True),
+        edge("orders.o_custkey->customer", "orders", "o_custkey",
+             "customer", "c_custkey", True),
+        edge("customer.c_nationkey->nation", "customer", "c_nationkey",
+             "nation", "n_nationkey", True),
+        edge("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+             "nation", "n_nationkey", True),
+        edge("nation.n_regionkey->region", "nation", "n_regionkey",
+             "region", "r_regionkey", True),
+        edge("events.user_id->customer", "events", "user_id",
+             "customer", "c_custkey", True),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionAll(e)
+    return out

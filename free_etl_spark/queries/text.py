@@ -2054,3 +2054,79 @@ def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", (F.floor(F.col("kl") * 1e6) / 1e6).alias("kl_divergence")
         )
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tk FROM documents
+    ),
+    vocab AS (
+      SELECT tk, CAST(COUNT(*) AS DOUBLE) AS freq
+      FROM tok WHERE tk <> '' GROUP BY tk
+    ),
+    top AS (
+      SELECT tk, freq FROM vocab ORDER BY freq DESC, tk LIMIT 1000
+    ),
+    xy AS (
+      SELECT ln(ROW_NUMBER() OVER (ORDER BY freq DESC, tk)) AS x,
+             ln(freq) AS y
+      FROM top
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM xy
+    )
+    SELECT n,
+           FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e4) / 1e4
+             AS slope,
+           FLOOR((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e4)
+             / 1e4 AS r2
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the token frequency distribution: OLS of
+    ln(freq) on ln(rank) over the top-1000 tokens — slope near -1 is
+    the signature of natural language, far from it flags synthetic /
+    templated / scraped-garbage corpora (a corpus-level quality
+    signal, complementing the per-doc scores). The corpus collapses
+    to the vocabulary relation in one shuffle; top-1000 is a
+    TakeOrdered (freq desc, token tie-break) and the rank window runs
+    over that CONSTANT 1000-row relation — bounded, never
+    corpus-scale. FLOOR-4 absorbs the cross-engine last-ulp drift of
+    the 1000-term FP sums (same tolerance as agg_regression's
+    ROUND-4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    top = (
+        docs.select(F.explode(F.split("text", " ")).alias("tk"))
+        .filter(F.col("tk") != "")
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).cast("double").alias("freq"))
+        .orderBy(F.col("freq").desc(), "tk")
+        .limit(1000)
+    )
+    w = Window.orderBy(F.col("freq").desc(), "tk")
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log("freq").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "n",
+        (F.floor(num / den * 1e4) / 1e4).alias("slope"),
+        (F.floor(num * num / (den * deny) * 1e4) / 1e4).alias("r2"),
+    )
