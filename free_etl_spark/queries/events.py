@@ -3593,3 +3593,78 @@ def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         u_a.alias("u_stat"),
         (F.floor((u_a - mu) / F.sqrt(var) * 1e6) / 1e6).alias("z"),
     )
+
+
+@query(
+    "events_burst_detection",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, hr, n,
+             CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY hr
+                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS base_sum,
+             CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY hr
+                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS base_n
+      FROM hc
+    )
+    SELECT event_type, hr, n,
+           FLOOR(CAST(base_sum AS DOUBLE) / base_n * 1e6) / 1e6
+             AS baseline,
+           FLOOR(n * CAST(base_n AS DOUBLE) / base_sum * 1e6) / 1e6
+             AS burst_ratio
+    FROM w
+    WHERE base_n >= 6 AND n * base_n >= 2 * base_sum
+    """,
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection per event type: an hour whose volume is >= 2x
+    the trailing-24h baseline (with at least 6 hours of history) — the
+    rate-anomaly screen behind incident alerts and trending surfacing
+    (a lightweight Kleinberg state machine's 'elevated' state). The
+    corpus collapses to per-type hourly counts first (<=720 rows per
+    type per month — calendar-bounded), so the trailing window runs
+    over the tiny series, never raw events. The burst predicate
+    n*base_n >= 2*base_sum is pure integer arithmetic — no FP
+    threshold boundary; displayed baseline/ratio are single exact
+    divisions FLOOR-6ed."""
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wspec = (
+        Window.partitionBy("event_type").orderBy("hr").rowsBetween(-24, -1)
+    )
+    w = hc.withColumn(
+        "base_sum", F.sum("n").over(wspec).cast("long")
+    ).withColumn("base_n", F.count(F.lit(1)).over(wspec).cast("long"))
+    return (
+        w.filter(
+            (F.col("base_n") >= 6)
+            & (F.col("n") * F.col("base_n") >= 2 * F.col("base_sum"))
+        )
+        .select(
+            "event_type",
+            "hr",
+            "n",
+            (
+                F.floor(
+                    F.col("base_sum").cast("double") / F.col("base_n") * 1e6
+                )
+                / 1e6
+            ).alias("baseline"),
+            (
+                F.floor(
+                    F.col("n") * F.col("base_n").cast("double")
+                    / F.col("base_sum")
+                    * 1e6
+                )
+                / 1e6
+            ).alias("burst_ratio"),
+        )
+    )

@@ -328,7 +328,31 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder swaps the hex trick for mapInPandas + numpy frombuffer,
     same frame/feature schema). avg_abs divides an exact integer sum
     by an exact count — engine-deterministic without rounding."""
-    docs = load_table(spark, sf_dir, "documents")
+    with_frames = _pcm_frames(load_table(spark, sf_dir, "documents"))
+    sum_abs = F.aggregate(
+        F.col("samples"), F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+    )
+    quiet = F.size(
+        F.filter(F.col("frame_peaks"), lambda p: p < _PCM_QUIET)
+    )
+    return with_frames.select(
+        "doc_id",
+        F.col("n_samples").cast("int").alias("n_samples"),
+        F.size("frame_peaks").cast("int").alias("n_frames"),
+        F.array_max("frame_peaks").cast("int").alias("peak"),
+        F.round(
+            quiet.cast("double") / F.size("frame_peaks"), 6
+        ).alias("quiet_ratio"),
+        (sum_abs.cast("double") / F.col("n_samples")).alias("avg_abs"),
+    )
+
+
+def _pcm_frames(docs: DataFrame) -> DataFrame:
+    """Shared PCM16-LE decode plane: (doc_id, n_samples, samples,
+    frame_peaks) with _PCM_FRAME-sample windows — the plumbing both
+    audio feature queries (energy, VAD) run on. Map-only; the hex
+    string is projected FIRST so the interpreted lambdas reference a
+    column (no per-element re-encode — HOFs have no CSE)."""
     hx = F.lower(F.hex(F.encode("text", "UTF-8")))
     base = docs.select("doc_id", hx.alias("hx")).withColumn(
         "n_samples", (F.length("hx") / 4).cast("int")
@@ -370,22 +394,91 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    with_frames = with_samples.select(
+    return with_samples.select(
         "doc_id", "n_samples", "samples", frame_peaks.alias("frame_peaks")
     )
-    sum_abs = F.aggregate(
-        F.col("samples"), F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+
+
+_VAD_THR = _PCM_QUIET  # speech = frame peak at or above the quiet cut
+
+
+@query(
+    "multimodal_audio_vad",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, CAST(FLOOR(length(hx) / 4) AS INT)),
+               i -> CAST(('0x' || substr(hx, 4*i - 3, 2))::INT
+                  + 256 * ('0x' || substr(hx, 4*i - 1, 2))::INT
+                  - CASE WHEN ('0x' || substr(hx, 4*i - 1, 2))::INT >= 128
+                         THEN 65536 ELSE 0 END AS INT)
+             ) AS samples
+      FROM a
+    ),
+    f AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, CAST(CEIL(len(samples) / {_PCM_FRAME}.0) AS INT)),
+               j -> list_max(list_transform(
+                      samples[(j-1)*{_PCM_FRAME}+1 : (j-1)*{_PCM_FRAME}+{_PCM_FRAME}],
+                      x -> abs(x)))
+             ) AS peaks
+      FROM s WHERE len(samples) > 0
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(peaks, p -> p >= {_VAD_THR}) AS fl,
+             len(peaks) AS nf
+      FROM f
     )
-    quiet = F.size(
-        F.filter(F.col("frame_peaks"), lambda p: p < _PCM_QUIET)
-    )
-    return with_frames.select(
+    SELECT doc_id,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(len(list_filter(fl, x -> x)) AS BIGINT)
+             AS n_speech_frames,
+           CAST(len(list_filter(generate_series(1, CAST(nf AS INT)),
+                  j -> fl[j] AND (j = 1 OR NOT fl[j - 1])))
+                AS BIGINT) AS n_segments,
+           CAST(COALESCE(list_position(fl, true), 0) AS BIGINT)
+             AS first_speech_frame
+    FROM g
+    """,
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over the PCM16 frame plane: mark each
+    {_PCM_FRAME}-sample frame speech/silence by peak threshold, then
+    count contiguous speech SEGMENTS (islands — a frame that is
+    speech while its predecessor is not opens a segment), total
+    speech frames, and the first speech frame — the utterance
+    segmentation every ASR preprocessing pipeline runs. Runs on the
+    shared _pcm_frames decode (one map-only pass, zero shuffles);
+    the island count folds inside the frame-flag array per blob, so
+    no per-frame rows ever materialize. All outputs are integer
+    counts — engine-exact, no rounding."""
+    frames = _pcm_frames(load_table(spark, sf_dir, "documents"))
+    g = frames.select(
         "doc_id",
-        F.col("n_samples").cast("int").alias("n_samples"),
-        F.size("frame_peaks").cast("int").alias("n_frames"),
-        F.array_max("frame_peaks").cast("int").alias("peak"),
-        F.round(
-            quiet.cast("double") / F.size("frame_peaks"), 6
-        ).alias("quiet_ratio"),
-        (sum_abs.cast("double") / F.col("n_samples")).alias("avg_abs"),
+        F.transform(
+            "frame_peaks", lambda p: p >= F.lit(_VAD_THR)
+        ).alias("fl"),
+        F.size("frame_peaks").alias("nf"),
+    )
+    seg_opens = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.col("nf")),
+            lambda j: F.element_at("fl", j.cast("int"))
+            & ((j == 1) | ~F.element_at("fl", (j - 1).cast("int"))),
+        )
+    )
+    return g.select(
+        "doc_id",
+        F.col("nf").cast("long").alias("n_frames"),
+        F.size(F.filter("fl", lambda x: x)).cast("long")
+        .alias("n_speech_frames"),
+        seg_opens.cast("long").alias("n_segments"),
+        F.array_position("fl", True).cast("long")
+        .alias("first_speech_frame"),
     )

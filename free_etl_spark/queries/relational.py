@@ -1357,3 +1357,60 @@ def orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre.filter(
         F.col("emax").isNull() | (F.col("ep") > F.col("emax"))
     ).select("o_orderkey", "o_totalprice", "o_orderdate")
+
+
+@query(
+    "orders_price_elasticity",
+    oracle="""
+    WITH xy AS (
+      SELECT p.p_brand,
+             ln(l.l_extendedprice / l.l_quantity) AS x,
+             ln(l.l_quantity) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    ),
+    s AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx
+      FROM xy GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e4) / 1e4
+             AS elasticity
+    FROM s
+    """,
+)
+def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand per brand: OLS slope of ln(quantity)
+    on ln(unit price) across that brand's line items — the pricing
+    question every retailer asks of exactly this star schema. One
+    broadcast join (part is the dimension side), one grouped aggregate
+    carrying five moment sums per brand (~25 groups); the slope is
+    assembled from the sums AFTER aggregation, so nothing beyond the
+    moments crosses the shuffle. FLOOR-4 absorbs cross-engine FP
+    summation-order drift (same tolerance as agg_regression's
+    ROUND-4)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    part = _t(spark, sf_dir, "part")
+    x = F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+    y = F.log(F.col("l_quantity"))
+    s = (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .select("p_brand", x.alias("x"), y.alias("y"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "p_brand", "n", (F.floor(num / den * 1e4) / 1e4).alias("elasticity")
+    )

@@ -1554,3 +1554,113 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("cos_sim"),
     )
+
+
+@query(
+    "sim_knn_classifier",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             SQRT(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    test AS (SELECT * FROM n WHERE vec_id % 5 = 0),
+    train AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+    p AS (
+      SELECT t.vec_id AS qid, t.label AS true_label,
+             c.label AS cand_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.vec_id
+               ORDER BY list_sum(list_transform(
+                          list_zip(t.embedding, c.embedding),
+                          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                        / (t.nrm * c.nrm) DESC, c.vec_id
+             ) AS rn
+      FROM test t JOIN train c ON TRUE
+    ),
+    votes AS (
+      SELECT qid, true_label, cand_label,
+             COUNT(*) AS v
+      FROM p WHERE rn <= {_K} GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT qid, true_label, cand_label AS pred_label
+      FROM (SELECT qid, true_label, cand_label,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY v DESC, cand_label) AS pr
+            FROM votes)
+      WHERE pr = 1
+    )
+    SELECT true_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM pred GROUP BY true_label
+    """,
+)
+def sim_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label classification audit over the embedding table: hold
+    out every fifth vector, predict its label by majority vote of its
+    {_K} nearest training neighbors (cosine, vec_id tie-break; label
+    ties resolve to the smaller label), and report per-label test
+    count and correct count — the standard embedding-quality probe
+    (if kNN can't recover labels, the embeddings won't retrieve). The
+    brute-force score here is the EXACTNESS baseline, same contract
+    as sim_cosine_topk: the train scan is map-side against the
+    broadcast holdout (a fixed probe set by definition); the scale
+    path for a full-corpus sweep is the IVF route (sim_ivf_topk) with
+    identical vote/argmax tail. Cosine folds run sequentially over 64
+    dims in both engines — bit-identical doubles, no rounding
+    needed before the rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    n = emb.select("vec_id", "label", "embedding", nrm.alias("nrm"))
+    test = n.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    train = n.filter(F.col("vec_id") % 5 != 0)
+    dot = F.aggregate(
+        F.zip_with("qemb", "embedding", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = (
+        train.join(F.broadcast(test))
+        .select(
+            "qid",
+            "true_label",
+            F.col("label").alias("cand_label"),
+            F.col("vec_id").alias("cid"),
+            (dot / (F.col("qnrm") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "cid")
+    votes = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _K)
+        .groupBy("qid", "true_label", "cand_label")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    wp = Window.partitionBy("qid").orderBy(F.col("v").desc(), "cand_label")
+    pred = (
+        votes.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") == 1)
+    )
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(
+            F.when(F.col("cand_label") == F.col("true_label"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+    )

@@ -2130,3 +2130,96 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(num / den * 1e4) / 1e4).alias("slope"),
         (F.floor(num * num / (den * deny) * 1e4) / 1e4).alias("r2"),
     )
+
+
+@query(
+    "text_ocr_garbage",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                  AS BIGINT) AS n_sym,
+             CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))
+                  AS BIGINT) AS n_vowel,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                  AS BIGINT) AS n_alpha,
+             CAST(COALESCE(list_max(list_transform(
+                    regexp_extract_all(lower(text),
+                      '[bcdfghjklmnpqrstvwxz]+'), s -> length(s))), 0)
+                  AS BIGINT) AS max_cons_run
+      FROM documents WHERE length(text) > 0
+    ),
+    sc AS (
+      SELECT doc_id, n, max_cons_run,
+             FLOOR(CAST(n_sym AS DOUBLE) / n * 1e6) / 1e6 AS sym_ratio,
+             FLOOR(CASE WHEN n_alpha = 0 THEN 1.0
+                        ELSE CAST(n_alpha - n_vowel AS DOUBLE) / n_alpha
+                   END * 1e6) / 1e6 AS cons_ratio,
+             CAST(2 * n_sym + (n_alpha - 2 * n_vowel)
+                  + 5 * CASE WHEN max_cons_run >= 5 THEN 1 ELSE 0 END
+                  AS BIGINT) AS garbage_points
+      FROM f
+    )
+    SELECT doc_id, n, sym_ratio, cons_ratio, max_cons_run,
+           garbage_points
+    FROM sc ORDER BY garbage_points DESC, doc_id LIMIT 20
+    """,
+)
+def text_ocr_garbage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR/mojibake-garbage detection: surface statistics that
+    separate real prose from scanner noise — symbol ratio (chars
+    outside [A-Za-z0-9 ]), consonant share of letters, and the
+    longest all-consonant run (OCR confusions like 'rn->m' pile up
+    unpronounceable clusters). The composite garbage_points is pure
+    integer arithmetic (2*symbols + consonant surplus + long-run
+    flag), so the ranking has NO FP boundary anywhere; displayed
+    ratios are exact single divisions FLOOR-6ed. Map-only scan +
+    TakeOrdered top-20 — scales as a linear pass."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    low = F.lower(F.col("text"))
+    n = F.length("text").cast("long")
+    n_sym = F.length(
+        F.regexp_replace("text", "[A-Za-z0-9 ]", "")
+    ).cast("long")
+    n_vowel = F.length(F.regexp_replace(low, "[^aeiou]", "")).cast("long")
+    n_alpha = F.length(F.regexp_replace(low, "[^a-z]", "")).cast("long")
+    runs = F.regexp_extract_all(low, F.lit("[bcdfghjklmnpqrstvwxz]+"), 0)
+    max_run = F.coalesce(
+        F.array_max(F.transform(runs, lambda s: F.length(s))), F.lit(0)
+    ).cast("long")
+    f = docs.select(
+        "doc_id",
+        n.alias("n"),
+        n_sym.alias("n_sym"),
+        n_vowel.alias("n_vowel"),
+        n_alpha.alias("n_alpha"),
+        max_run.alias("max_cons_run"),
+    )
+    pts = (
+        2 * F.col("n_sym")
+        + (F.col("n_alpha") - 2 * F.col("n_vowel"))
+        + 5 * F.when(F.col("max_cons_run") >= 5, 1).otherwise(0)
+    ).cast("long")
+    sc = f.select(
+        "doc_id",
+        "n",
+        (F.floor(F.col("n_sym").cast("double") / F.col("n") * 1e6) / 1e6)
+        .alias("sym_ratio"),
+        (
+            F.floor(
+                F.when(F.col("n_alpha") == 0, F.lit(1.0))
+                .otherwise(
+                    (F.col("n_alpha") - F.col("n_vowel")).cast("double")
+                    / F.col("n_alpha")
+                )
+                * 1e6
+            )
+            / 1e6
+        ).alias("cons_ratio"),
+        "max_cons_run",
+        pts.alias("garbage_points"),
+    )
+    return sc.orderBy(F.col("garbage_points").desc(), "doc_id").limit(20)
