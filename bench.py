@@ -205,6 +205,26 @@ HEADLINE = [
     "events_periodogram",
     "quality_fd_check",
     "events_behavior_entropy",
+    # r7 final waves: skyline/prefix-max, optimizer statistics,
+    # KL outlier scan, contingency/rank statistics, activity bitmap,
+    # sequence pattern, Zipf fit, link prediction, FK audit, bursts,
+    # elasticity, OCR-garbage, kNN audit, audio VAD
+    "orders_skyline",
+    "quality_outlier_iqr",
+    "quality_join_cardinality_estimate",
+    "text_kl_divergence",
+    "events_chi_square_independence",
+    "events_activity_bitmap",
+    "events_sequence_pattern",
+    "events_mann_whitney",
+    "text_zipf_fit",
+    "graph_adamic_adar",
+    "quality_referential_integrity",
+    "events_burst_detection",
+    "orders_price_elasticity",
+    "text_ocr_garbage",
+    "sim_knn_classifier",
+    "multimodal_audio_vad",
 ]
 
 
