@@ -3668,3 +3668,281 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("burst_ratio"),
         )
     )
+
+
+@query(
+    "events_growth_accounting",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(date_diff('day', DATE '2024-01-01',
+                  CAST(ts AS DATE)) / 7) AS BIGINT) AS wk
+      FROM events
+    ),
+    flags AS (
+      SELECT user_id, wk,
+             LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+             MIN(wk) OVER (PARTITION BY user_id) AS first_wk
+      FROM uw
+    ),
+    states AS (
+      SELECT wk,
+             CASE WHEN wk = first_wk THEN 'new'
+                  WHEN prev_wk = wk - 1 THEN 'retained'
+                  ELSE 'resurrected' END AS state,
+             user_id
+      FROM flags
+    ),
+    churn AS (
+      SELECT wk + 1 AS wk, 'churned' AS state, user_id
+      FROM flags f
+      WHERE NOT EXISTS (SELECT 1 FROM uw n
+                        WHERE n.user_id = f.user_id AND n.wk = f.wk + 1)
+        AND wk + 1 <= (SELECT MAX(wk) FROM uw)
+    )
+    SELECT wk, state, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM (SELECT * FROM states UNION ALL SELECT * FROM churn)
+    GROUP BY wk, state
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (the new/retained/resurrected/churned
+    decomposition every growth team reports): collapse events to the
+    distinct (user, week) relation, then classify each active week by
+    first-ever week (new), previous-week activity (retained), or a
+    gap (resurrected); a user active in week w but not w+1 churns
+    into w+1 (bounded by the corpus's last week). Per-user windows
+    run over AT MOST weeks-per-user rows (calendar-bounded, ~5 here),
+    never event volume; churn is an anti-join of the week-shifted
+    relation against itself. Week is anchored to the fixed epoch
+    Monday grid (2024-01-01), not per-corpus minima, so week ids are
+    stable across incremental loads."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = (
+        ev.select(
+            "user_id",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+                / 7
+            )
+            .cast("long")
+            .alias("wk"),
+        )
+        .distinct()
+    )
+    w_user = Window.partitionBy("user_id").orderBy("wk")
+    flags = uw.withColumn("prev_wk", F.lag("wk").over(w_user)).withColumn(
+        "first_wk", F.min("wk").over(Window.partitionBy("user_id"))
+    )
+    states = flags.select(
+        "wk",
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(F.col("prev_wk") == F.col("wk") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+        "user_id",
+    )
+    max_wk = uw.agg(F.max("wk").alias("max_wk"))
+    nxt = uw.select(
+        F.col("user_id").alias("nu"), (F.col("wk") - 1).alias("nwk")
+    )
+    churn = (
+        flags.join(
+            nxt,
+            (F.col("user_id") == F.col("nu")) & (F.col("wk") == F.col("nwk")),
+            "anti",
+        )
+        .join(F.broadcast(max_wk))
+        .filter(F.col("wk") + 1 <= F.col("max_wk"))
+        .select(
+            (F.col("wk") + 1).alias("wk"),
+            F.lit("churned").alias("state"),
+            "user_id",
+        )
+    )
+    return (
+        states.unionAll(churn)
+        .groupBy("wk", "state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+@query(
+    "events_ratio_metric_delta_method",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+             SUM(CASE WHEN event_type = 'purchase' THEN value
+                      ELSE 0 END) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) AS DOUBLE) AS y
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             var_samp(x) AS vxx, var_samp(y) AS vyy,
+             covar_samp(x, y) AS vxy
+      FROM per_user GROUP BY arm
+    ),
+    r AS (
+      SELECT arm, n, sx / sy AS ratio,
+             SQRT((vxx + (sx / sy) * (sx / sy) * vyy
+                   - 2 * (sx / sy) * vxy)
+                  / (n * (sy / n) * (sy / n))) AS se
+      FROM s
+    )
+    SELECT a.n AS n_0, b.n AS n_1,
+           FLOOR(a.ratio * 1e6) / 1e6 AS ratio_0,
+           FLOOR(b.ratio * 1e6) / 1e6 AS ratio_1,
+           FLOOR(a.se * 1e6) / 1e6 AS se_0,
+           FLOOR(b.se * 1e6) / 1e6 AS se_1,
+           FLOOR((b.ratio - a.ratio)
+                 / SQRT(a.se * a.se + b.se * b.se) * 1e4) / 1e4 AS z
+    FROM (SELECT * FROM r WHERE arm = 0) a
+    CROSS JOIN (SELECT * FROM r WHERE arm = 1) b
+    """,
+)
+def events_ratio_metric_delta_method(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta-method standard error for a RATIO metric (revenue per
+    purchase event, users split into two arms by user_id parity) —
+    the correct variance for per-user-clustered ratio metrics, where
+    naive per-event variance is wrong because the denominator is
+    random too: var(X/Y) ~ (vxx + R^2 vyy - 2 R vxy) / (n my^2).
+    One pass builds per-user numerators/denominators, one grouped
+    aggregate per arm carries the five moments, and the z-score
+    compares arms — the engine-side math every experimentation
+    platform (CUPED/delta-method lineage) runs. FLOOR-6/4 absorbs
+    the cross-engine summation-order ulps in the variance terms."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).cast("long").alias("arm"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                0.0
+            )
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("y"),
+    )
+    s = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.var_samp("x").alias("vxx"),
+        F.var_samp("y").alias("vyy"),
+        F.covar_samp("x", "y").alias("vxy"),
+    )
+    ratio = F.col("sx") / F.col("sy")
+    my = F.col("sy") / F.col("n")
+    se = F.sqrt(
+        (
+            F.col("vxx")
+            + ratio * ratio * F.col("vyy")
+            - 2 * ratio * F.col("vxy")
+        )
+        / (F.col("n") * my * my)
+    )
+    r = s.select("arm", "n", ratio.alias("ratio"), se.alias("se"))
+    a = r.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_0"), F.col("ratio").alias("r0"), F.col("se").alias("s0")
+    )
+    b = r.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_1"), F.col("ratio").alias("r1"), F.col("se").alias("s1")
+    )
+    return a.join(b).select(
+        "n_0",
+        "n_1",
+        (F.floor(F.col("r0") * 1e6) / 1e6).alias("ratio_0"),
+        (F.floor(F.col("r1") * 1e6) / 1e6).alias("ratio_1"),
+        (F.floor(F.col("s0") * 1e6) / 1e6).alias("se_0"),
+        (F.floor(F.col("s1") * 1e6) / 1e6).alias("se_1"),
+        (
+            F.floor(
+                (F.col("r1") - F.col("r0"))
+                / F.sqrt(F.col("s0") * F.col("s0") + F.col("s1") * F.col("s1"))
+                * 1e4
+            )
+            / 1e4
+        ).alias("z"),
+    )
+
+
+@query(
+    "events_power_analysis",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                         THEN (user_id, CAST(ts AS DATE)) END) AS DOUBLE)
+               / COUNT(DISTINCT (user_id, CAST(ts AS DATE))) AS p1,
+             CAST(COUNT(DISTINCT (user_id, CAST(ts AS DATE)))
+                  AS BIGINT) AS n_units
+      FROM events
+    ),
+    mde AS (
+      SELECT n_units, p1,
+             LEAST(p1 * (1 + m.rel), 0.999999) AS p2, m.rel
+      FROM base
+      CROSS JOIN (SELECT unnest([0.02, 0.05, 0.10]) AS rel) m
+    )
+    SELECT FLOOR(rel * 1e6) / 1e6 AS rel_mde, n_units,
+           FLOOR(p1 * 1e6) / 1e6 AS baseline_rate,
+           CAST(CEIL(
+             POWER(1.959964 * SQRT(2 * ((p1 + p2) / 2)
+                                     * (1 - (p1 + p2) / 2))
+                   + 0.841621 * SQRT(p1 * (1 - p1) + p2 * (1 - p2)), 2)
+             / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm
+    FROM mde
+    """,
+)
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis from observed data: take the
+    measured user-day purchase-conversion baseline (randomization
+    unit = active user-day; p2 clamped below 1), and for each
+    relative MDE
+    (2/5/10%) compute the required users per arm at alpha=0.05 /
+    power=0.80 (two-proportion z-test closed form; z constants as
+    exact literals in both engines). The corpus reduces to two
+    distinct-counts in one pass; the sizing arithmetic runs on a
+    constant 3-row MDE grid. The answer every 'how long must this
+    A/B run' question needs, computed where the data lives."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "d", F.to_date("ts")
+    )
+    unit = F.struct(F.col("user_id"), F.col("d"))
+    base = ev.agg(
+        (
+            F.countDistinct(
+                F.when(F.col("event_type") == "purchase", unit)
+            ).cast("double")
+            / F.countDistinct(unit)
+        ).alias("p1"),
+        F.countDistinct(unit).cast("long").alias("n_units"),
+    )
+    mdes = spark.createDataFrame(
+        [(0.02,), (0.05,), (0.10,)], "rel double"
+    )
+    m = base.join(F.broadcast(mdes))
+    p1, rel = F.col("p1"), F.col("rel")
+    p2 = F.least(p1 * (1 + rel), F.lit(0.999999))
+    pbar = (p1 + p2) / 2
+    za, zb = F.lit(1.959964), F.lit(0.841621)
+    n_per_arm = F.ceil(
+        F.pow(
+            za * F.sqrt(2 * pbar * (1 - pbar))
+            + zb * F.sqrt(p1 * (1 - p1) + p2 * (1 - p2)),
+            F.lit(2.0),
+        )
+        / ((p2 - p1) * (p2 - p1))
+    ).cast("long")
+    return m.select(
+        (F.floor(rel * 1e6) / 1e6).alias("rel_mde"),
+        "n_units",
+        (F.floor(p1 * 1e6) / 1e6).alias("baseline_rate"),
+        n_per_arm.alias("n_per_arm"),
+    )

@@ -426,10 +426,17 @@ def triangle_counts(
             F.col("e2.hi").alias("z"),
         )
     )
+    # one explode pass, not a 3-way unionAll of projections: the
+    # union triples the map-task count over the triangle relation
+    # (each triangle is scanned three times in three stages) while
+    # explode emits the same (node, +1) stream in a single scan that
+    # partial-aggregates map-side before the one shuffle
     cnt = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
+        tri.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias(
+                "node"
+            )
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("tri_cnt"))
     )
@@ -845,5 +852,94 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_b",
             "n_common",
             (F.floor(F.col("aa") * 1e6) / 1e6).alias("adamic_adar"),
+        )
+    )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH {_USER_EDGES_SQL},
+    tris AS (
+      SELECT e1.ua AS a, e1.ub AS b, e2.ub AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.ua = e1.ub
+      JOIN edges e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
+    ),
+    node_tri AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+      ) GROUP BY node
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT ua AS node FROM edges UNION ALL SELECT ub FROM edges
+      ) GROUP BY node
+    )
+    SELECT deg.node AS user_id, deg.d AS degree,
+           COALESCE(node_tri.t, 0) AS tri_cnt,
+           CASE WHEN deg.d >= 2
+                THEN FLOOR(2.0 * COALESCE(node_tri.t, 0)
+                           / (deg.d * (deg.d - 1)) * 1e6) / 1e6
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg LEFT JOIN node_tri ON node_tri.node = deg.node
+    """,
+)
+def graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Local clustering coefficient per user over the co-presence
+    graph: 2*triangles / d*(d-1) — how much each user's neighborhood
+    is itself interconnected (near 1 = tight clique, the bot-ring /
+    community-core signal that degree alone misses). Reuses the
+    compact-forward triangle machinery (triangle_counts: wedges
+    centered on the lowest-degree endpoint, tuple-order orientation,
+    no rank window) over user_copresence_edges' distilled relation;
+    the coefficient itself is an exact integer ratio FLOOR-6ed — no
+    FP boundary. Degrees and triangles join node-keyed. Gate cost is
+    dominated by the copresence cache build + the dense wedge join
+    this corpus produces (150 users all co-active → near-clique);
+    the cache is shared with graph_kcore/graph_degree_stats, so the
+    marginal cost in a full gate is the wedge join alone."""
+    from free_etl_spark.queries.dedup import _cached_relation
+
+    edges = user_copresence_edges(spark, sf_dir)
+    und = edges.select(F.col("ua").alias("a"), F.col("ub").alias("b"))
+    deg = node_degrees(und)
+    # the oriented edge list feeds the wedge self-join three times —
+    # persist it (edge-set-sized) exactly like graph_triangle_count,
+    # or the orientation joins replay per branch
+    er = _cached_relation(
+        spark,
+        sf_dir,
+        "user_er",
+        lambda: oriented_edges(und, deg),
+        src_table="events.parquet",
+    )
+    tri = triangle_counts(und, deg=deg, er=er).withColumnRenamed(
+        "node", "tnode"
+    )
+    return (
+        deg.join(tri, F.col("node") == F.col("tnode"), "left")
+        .select(
+            F.col("node").alias("user_id"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("tri_cnt"), F.lit(0))
+            .cast("long")
+            .alias("tri_cnt"),
+            F.when(
+                F.col("d") >= 2,
+                F.floor(
+                    2.0
+                    * F.coalesce(F.col("tri_cnt"), F.lit(0))
+                    / (F.col("d") * (F.col("d") - 1))
+                    * 1e6
+                )
+                / 1e6,
+            )
+            .otherwise(0.0)
+            .alias("clustering_coeff"),
         )
     )

@@ -787,3 +787,64 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("alloc"),
     )
+
+
+@query(
+    "sample_time_based_split",
+    oracle="""
+    WITH e AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ep FROM events
+    ),
+    cut AS (
+      SELECT CAST(FLOOR(quantile_cont(ep, 0.8)) AS BIGINT) AS cut_us
+      FROM e
+    )
+    SELECT cut.cut_us,
+           CAST(SUM(CASE WHEN e.ep <= cut.cut_us THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN e.ep > cut.cut_us THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_test,
+           FLOOR(SUM(CASE WHEN e.ep <= cut.cut_us THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6 AS train_frac
+    FROM e CROSS JOIN cut
+    GROUP BY cut.cut_us
+    """,
+)
+def sample_time_based_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split: cut at the 80th percentile of event
+    time — the split that respects causality (no future rows in
+    train), which hash-based splits violate for forecasting tasks.
+    The cutoff is one exact-percentile aggregate over epoch
+    microseconds (distributed partial aggregation, FLOOR to an
+    integer cut so both engines compare on the same boundary),
+    broadcast back onto a single counting pass. Two shuffles total
+    at any corpus size; the assignment itself is a map-side
+    comparison any downstream writer applies for free."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ep")
+    )
+    cut = ev.agg(
+        F.floor(F.percentile("ep", F.lit(0.8))).cast("long").alias("cut_us")
+    )
+    return (
+        ev.join(F.broadcast(cut))
+        .groupBy("cut_us")
+        .agg(
+            F.sum(F.when(F.col("ep") <= F.col("cut_us"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(F.when(F.col("ep") > F.col("cut_us"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_test"),
+            (
+                F.floor(
+                    F.sum(
+                        F.when(F.col("ep") <= F.col("cut_us"), 1).otherwise(0)
+                    )
+                    / F.count(F.lit(1)).cast("double")
+                    * 1e6
+                )
+                / 1e6
+            ).alias("train_frac"),
+        )
+    )

@@ -507,3 +507,51 @@ def source_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
     )
+
+
+@query("source_fixed_width_parse", oracle=_ORACLE)
+def source_fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (mainframe/COBOL-style) landing format: the slice
+    is serialized to 33-char records — orderkey lpad-12, returnflag
+    1, quantity and extendedprice as zero-padded cent integers
+    (lpad-10 each) — written as plain text, then re-parsed by
+    substring offsets and cast back. The parse is pure JVM substring
+    arithmetic on a splittable text scan (each line one record, so
+    executors split the files exactly like CSV); money fields ride
+    as exact integer cents both directions, so the roundtrip is
+    lossless by construction and must hash-equal the parquet-side
+    oracle."""
+    path = os.path.join(
+        "/tmp",
+        f"fes_source_fw_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    cents = lambda c: F.lpad(
+        F.round(F.col(c) * 100).cast("long").cast("string"), 10, "0"
+    )
+    (
+        _slice(spark, sf_dir)
+        .select(
+            F.concat(
+                F.lpad(F.col("l_orderkey").cast("string"), 12, "0"),
+                F.col("l_returnflag"),
+                cents("l_quantity"),
+                cents("l_extendedprice"),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .format("text")
+        .save(path)
+    )
+    raw = spark.read.format("text").load(path)
+    parsed = raw.select(
+        F.substring("value", 1, 12).cast("long").alias("l_orderkey"),
+        F.substring("value", 13, 1).alias("l_returnflag"),
+        (F.substring("value", 14, 10).cast("long") / 100.0).alias(
+            "l_quantity"
+        ),
+        (F.substring("value", 24, 10).cast("long") / 100.0).alias(
+            "l_extendedprice"
+        ),
+    )
+    return _agg(parsed)
