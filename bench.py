@@ -225,6 +225,17 @@ HEADLINE = [
     "text_ocr_garbage",
     "sim_knn_classifier",
     "multimodal_audio_vad",
+    "events_growth_accounting",
+    "events_ratio_metric_delta_method",
+    "events_power_analysis",
+    "graph_clustering_coefficient",
+    "source_fixed_width_parse",
+    "sample_time_based_split",
+    "events_session_window_native",
+    "events_cumulative_users",
+    "orders_fulfillment_latency",
+    "agg_boolean_funcs",
+    "udf_arrow_python_scalar",
 ]
 
 

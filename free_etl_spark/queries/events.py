@@ -3946,3 +3946,113 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(p1 * 1e6) / 1e6).alias("baseline_rate"),
         n_per_arm.alias("n_per_arm"),
     )
+
+
+@query(
+    "events_session_window_native",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             LAG(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN prev IS NULL
+                       OR epoch_us(ts) - epoch_us(prev) >= 600000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM o
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    spans AS (
+      SELECT user_id, sid,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             date_diff('second', MIN(ts), MAX(ts)) + 600 AS span_s
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(span_s) AS BIGINT) AS total_span_s,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events
+    FROM spans GROUP BY user_id
+    """,
+)
+def events_session_window_native(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window aggregate
+    (10-minute gap): groupBy(user, session_window(ts)) runs as one
+    mergeable aggregate — the engine merges overlapping windows
+    map-side, so unlike the lag/island formulation
+    (events_sessionize) there is no per-user ordered window at all,
+    just a keyed shuffle. Session span = window end - start, where
+    the native window end is last_event + gap by definition —
+    matched exactly by the oracle's island reconstruction. The
+    per-user rollup (n_sessions, total span, max events) keeps the
+    result user-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    per_session = (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "10 minutes").alias("sw")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            (
+                F.unix_timestamp(F.col("sw.end"))
+                - F.unix_timestamp(F.col("sw.start"))
+            ).alias("span_s"),
+        )
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("span_s").cast("long").alias("total_span_s"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+    )
+
+
+@query(
+    "events_cumulative_users",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+      GROUP BY user_id
+    ),
+    daily AS (
+      SELECT d0 AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM first_day GROUP BY d0
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-acquisition curve: running count of distinct users
+    ever seen, by day. The naive form (per-day COUNT(DISTINCT) over
+    growing prefixes) rescans the corpus per day; this is the
+    first-touch trick — min(day) per user (one keyed aggregate),
+    per-day new-user counts, then a running sum over the
+    CALENDAR-BOUNDED daily relation (30 rows/month at any corpus
+    size, so the ordered window is bounded, not corpus-scale). All
+    integers — engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    daily = first_day.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )

@@ -1414,3 +1414,83 @@ def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "p_brand", "n", (F.floor(num / den * 1e4) / 1e4).alias("elasticity")
     )
+
+
+@query(
+    "orders_fulfillment_latency",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(quantile_cont(days, 0.5) * 1e6) / 1e6 AS p50_days,
+           FLOOR(quantile_cont(days, 0.9) * 1e6) / 1e6 AS p90_days,
+           CAST(MAX(days) AS BIGINT) AS max_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+)
+def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority — the
+    SLA question logistics asks of exactly this schema (does URGENT
+    actually ship faster?). Latency in whole days (DATE-truncated on
+    both sides so the subtraction is exact integer), exact p50/p90
+    via the distributed percentile aggregate, one fact-fact equi-join
+    shuffled on the order key and one grouped aggregate over five
+    priority groups. FLOOR-6 on the interpolated quantiles (both
+    engines linearly interpolate the same sorted integers)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lat = orders.join(li, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.floor(F.percentile("days", F.lit(0.5)) * 1e6) / 1e6).alias(
+            "p50_days"
+        ),
+        (F.floor(F.percentile("days", F.lit(0.9)) * 1e6) / 1e6).alias(
+            "p90_days"
+        ),
+        F.max("days").cast("long").alias("max_days"),
+    )
+
+
+@query(
+    "agg_boolean_funcs",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(count_if(value > 100) AS BIGINT) AS n_over_100,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 499) AS any_over_499,
+           CAST(count_if(value > 100) AS DOUBLE) / COUNT(*)
+             AS frac_over_100
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_boolean_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family (SURVEY §2B scalar/aggregate
+    function coverage): count_if, bool_and (every), bool_or (some) —
+    the predicates-as-aggregates surface data-quality assertions
+    compile to. All are mergeable partial aggregates (a boolean AND/
+    OR and a conditional count combine associatively), so the
+    shuffle carries one boolean + one long per group; the fraction
+    is a single exact division of identical integers."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if(F.col("value") > 100).cast("long").alias("n_over_100"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 499).alias("any_over_499"),
+        (
+            F.count_if(F.col("value") > 100).cast("double")
+            / F.count(F.lit(1))
+        ).alias("frac_over_100"),
+    )

@@ -275,3 +275,49 @@ def udf_map_in_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_stats,
         "vec_id bigint, dims bigint, vmin double, vmax double, int8_scale double",
     )
+
+
+@query(
+    "udf_arrow_python_scalar",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'S'
+                WHEN o_totalprice < 250000 THEN 'M'
+                WHEN o_totalprice < 400000 THEN 'L'
+                ELSE 'XL' END AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def udf_arrow_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (Spark 4's `useArrow=True` on a
+    plain @udf) — the third Python-scalar surface next to
+    pandas_udf (Arrow, batch Series) and legacy row-pickle udf
+    (deliberately absent from this repo): same per-row Python
+    function author experience, but Arrow batch transfer instead of
+    pickled rows. The UDF computes only the tier label; the
+    aggregate stays JVM-side. Exists to pin API parity — for a pure
+    banding expression the built-in CASE (see the oracle) is the
+    production form, which is why every OTHER banding query here is
+    pure JVM."""
+    from pyspark.sql.functions import udf
+
+    @udf("string", useArrow=True)
+    def tier(p: float) -> str:
+        if p < 100000:
+            return "S"
+        if p < 250000:
+            return "M"
+        if p < 400000:
+            return "L"
+        return "XL"
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("tier", tier(F.col("o_totalprice")))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

@@ -253,6 +253,7 @@ def test_no_python_stage_creep_across_registry(spark):
         "udf_grouped_agg_weighted",
         "udf_apply_in_pandas_zscore",
         "udf_map_in_pandas_enrich",
+        "udf_arrow_python_scalar",
         "multimodal_decode_features",
         "multimodal_resize_32",
         # dHash runs through the same mapInPandas decoder registry
