@@ -236,6 +236,13 @@ HEADLINE = [
     "orders_fulfillment_latency",
     "agg_boolean_funcs",
     "udf_arrow_python_scalar",
+    "quality_corr_matrix",
+    "multimodal_blur_detect",
+    "emb_silhouette",
+    "events_error_budget_burn",
+    "agg_bitmap_distinct",
+    "orders_duplicate_invoice_detector",
+    "quality_temporal_sanity",
 ]
 
 

@@ -4056,3 +4056,73 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+@query(
+    "events_error_budget_burn",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_err
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT day, n, n_err,
+             CAST(SUM(n) OVER (ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_7d,
+             CAST(SUM(n_err) OVER (ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS err_7d
+      FROM daily
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, n, n_err,
+           FLOOR(CAST(n_err AS DOUBLE) / n / 0.25 * 1e6) / 1e6
+             AS burn_1d,
+           FLOOR(CAST(err_7d AS DOUBLE) / n_7d / 0.25 * 1e6) / 1e6
+             AS burn_7d,
+           n_err * 4 > n AS alert_fast,
+           err_7d * 4 > n_7d AS alert_slow
+    FROM w
+    """,
+)
+def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn-rate (the Google SRE multi-window alert):
+    with an error budget of 25% of events, burn = error_rate/budget
+    over a fast (1-day) and slow (7-day) window; alerting requires
+    the fast window to catch spikes and the slow one to catch
+    sustained burn. The corpus collapses to the calendar-bounded
+    daily relation first (one shuffle); the rolling window runs over
+    ~30 rows. Alert predicates are pure integer cross-products
+    (n_err*4 > n) — no FP threshold; displayed burn rates are exact
+    single divisions FLOOR-6ed."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_err"),
+    )
+    wspec = Window.orderBy("day").rowsBetween(-6, 0)
+    w = daily.withColumn(
+        "n_7d", F.sum("n").over(wspec).cast("long")
+    ).withColumn("err_7d", F.sum("n_err").over(wspec).cast("long"))
+    return w.select(
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        "n",
+        "n_err",
+        (
+            F.floor(F.col("n_err").cast("double") / F.col("n") / 0.25 * 1e6)
+            / 1e6
+        ).alias("burn_1d"),
+        (
+            F.floor(
+                F.col("err_7d").cast("double") / F.col("n_7d") / 0.25 * 1e6
+            )
+            / 1e6
+        ).alias("burn_7d"),
+        (F.col("n_err") * 4 > F.col("n")).alias("alert_fast"),
+        (F.col("err_7d") * 4 > F.col("n_7d")).alias("alert_slow"),
+    )

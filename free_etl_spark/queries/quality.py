@@ -895,3 +895,157 @@ def quality_referential_integrity(
     for e in edges[1:]:
         out = out.unionAll(e)
     return out
+
+
+@query(
+    "quality_corr_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             corr(l_quantity, l_extendedprice) AS c_qty_price,
+             corr(l_quantity, l_discount) AS c_qty_disc,
+             corr(l_quantity, l_tax) AS c_qty_tax,
+             corr(l_extendedprice, l_discount) AS c_price_disc,
+             corr(l_extendedprice, l_tax) AS c_price_tax,
+             corr(l_discount, l_tax) AS c_disc_tax
+      FROM lineitem
+    )
+    SELECT 'l_quantity|l_extendedprice' AS col_pair, n,
+           ROUND(c_qty_price, 6) AS pearson_r FROM s
+    UNION ALL SELECT 'l_quantity|l_discount', n, ROUND(c_qty_disc, 6) FROM s
+    UNION ALL SELECT 'l_quantity|l_tax', n, ROUND(c_qty_tax, 6) FROM s
+    UNION ALL SELECT 'l_extendedprice|l_discount', n,
+                     ROUND(c_price_disc, 6) FROM s
+    UNION ALL SELECT 'l_extendedprice|l_tax', n,
+                     ROUND(c_price_tax, 6) FROM s
+    UNION ALL SELECT 'l_discount|l_tax', n, ROUND(c_disc_tax, 6) FROM s
+    """,
+)
+def quality_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    columns — the feature-redundancy screen a profiling pass runs
+    before modeling (|r| near 1 means one column is derivable and a
+    candidate for pruning; qty x price SHOULD correlate, discount x
+    tax should not). All six coefficients come from ONE scan and one
+    mergeable moment aggregate (corr combines associatively);
+    unpivoting to rows happens on the 1-row aggregate result.
+    ROUND-6 absorbs summation-order ulps (welch_ttest precedent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_quantity", "l_tax"),
+        ("l_extendedprice", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+        ("l_discount", "l_tax"),
+    ]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")] + [
+        F.round(F.corr(a, b), 6).alias(f"r{i}")
+        for i, (a, b) in enumerate(pairs)
+    ]
+    s = li.agg(*aggs)
+    out = None
+    for i, (a, b) in enumerate(pairs):
+        row = s.select(
+            F.lit(f"{a}|{b}").alias("col_pair"),
+            "n",
+            F.col(f"r{i}").alias("pearson_r"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+@query(
+    "quality_temporal_sanity",
+    oracle="""
+    SELECT 'lineitem.ship_before_order' AS rule,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 JOIN orders o ON o.o_orderkey = l.l_orderkey
+                 WHERE CAST(l.l_shipdate AS DATE)
+                       < CAST(o.o_orderdate AS DATE)) AS BIGINT)
+             AS n_violations,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_checked
+    UNION ALL
+    SELECT 'events.ts_out_of_range',
+           (SELECT COUNT(*) FROM events
+            WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-01 00:00:00'
+               OR CAST(ts AS TIMESTAMP) >= TIMESTAMP '2025-01-01 00:00:00'),
+           (SELECT COUNT(*) FROM events)
+    UNION ALL
+    SELECT 'orders.orderdate_out_of_range',
+           (SELECT COUNT(*) FROM orders
+            WHERE CAST(o_orderdate AS DATE) < DATE '1992-01-01'
+               OR CAST(o_orderdate AS DATE) > DATE '1998-12-31'),
+           (SELECT COUNT(*) FROM orders)
+    """,
+)
+def quality_temporal_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-sanity audit: cross-table causality (a line item
+    cannot ship before its order was placed) and range plausibility
+    (event timestamps inside the 2024 ingest year, order dates inside
+    the TPC-H 1992-1998 window) — the time-travel bugs that corrupt
+    every windowed metric downstream if unchecked. The causality rule
+    is one fact-fact equi-join reading only the two date columns
+    (pruned scans); range rules are map-side conditional counts.
+    Three rows out, all integer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    ship = (
+        li.select("l_orderkey", F.to_date("l_shipdate").alias("sd"))
+        .join(
+            o.select("o_orderkey", F.to_date("o_orderdate").alias("od")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .agg(
+            F.sum(F.when(F.col("sd") < F.col("od"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations")
+        )
+        .join(
+            li.agg(F.count(F.lit(1)).cast("long").alias("n_checked"))
+        )
+        .select(
+            F.lit("lineitem.ship_before_order").alias("rule"),
+            "n_violations",
+            "n_checked",
+        )
+    )
+    ev_rule = ev.agg(
+        F.sum(
+            F.when(
+                (F.col("ts").cast("timestamp_ntz")
+                 < F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"))
+                | (F.col("ts").cast("timestamp_ntz")
+                   >= F.lit("2025-01-01 00:00:00").cast("timestamp_ntz")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_violations"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+    ).select(
+        F.lit("events.ts_out_of_range").alias("rule"),
+        "n_violations",
+        "n_checked",
+    )
+    o_rule = o.agg(
+        F.sum(
+            F.when(
+                (F.to_date("o_orderdate") < F.lit("1992-01-01").cast("date"))
+                | (
+                    F.to_date("o_orderdate")
+                    > F.lit("1998-12-31").cast("date")
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_violations"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+    ).select(
+        F.lit("orders.orderdate_out_of_range").alias("rule"),
+        "n_violations",
+        "n_checked",
+    )
+    return ship.unionAll(ev_rule).unionAll(o_rule)

@@ -1494,3 +1494,136 @@ def agg_boolean_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("frac_over_100"),
     )
+
+
+@query(
+    "orders_duplicate_invoice_detector",
+    oracle="""
+    WITH cand AS (
+      SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+             a.o_custkey AS custkey,
+             abs(a.o_totalprice - b.o_totalprice) AS price_gap,
+             abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+                           CAST(b.o_orderdate AS DATE))) AS day_gap
+      FROM orders a
+      JOIN orders b
+        ON a.o_custkey = b.o_custkey
+       AND a.o_orderkey < b.o_orderkey
+      WHERE abs(a.o_totalprice - b.o_totalprice) <= 5000
+        AND abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+                          CAST(b.o_orderdate AS DATE))) <= 30
+    )
+    SELECT key_a, key_b, custkey,
+           ROUND(price_gap, 2) AS price_gap,
+           CAST(day_gap AS BIGINT) AS day_gap
+    FROM cand ORDER BY key_a, key_b
+    """,
+)
+def orders_duplicate_invoice_detector(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-invoice screen (the classic audit/fraud query): two
+    orders by the SAME customer for nearly the same amount (within
+    $5000) within 30 days are double-billing candidates. The Spark
+    side blocks on (custkey, $10k price bucket) with one side
+    exploding its bucket plus both neighbors — a banded block join,
+    so every qualifying pair lands in at least one shared bucket
+    (threshold = half the band width) while candidate generation
+    stays bounded by per-(customer, bucket) group sizes, never
+    customers x orders. Residual filters (exact price and date
+    proximity) verify the tiny candidate set — the same
+    block-then-verify shape as the record-linkage dedup family,
+    instantiated on the money path; the oracle states the
+    quadratic-free definition directly. All outputs exact."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("key_a"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("pa"),
+        F.to_date("o_orderdate").alias("da"),
+    ).withColumn(
+        "bkt",
+        F.explode(
+            F.array(
+                F.floor(F.col("pa") / 10000) - 1,
+                F.floor(F.col("pa") / 10000),
+                F.floor(F.col("pa") / 10000) + 1,
+            )
+        ),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("key_b"),
+        F.col("o_custkey").alias("cb"),
+        F.col("o_totalprice").alias("pb"),
+        F.to_date("o_orderdate").alias("db"),
+        F.floor(F.col("o_totalprice") / 10000).alias("bkt_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("custkey") == F.col("cb"))
+            & (F.col("bkt") == F.col("bkt_b"))
+            & (F.col("key_a") < F.col("key_b")),
+        )
+        .filter(F.abs(F.col("pa") - F.col("pb")) <= 5000)
+        .withColumn("day_gap", F.abs(F.datediff("da", "db")))
+        .filter(F.col("day_gap") <= 30)
+        .select(
+            "key_a",
+            "key_b",
+            "custkey",
+            F.round(F.abs(F.col("pa") - F.col("pb")), 2).alias("price_gap"),
+            F.col("day_gap").cast("long").alias("day_gap"),
+        )
+        .distinct()
+        .orderBy("key_a", "key_b")
+    )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_bitmap,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS bitmap_matches_exact
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark 3.5's bitmap aggregate
+    family: bitmap_bit_position buckets each key, bitmap_construct_agg
+    builds a fixed 4KB bitmap per (group, bucket), and bitmap_count
+    sums the set bits — the mergeable-bitmap pattern warehouses use
+    when approx_count_distinct's error is unacceptable but
+    COUNT(DISTINCT)'s shuffle of raw keys is too wide. State per
+    (group, bucket) is a CONSTANT 4KB binary that merges
+    associatively, and buckets shard the key space so no aggregate
+    state grows with cardinality. The query computes the same count
+    both ways and pins equality — the oracle states the invariant
+    (DuckDB has no bitmap aggregate; the equality makes the check
+    value-level anyway)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("c"))
+    )
+    via_bitmap = per_bucket.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_users_bitmap")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users_exact")
+    )
+    return via_bitmap.join(exact, "event_type").select(
+        "event_type",
+        "n_users_bitmap",
+        "n_users_exact",
+        (F.col("n_users_bitmap") == F.col("n_users_exact")).alias(
+            "bitmap_matches_exact"
+        ),
+    )

@@ -1664,3 +1664,94 @@ def sim_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_correct"),
     )
+
+
+@query(
+    "emb_silhouette",
+    oracle="""
+    WITH cd AS (
+      SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS c
+      FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+      GROUP BY label, i
+    ),
+    cents AS (
+      SELECT label, list(c ORDER BY i) AS cent FROM cd GROUP BY label
+    ),
+    d AS (
+      SELECT e.vec_id, e.label AS own_label, c.label AS clabel,
+             sqrt(list_sum(list_transform(
+                    list_zip(e.embedding, c.cent),
+                    z -> (CAST(z[1] AS DOUBLE) - z[2])
+                         * (CAST(z[1] AS DOUBLE) - z[2])))) AS dist
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    ab AS (
+      SELECT vec_id, own_label,
+             MAX(CASE WHEN clabel = own_label THEN dist END) AS a,
+             MIN(CASE WHEN clabel <> own_label THEN dist END) AS b
+      FROM d GROUP BY vec_id, own_label
+    )
+    SELECT own_label AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           FLOOR(AVG((b - a) / GREATEST(a, b)) * 1e4) / 1e4
+             AS avg_silhouette
+    FROM ab GROUP BY own_label
+    """,
+)
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette score per label — the
+    cluster-quality audit for labeled embeddings: a = distance to own
+    centroid, b = nearest other centroid, s = (b-a)/max(a,b); mean s
+    near 1 means tight well-separated classes, near 0 means the
+    labels don't separate in embedding space (the 'are these labels
+    learnable' probe). Centroids come from one (label, dim)-keyed
+    aggregate over the exploded long form (64*labels rows — never a
+    per-vector window); each vector then scores against the
+    BROADCAST label-count-sized centroid relation map-side. This is
+    the O(n*k) medoid-free variant — the O(n^2) full silhouette is
+    exactly what doesn't survive a large corpus. FLOOR-4 absorbs
+    centroid summation-order ulps."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "label", F.posexplode("embedding").alias("i", "v")
+    )
+    cd = long.groupBy("label", "i").agg(
+        F.avg(F.col("v").cast("double")).alias("c")
+    )
+    cents = cd.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))),
+            lambda s: s["c"],
+        ).alias("cent")
+    )
+    c = cents.select(
+        F.col("label").alias("clabel"), F.col("cent")
+    )
+    diff2 = F.zip_with(
+        "embedding",
+        "cent",
+        lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
+    )
+    d = (
+        emb.join(F.broadcast(c))
+        .select(
+            "vec_id",
+            F.col("label").alias("own_label"),
+            "clabel",
+            F.sqrt(
+                F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x)
+            ).alias("dist"),
+        )
+    )
+    ab = d.groupBy("vec_id", "own_label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("own_label"), F.col("dist"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("clabel") != F.col("own_label"), F.col("dist"))
+        ).alias("b"),
+    )
+    s = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    return ab.groupBy(F.col("own_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        (F.floor(F.avg(s) * 1e4) / 1e4).alias("avg_silhouette"),
+    )

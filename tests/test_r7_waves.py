@@ -1,0 +1,121 @@
+"""Invariant + reimplementation pins for the round-7 final-wave
+operators (sequence pattern, activity bitmap, blur detect,
+silhouette, bitmap distinct, growth accounting)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+import pytest
+
+from free_etl_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from free_etl_spark.session import get_spark
+
+    return get_spark("test-r7-waves")
+
+
+def test_sequence_pattern_matches_python_recompute(spark):
+    """The MATCH_RECOGNIZE emulation must equal a row-at-a-time
+    Python reimplementation: per-user symbol string ordered by
+    (ts, event_id), lazy-regex count of v..c..p with no 'e'."""
+    ev = (
+        pd.read_parquet(f"{SF_DIR}/events.parquet")
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    pat = re.compile(r"v[^e]*?c[^e]*?p")
+    want = {}
+    for uid, grp in ev.groupby("user_id"):
+        s = "".join(t[0] for t in grp["event_type"])
+        n = len(pat.findall(s))
+        if n >= 1:
+            want[uid] = n
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["user_id"], r["n_matches"])
+        for r in QUERIES["events_sequence_pattern"](spark, SF_DIR).collect()
+    ]
+    assert got == top
+
+
+def test_activity_bitmap_accounts_every_user(spark):
+    """Histogram of bit_count(mask) partitions the distinct-user set,
+    and no user can be active more days than the corpus spans."""
+    rows = QUERIES["events_activity_bitmap"](spark, SF_DIR).collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    n_users = ev["user_id"].nunique()
+    span_days = (ev["ts"].dt.date.max() - ev["ts"].dt.date.min()).days + 1
+    assert sum(r["n_users"] for r in rows) == n_users
+    assert all(1 <= r["n_active_days"] <= span_days for r in rows)
+    assert all(0 <= r["n_both_halves"] <= r["n_users"] for r in rows)
+
+
+def test_blur_detect_matches_hashlib_recompute(spark):
+    """The JVM md5 pixel plane + Laplacian must equal a hashlib
+    reimplementation for every document (exact integer math)."""
+    got = {
+        r["doc_id"]: r["lap_var"]
+        for r in QUERIES["multimodal_blur_detect"](spark, SF_DIR).collect()
+    }
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    import math
+
+    for _, row in docs.head(25).iterrows():
+        digest = hashlib.md5(
+            (row["text"] + "|dhash9x8").encode()
+        ).hexdigest()
+        px = [int(digest[2 * (i % 16): 2 * (i % 16) + 2], 16) for i in range(72)]
+        lap = [
+            4 * px[r * 9 + c]
+            - px[(r - 1) * 9 + c]
+            - px[(r + 1) * 9 + c]
+            - px[r * 9 + c - 1]
+            - px[r * 9 + c + 1]
+            for r in range(1, 7)
+            for c in range(1, 8)
+        ]
+        s1 = float(sum(lap))
+        s2 = float(sum(x * x for x in lap))
+        var = (s2 - s1 * s1 / 42.0) / 42.0
+        assert got[row["doc_id"]] == math.floor(var * 1e6) / 1e6
+
+
+def test_silhouette_bounded_and_covers_labels(spark):
+    rows = QUERIES["emb_silhouette"](spark, SF_DIR).collect()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    assert {r["label"] for r in rows} == set(emb["label"].unique())
+    assert sum(r["n_vecs"] for r in rows) == len(emb)
+    assert all(-1.0 <= r["avg_silhouette"] <= 1.0 for r in rows)
+
+
+def test_bitmap_distinct_equals_exact(spark):
+    rows = QUERIES["agg_bitmap_distinct"](spark, SF_DIR).collect()
+    assert rows and all(r["bitmap_matches_exact"] for r in rows)
+    assert all(r["n_users_bitmap"] == r["n_users_exact"] for r in rows)
+
+
+def test_growth_accounting_conserves_users(spark):
+    """Per week: new + retained + resurrected = distinct active users
+    that week (churned rows describe the FOLLOWING week's loss)."""
+    rows = QUERIES["events_growth_accounting"](spark, SF_DIR).collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    base = pd.Timestamp("2024-01-01").date()
+    wk = ev["ts"].dt.date.map(lambda d: (d - base).days // 7)
+    active = (
+        pd.DataFrame({"user_id": ev["user_id"], "wk": wk})
+        .drop_duplicates()
+        .groupby("wk")["user_id"]
+        .nunique()
+    )
+    per_week: dict[int, int] = {}
+    for r in rows:
+        if r["state"] != "churned":
+            per_week[r["wk"]] = per_week.get(r["wk"], 0) + r["n_users"]
+    assert per_week == active.to_dict()
