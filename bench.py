@@ -243,6 +243,10 @@ HEADLINE = [
     "agg_bitmap_distinct",
     "orders_duplicate_invoice_detector",
     "quality_temporal_sanity",
+    "events_cuped_adjustment",
+    "events_peak_detection",
+    "events_resample_interpolate",
+    "streaming_bitmap_distinct_users",
 ]
 
 

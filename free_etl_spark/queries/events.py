@@ -4126,3 +4126,256 @@ def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_err") * 4 > F.col("n")).alias("alert_fast"),
         (F.col("err_7d") * 4 > F.col("n_7d")).alias("alert_slow"),
     )
+
+
+@query(
+    "events_cuped_adjustment",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+             SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                       AND event_type = 'purchase'
+                      THEN value ELSE 0 END) AS pre,
+             SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                       AND event_type = 'purchase'
+                      THEN value ELSE 0 END) AS post
+      FROM events GROUP BY user_id
+    ),
+    pooled AS (
+      SELECT covar_samp(pre, post) / var_samp(pre) AS theta,
+             AVG(pre) AS mu_pre
+      FROM per_user
+    ),
+    adj AS (
+      SELECT u.arm, u.post,
+             u.post - p.theta * (u.pre - p.mu_pre) AS y
+      FROM per_user u CROSS JOIN pooled p
+    )
+    SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(AVG(post) * 1e4) / 1e4 AS mean_post,
+           FLOOR(AVG(y) * 1e4) / 1e4 AS mean_adjusted,
+           FLOOR(var_samp(post) * 1e2) / 1e2 AS var_post,
+           FLOOR(var_samp(y) * 1e2) / 1e2 AS var_adjusted,
+           FLOOR((1 - var_samp(y) / var_samp(post)) * 1e4) / 1e4
+             AS var_reduction
+    FROM adj GROUP BY arm
+    """,
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13 — the standard
+    experimentation-platform technique): adjust each user's
+    experiment-period purchase metric by their PRE-period baseline,
+    y = post - theta*(pre - mu_pre) with theta = cov(pre,post)/
+    var(pre), which strictly shrinks variance by the squared
+    pre/post correlation and therefore the experiment's required
+    runtime. One pass builds per-user (pre, post) sums; theta and
+    mu_pre are a 1-row pooled aggregate broadcast back; per-arm
+    adjusted variances are a second grouped aggregate. Reported
+    var_reduction is the realized shrinkage. FLOOR-2/4 absorbs
+    summation-order ulps in the second moments (welch precedent;
+    variances here are O(1e5))."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("date")
+    is_p = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).cast("long").alias("arm"),
+        F.sum(
+            F.when(is_p & (F.to_date("ts") < cut), F.col("value")).otherwise(
+                0.0
+            )
+        ).alias("pre"),
+        F.sum(
+            F.when(is_p & (F.to_date("ts") >= cut), F.col("value")).otherwise(
+                0.0
+            )
+        ).alias("post"),
+    )
+    pooled = per_user.agg(
+        (F.covar_samp("pre", "post") / F.var_samp("pre")).alias("theta"),
+        F.avg("pre").alias("mu_pre"),
+    )
+    adj = per_user.join(F.broadcast(pooled)).select(
+        "arm",
+        "post",
+        (
+            F.col("post")
+            - F.col("theta") * (F.col("pre") - F.col("mu_pre"))
+        ).alias("y"),
+    )
+    return adj.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.floor(F.avg("post") * 1e4) / 1e4).alias("mean_post"),
+        (F.floor(F.avg("y") * 1e4) / 1e4).alias("mean_adjusted"),
+        (F.floor(F.var_samp("post") * 1e2) / 1e2).alias("var_post"),
+        (F.floor(F.var_samp("y") * 1e2) / 1e2).alias("var_adjusted"),
+        (
+            F.floor(
+                (1 - F.var_samp("y") / F.var_samp("post")) * 1e4
+            )
+            / 1e4
+        ).alias("var_reduction"),
+    )
+
+
+@query(
+    "events_peak_detection",
+    oracle="""
+    WITH hc AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT hr, n,
+             LAG(n) OVER (ORDER BY hr) AS prev_n,
+             LEAD(n) OVER (ORDER BY hr) AS next_n,
+             CAST(SUM(n) OVER (ORDER BY hr
+                    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+                  AS BIGINT) AS win_sum,
+             CAST(COUNT(*) OVER (ORDER BY hr
+                    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+                  AS BIGINT) AS win_n
+      FROM hc
+    )
+    SELECT hr, n, prev_n, next_n,
+           FLOOR(n * CAST(win_n AS DOUBLE) / win_sum * 1e6) / 1e6
+             AS prominence
+    FROM w
+    WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+      AND n > prev_n AND n > next_n
+      AND n * win_n * 10 >= win_sum * 12
+    """,
+)
+def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection in the hourly volume series: an hour
+    strictly above both neighbors with prominence >= 1.2x the
+    centered 25-hour window mean — the 'find the spikes' primitive
+    behind seasonality inspection and alert post-mortems
+    (complementary to events_burst_detection's trailing-baseline
+    form: peaks are local maxima, bursts are level shifts). Corpus
+    collapses to the calendar-bounded hourly relation first; the
+    neighbor/window comparisons run over ~720 rows. The prominence
+    gate n*win_n*10 >= win_sum*12 is exact integer arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wo = Window.orderBy("hr")
+    wc = Window.orderBy("hr").rowsBetween(-12, 12)
+    w = (
+        hc.withColumn("prev_n", F.lag("n").over(wo))
+        .withColumn("next_n", F.lead("n").over(wo))
+        .withColumn("win_sum", F.sum("n").over(wc).cast("long"))
+        .withColumn("win_n", F.count(F.lit(1)).over(wc).cast("long"))
+    )
+    return (
+        w.filter(
+            F.col("prev_n").isNotNull()
+            & F.col("next_n").isNotNull()
+            & (F.col("n") > F.col("prev_n"))
+            & (F.col("n") > F.col("next_n"))
+            & (F.col("n") * F.col("win_n") * 10 >= F.col("win_sum") * 12)
+        )
+        .select(
+            "hr",
+            "n",
+            "prev_n",
+            "next_n",
+            (
+                F.floor(
+                    F.col("n")
+                    * F.col("win_n").cast("double")
+                    / F.col("win_sum")
+                    * 1e6
+                )
+                / 1e6
+            ).alias("prominence"),
+        )
+    )
+
+
+@query(
+    "events_resample_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+             ROUND(SUM(value), 2) / COUNT(*) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT event_type, day, v,
+             LEAD(day) OVER (PARTITION BY event_type ORDER BY day)
+               AS next_day,
+             LEAD(v) OVER (PARTITION BY event_type ORDER BY day)
+               AS next_v
+      FROM daily
+    ),
+    grid AS (
+      SELECT s.event_type, g.t,
+             s.v + (s.next_v - s.v)
+                 * (epoch_us(g.t) - epoch_us(s.day))
+                 / (epoch_us(s.next_day) - epoch_us(s.day)) AS iv
+      FROM seg s
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(s.day,
+                 s.next_day - INTERVAL 1 SECOND,
+                 INTERVAL 6 HOUR)) AS t
+      ) g
+      WHERE s.next_day IS NOT NULL
+    )
+    SELECT event_type, t, FLOOR(iv * 1e6) / 1e6 AS value_interp
+    FROM grid
+    """,
+)
+def events_resample_interpolate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-series resampling with LINEAR interpolation: the daily
+    mean-value series per event type, resampled onto a 6-hour grid
+    where off-sample points lerp between the bracketing daily
+    observations — the upsampling primitive behind aligning series
+    of different cadences before correlation/regression (gap_fill
+    covers forward-fill; this is the interpolating form). Each
+    consecutive-day segment EXPLODES its own grid points (sequence
+    with a 6-hour step), so there is no grid-to-series join at all —
+    the interpolation weight is computed from the segment the point
+    was born in. All work happens on the calendar-bounded daily
+    relation; the interpolation is exact integer-fraction arithmetic
+    over deterministic daily means, FLOOR-6ed."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").cast("timestamp_ntz").alias("day")
+    ).agg((F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    seg = (
+        daily.withColumn("next_day", F.lead("day").over(w))
+        .withColumn("next_v", F.lead("v").over(w))
+        .filter(F.col("next_day").isNotNull())
+    )
+    grid = seg.select(
+        "event_type",
+        "v",
+        "next_v",
+        "day",
+        "next_day",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("next_day") - F.expr("INTERVAL 1 SECOND"),
+                F.expr("INTERVAL 6 HOURS"),
+            )
+        ).alias("t"),
+    )
+    frac = (
+        F.unix_micros(F.col("t").cast("timestamp"))
+        - F.unix_micros(F.col("day").cast("timestamp"))
+    ) / (
+        F.unix_micros(F.col("next_day").cast("timestamp"))
+        - F.unix_micros(F.col("day").cast("timestamp"))
+    )
+    iv = F.col("v") + (F.col("next_v") - F.col("v")) * frac
+    return grid.select(
+        "event_type",
+        "t",
+        (F.floor(iv * 1e6) / 1e6).alias("value_interp"),
+    )

@@ -355,3 +355,66 @@ def streaming_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "streaming_bitmap_distinct_users",
+    oracle="""
+    SELECT win_start, event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS bitmap_exact
+    FROM (
+      SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS win_start,
+             event_type, user_id
+      FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def streaming_bitmap_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT distinct users per tumbling hour in a stream, via the
+    bitmap aggregate family (bitmap_construct_agg over
+    bitmap_bit_position, keyed by (window, type, bitmap bucket)) —
+    the exact counterpart to streaming_approx_distinct_users' HLL:
+    state per open group is a CONSTANT 4KB mergeable bitmap instead
+    of an unbounded set of raw user ids, which is what makes exact
+    streaming distinct affordable at all. The per-bucket partial
+    counts are rolled up to (window, type) AFTER the stream
+    completes (batch view over the emitted table — chained stateful
+    aggregations stay out of the streaming plan); the result must
+    EQUAL the batch COUNT(DISTINCT), not merely approximate it, and
+    the oracle pins that equality via the n_users value itself plus
+    the bitmap_exact flag."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour"),
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))")
+        .alias("c")
+    )
+    emitted = run_to_completion(agg, "complete")
+    per_window = emitted.groupBy(
+        F.col("window.start").cast("timestamp_ntz").alias("win_start"),
+        "event_type",
+    ).agg(F.sum("c").cast("long").alias("stream_users"))
+    from free_etl_spark.tables import load_table
+
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("win_start"),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+    return exact.join(per_window, ["win_start", "event_type"]).select(
+        "win_start",
+        "event_type",
+        "n_users",
+        (F.col("stream_users") == F.col("n_users")).alias("bitmap_exact"),
+    )
