@@ -247,6 +247,10 @@ HEADLINE = [
     "events_peak_detection",
     "events_resample_interpolate",
     "streaming_bitmap_distinct_users",
+    "events_attribution_position_based",
+    "text_chat_template_pack",
+    "text_pii_redact",
+    "orders_total_reconciliation",
 ]
 
 

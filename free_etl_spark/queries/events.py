@@ -4379,3 +4379,99 @@ def events_resample_interpolate(
         "t",
         (F.floor(iv * 1e6) / 1e6).alias("value_interp"),
     )
+
+
+@query(
+    "events_attribution_position_based",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_type, ts, event_id,
+             COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS BIGINT), 0) + 1
+               AS grp
+      FROM events
+    ),
+    nc AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_conv
+      FROM events GROUP BY user_id
+    ),
+    touches AS (
+      SELECT b.user_id, b.event_type, b.grp,
+             ROW_NUMBER() OVER (PARTITION BY b.user_id, b.grp
+                                ORDER BY b.ts, b.event_id) AS pos,
+             COUNT(*) OVER (PARTITION BY b.user_id, b.grp) AS k
+      FROM base b JOIN nc ON nc.user_id = b.user_id
+      WHERE b.event_type <> 'purchase' AND b.grp <= nc.n_conv
+    )
+    SELECT event_type AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           FLOOR(SUM(CASE WHEN k = 1 THEN 1.0
+                          WHEN k = 2 THEN 0.5
+                          WHEN pos = 1 OR pos = k THEN 0.4
+                          ELSE 0.2 / (k - 2) END) * 1e4) / 1e4
+             AS credit
+    FROM touches GROUP BY event_type
+    """,
+)
+def events_attribution_position_based(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution:
+    each purchase credits the touches since the previous purchase —
+    40% to the first touch, 40% to the last, 20% split across the
+    middle (collapsing to 1.0 / 0.5+0.5 for 1- and 2-touch paths) —
+    the marketing-mix model that complements
+    events_attribution_last_touch's winner-take-all. Journey
+    segmentation is a per-user running purchase count (strict-prefix
+    frame); position/path-length are per-(user, journey) windows —
+    everything bounded by per-user activity, nothing corpus-wide.
+    Touches after the final purchase attribute to nothing and are
+    dropped via the per-user conversion-count join. Credit weights
+    are identical literals in both engines; FLOOR-4 on the summed
+    credit absorbs addition-order ulps of the inexact 0.4s."""
+    ev = load_table(spark, sf_dir, "events")
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    w_prefix = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (
+            F.coalesce(F.sum(is_p).over(w_prefix), F.lit(0)).cast("long")
+            + 1
+        ).alias("grp"),
+    )
+    nc = ev.groupBy("user_id").agg(
+        F.sum(is_p).cast("long").alias("n_conv")
+    )
+    w_grp = Window.partitionBy("user_id", "grp").orderBy("ts", "event_id")
+    w_grp_all = Window.partitionBy("user_id", "grp")
+    touches = (
+        base.join(nc, "user_id")
+        .filter(
+            (F.col("event_type") != "purchase")
+            & (F.col("grp") <= F.col("n_conv"))
+        )
+        .withColumn("pos", F.row_number().over(w_grp))
+        .withColumn("k", F.count(F.lit(1)).over(w_grp_all))
+    )
+    credit = (
+        F.when(F.col("k") == 1, 1.0)
+        .when(F.col("k") == 2, 0.5)
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("k")), 0.4)
+        .otherwise(0.2 / (F.col("k") - 2))
+    )
+    return touches.groupBy(F.col("event_type").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        (F.floor(F.sum(credit) * 1e4) / 1e4).alias("credit"),
+    )

@@ -1627,3 +1627,67 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bitmap_matches_exact"
         ),
     )
+
+
+@query(
+    "orders_total_reconciliation",
+    oracle="""
+    WITH lt AS (
+      SELECT l_orderkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS line_total
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey, o.o_totalprice, lt.line_total,
+             abs(o.o_totalprice - lt.line_total) AS gap
+      FROM orders o JOIN lt ON lt.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN gap < 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_reconciled,
+           FLOOR(quantile_cont(gap, 0.5) * 1e2) / 1e2 AS p50_gap,
+           FLOOR(quantile_cont(gap, 0.9) * 1e2) / 1e2 AS p90_gap,
+           ROUND(MAX(gap), 2) AS max_gap
+    FROM j
+    """,
+)
+def orders_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-to-detail reconciliation: does orders.o_totalprice equal
+    the sum of its line items' effective prices? The close-the-books
+    audit every finance pipeline runs between a header table and its
+    detail table (in genuine TPC-H data the totals reconcile exactly;
+    this synthetic corpus does NOT, and the report quantifies that
+    drift instead of silently joining through it). One detail-side
+    aggregate ROUNDed to the 2-decimal money grid (the decimal-exact
+    idiom — sums of cents, engine-identical), one header join keyed
+    on the order key, then a 1-row gap-distribution summary with
+    exact percentiles."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lt = li.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("line_total")
+    )
+    j = o.join(lt, lt.l_orderkey == o.o_orderkey).select(
+        F.abs(F.col("o_totalprice") - F.col("line_total")).alias("gap")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("gap") < 0.01, 1).otherwise(0))
+        .cast("long")
+        .alias("n_reconciled"),
+        (F.floor(F.percentile("gap", F.lit(0.5)) * 1e2) / 1e2).alias(
+            "p50_gap"
+        ),
+        (F.floor(F.percentile("gap", F.lit(0.9)) * 1e2) / 1e2).alias(
+            "p90_gap"
+        ),
+        F.round(F.max("gap"), 2).alias("max_gap"),
+    )

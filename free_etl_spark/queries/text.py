@@ -2223,3 +2223,156 @@ def text_ocr_garbage(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts.alias("garbage_points"),
     )
     return sc.orderBy(F.col("garbage_points").desc(), "doc_id").limit(20)
+
+
+_SFT_SYSTEM = "You are a helpful assistant."
+_SFT_BUDGET = 256  # token budget for the user turn
+
+
+@query(
+    "text_chat_template_pack",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    fmt AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             len(toks) > {_SFT_BUDGET} AS truncated,
+             '<|system|>' || chr(10) || '{_SFT_SYSTEM}' || chr(10)
+               || '<|user|>' || chr(10)
+               || array_to_string(toks[1:{_SFT_BUDGET}], ' ') || chr(10)
+               || '<|assistant|>' || chr(10) AS prompt
+      FROM tok
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN truncated THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated,
+           CAST(SUM(LEAST(n_tokens, {_SFT_BUDGET})) AS BIGINT)
+             AS total_kept_tokens,
+           CAST(SUM(length(prompt)) AS BIGINT) AS total_prompt_chars,
+           min(md5(prompt)) AS min_prompt_md5
+    FROM fmt GROUP BY lang
+    """,
+)
+def text_chat_template_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template formatting: wrap each document as a user
+    turn inside a fixed system/user/assistant special-token template,
+    truncating the user turn to a {_SFT_BUDGET}-token budget — the
+    instruction-tuning data-prep step between curation and training.
+    The per-lang report carries doc/truncation counts, kept-token
+    totals, and the MIN md5 of the rendered prompts — a value-level
+    pin that the BYTES of the template (separators, newlines,
+    truncation boundary) are identical, not just the counts.
+    Map-only string assembly; one tiny grouped aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    base = docs.select("doc_id", "lang", toks.alias("toks"))
+    prompt = F.concat(
+        F.lit("<|system|>\n" + _SFT_SYSTEM + "\n<|user|>\n"),
+        F.array_join(F.slice("toks", 1, _SFT_BUDGET), " "),
+        F.lit("\n<|assistant|>\n"),
+    )
+    fmt = base.select(
+        "lang",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") > _SFT_BUDGET).alias("truncated"),
+        prompt.alias("prompt"),
+    )
+    return fmt.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("truncated"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_truncated"),
+        F.sum(F.least(F.col("n_tokens"), F.lit(_SFT_BUDGET)))
+        .cast("long")
+        .alias("total_kept_tokens"),
+        F.sum(F.length("prompt")).cast("long").alias("total_prompt_chars"),
+        F.min(F.md5("prompt")).alias("min_prompt_md5"),
+    )
+
+
+_PII_PLANT_SQL = (
+    "CASE WHEN doc_id % 20 = 0 THEN text || ' contact user' || doc_id"
+    " || '@example.com or 555-' || (100 + doc_id % 900) || '-'"
+    " || (1000 + doc_id % 9000) ELSE text END"
+)
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, {_PII_PLANT_SQL} AS text FROM documents
+    ),
+    red AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS orig_len,
+             CAST(LEN(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{{2,6}}'))
+               AS BIGINT) AS n_emails,
+             CAST(LEN(regexp_extract_all(text,
+               '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}')) AS BIGINT) AS n_phones,
+             regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{{2,6}}',
+               '[EMAIL]', 'g'),
+               '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}', '[PHONE]', 'g')
+               AS redacted
+      FROM planted
+    )
+    SELECT doc_id, orig_len, n_emails, n_phones,
+           CAST(length(redacted) AS BIGINT) AS redacted_len,
+           md5(redacted) AS redacted_md5
+    FROM red WHERE n_emails + n_phones > 0
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (the action text_pii_scan only counts): replace
+    email and phone spans with typed placeholders, emitting per-doc
+    span counts, length delta, and the md5 of the redacted text — a
+    byte-level pin that both engines rewrote the SAME spans the same
+    way. Because the natural corpus contains no PII, ~5% of docs get
+    a deterministic doc_id-derived email+phone APPENDED before
+    redaction (same planting pattern as the phash duplicate plant),
+    so the replace path is exercised on real positive rows. Patterns
+    stay in the Java/RE2-identical regex subset. Map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-"),
+                (100 + F.col("doc_id") % 900).cast("string"),
+                F.lit("-"),
+                (1000 + F.col("doc_id") % 9000).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,6}"
+    phone = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    red = planted.select(
+        "doc_id",
+        F.length("text").cast("long").alias("orig_len"),
+        F.regexp_count("text", F.lit(email)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(phone)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", email, "[EMAIL]"), phone, "[PHONE]"
+        ).alias("redacted"),
+    )
+    return red.filter(F.col("n_emails") + F.col("n_phones") > 0).select(
+        "doc_id",
+        "orig_len",
+        "n_emails",
+        "n_phones",
+        F.length("redacted").cast("long").alias("redacted_len"),
+        F.md5("redacted").alias("redacted_md5"),
+    )
