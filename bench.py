@@ -251,6 +251,12 @@ HEADLINE = [
     "text_chat_template_pack",
     "text_pii_redact",
     "orders_total_reconciliation",
+    "events_ab_srm_check",
+    "events_ks_drift",
+    "orders_kpi_decomposition",
+    "agg_approx_quantile_audit",
+    "scalar_crypto_roundtrip",
+    "join_spatial_proximity",
 ]
 
 

@@ -4475,3 +4475,163 @@ def events_attribution_position_based(
         F.count(F.lit(1)).cast("long").alias("n_touches"),
         (F.floor(F.sum(credit) * 1e4) / 1e4).alias("credit"),
     )
+
+
+@query(
+    "events_ab_srm_check",
+    oracle="""
+    WITH arms AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n1
+      FROM arms
+    )
+    SELECT n0, n1,
+           FLOOR(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1)
+                 * 1e6) / 1e6 AS chi2,
+           (n0 - n1) * (n0 - n1) > 4 * (n0 + n1) AS srm_detected
+    FROM s
+    """,
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-Ratio Mismatch guardrail: chi-square of the observed
+    arm split against the designed 50/50 — the FIRST check any A/B
+    readout must pass, because a biased assignment invalidates every
+    downstream metric no matter how significant. For two equal-
+    expected arms the statistic collapses to (n0-n1)^2/(n0+n1); the
+    detection predicate (chi2 > 4, i.e. |z| > 2) is pure integer
+    arithmetic. One distinct-count aggregate — trivially scale-free."""
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.groupBy((F.col("user_id") % 2).cast("long").alias("arm")).agg(
+        F.countDistinct("user_id").cast("long").alias("n")
+    )
+    s = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+    )
+    d = F.col("n0") - F.col("n1")
+    tot = F.col("n0") + F.col("n1")
+    return s.select(
+        "n0",
+        "n1",
+        (F.floor(d * d / tot.cast("double") * 1e6) / 1e6).alias("chi2"),
+        (d * d > 4 * tot).alias("srm_detected"),
+    )
+
+
+@query(
+    "events_ks_drift",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type, value,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                  THEN 0 ELSE 1 END AS half
+      FROM events
+    ),
+    vc AS (
+      SELECT event_type, value,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c0,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1
+      FROM tagged GROUP BY event_type, value
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(c0) AS BIGINT) AS n0,
+             CAST(SUM(c1) AS BIGINT) AS n1
+      FROM vc GROUP BY event_type
+    ),
+    cum AS (
+      SELECT vc.event_type,
+             CAST(SUM(c0) OVER (PARTITION BY vc.event_type ORDER BY value
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum0,
+             CAST(SUM(c1) OVER (PARTITION BY vc.event_type ORDER BY value
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1
+      FROM vc
+    ),
+    ks AS (
+      SELECT cum.event_type, tot.n0, tot.n1,
+             MAX(abs(cum0 * tot.n1 - cum1 * tot.n0)) AS max_num
+      FROM cum JOIN tot ON tot.event_type = cum.event_type
+      GROUP BY cum.event_type, tot.n0, tot.n1
+    )
+    SELECT event_type, n0, n1,
+           FLOOR(CAST(max_num AS DOUBLE) / (CAST(n0 AS DOUBLE) * n1)
+                 * 1e6) / 1e6 AS ks_stat,
+           CAST(max_num AS DOUBLE) / (CAST(n0 AS DOUBLE) * n1)
+             > 1.358 * sqrt((n0 + n1) / (CAST(n0 AS DOUBLE) * n1))
+             AS drift_5pct
+    FROM ks
+    """,
+)
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test per event type
+    (first vs second half of the month): KS = max |ECDF0 - ECDF1| —
+    the distribution-shape complement to quality_psi_drift's binned
+    PSI (KS needs no binning choice and catches shifts PSI's bins
+    can smear). The pooled sample collapses to value-keyed counts;
+    running CDFs come from a window over the per-type distinct-value
+    relation (the prefix-sum shape), and the max runs over the same
+    relation. The statistic is computed as an INTEGER cross-product
+    max — max|cum0*n1 - cum1*n0| — so the ranking/threshold
+    comparison has no FP inside the scan; one division + one sqrt at
+    the end (KS 5% critical value c(alpha)=1.358)."""
+    ev = load_table(spark, sf_dir, "events")
+    half = F.when(
+        F.to_date("ts") < F.lit("2024-01-16").cast("date"), 0
+    ).otherwise(1)
+    vc = (
+        ev.select("event_type", "value", half.alias("half"))
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c0"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+        )
+    )
+    tot = vc.groupBy("event_type").agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = vc.select(
+        "event_type",
+        F.sum("c0").over(w).cast("long").alias("cum0"),
+        F.sum("c1").over(w).cast("long").alias("cum1"),
+    )
+    ks = (
+        cum.join(tot, "event_type")
+        .groupBy("event_type", "n0", "n1")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum0") * F.col("n1") - F.col("cum1") * F.col("n0")
+                )
+            ).alias("max_num")
+        )
+    )
+    stat = F.col("max_num").cast("double") / (
+        F.col("n0").cast("double") * F.col("n1")
+    )
+    crit = 1.358 * F.sqrt(
+        (F.col("n0") + F.col("n1"))
+        / (F.col("n0").cast("double") * F.col("n1"))
+    )
+    return ks.select(
+        "event_type",
+        "n0",
+        "n1",
+        (F.floor(stat * 1e6) / 1e6).alias("ks_stat"),
+        (stat > crit).alias("drift_5pct"),
+    )

@@ -1691,3 +1691,281 @@ def orders_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("gap"), 2).alias("max_gap"),
     )
+
+
+@query(
+    "orders_kpi_decomposition",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN CAST(o_orderdate AS DATE) < DATE '1995-01-01'
+                  THEN 0 ELSE 1 END AS period,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    ),
+    p AS (
+      SELECT MAX(CASE WHEN period = 0 THEN n END) AS n0,
+             MAX(CASE WHEN period = 1 THEN n END) AS n1,
+             MAX(CASE WHEN period = 0 THEN rev END) AS r0,
+             MAX(CASE WHEN period = 1 THEN rev END) AS r1
+      FROM s
+    )
+    SELECT n0, n1, r0, r1,
+           FLOOR((r1 - r0) * 1e2) / 1e2 AS delta_rev,
+           FLOOR((n1 - n0) * (r0 / n0) * 1e2) / 1e2 AS volume_effect,
+           FLOOR(n0 * (r1 / n1 - r0 / n0) * 1e2) / 1e2 AS price_effect,
+           FLOOR((n1 - n0) * (r1 / n1 - r0 / n0) * 1e2) / 1e2
+             AS mix_effect
+    FROM p
+    """,
+)
+def orders_kpi_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI-tree (driver) decomposition of revenue change between the
+    1992-94 and 1995-98 periods: revenue = order_count x avg_order_
+    value, so delta_rev splits into volume (more orders at old
+    prices), price (old volume at new prices), and the mix cross
+    term — the FP&A bridge chart computed where the data lives.
+    Periods reduce to TWO (n, rev) rows in one scan (rev ROUNDed
+    onto the money grid first, so both engines carry identical
+    doubles); the decomposition arithmetic runs on the 1-row pivot.
+    volume+price+mix reconstructs delta_rev exactly by construction
+    (before the display FLOOR)."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.groupBy(
+        F.when(
+            F.to_date("o_orderdate") < F.lit("1995-01-01").cast("date"), 0
+        )
+        .otherwise(1)
+        .alias("period")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("rev"),
+    )
+    p = s.agg(
+        F.max(F.when(F.col("period") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("period") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("period") == 0, F.col("rev"))).alias("r0"),
+        F.max(F.when(F.col("period") == 1, F.col("rev"))).alias("r1"),
+    )
+    p0 = F.col("r0") / F.col("n0")
+    p1 = F.col("r1") / F.col("n1")
+    dn = F.col("n1") - F.col("n0")
+    f2 = lambda c: F.floor(c * 1e2) / 1e2  # noqa: E731
+    return p.select(
+        "n0",
+        "n1",
+        "r0",
+        "r1",
+        f2(F.col("r1") - F.col("r0")).alias("delta_rev"),
+        f2(dn * p0).alias("volume_effect"),
+        f2(F.col("n0") * (p1 - p0)).alias("price_effect"),
+        f2(dn * (p1 - p0)).alias("mix_effect"),
+    )
+
+
+@query(
+    "agg_approx_quantile_audit",
+    oracle="""
+    WITH ex AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             quantile_cont(value, 0.5) AS p50,
+             quantile_cont(value, 0.95) AS p95,
+             quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           FLOOR(p50 * 1e6) / 1e6 AS exact_p50,
+           FLOOR(p95 * 1e6) / 1e6 AS exact_p95,
+           FLOOR(p99 * 1e6) / 1e6 AS exact_p99,
+           TRUE AS approx_p50_ok, TRUE AS approx_p95_ok,
+           TRUE AS approx_p99_ok
+    FROM ex
+    """,
+)
+def agg_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for approx_percentile (the
+    Greenwald-Khanna sketch Spark ships): per event type, compute
+    p50/p95/p99 both exactly and approximately (accuracy 1000 =>
+    rank error <= n/1000) and pin the approximation inside a
+    VALUE tolerance derived from the rank guarantee (the values at
+    ranks +-1% around the target). The sketch's merge order varies
+    with partitioning, so its exact output is not cross-engine
+    reproducible — the oracle pins the exact quantiles plus the
+    within-tolerance booleans, the same contract as the HLL and
+    bitmap audits. One pass computes both sides; the sketch is the
+    state that survives 100 TB (mergeable, bounded), the exact
+    percentile is the test harness."""
+    ev = load_table(spark, sf_dir, "events")
+    ex = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+        F.percentile("value", F.lit(0.49)).alias("p50_lo"),
+        F.percentile("value", F.lit(0.51)).alias("p50_hi"),
+        F.percentile("value", F.lit(0.94)).alias("p95_lo"),
+        F.percentile("value", F.lit(0.96)).alias("p95_hi"),
+        F.percentile("value", F.lit(0.98)).alias("p99_lo"),
+        F.percentile("value", F.lit(1.0)).alias("p99_hi"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("a50"),
+        F.expr("approx_percentile(value, 0.95, 1000)").alias("a95"),
+        F.expr("approx_percentile(value, 0.99, 1000)").alias("a99"),
+    )
+
+    def ok(a, lo, hi):
+        return (F.col(a) >= F.col(lo)) & (F.col(a) <= F.col(hi))
+
+    return ex.select(
+        "event_type",
+        "n",
+        (F.floor(F.col("p50") * 1e6) / 1e6).alias("exact_p50"),
+        (F.floor(F.col("p95") * 1e6) / 1e6).alias("exact_p95"),
+        (F.floor(F.col("p99") * 1e6) / 1e6).alias("exact_p99"),
+        ok("a50", "p50_lo", "p50_hi").alias("approx_p50_ok"),
+        ok("a95", "p95_lo", "p95_hi").alias("approx_p95_ok"),
+        ok("a99", "p99_lo", "p99_hi").alias("approx_p99_ok"),
+    )
+
+
+@query(
+    "scalar_crypto_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS plain,
+           CAST(length(o_orderpriority) AS BIGINT) AS plain_len,
+           TRUE AS roundtrip_ok,
+           TRUE AS tamper_detected
+    FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey
+    """,
+)
+def scalar_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface (Spark's aes_encrypt /
+    aes_decrypt / try_aes_decrypt): encrypt the order-priority column with
+    AES-ECB (the deterministic mode — GCM's random IV would break
+    both idempotence and the oracle), decrypt it back, and pin (a)
+    the roundtrip recovers the exact plaintext and (b) decrypting
+    with a WRONG key yields NULL through try_aes_decrypt rather
+    than garbage — the tamper/key-rotation failure path. DuckDB has
+    no AES, so the oracle pins the recovered plaintext values and
+    the two invariant booleans (same contract as the bitmap/HLL
+    audits). Map-only, JVM-side crypto."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    enc = F.expr(
+        "aes_encrypt(o_orderpriority, '0123456789abcdef', 'ECB')"
+    )
+    crypted = o.select("o_orderkey", "o_orderpriority", enc.alias("ct"))
+    dec = F.expr(
+        "cast(aes_decrypt(ct, '0123456789abcdef', 'ECB') as string)"
+    )
+    bad = F.expr(
+        "try_aes_decrypt(ct, 'fedcba9876543210', 'ECB')"
+    )
+    return (
+        crypted.select(
+            "o_orderkey",
+            dec.alias("plain"),
+            F.length(dec).cast("long").alias("plain_len"),
+            (dec == F.col("o_orderpriority")).alias("roundtrip_ok"),
+            bad.isNull().alias("tamper_detected"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "join_spatial_proximity",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST(c_custkey % 100 AS DOUBLE)
+               + CAST(c_nationkey AS DOUBLE) / 50 AS x,
+             CAST((c_custkey * 7) % 100 AS DOUBLE)
+               + CAST(c_mktsegment = 'BUILDING' AS INT) / 3.0 AS y
+      FROM customer
+    ),
+    a AS (
+      SELECT id, x, y,
+             CAST(FLOOR(x / 2) AS BIGINT) AS gx,
+             CAST(FLOOR(y / 2) AS BIGINT) AS gy
+      FROM pts
+    ),
+    pairs AS (
+      SELECT p.id AS id_a, q.id AS id_b,
+             (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+               AS d2
+      FROM a p
+      JOIN a q
+        ON q.gx BETWEEN p.gx - 1 AND p.gx + 1
+       AND q.gy BETWEEN p.gy - 1 AND p.gy + 1
+       AND p.id < q.id
+      WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) <= 1.0
+    )
+    SELECT id_a, id_b, FLOOR(sqrt(d2) * 1e6) / 1e6 AS dist
+    FROM pairs ORDER BY d2, id_a, id_b LIMIT 100
+    """,
+)
+def join_spatial_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial proximity self-join by GRID BLOCKING — the planar
+    analogue of the banded dedup joins: deterministic 2D points
+    derived from customer attributes, bucketed into 2x2 cells
+    (cell size >= search radius), candidates only from a point's
+    cell and its 8 neighbors, exact distance as the residual filter.
+    This is the geohash/S2-cell pattern every geo join uses at
+    scale: candidate volume is bounded by per-cell occupancy squared
+    (the hot-cell cap/salt is the knob), never points squared. The
+    neighbor condition is a compact BETWEEN band join on integer
+    cell ids; top-100 nearest pairs is a TakeOrdered on the exact
+    SQUARED distance (integer-derived doubles — no sqrt before the
+    sort, so no FP-boundary in the ranking)."""
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (
+            (F.col("c_custkey") % 100).cast("double")
+            + F.col("c_nationkey").cast("double") / 50
+        ).alias("x"),
+        (
+            ((F.col("c_custkey") * 7) % 100).cast("double")
+            + (F.col("c_mktsegment") == "BUILDING").cast("int") / 3.0
+        ).alias("y"),
+    )
+    a = pts.select(
+        "id",
+        "x",
+        "y",
+        F.floor(F.col("x") / 2).cast("long").alias("gx"),
+        F.floor(F.col("y") / 2).cast("long").alias("gy"),
+    )
+    p = a.alias("p")
+    q = a.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("gx").alias("gxb"),
+        F.col("gy").alias("gyb"),
+    )
+    d2 = (F.col("p.x") - F.col("xb")) * (F.col("p.x") - F.col("xb")) + (
+        F.col("p.y") - F.col("yb")
+    ) * (F.col("p.y") - F.col("yb"))
+    pairs = (
+        p.join(
+            q,
+            F.col("gxb").between(F.col("p.gx") - 1, F.col("p.gx") + 1)
+            & F.col("gyb").between(F.col("p.gy") - 1, F.col("p.gy") + 1)
+            & (F.col("p.id") < F.col("id_b")),
+        )
+        .filter(d2 <= 1.0)
+        .select(
+            F.col("p.id").alias("id_a"), "id_b", d2.alias("d2")
+        )
+    )
+    return (
+        pairs.orderBy("d2", "id_a", "id_b")
+        .limit(100)
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(F.sqrt("d2") * 1e6) / 1e6).alias("dist"),
+        )
+    )
