@@ -257,6 +257,11 @@ HEADLINE = [
     "agg_approx_quantile_audit",
     "scalar_crypto_roundtrip",
     "join_spatial_proximity",
+    "scalar_xpath_funcs",
+    "scalar_format_funcs",
+    "scalar_map_hof_funcs",
+    "sample_weighted_reservoir_es",
+    "quality_partition_checksums",
 ]
 
 

@@ -1049,3 +1049,42 @@ def quality_temporal_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_checked",
     )
     return ship.unionAll(ev_rule).unionAll(o_rule)
+
+
+@query(
+    "quality_partition_checksums",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5(
+             event_id || '|' || user_id || '|' || event_type || '|'
+             || CAST(value AS VARCHAR)), 1, 15))::BIGINT) AS xor_checksum
+    FROM events GROUP BY 1
+    """,
+)
+def quality_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition (per-day) row checksums for source-to-sink
+    reconciliation: row count plus an ORDER-INDEPENDENT content
+    checksum (XOR of a 60-bit md5-derived integer per row) — the
+    manifest a replicated/incremental pipeline compares across
+    copies without re-reading either side in lockstep. XOR is
+    commutative and mergeable, so the checksum combines map-side
+    and across partial loads; any single-row difference flips it.
+    One scan, one keyed aggregate; the checksum column replays
+    byte-identically in the oracle because the row serialization is
+    an explicit '|'-joined string, not engine-internal hashing."""
+    ev = load_table(spark, sf_dir, "events")
+    row_ser = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.col("value").cast("string"),
+    )
+    row_hash = F.conv(F.substring(F.md5(row_ser), 1, 15), 16, 10).cast("long")
+    return ev.groupBy(
+        F.to_date("ts").cast("timestamp_ntz").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.bit_xor(row_hash).alias("xor_checksum"),
+    )

@@ -848,3 +848,60 @@ def sample_time_based_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("train_frac"),
         )
     )
+
+
+@query(
+    "sample_weighted_reservoir_es",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln(( ('0x' || substr(md5('es|' || doc_id), 1, 8))::BIGINT
+                  + 1.0) / 4294967297.0)
+               / n_chars AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           FLOOR(es_key * 1e9) / 1e9 AS es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id LIMIT 50
+    """,
+)
+def sample_weighted_reservoir_es(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distributed weighted sampling WITHOUT replacement by the
+    Efraimidis-Spirakis one-pass scheme: each item draws
+    u = hash-uniform(0,1) and keeps key = u^(1/w) — equivalently
+    ln(u)/w, monotone-identical and numerically safer — and the
+    top-k keys ARE a weighted sample without replacement (longer
+    documents proportionally likelier). The uniform comes from the
+    first 8 md5 hex digits (+1 over 2^32+1, so u is never 0 or 1),
+    making the draw deterministic and oracle-replayable; selection
+    is a TakeOrdered top-50, one map-side pass at any corpus size —
+    the distributed answer to 'sample 50 docs proportional to
+    length' that needs no global sort and no driver state.
+    ln + division on identical doubles is engine-deterministic;
+    FLOOR-9 on display only."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    u_num = F.conv(
+        F.substring(F.md5(F.concat(F.lit("es|"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double") + 1.0
+    es_key = F.log(u_num / 4294967297.0) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            es_key.alias("k"),
+        )
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(50)
+        .select(
+            "doc_id",
+            "weight",
+            (F.floor(F.col("k") * 1e9) / 1e9).alias("es_key"),
+        )
+    )

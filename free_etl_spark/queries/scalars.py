@@ -546,3 +546,154 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_2digit_pos"),
     )
+
+
+@query(
+    "scalar_xpath_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey AS xp_key,
+           ROUND(o_totalprice, 2) AS xp_price,
+           o_orderstatus AS xp_status,
+           CAST(2 AS BIGINT) AS n_items,
+           TRUE AS all_match
+    FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey
+    """,
+)
+def scalar_xpath_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath scalar family (xpath_long / xpath_double / xpath_string
+    / xpath over node-sets) — the XML-extraction surface legacy
+    enterprise feeds need: each order is serialized to an XML
+    fragment and every field is recovered via XPath, plus a
+    node-set count over repeated <i> elements. The oracle pins the
+    ROUNDTRIP (extracted values equal the originals, count equals
+    the constructed arity) — DuckDB has no XPath, so the invariant
+    IS the value-level check, same contract as the crypto/bitmap
+    audits. Map-only JVM evaluation."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    xml = F.concat(
+        F.lit("<o><k>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</k><p>"),
+        F.round("o_totalprice", 2).cast("string"),
+        F.lit("</p><s>"),
+        F.col("o_orderstatus"),
+        F.lit("</s><i>a</i><i>b</i></o>"),
+    )
+    w = o.select("o_orderkey", "o_totalprice", "o_orderstatus", xml.alias("xml"))
+    xp_key = F.expr("xpath_long(xml, '/o/k')")
+    xp_price = F.expr("xpath_double(xml, '/o/p')")
+    xp_status = F.expr("xpath_string(xml, '/o/s')")
+    n_items = F.expr("size(xpath(xml, '/o/i/text()'))").cast("long")
+    return (
+        w.select(
+            "o_orderkey",
+            xp_key.alias("xp_key"),
+            xp_price.alias("xp_price"),
+            xp_status.alias("xp_status"),
+            n_items.alias("n_items"),
+            (
+                (xp_key == F.col("o_orderkey"))
+                & (xp_price == F.round("o_totalprice", 2))
+                & (xp_status == F.col("o_orderstatus"))
+                & (n_items == 2)
+            ).alias("all_match"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "scalar_format_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           printf('%012.2f', ROUND(o_totalprice, 2)) AS padded_price,
+           printf('ORD-%08d', o_orderkey) AS order_tag,
+           ROUND(o_totalprice, 2) AS reparsed,
+           TRUE AS roundtrip_ok
+    FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey
+    """,
+)
+def scalar_format_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric formatting family: printf-style format_string (both
+    engines implement C semantics, so the BYTES match), plus the
+    to_char/to_number pattern pair — format a money value with an
+    explicit digit mask and parse it back, pinning the roundtrip
+    recovers the exact 2-decimal value (to_char grouping/locale
+    behavior differs across engines, so the roundtrip invariant is
+    the check while printf output is compared byte-for-byte).
+    Map-only."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    price2 = F.round("o_totalprice", 2)
+    padded = F.format_string("%012.2f", price2)
+    tag = F.format_string("ORD-%08d", F.col("o_orderkey"))
+    tochar = F.expr("to_char(round(o_totalprice, 2), '999999990.00')")
+    reparsed = F.expr(
+        "to_number(to_char(round(o_totalprice, 2), '999999990.00'),"
+        " '999999990.00')"
+    ).cast("double")
+    return (
+        o.select(
+            "o_orderkey",
+            padded.alias("padded_price"),
+            tag.alias("order_tag"),
+            reparsed.alias("reparsed"),
+            (reparsed == price2).alias("roundtrip_ok"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "scalar_map_hof_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice, 2) * 10 AS base_x10,
+           ROUND(ROUND(o_totalprice, 2) + o_orderkey, 2) AS zipped_sum,
+           CAST(CASE WHEN ROUND(o_totalprice, 2) > 200000 THEN 1 ELSE 0
+                END AS BIGINT) AS n_kept,
+           'BASE,TAX' AS key_csv
+    FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey
+    """,
+)
+def scalar_map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions (transform_values, transform_keys,
+    map_filter, map_zip_with, map_keys/map_values) — the typed-map
+    manipulation surface for feature dictionaries and tag columns.
+    Maps are constructed from known scalar fields, pushed through
+    each HOF, and scalar results extracted back out, so the oracle
+    states the closed form over the base columns (DuckDB's MAP has
+    no lambda surface — the extraction equalities are the value
+    check). All JVM-side, map-only."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    price2 = F.round("o_totalprice", 2)
+    m = F.create_map(
+        F.lit("base"), price2, F.lit("tax"), price2 * 0.1
+    )
+    m2 = F.create_map(F.lit("base"), F.col("o_orderkey").cast("double"))
+    x10 = F.element_at(
+        F.transform_values(m, lambda k, v: v * 10), F.lit("base")
+    )
+    zipped = F.element_at(
+        F.map_zip_with(
+            m, m2, lambda k, v1, v2: F.coalesce(v1, F.lit(0.0)) + F.coalesce(v2, F.lit(0.0))
+        ),
+        F.lit("base"),
+    )
+    kept = F.size(F.map_filter(m, lambda k, v: v > 200000))
+    upper_keys = F.array_join(
+        F.array_sort(
+            F.map_keys(F.transform_keys(m, lambda k, v: F.upper(k)))
+        ),
+        ",",
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            x10.alias("base_x10"),
+            F.round(zipped, 2).alias("zipped_sum"),
+            kept.cast("long").alias("n_kept"),
+            upper_keys.alias("key_csv"),
+        )
+        .orderBy("o_orderkey")
+    )
