@@ -262,6 +262,11 @@ HEADLINE = [
     "scalar_map_hof_funcs",
     "sample_weighted_reservoir_es",
     "quality_partition_checksums",
+    "sample_feature_snapshot",
+    "events_bot_regularity_score",
+    "source_corrupt_record_quarantine",
+    "sql_named_window",
+    "sql_identifier_clause",
 ]
 
 

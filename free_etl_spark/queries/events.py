@@ -4635,3 +4635,66 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(stat * 1e6) / 1e6).alias("ks_stat"),
         (stat > crit).alias("drift_5pct"),
     )
+
+
+@query(
+    "events_bot_regularity_score",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS gap_us
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+             AVG(CAST(gap_us AS DOUBLE)) AS mu,
+             stddev_samp(CAST(gap_us AS DOUBLE)) AS sd
+      FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           FLOOR(sd / mu * 1e6) / 1e6 AS gap_cv,
+           sd * 2 < mu AS suspiciously_regular
+    FROM s WHERE n_gaps >= 20
+    ORDER BY sd / mu, user_id LIMIT 25
+    """,
+)
+def events_bot_regularity_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bot detection by timing regularity: humans produce bursty
+    inter-event gaps (coefficient of variation near or above 1);
+    schedulers and scripts produce metronomic ones (CV near 0). Per
+    user, the CV of inter-event microsecond gaps — computed from a
+    per-user ordered lag (bounded by user activity) and one moment
+    aggregate — with the 25 most regular high-activity accounts
+    surfaced. The flag sd*2 < mu is arithmetic on the two moments;
+    the ranking key sd/mu is a single division of identical doubles
+    (stddev over integer microsecond gaps)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.select(
+        "user_id", (ep - F.lag(ep).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    s = gaps.groupBy("user_id").agg(
+        F.count("gap_us").cast("long").alias("n_gaps"),
+        F.avg(F.col("gap_us").cast("double")).alias("mu"),
+        F.stddev_samp(F.col("gap_us").cast("double")).alias("sd"),
+    )
+    return (
+        s.filter(F.col("n_gaps") >= 20)
+        .orderBy(F.col("sd") / F.col("mu"), "user_id")
+        .limit(25)
+        .select(
+            "user_id",
+            "n_gaps",
+            (F.floor(F.col("sd") / F.col("mu") * 1e6) / 1e6).alias(
+                "gap_cv"
+            ),
+            (F.col("sd") * 2 < F.col("mu")).alias("suspiciously_regular"),
+        )
+    )

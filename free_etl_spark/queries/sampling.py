@@ -905,3 +905,86 @@ def sample_weighted_reservoir_es(
             (F.floor(F.col("k") * 1e9) / 1e9).alias("es_key"),
         )
     )
+
+
+@query(
+    "sample_feature_snapshot",
+    oracle="""
+    WITH cutoff AS (SELECT TIMESTAMP '2024-01-22 00:00:00' AS c),
+    pre AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events_before,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+               AS days_active,
+             date_diff('day', MAX(CAST(ts AS DATE)), DATE '2024-01-22')
+               AS recency_days,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END) AS BIGINT) AS n_purchases_before
+      FROM events CROSS JOIN cutoff
+      WHERE CAST(ts AS TIMESTAMP) < cutoff.c
+      GROUP BY user_id
+    ),
+    post AS (
+      SELECT DISTINCT user_id
+      FROM events CROSS JOIN cutoff
+      WHERE CAST(ts AS TIMESTAMP) >= cutoff.c
+        AND CAST(ts AS TIMESTAMP) < cutoff.c + INTERVAL 7 DAY
+        AND event_type = 'purchase'
+    )
+    SELECT pre.user_id, n_events_before, days_active,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           n_purchases_before,
+           pre.user_id IN (SELECT user_id FROM post) AS label_purchase_7d
+    FROM pre
+    """,
+)
+def sample_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature snapshot (the feature-store
+    primitive): per user, training features computed ONLY from
+    events strictly before the cutoff (activity volume, active days,
+    recency, purchase count) and the label ONLY from the 7-day
+    window after it — the construction that makes offline training
+    match online serving and kills the silent label-leakage bug
+    temporal mixing causes. One pre-cutoff grouped aggregate + one
+    post-window semi-join on user_id; every feature is an integer.
+    The cutoff is a fixed literal so snapshots are reproducible
+    (re-runs of a feature backfill must be byte-identical)."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-22 00:00:00").cast("timestamp_ntz")
+    ts = F.col("ts").cast("timestamp_ntz")
+    pre = (
+        ev.filter(ts < cut)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events_before"),
+            F.countDistinct(F.to_date("ts")).cast("long").alias("days_active"),
+            F.datediff(
+                F.lit("2024-01-22").cast("date"), F.max(F.to_date("ts"))
+            )
+            .cast("long")
+            .alias("recency_days"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_purchases_before"),
+        )
+    )
+    post = (
+        ev.filter(
+            (ts >= cut)
+            & (ts < F.lit("2024-01-29 00:00:00").cast("timestamp_ntz"))
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("lbl", F.lit(True))
+    )
+    return pre.join(post, "user_id", "left").select(
+        "user_id",
+        "n_events_before",
+        "days_active",
+        "recency_days",
+        "n_purchases_before",
+        F.coalesce(F.col("lbl"), F.lit(False)).alias("label_purchase_7d"),
+    )

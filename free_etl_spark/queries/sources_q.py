@@ -555,3 +555,149 @@ def source_fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _agg(parsed)
+
+
+@query(
+    "source_corrupt_record_quarantine",
+    oracle="""
+    WITH rows_gen AS (SELECT unnest(generate_series(0, 199)) AS i)
+    SELECT CAST(SUM(CASE WHEN i % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_good,
+           CAST(SUM(CASE WHEN i % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarantined,
+           CAST(SUM(CASE WHEN i % 10 <> 7 THEN i ELSE 0 END) AS BIGINT)
+             AS good_id_sum,
+           CAST(SUM(CASE WHEN i % 10 <> 7 THEN i * 10 ELSE 0 END)
+                AS BIGINT) AS good_qty_sum
+    FROM rows_gen
+    """,
+)
+def source_corrupt_record_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Malformed-row quarantine via PERMISSIVE parsing with
+    columnNameOfCorruptRecord — the scale-correct alternative to
+    FAILFAST when one bad row must not kill a 100 TB load: rows that
+    fail the schema land with their raw text in the corrupt-record
+    column and every good field NULL, so the pipeline SPLITS the
+    scan into a clean stream and a quarantine stream in one pass
+    (no second parse). The fixture is a deterministically-corrupted
+    200-line CSV (every id%10==7 row has a non-numeric qty), so the
+    oracle states exact good/quarantined counts and the good-side
+    sums. The quarantine split is a filter on one generated column —
+    both streams share the single scan."""
+    path = os.path.join(
+        "/tmp",
+        f"fes_source_corrupt_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}.csv",
+    )
+    if not os.path.exists(path):
+        lines = ["id,qty"]
+        for i in range(200):
+            qty = "oops" if i % 10 == 7 else str(i * 10)
+            lines.append(f"{i},{qty}")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        os.replace(tmp, path)
+    raw = (
+        spark.read.schema("id long, qty long, _corrupt string")
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    # Spark disallows queries whose pruned schema is ONLY the corrupt
+    # column (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — both streams are
+    # summarized in ONE aggregate over the full parse instead, which
+    # is also one scan fewer than filter-twice
+    ok = F.col("_corrupt").isNull()
+    return raw.agg(
+        F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("n_good"),
+        F.sum(F.when(~ok, 1).otherwise(0)).cast("long")
+        .alias("n_quarantined"),
+        F.sum(F.when(ok, F.col("id")).otherwise(0)).cast("long")
+        .alias("good_id_sum"),
+        F.sum(F.when(ok, F.col("qty")).otherwise(0)).cast("long")
+        .alias("good_qty_sum"),
+    ).select("n_good", "n_quarantined", "good_id_sum", "good_qty_sum")
+
+
+@query(
+    "sql_named_window",
+    oracle="""
+    SELECT c_custkey,
+           CAST(rnk AS BIGINT) AS rnk,
+           ROUND(run_bal, 2) AS run_bal
+    FROM (
+      SELECT c_custkey,
+             RANK() OVER w AS rnk,
+             SUM(c_acctbal) OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal, c_custkey
+                                  ROWS UNBOUNDED PRECEDING) AS run_bal
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey
+                   ORDER BY c_acctbal, c_custkey)
+    )
+    WHERE rnk <= 3
+    """,
+)
+def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause in SQL (one definition shared by several
+    window functions) — the SQL-surface form of window reuse; the
+    engine compiles both OVER references to ONE window operator over
+    one sort, which matters because each distinct (partition, order)
+    pair is its own exchange+sort at scale. Registered through a
+    temp view + spark.sql to exercise the parser path, not the
+    DataFrame builder."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "nw_customer"
+    )
+    return spark.sql(
+        """
+        SELECT c_custkey, CAST(rnk AS BIGINT) AS rnk,
+               ROUND(run_bal, 2) AS run_bal
+        FROM (
+          SELECT c_custkey,
+                 RANK() OVER w AS rnk,
+                 SUM(c_acctbal) OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal, c_custkey
+                                      ROWS UNBOUNDED PRECEDING) AS run_bal
+          FROM nw_customer
+          WINDOW w AS (PARTITION BY c_nationkey
+                       ORDER BY c_acctbal, c_custkey)
+        )
+        WHERE rnk <= 3
+        """
+    )
+
+
+@query(
+    "sql_identifier_clause",
+    oracle="""
+    SELECT o_orderpriority AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause (Spark 4): table and column names supplied
+    as BOUND PARAMETERS instead of string-concatenated SQL — the
+    injection-safe way to write 'group by an arbitrary dimension'
+    dashboard templates (the identifier is validated as a name, not
+    spliced as text; a value like 'x; DROP TABLE' fails to resolve
+    instead of executing). Same template serves any dimension
+    column; the oracle pins the o_orderpriority instantiation."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "idq_orders"
+    )
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:dim) AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM IDENTIFIER(:tbl) GROUP BY 1
+        """,
+        args={"dim": "o_orderpriority", "tbl": "idq_orders"},
+    )
