@@ -267,6 +267,9 @@ HEADLINE = [
     "source_corrupt_record_quarantine",
     "sql_named_window",
     "sql_identifier_clause",
+    "agg_anova_oneway",
+    "events_diff_in_diff",
+    "events_autocorrelation_acf",
 ]
 
 

@@ -4698,3 +4698,229 @@ def events_bot_regularity_score(
             (F.col("sd") * 2 < F.col("mu")).alias("suspiciously_regular"),
         )
     )
+
+
+@query(
+    "agg_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(value) AS s,
+             SUM(value * value) AS ss
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt,
+             SUM(s) AS st,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(s * s / n) AS sum_gm,
+             SUM(ss) AS sst
+      FROM g
+    )
+    SELECT k AS n_groups, nt AS n_total,
+           FLOOR((sum_gm - st * st / nt) / (k - 1) * 1e4) / 1e4
+             AS ms_between,
+           FLOOR((sst - sum_gm) / (nt - k) * 1e4) / 1e4 AS ms_within,
+           FLOOR(((sum_gm - st * st / nt) / (k - 1))
+                 / ((sst - sum_gm) / (nt - k)) * 1e6) / 1e6 AS f_stat
+    FROM tot
+    """,
+)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic across event types (does mean value
+    differ by type?) — the k-group generalization of the pairwise
+    Welch test, from the classic sum-of-squares identity: SSB =
+    sum(s_g^2/n_g) - S^2/N, SSW = SS_total - that. ONE grouped
+    moment pass (n, sum, sum-of-squares per group — all mergeable),
+    then the F arithmetic on the k-row relation; nothing but three
+    doubles per group crosses the shuffle. FLOOR-4/6 absorbs
+    summation-order ulps in the squared sums."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").alias("st"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sum_gm"),
+        F.sum("ss").alias("sst"),
+    )
+    ssb = F.col("sum_gm") - F.col("st") * F.col("st") / F.col("nt")
+    ssw = F.col("sst") - F.col("sum_gm")
+    msb = ssb / (F.col("k") - 1)
+    msw = ssw / (F.col("nt") - F.col("k"))
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        F.col("nt").alias("n_total"),
+        (F.floor(msb * 1e4) / 1e4).alias("ms_between"),
+        (F.floor(msw * 1e4) / 1e4).alias("ms_within"),
+        (F.floor(msb / msw * 1e6) / 1e6).alias("f_stat"),
+    )
+
+
+@query(
+    "events_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS treated,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                  THEN 0 ELSE 1 END AS post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) / COUNT(*) AS mean_v,
+             var_samp(value) AS var_v
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_v END) AS c0,
+             MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_v END) AS c1,
+             MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_v END) AS t0,
+             MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_v END) AS t1,
+             SUM(var_v / n) AS var_did
+      FROM cells
+    )
+    SELECT FLOOR((t1 - t0) * 1e6) / 1e6 AS treated_delta,
+           FLOOR((c1 - c0) * 1e6) / 1e6 AS control_delta,
+           FLOOR(((t1 - t0) - (c1 - c0)) * 1e6) / 1e6 AS did_estimate,
+           FLOOR(((t1 - t0) - (c1 - c0)) / sqrt(var_did) * 1e4) / 1e4
+             AS z
+    FROM p
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: (treated post - pre) minus
+    (control post - pre) on purchase values, with the 2x2-cell
+    normal-approximation z — the workhorse causal estimator when
+    treatment wasn't randomized over TIME (controls absorb the
+    secular trend the simple before/after comparison confounds).
+    The corpus reduces to FOUR (n, mean, var) cells in one grouped
+    pass; cell means use the ROUND(SUM,2)/COUNT grid idiom so both
+    engines difference identical doubles; the pooled SE is the
+    standard independent-cells sum of var/n."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cells = ev.groupBy(
+        (F.col("user_id") % 2).cast("long").alias("treated"),
+        F.when(
+            F.to_date("ts") < F.lit("2024-01-16").cast("date"), 0
+        )
+        .otherwise(1)
+        .alias("post"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("mean_v"),
+        F.var_samp("value").alias("var_v"),
+    )
+
+    def cell(t, p):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p),
+                F.col("mean_v"),
+            )
+        )
+
+    agg = cells.agg(
+        cell(0, 0).alias("c0"),
+        cell(0, 1).alias("c1"),
+        cell(1, 0).alias("t0"),
+        cell(1, 1).alias("t1"),
+        F.sum(F.col("var_v") / F.col("n")).alias("var_did"),
+    )
+    td = F.col("t1") - F.col("t0")
+    cd = F.col("c1") - F.col("c0")
+    return agg.select(
+        (F.floor(td * 1e6) / 1e6).alias("treated_delta"),
+        (F.floor(cd * 1e6) / 1e6).alias("control_delta"),
+        (F.floor((td - cd) * 1e6) / 1e6).alias("did_estimate"),
+        (F.floor((td - cd) / F.sqrt(F.col("var_did")) * 1e4) / 1e4).alias(
+            "z"
+        ),
+    )
+
+
+@query(
+    "events_autocorrelation_acf",
+    oracle="""
+    WITH hc AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1
+    ),
+    m AS (SELECT AVG(n) AS mu, CAST(COUNT(*) AS BIGINT) AS nt FROM hc),
+    lags AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag_h),
+    pairs AS (
+      SELECT l.lag_h,
+             (a.n - m.mu) * (b.n - m.mu) AS prod
+      FROM hc a
+      JOIN lags l ON TRUE
+      JOIN hc b ON b.hr = a.hr + l.lag_h * INTERVAL 1 HOUR
+      CROSS JOIN m
+    ),
+    denom AS (
+      SELECT SUM((n - m.mu) * (n - m.mu)) AS ss
+      FROM hc CROSS JOIN m
+    )
+    SELECT lag_h,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           FLOOR(SUM(prod) / MAX(denom.ss) * 1e6) / 1e6 AS acf
+    FROM pairs CROSS JOIN denom
+    GROUP BY lag_h
+    """,
+)
+def events_autocorrelation_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly volume series at lags
+    1/2/3/6/12/24 — the time-domain seasonality probe (a spike at
+    lag 24 IS daily seasonality) complementing events_periodogram's
+    frequency-domain view and events_seasonal_decompose's explicit
+    model. The corpus collapses to the calendar-bounded hourly
+    relation; each lag is an equi-join of the series against its
+    hour-shifted self (a ~720-row relation joined 6 ways — constant
+    work at any corpus size); the global mean/SS normalizer is a
+    1-row broadcast. FLOOR-6 on the final ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    m = hc.agg(F.avg("n").alias("mu"), F.count(F.lit(1)).alias("nt"))
+    lags = spark.createDataFrame(
+        [(1,), (2,), (3,), (6,), (12,), (24,)], "lag_h int"
+    )
+    b = hc.select(F.col("hr").alias("hrb"), F.col("n").alias("nb"))
+    pairs = (
+        hc.join(F.broadcast(lags))
+        .join(
+            b,
+            F.col("hrb")
+            == F.col("hr")
+            + F.col("lag_h") * F.expr("INTERVAL 1 HOUR"),
+        )
+        .join(F.broadcast(m))
+        .select(
+            "lag_h",
+            ((F.col("n") - F.col("mu")) * (F.col("nb") - F.col("mu"))).alias(
+                "prod"
+            ),
+        )
+    )
+    denom = (
+        hc.join(F.broadcast(m))
+        .agg(
+            F.sum(
+                (F.col("n") - F.col("mu")) * (F.col("n") - F.col("mu"))
+            ).alias("ss")
+        )
+    )
+    return (
+        pairs.join(F.broadcast(denom))
+        .groupBy("lag_h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            (F.floor(F.sum("prod") / F.max("ss") * 1e6) / 1e6).alias("acf"),
+        )
+    )
