@@ -270,6 +270,10 @@ HEADLINE = [
     "agg_anova_oneway",
     "events_diff_in_diff",
     "events_autocorrelation_acf",
+    "agg_hill_tail_estimator",
+    "orders_price_index",
+    "scalar_array_set_funcs",
+    "quality_schema_contract_check",
 ]
 
 

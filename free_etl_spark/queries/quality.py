@@ -974,8 +974,8 @@ def quality_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'orders.orderdate_out_of_range',
            (SELECT COUNT(*) FROM orders
-            WHERE CAST(o_orderdate AS DATE) < DATE '1992-01-01'
-               OR CAST(o_orderdate AS DATE) > DATE '1998-12-31'),
+            WHERE CAST(o_orderdate AS DATE) < DATE '1995-01-01'
+               OR CAST(o_orderdate AS DATE) >= DATE '2002-01-01'),
            (SELECT COUNT(*) FROM orders)
     """,
 )
@@ -983,7 +983,7 @@ def quality_temporal_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal-sanity audit: cross-table causality (a line item
     cannot ship before its order was placed) and range plausibility
     (event timestamps inside the 2024 ingest year, order dates inside
-    the TPC-H 1992-1998 window) — the time-travel bugs that corrupt
+    the corpus's 1995-2001 generation window) — the time-travel bugs that corrupt
     every windowed metric downstream if unchecked. The causality rule
     is one fact-fact equi-join reading only the two date columns
     (pruned scans); range rules are map-side conditional counts.
@@ -1032,10 +1032,10 @@ def quality_temporal_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_rule = o.agg(
         F.sum(
             F.when(
-                (F.to_date("o_orderdate") < F.lit("1992-01-01").cast("date"))
+                (F.to_date("o_orderdate") < F.lit("1995-01-01").cast("date"))
                 | (
                     F.to_date("o_orderdate")
-                    > F.lit("1998-12-31").cast("date")
+                    >= F.lit("2002-01-01").cast("date")
                 ),
                 1,
             ).otherwise(0)

@@ -1697,7 +1697,7 @@ def orders_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_kpi_decomposition",
     oracle="""
     WITH s AS (
-      SELECT CASE WHEN CAST(o_orderdate AS DATE) < DATE '1995-01-01'
+      SELECT CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
                   THEN 0 ELSE 1 END AS period,
              CAST(COUNT(*) AS BIGINT) AS n,
              ROUND(SUM(o_totalprice), 2) AS rev
@@ -1721,7 +1721,7 @@ def orders_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_kpi_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KPI-tree (driver) decomposition of revenue change between the
-    1992-94 and 1995-98 periods: revenue = order_count x avg_order_
+    1995-97 and 1998-2001 periods (the corpus's actual date span): revenue = order_count x avg_order_
     value, so delta_rev splits into volume (more orders at old
     prices), price (old volume at new prices), and the mix cross
     term — the FP&A bridge chart computed where the data lives.
@@ -1733,7 +1733,7 @@ def orders_kpi_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     s = o.groupBy(
         F.when(
-            F.to_date("o_orderdate") < F.lit("1995-01-01").cast("date"), 0
+            F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date"), 0
         )
         .otherwise(1)
         .alias("period")
@@ -1968,4 +1968,146 @@ def join_spatial_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             (F.floor(F.sqrt("d2") * 1e6) / 1e6).alias("dist"),
         )
+    )
+
+
+@query(
+    "agg_hill_tail_estimator",
+    oracle="""
+    WITH top AS (
+      SELECT o_totalprice AS x,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS rn
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 201
+    ),
+    xm AS (SELECT x AS xk1 FROM top WHERE rn = 201),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(ln(top.x / xm.xk1)) AS lnsum,
+             MAX(xm.xk1) AS xmin
+      FROM top CROSS JOIN xm WHERE rn <= 200
+    )
+    SELECT k, ROUND(xmin, 2) AS xmin,
+           FLOOR(k / lnsum * 1e4) / 1e4 AS hill_alpha
+    FROM s
+    """,
+)
+def agg_hill_tail_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail index over the top-200
+    order values: alpha = k / sum(ln(x_i / x_(k+1))) — the
+    heavy-tail diagnostic behind 'do whales dominate revenue' and
+    every capacity-planning P99 extrapolation (alpha <= 2 means
+    infinite variance: mean-based planning is wrong). The k+1 order
+    statistics come from a TakeOrdered (no global sort); the
+    estimator arithmetic runs on that constant 201-row relation.
+    FLOOR-4 absorbs the 200-term ln-sum's ordering ulps."""
+    o = _t(spark, sf_dir, "orders")
+    top = (
+        o.select(F.col("o_totalprice").alias("x"), "o_orderkey")
+        .orderBy(F.col("x").desc(), "o_orderkey")
+        .limit(201)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("x").desc(), "o_orderkey")
+            ),
+        )
+    )
+    xm = top.filter(F.col("rn") == 201).select(F.col("x").alias("xk1"))
+    s = (
+        top.filter(F.col("rn") <= 200)
+        .join(F.broadcast(xm))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(F.log(F.col("x") / F.col("xk1"))).alias("lnsum"),
+            F.max("xk1").alias("xmin"),
+        )
+    )
+    return s.select(
+        "k",
+        F.round("xmin", 2).alias("xmin"),
+        (F.floor(F.col("k") / F.col("lnsum") * 1e4) / 1e4).alias(
+            "hill_alpha"
+        ),
+    )
+
+
+@query(
+    "orders_price_index",
+    oracle="""
+    WITH pp AS (
+      SELECT l_partkey,
+             CASE WHEN CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+                  THEN 0 ELSE 1 END AS period,
+             ROUND(SUM(l_extendedprice), 2) / SUM(l_quantity) AS p,
+             SUM(l_quantity) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    matched AS (
+      SELECT a.l_partkey, a.p AS p0, a.q AS q0, b.p AS p1, b.q AS q1
+      FROM (SELECT * FROM pp WHERE period = 0) a
+      JOIN (SELECT * FROM pp WHERE period = 1) b
+        ON b.l_partkey = a.l_partkey
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+             SUM(p1 * q0) AS l_num, SUM(p0 * q0) AS l_den,
+             SUM(p1 * q1) AS p_num, SUM(p0 * q1) AS p_den
+      FROM matched
+    )
+    SELECT n_parts,
+           FLOOR(l_num / l_den * 1e4) / 1e4 AS laspeyres,
+           FLOOR(p_num / p_den * 1e4) / 1e4 AS paasche,
+           FLOOR(sqrt((l_num / l_den) * (p_num / p_den)) * 1e4) / 1e4
+             AS fisher
+    FROM s
+    """,
+)
+def orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices between the
+    1995-97 and 1998-2001 periods over parts traded in BOTH — the
+    inflation measurement the statistics office runs, as two grouped
+    aggregates: per-(part, period) unit prices and quantities (one
+    shuffle), a part-keyed self-join of the two period slices, then
+    four weighted sums. Unit prices divide a ROUND-2 money sum by an
+    exact quantity sum (grid idiom); the index ratios FLOOR-4 over
+    the part-count-sized sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    pp = li.groupBy(
+        "l_partkey",
+        F.when(
+            F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"), 0
+        )
+        .otherwise(1)
+        .alias("period"),
+    ).agg(
+        (F.round(F.sum("l_extendedprice"), 2) / F.sum("l_quantity")).alias(
+            "p"
+        ),
+        F.sum("l_quantity").alias("q"),
+    )
+    a = pp.filter(F.col("period") == 0).select(
+        "l_partkey", F.col("p").alias("p0"), F.col("q").alias("q0")
+    )
+    b = pp.filter(F.col("period") == 1).select(
+        F.col("l_partkey").alias("pk"),
+        F.col("p").alias("p1"),
+        F.col("q").alias("q1"),
+    )
+    matched = a.join(b, a.l_partkey == F.col("pk"))
+    s = matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.col("p1") * F.col("q0")).alias("l_num"),
+        F.sum(F.col("p0") * F.col("q0")).alias("l_den"),
+        F.sum(F.col("p1") * F.col("q1")).alias("p_num"),
+        F.sum(F.col("p0") * F.col("q1")).alias("p_den"),
+    )
+    lasp = F.col("l_num") / F.col("l_den")
+    paas = F.col("p_num") / F.col("p_den")
+    return s.select(
+        "n_parts",
+        (F.floor(lasp * 1e4) / 1e4).alias("laspeyres"),
+        (F.floor(paas * 1e4) / 1e4).alias("paasche"),
+        (F.floor(F.sqrt(lasp * paas) * 1e4) / 1e4).alias("fisher"),
     )

@@ -697,3 +697,113 @@ def scalar_map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "scalar_array_set_funcs",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             [o_orderkey % 5, o_orderkey % 7, o_orderkey % 9] AS a1,
+             [o_orderkey % 5, o_orderkey % 3] AS a2
+      FROM orders WHERE o_orderkey <= 100
+    )
+    SELECT o_orderkey,
+           CAST(len(list_sort(list_distinct(list_concat(a1, a2))))
+                AS BIGINT) AS n_union,
+           CAST(len(list_sort(list_distinct(
+                list_filter(a1, x -> list_contains(a2, x)))))
+                AS BIGINT) AS n_intersect,
+           CAST(len(list_sort(list_distinct(
+                list_filter(a1, x -> NOT list_contains(a2, x)))))
+                AS BIGINT) AS n_except,
+           array_to_string(list_sort(list_distinct(list_concat(a1, a2))),
+                           ',') AS union_csv,
+           CAST(list_position(list_sort(a1), o_orderkey % 5)
+                AS BIGINT) AS pos_of_mod5
+    FROM a ORDER BY o_orderkey
+    """,
+)
+def scalar_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array SET-operation family (array_union / array_intersect /
+    array_except / array_position over sorted arrays) — the
+    collection algebra tag/feature columns need. Values derive from
+    key arithmetic so both engines build identical arrays; Spark's
+    set functions dedup by definition and DuckDB replays them as
+    sort-distinct-filter compositions. Sorted-CSV serialization
+    avoids the array-vs-ndarray comparison trap (see
+    array_agg_user_types). Map-only."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    a1 = F.array(
+        F.col("o_orderkey") % 5, F.col("o_orderkey") % 7, F.col("o_orderkey") % 9
+    )
+    a2 = F.array(F.col("o_orderkey") % 5, F.col("o_orderkey") % 3)
+    w = o.select("o_orderkey", a1.alias("a1"), a2.alias("a2"))
+    return (
+        w.select(
+            "o_orderkey",
+            F.size(F.array_union("a1", "a2")).cast("long").alias("n_union"),
+            F.size(F.array_intersect("a1", "a2"))
+            .cast("long")
+            .alias("n_intersect"),
+            F.size(F.array_except("a1", "a2")).cast("long").alias("n_except"),
+            F.array_join(F.array_sort(F.array_union("a1", "a2")), ",").alias(
+                "union_csv"
+            ),
+            F.array_position(
+                F.array_sort("a1"), F.col("o_orderkey") % 5
+            )
+            .cast("long")
+            .alias("pos_of_mod5"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "quality_schema_contract_check",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('o_orderkey', 'bigint', 'bigint', TRUE),
+      ('o_custkey', 'bigint', 'bigint', TRUE),
+      ('o_orderstatus', 'string', 'string', TRUE),
+      ('o_totalprice', 'double', 'double', TRUE),
+      ('o_orderdate', 'timestamp_ntz', 'timestamp_ntz', TRUE),
+      ('o_orderpriority', 'string', 'string', TRUE),
+      ('o_comment', 'string', '<missing>', FALSE)
+    ) AS t(col_name, expected_type, actual_type, ok)
+    """,
+)
+def quality_schema_contract_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema-contract enforcement: compare the orders table's ACTUAL
+    read schema against a declared column/type contract and emit one
+    verdict row per contract entry — the check a data-contract CI
+    gate runs before allowing a producer deploy (the deliberately
+    contracted-but-absent o_comment row exercises the missing-column
+    path). Schema reflection is driver-side metadata (dtypes — no
+    data scan at all); the verdict relation is contract-sized. The
+    oracle pins the full expected report."""
+    contract = [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp_ntz"),
+        ("o_orderpriority", "string"),
+        ("o_comment", "string"),
+    ]
+    actual = dict(load_table(spark, sf_dir, "orders").dtypes)
+    rows = [
+        (
+            col,
+            want,
+            actual.get(col, "<missing>"),
+            actual.get(col, "<missing>") == want,
+        )
+        for col, want in contract
+    ]
+    return spark.createDataFrame(
+        rows, "col_name string, expected_type string, actual_type string, ok boolean"
+    )
