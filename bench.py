@@ -274,6 +274,8 @@ HEADLINE = [
     "orders_price_index",
     "scalar_array_set_funcs",
     "quality_schema_contract_check",
+    "text_negative_sampling",
+    "events_littles_law_audit",
 ]
 
 

@@ -4924,3 +4924,111 @@ def events_autocorrelation_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.sum("prod") / F.max("ss") * 1e6) / 1e6).alias("acf"),
         )
     )
+
+
+@query(
+    "events_littles_law_audit",
+    oracle="""
+    WITH bounds AS (
+      SELECT epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS t0,
+             epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS t1,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ep,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= 600000000
+                       OR lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sids AS (
+      SELECT user_id, ep,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ep
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM sess
+    ),
+    spans AS (
+      SELECT user_id, sid,
+             MAX(ep) - MIN(ep) + 600000000 AS dur_us
+      FROM sids GROUP BY user_id, sid
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             SUM(dur_us) AS total_dur_us
+      FROM spans
+    )
+    SELECT n_sessions,
+           FLOOR(n_sessions
+                 / ((bounds.t1 - bounds.t0) / 3600e6) * 1e6) / 1e6
+             AS lambda_per_hour,
+           FLOOR(total_dur_us / n_sessions / 3600e6 * 1e6) / 1e6
+             AS w_hours,
+           FLOOR(total_dur_us / CAST(bounds.t1 - bounds.t0 AS DOUBLE)
+                 * 1e6) / 1e6 AS l_avg_concurrent
+    FROM agg CROSS JOIN bounds
+    """,
+)
+def events_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law (L = lambda x W) over user sessions: arrival rate
+    lambda (sessions/hour over the corpus span), mean session
+    duration W, and average concurrency L computed as total
+    session-time over wall-time — by construction these satisfy
+    L = lambda*W EXACTLY, so the three numbers cross-validate the
+    sessionization pipeline (a mismatch means sessions were dropped
+    or double-counted; queueing dashboards run exactly this sanity
+    triangle). Sessions use the same 10-minute-gap definition as
+    events_session_window_native (gap >= 600s opens, duration =
+    span + gap); per-user windows bounded by activity; everything
+    else is two scalar aggregates on integer microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.agg(
+        F.min(ep).alias("t0"),
+        F.max(ep).alias("t1"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(ep).over(w)
+    sess = ev.select(
+        "user_id",
+        ep.alias("ep"),
+        F.when(prev.isNull() | (ep - prev >= 600000000), 1)
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ep")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sids = sess.withColumn("sid", F.sum("is_start").over(wc))
+    spans = sids.groupBy("user_id", "sid").agg(
+        (F.max("ep") - F.min("ep") + 600000000).alias("dur_us")
+    )
+    agg = spans.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("dur_us").alias("total_dur_us"),
+    )
+    j = agg.join(F.broadcast(bounds))
+    wall_us = (F.col("t1") - F.col("t0")).cast("double")
+    return j.select(
+        "n_sessions",
+        (
+            F.floor(F.col("n_sessions") / (wall_us / 3600e6) * 1e6) / 1e6
+        ).alias("lambda_per_hour"),
+        (
+            F.floor(
+                F.col("total_dur_us") / F.col("n_sessions") / 3600e6 * 1e6
+            )
+            / 1e6
+        ).alias("w_hours"),
+        (F.floor(F.col("total_dur_us") / wall_us * 1e6) / 1e6).alias(
+            "l_avg_concurrent"
+        ),
+    )

@@ -2376,3 +2376,93 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("redacted").cast("long").alias("redacted_len"),
         F.md5("redacted").alias("redacted_md5"),
     )
+
+
+@query(
+    "text_negative_sampling",
+    oracle="""
+    WITH vocab AS (
+      SELECT tk, pow(CAST(COUNT(*) AS DOUBLE), 0.75) AS w
+      FROM (SELECT unnest(string_split(text, ' ')) AS tk FROM documents)
+      WHERE tk <> '' GROUP BY tk
+    ),
+    cum AS (
+      SELECT tk, w,
+             SUM(w) OVER (ORDER BY tk ROWS UNBOUNDED PRECEDING) AS hi,
+             SUM(w) OVER (ORDER BY tk ROWS UNBOUNDED PRECEDING) - w
+               AS lo
+      FROM vocab
+    ),
+    tot AS (SELECT SUM(w) AS z FROM vocab),
+    draws AS (
+      SELECT i,
+             (('0x' || substr(md5('neg|' || i), 1, 8))::BIGINT
+              / 4294967296.0) AS u
+      FROM (SELECT unnest(generate_series(0, 999)) AS i)
+    ),
+    hits AS (
+      SELECT d.i, c.tk
+      FROM draws d CROSS JOIN tot
+      JOIN cum c ON d.u * tot.z >= c.lo AND d.u * tot.z < c.hi
+    )
+    SELECT tk AS token, CAST(COUNT(*) AS BIGINT) AS n_drawn
+    FROM hits GROUP BY tk
+    ORDER BY n_drawn DESC, tk LIMIT 30
+    """,
+)
+def text_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative sampling: draw 1000 tokens from the
+    unigram^0.75 distribution (the Mikolov smoothing that up-weights
+    rare words) by INVERSE-CDF lookup — cumulative weights over the
+    vocabulary via the distributed prefix sum, deterministic
+    md5-uniforms, and a range join mapping each draw into its
+    [lo, hi) cumulative interval. This is the alias-table-free way
+    to sample from a corpus-sized categorical distribution without
+    collecting it to the driver; the draw relation is constant-size
+    and broadcasts onto the interval relation. The prefix runs
+    through operators/prefix.ordered_prefix (no single-task window);
+    cumulative bounds are sums of deterministic pow() doubles, so
+    interval edges are engine-identical and each draw lands in
+    exactly one interval."""
+    from free_etl_spark.operators.prefix import ordered_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("tk"))
+        .filter(F.col("tk") != "")
+        .groupBy("tk")
+        .agg(F.pow(F.count(F.lit(1)).cast("double"), 0.75).alias("w"))
+    )
+    cum = ordered_prefix(
+        vocab,
+        [F.col("tk")],
+        cache_tag="negsample_vocab",
+        sums={"hi": "w"},
+        grand={"z": "w"},
+    ).withColumn("lo", F.col("hi") - F.col("w"))
+    draws = spark.range(1000).select(
+        F.col("id").alias("i"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("neg|"), F.col("id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / 4294967296.0
+        ).alias("u"),
+    )
+    hits = cum.join(
+        F.broadcast(draws),
+        (F.col("u") * F.col("z") >= F.col("lo"))
+        & (F.col("u") * F.col("z") < F.col("hi")),
+    )
+    return (
+        hits.groupBy(F.col("tk").alias("token"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_drawn"))
+        .orderBy(F.col("n_drawn").desc(), "token")
+        .limit(30)
+    )
