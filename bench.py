@@ -276,6 +276,8 @@ HEADLINE = [
     "quality_schema_contract_check",
     "text_negative_sampling",
     "events_littles_law_audit",
+    "orders_abc_xyz_classification",
+    "events_delta_encoding_stats",
 ]
 
 

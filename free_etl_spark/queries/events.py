@@ -5032,3 +5032,60 @@ def events_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_avg_concurrent"
         ),
     )
+
+
+@query(
+    "events_delta_encoding_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS gap_us
+      FROM events
+    ),
+    bits AS (
+      SELECT CAST(CASE WHEN gap_us <= 0 THEN 1
+                       ELSE FLOOR(ln(CAST(gap_us AS DOUBLE)) / ln(2)) + 1
+                  END AS BIGINT) AS n_bits
+      FROM gaps WHERE gap_us IS NOT NULL
+    )
+    SELECT n_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(n_bits) AS BIGINT) AS total_bits
+    FROM bits GROUP BY n_bits
+    """,
+)
+def events_delta_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-encoding width histogram: per-user inter-event gaps in
+    microseconds, bucketed by the bit width needed to store each
+    delta — the measurement behind columnar timestamp encoding
+    choices (delta + bit-packing beats raw int64 exactly when this
+    histogram concentrates below ~32 bits; Parquet's DELTA_BINARY_
+    PACKED makes the same decision per block). Per-user lag is
+    bounded by user activity; bit width = floor(log2(gap))+1
+    computed identically in both engines (ln ratio on exact integer
+    inputs — the log2(2^k) boundary cases land identically because
+    both engines evaluate the SAME IEEE expression); the histogram
+    is one keyed aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.select((ep - F.lag(ep).over(w)).alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    n_bits = F.when(F.col("gap_us") <= 0, F.lit(1)).otherwise(
+        F.floor(
+            F.log(F.col("gap_us").cast("double")) / F.log(F.lit(2.0))
+        )
+        + 1
+    ).cast("long")
+    return (
+        gaps.select(n_bits.alias("n_bits"))
+        .groupBy("n_bits")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("n_bits").cast("long").alias("total_bits"),
+        )
+    )

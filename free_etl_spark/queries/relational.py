@@ -2111,3 +2111,100 @@ def orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(paas * 1e4) / 1e4).alias("paasche"),
         (F.floor(F.sqrt(lasp * paas) * 1e4) / 1e4).alias("fisher"),
     )
+
+
+@query(
+    "orders_abc_xyz_classification",
+    oracle="""
+    WITH weekly AS (
+      SELECT l_partkey,
+             CAST(FLOOR(date_diff('day', DATE '1995-01-01',
+                  CAST(l_shipdate AS DATE)) / 7) AS BIGINT) AS wk,
+             SUM(l_quantity) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n_weeks,
+             SUM(q) AS total_q,
+             CASE WHEN AVG(q) > 0 AND COUNT(*) > 1
+                  THEN stddev_samp(q) / AVG(q) ELSE 0 END AS cv
+      FROM weekly GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, total_q, cv,
+             SUM(total_q) OVER (ORDER BY total_q DESC, l_partkey
+               ROWS UNBOUNDED PRECEDING) AS cum_q,
+             SUM(total_q) OVER () AS grand_q
+      FROM stats
+    ),
+    classed AS (
+      SELECT CASE WHEN cum_q * 10 <= grand_q * 8 THEN 'A'
+                  WHEN cum_q * 20 <= grand_q * 19 THEN 'B'
+                  ELSE 'C' END AS abc,
+             CASE WHEN cv < 0.5 THEN 'X'
+                  WHEN cv < 1.0 THEN 'Y' ELSE 'Z' END AS xyz
+      FROM ranked
+    )
+    SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM classed GROUP BY abc, xyz
+    """,
+)
+def orders_abc_xyz_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ABC-XYZ inventory matrix: parts classed by revenue-share rank
+    (A = first 80% of cumulative demand, B = next 15%, C = tail) x
+    demand PREDICTABILITY (weekly-demand CV: X < 0.5 steady, Y < 1.0
+    seasonal, Z erratic) — the 9-cell planning matrix behind safety-
+    stock policy (AX: automate; CZ: make-to-order). Weekly demand is
+    one keyed aggregate; the cumulative-share rank runs through
+    operators/prefix.ordered_prefix over the part-level relation (no
+    single-task window); class thresholds are integer cross-products
+    on exact quantity sums, and the CV cut compares a single
+    stddev/mean division — the cells, not the boundaries, carry the
+    result."""
+    from free_etl_spark.operators.prefix import ordered_prefix
+
+    li = _t(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        "l_partkey",
+        F.floor(
+            F.datediff(
+                F.to_date("l_shipdate"), F.lit("1995-01-01").cast("date")
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("wk"),
+    ).agg(F.sum("l_quantity").alias("q"))
+    stats = weekly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        F.sum("q").alias("total_q"),
+        F.when(
+            (F.avg("q") > 0) & (F.count(F.lit(1)) > 1),
+            F.stddev_samp("q") / F.avg("q"),
+        )
+        .otherwise(0.0)
+        .alias("cv"),
+    )
+    ranked = ordered_prefix(
+        stats.select("l_partkey", "total_q", "cv"),
+        [F.col("total_q").desc(), F.col("l_partkey")],
+        cache_tag="abcxyz_parts",
+        sums={"cum_q": "total_q"},
+        grand={"grand_q": "total_q"},
+    )
+    classed = ranked.select(
+        F.when(F.col("cum_q") * 10 <= F.col("grand_q") * 8, "A")
+        .when(F.col("cum_q") * 20 <= F.col("grand_q") * 19, "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when(F.col("cv") < 0.5, "X")
+        .when(F.col("cv") < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return classed.groupBy("abc", "xyz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
