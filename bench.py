@@ -278,6 +278,7 @@ HEADLINE = [
     "events_littles_law_audit",
     "orders_abc_xyz_classification",
     "events_delta_encoding_stats",
+    "multimodal_scene_cuts",
 ]
 
 

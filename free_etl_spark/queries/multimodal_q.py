@@ -614,3 +614,88 @@ def multimodal_blur_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(lap_var * 1e6) / 1e6).alias("lap_var"),
         (lap_var < 3000).alias("is_blurry"),
     )
+
+
+_SCENE_FRAME_CHARS = 128
+_SCENE_MAX_FRAMES = 8
+_SCENE_CUT_T = 64
+
+
+@query(
+    "multimodal_scene_cuts",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, LEAST(CAST(CEIL(length(text)
+                   / {_SCENE_FRAME_CHARS}.0) AS INT), {_SCENE_MAX_FRAMES})),
+               j -> ('0x' || substr(md5(substr(text,
+                      (j-1)*{_SCENE_FRAME_CHARS} + 1,
+                      {_SCENE_FRAME_CHARS})), 1, 2))::INT
+             ) AS feat
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(len(feat) AS BIGINT) AS n_frames,
+           CAST(len(list_filter(generate_series(2, CAST(len(feat) AS INT)),
+                  j -> abs(feat[j] - feat[j-1]) > {_SCENE_CUT_T}))
+                AS BIGINT) AS n_cuts
+    FROM f
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over sampled frames: the payload is framed
+    into {_SCENE_FRAME_CHARS}-char windows (first {_SCENE_MAX_FRAMES}
+    kept — the sample_frames shape), each frame reduced to a
+    1-byte md5 stub feature, and a CUT is declared where consecutive
+    frame features jump by more than {_SCENE_CUT_T} — the shot-
+    boundary pipeline structure (a real deployment swaps the stub
+    for per-frame embeddings from the mapInPandas decoder; the
+    framing, the consecutive-delta comparison, and the per-clip
+    rollup are exactly this). JVM-only map pass; the frame feature
+    array is materialized once and the cut scan folds inside it."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    n_frames = F.least(
+        F.ceil(F.length("text") / float(_SCENE_FRAME_CHARS)).cast("int"),
+        F.lit(_SCENE_MAX_FRAMES),
+    )
+    feat = F.transform(
+        F.sequence(F.lit(1), n_frames),
+        lambda j: F.conv(
+            F.substring(
+                F.md5(
+                    F.substring(
+                        F.col("text"),
+                        (j - 1) * _SCENE_FRAME_CHARS + 1,
+                        F.lit(_SCENE_FRAME_CHARS),
+                    ).cast("binary")
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("int"),
+    )
+    with_feat = docs.select("doc_id", feat.alias("feat"))
+    # sequence(2, 1) DESCENDS in Spark (DuckDB's generate_series is
+    # empty) — single-frame clips must short-circuit to zero cuts
+    cuts = F.when(F.size("feat") < 2, F.lit(0)).otherwise(
+        F.size(
+            F.filter(
+                F.sequence(F.lit(2), F.size("feat")),
+                lambda j: F.abs(
+                    F.element_at("feat", j.cast("int"))
+                    - F.element_at("feat", (j - 1).cast("int"))
+                )
+                > _SCENE_CUT_T,
+            )
+        )
+    )
+    return with_feat.select(
+        "doc_id",
+        F.size("feat").cast("long").alias("n_frames"),
+        cuts.cast("long").alias("n_cuts"),
+    )
