@@ -279,6 +279,7 @@ HEADLINE = [
     "orders_abc_xyz_classification",
     "events_delta_encoding_stats",
     "multimodal_scene_cuts",
+    "sim_sparse_cosine_topk",
 ]
 
 

@@ -1755,3 +1755,119 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         (F.floor(F.avg(s) * 1e4) / 1e4).alias("avg_silhouette"),
     )
+
+
+@query(
+    "sim_sparse_cosine_topk",
+    oracle="""
+    WITH tokc AS (
+      SELECT doc_id, tk, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+            FROM documents)
+      WHERE tk <> '' GROUP BY doc_id, tk
+    ),
+    n_docs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    idf AS (
+      SELECT tk, ln(n_docs.n / COUNT(*)) AS idf
+      FROM tokc CROSS JOIN n_docs GROUP BY tk, n_docs.n
+      HAVING COUNT(*) <= 50
+    ),
+    w AS (
+      SELECT tokc.doc_id, tokc.tk, tokc.tf * idf.idf AS wt
+      FROM tokc JOIN idf ON idf.tk = tokc.tk
+    ),
+    nrm AS (
+      SELECT doc_id, sqrt(SUM(wt * wt)) AS nn FROM w GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(a.wt * b.wt) AS dot,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM w a JOIN w b ON a.tk = b.tk AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.doc_a, p.doc_b, p.n_shared,
+             p.dot / (na.nn * nb.nn) AS cosine
+      FROM pairs p
+      JOIN nrm na ON na.doc_id = p.doc_a
+      JOIN nrm nb ON nb.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b, n_shared,
+           FLOOR(cosine * 1e6) / 1e6 AS cosine
+    FROM scored ORDER BY cosine DESC, doc_a, doc_b LIMIT 25
+    """,
+)
+def sim_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE-vector cosine similarity over tf-idf document vectors
+    via the inverted index — the retrieval-side sibling of the dense
+    cosine family: the dot product decomposes over shared tokens, so
+    a token-keyed self-join + sum computes every nonzero pair
+    WITHOUT materializing vectors (the trick behind every sparse
+    search engine; dense cosine can't decompose this way). Tokens
+    with document frequency > 50 are dropped at the idf stage — both
+    the standard stop-word effect and the df-cap that bounds the
+    join's C(df,2) fan-out (same escape hatch as the Jaccard
+    family). Norms join back doc-keyed; top-25 is TakeOrdered on the
+    exact cosine with doc-id tie-breaks."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
+        .filter(F.col("tk") != "")
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    idf = (
+        tokc.groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 50)
+        .join(F.broadcast(n_docs))
+        .select("tk", F.log(F.col("n") / F.col("df")).alias("idf"))
+    )
+    w = tokc.join(idf, "tk").select(
+        "doc_id", "tk", (F.col("tf") * F.col("idf")).alias("wt")
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nn")
+    )
+    a = w.alias("a")
+    b = w.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("tk").alias("tkb"),
+        F.col("wt").alias("wtb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tk") == F.col("tkb"))
+            & (F.col("a.doc_id") < F.col("doc_b")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), "doc_b")
+        .agg(
+            F.sum(F.col("a.wt") * F.col("wtb")).alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("nb"))
+    scored = (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
+        .limit(25)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (F.floor(F.col("cosine") * 1e6) / 1e6).alias("cosine"),
+        )
+    )
