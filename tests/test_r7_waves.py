@@ -119,3 +119,111 @@ def test_growth_accounting_conserves_users(spark):
         if r["state"] != "churned":
             per_week[r["wk"]] = per_week.get(r["wk"], 0) + r["n_users"]
     assert per_week == active.to_dict()
+
+
+def test_mann_whitney_matches_python_recompute(spark):
+    """U and z must match a direct tie-corrected reimplementation
+    over the same parquet (rank math exactness claim)."""
+    import math
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    sub = ev[ev["event_type"].isin(["click", "purchase"])]
+    vals = sorted(sub["value"].unique())
+    cum = 0
+    avg_rank = {}
+    cnt = sub.groupby("value").size().to_dict()
+    cnt_a = (
+        sub[sub["event_type"] == "click"].groupby("value").size().to_dict()
+    )
+    for v in vals:
+        c = cnt[v]
+        avg_rank[v] = cum + (c + 1) / 2.0
+        cum += c
+    n_a = sum(cnt_a.values())
+    n = len(sub)
+    n_b = n - n_a
+    s_a = sum(cnt_a.get(v, 0) * avg_rank[v] for v in vals)
+    u_a = s_a - n_a * (n_a + 1) / 2.0
+    mu = n_a * n_b / 2.0
+    t_ties = sum(c**3 - c for c in cnt.values())
+    var = (n_a * n_b / 12.0) * ((n + 1) - t_ties / (n * (n - 1.0)))
+    z = math.floor((u_a - mu) / math.sqrt(var) * 1e6) / 1e6
+    row = QUERIES["events_mann_whitney"](spark, SF_DIR).collect()[0]
+    assert row["n_a"] == n_a and row["n_b"] == n_b
+    assert row["u_stat"] == u_a
+    assert row["z"] == z
+
+
+def test_skyline_is_exact_pareto_frontier(spark):
+    """Every returned order must be non-dominated on (price, date)
+    and every non-dominated order must be returned."""
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    pts = list(
+        zip(o["o_orderkey"], o["o_totalprice"], o["o_orderdate"])
+    )
+    got = {
+        r["o_orderkey"]
+        for r in QUERIES["orders_skyline"](spark, SF_DIR).collect()
+    }
+    # brute-force frontier: an order survives iff no other order is
+    # <= price (with key tiebreak making it strictly earlier in the
+    # total order) AND >= date
+    pts_sorted = sorted(pts, key=lambda t: (t[1], t[0]))
+    best_date = None
+    want = set()
+    for k, p, d in pts_sorted:
+        if best_date is None or d > best_date:
+            want.add(k)
+        best_date = d if best_date is None else max(best_date, d)
+    assert got == want
+
+
+def test_negative_sampling_tracks_distribution(spark):
+    """1000 draws from unigram^0.75 must allocate counts roughly
+    proportionally: the most-drawn token's share must exceed the
+    uniform share and the draws must sum to <= 1000."""
+    rows = QUERIES["text_negative_sampling"](spark, SF_DIR).collect()
+    assert rows, "no draws returned"
+    total_top = sum(r["n_drawn"] for r in rows)
+    assert total_top <= 1000
+    assert rows[0]["n_drawn"] >= rows[-1]["n_drawn"]
+
+
+def test_ks_drift_bounded_and_complete(spark):
+    rows = QUERIES["events_ks_drift"](spark, SF_DIR).collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    assert {r["event_type"] for r in rows} == set(ev["event_type"].unique())
+    for r in rows:
+        assert 0.0 <= r["ks_stat"] <= 1.0
+        assert r["n0"] + r["n1"] == (ev["event_type"] == r["event_type"]).sum()
+
+
+def test_littles_law_identity_holds(spark):
+    """L = lambda * W by construction — the three reported numbers
+    must satisfy the identity to rounding tolerance."""
+    r = QUERIES["events_littles_law_audit"](spark, SF_DIR).collect()[0]
+    lhs = r["l_avg_concurrent"]
+    rhs = r["lambda_per_hour"] * r["w_hours"]
+    assert abs(lhs - rhs) < 1e-3
+
+
+def test_activity_bitmap_vs_python_masks(spark):
+    """Masks recomputed in Python must give the same histogram."""
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    d0 = ev["ts"].dt.date.min()
+    masks = {}
+    for uid, grp in ev.groupby("user_id"):
+        m = 0
+        for d in grp["ts"].dt.date.unique():
+            off = (d - d0).days
+            if off < 63:
+                m |= 1 << off
+        masks[uid] = m
+    import collections
+
+    want = collections.Counter(bin(m).count("1") for m in masks.values())
+    got = {
+        r["n_active_days"]: r["n_users"]
+        for r in QUERIES["events_activity_bitmap"](spark, SF_DIR).collect()
+    }
+    assert got == dict(want)
