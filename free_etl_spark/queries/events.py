@@ -2605,12 +2605,20 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int")
         + 0.5
     ) / 65536.0
+    # u is MATERIALIZED as a column before the CDF walk: the 8-branch
+    # CASE references it eight times, and inside aggregate expressions
+    # there is no common-subexpression elimination — inlined, the md5
+    # chain re-evaluated per branch probe (measured ~8 s at sf0.1;
+    # two-projection form ~2.5 s). Same rule as the PCM sign fixup.
+    with_u = reps.select("value", "rep", u.alias("u"))
     w = F.lit(7)
     for wt, t in reversed(list(enumerate(_POIS1_CDF))):
-        w = F.when(u < t, wt).otherwise(w)
-    means = reps.groupBy("rep").agg(
+        w = F.when(F.col("u") < t, wt).otherwise(w)
+    with_w = with_u.select("value", "rep", w.alias("w"))
+    means = with_w.groupBy("rep").agg(
         (
-            F.round(F.sum(w * F.col("value")), 2) / F.sum(w)
+            F.round(F.sum(F.col("w") * F.col("value")), 2)
+            / F.sum("w")
         ).alias("m")
     )
     full_mean = ev.agg(
