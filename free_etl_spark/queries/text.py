@@ -2466,3 +2466,62 @@ def text_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_drawn").desc(), "token")
         .limit(30)
     )
+
+
+@query(
+    "text_bpe_merge_candidates",
+    oracle="""
+    WITH words AS (
+      SELECT lower(tk) AS w, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS tk FROM documents)
+      WHERE tk <> '' AND regexp_matches(tk, '^[A-Za-z]+$')
+      GROUP BY lower(tk)
+    ),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair, SUM(freq) AS n
+      FROM words
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, length(w) - 1)) AS i
+      ) g
+      GROUP BY substr(w, i, 2)
+    )
+    SELECT pair, CAST(n AS BIGINT) AS n
+    FROM pairs ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIRST merge round of BPE tokenizer training: collapse the
+    corpus to the word-frequency relation (the step that makes BPE
+    training tractable — pair counts weight by word frequency, never
+    rescanning raw text), enumerate adjacent symbol pairs per word,
+    and rank the top-20 merge candidates — exactly the aggregate a
+    distributed tokenizer trainer (GPT-2/SentencePiece lineage) runs
+    per merge iteration; subsequent rounds replay this with the
+    winning pair fused (the driver loop carries only the merge
+    table). Word-keyed vocabulary relation is the only shuffle; pair
+    enumeration explodes bounded by word length; top-20 is
+    TakeOrdered. All integer counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("tk"))
+        .filter(
+            (F.col("tk") != "") & F.col("tk").rlike("^[A-Za-z]+$")
+        )
+        .groupBy(F.lower(F.col("tk")).alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.substring(F.col("w"), i, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+    )
+    return pairs.orderBy(F.col("n").desc(), "pair").limit(20)
