@@ -280,6 +280,7 @@ HEADLINE = [
     "events_delta_encoding_stats",
     "multimodal_scene_cuts",
     "sim_sparse_cosine_topk",
+    "text_bpe_merge_candidates",
 ]
 
 
