@@ -812,12 +812,16 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph: for customer pairs sharing purchased parts, score
     sum(1/ln(buyers_of_part)) — rare shared parts count more. The
     candidate generator is the part-keyed self-join of the distinct
-    (customer, part) relation, so pair enumeration is bounded by
-    per-part buyer count squared, never |customers|^2; parts with
-    more than 64 buyers are excluded BY DEFINITION (ubiquitous items
-    carry ~no signal and their 1/ln weight is minimal — the standard
-    link-prediction cut, and the knob that bounds the worst part's
-    fan-out at 100 TB). Degree joins back part-keyed; top-20 is
+    (customer, part) relation RESTRICTED to parts with 2..64 buyers
+    BEFORE pairing (the orders_also_bought `keep` pattern): the
+    degree filter sits below both self-join inputs in the optimized
+    plan, so pair enumeration is bounded by 64^2 per part AS
+    EXECUTED — a ubiquitous part never materializes B^2 join rows.
+    (Ubiquitous items carry ~no signal and their 1/ln weight is
+    minimal — the standard link-prediction cut, and the knob that
+    bounds the worst part's fan-out at 100 TB; the cap-below-join
+    property is gated in tests/test_plans.py.) The kept relation
+    carries the part degree, so no third join is needed; top-20 is
     TakeOrdered with full key tie-break."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -831,13 +835,15 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = buyers.groupBy("part").agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
-    a = buyers.alias("a")
-    b = buyers.select(
+    kept = buyers.join(
+        deg.filter((F.col("d") >= 2) & (F.col("d") <= 64)), "part"
+    )
+    a = kept.alias("a")
+    b = kept.select(
         F.col("cust").alias("cust_b"), F.col("part").alias("pb")
     )
     pairs = (
         a.join(b, (F.col("a.part") == F.col("pb")) & (F.col("a.cust") < F.col("cust_b")))
-        .join(deg.filter((F.col("d") >= 2) & (F.col("d") <= 64)), F.col("a.part") == deg.part)
         .groupBy(F.col("a.cust").alias("cust_a"), "cust_b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_common"),

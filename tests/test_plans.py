@@ -341,6 +341,16 @@ def test_observation_metrics_free_audit(spark):
         "graph_triangle_count",
         "sample_curriculum_shards",
         "text_quality_percentile_cut",
+        # r7 prefix-operator consumers (VERDICT r7 task #5): every query
+        # whose docstring claims a distributed prefix must prove the
+        # no-single-task-sort property, not just state it.
+        "agg_weighted_median",
+        "events_mann_whitney",
+        "events_max_concurrency",
+        "orders_abc_xyz_classification",
+        "orders_skyline",
+        "quality_key_skew_report",
+        "text_negative_sampling",
     ],
 )
 def test_corpus_scale_queries_have_no_global_window(spark, name):
@@ -364,3 +374,49 @@ def test_corpus_scale_queries_have_no_global_window(spark, name):
         plan,
     )
     assert not bad, f"single-partition window in {name}:\n{bad.group(0)}"
+
+
+@pytest.mark.parametrize(
+    "name,cap_needle",
+    [
+        # adamic_adar: buyers semi-joined vs deg.filter(2<=d<=64) BEFORE
+        # the part-keyed pair self-join (VERDICT r7 "What's wrong" #1).
+        ("graph_adamic_adar", "<= 64"),
+        # also_bought: baskets over _BASKET_CAP excluded before pairing.
+        ("orders_also_bought", "<= 100"),
+    ],
+)
+def test_degree_cap_sits_below_pair_self_join(spark, name, cap_needle):
+    """The quadratic-risk self-joins must apply their fan-out cap to
+    BOTH inputs below the pair join in the OPTIMIZED plan — a cap
+    applied above the join still materializes B^2 rows for a hot key
+    before dropping them, which is exactly the plan defect the r7
+    verdict confirmed in graph_adamic_adar. The pair join is the one
+    whose condition carries the anti-symmetric '<' tie-break."""
+    import free_etl_spark.queries as q
+
+    df = q.QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan()
+
+    pair_joins = []
+
+    def walk(node):
+        head = node.toString().splitlines()[0]
+        if node.nodeName() == "Join" and " < " in head:
+            pair_joins.append(node)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(plan)
+    assert pair_joins, f"no anti-symmetric pair join found in {name}"
+    j = pair_joins[0]  # outermost such join is the pair enumerator
+    ch = j.children()
+    assert ch.size() == 2
+    for i in range(2):
+        sub = ch.apply(i).toString()
+        assert cap_needle in sub, (
+            f"{name}: fan-out cap {cap_needle!r} missing from pair-join "
+            f"input {i} — cap is applied AFTER enumeration:\n"
+            + j.toString()[:2000]
+        )
