@@ -326,16 +326,43 @@ def merge_additive_parquet(
     O(delta) + O(MV); history is never rescanned. Only associative,
     commutative states belong here (count, sum, min/max need
     coalesce-greatest variants); non-decomposable aggregates need a
-    rewrite to partial states first."""
+    rewrite to partial states first.
+
+    The key join is NULL-SAFE (``eqNullSafe``): a NULL group key (e.g.
+    a NULL hour bucket from a NULL timestamp) is a legitimate MV group
+    and must ACCUMULATE across batches — with plain ``==`` it would
+    never match and every batch would append a fresh NULL-key row,
+    silently breaking the "any batch slicing converges to the full
+    recompute" contract for nullable key columns."""
+    merged = _merged_additive(spark, target_dir, delta, key_cols, add_cols)
+    if merged is delta:
+        delta.write.mode("overwrite").parquet(target_dir)
+        return
+    out = merged.localCheckpoint(eager=True)
+    out.write.mode("overwrite").parquet(target_dir)
+
+
+def _merged_additive(
+    spark: SparkSession,
+    target_dir: str,
+    delta: DataFrame,
+    key_cols: list[str],
+    add_cols: list[str],
+) -> DataFrame:
+    """The merged-MV frame (or ``delta`` itself when no target exists
+    yet) — shared by the in-place and staged-write paths."""
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(target_dir)  # noqa: SLF001
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
     if not fs.exists(jvm_path):
-        delta.write.mode("overwrite").parquet(target_dir)
-        return
+        return delta
     target = spark.read.parquet(target_dir)
     u = delta.select(*[F.col(c).alias(f"__u_{c}") for c in delta.columns])
-    cond = [target[k] == u[f"__u_{k}"] for k in key_cols]
+    cond = [target[k].eqNullSafe(u[f"__u_{k}"]) for k in key_cols]
     joined = target.join(u, cond, "full_outer")
+    # NULL-key groups match via eqNullSafe, but their key OUTPUT needs
+    # care: coalesce(NULL, NULL) is the correct NULL key when both
+    # sides carry it, and presence flags (count columns) distinguish
+    # "row absent" from "key is NULL" below, so coalesce stays valid.
     out_cols = [
         F.coalesce(F.col(k), F.col(f"__u_{k}")).alias(k) for k in key_cols
     ]
@@ -346,9 +373,7 @@ def merge_additive_parquet(
                 F.coalesce(F.col(c), zero) + F.coalesce(F.col(f"__u_{c}"), zero)
             ).alias(c)
         )
-    merged = joined.select(*out_cols)
-    out = merged.localCheckpoint(eager=True)
-    out.write.mode("overwrite").parquet(target_dir)
+    return joined.select(*out_cols)
 
 
 def merge_additive_once(
@@ -360,19 +385,50 @@ def merge_additive_once(
     applied_dir: str,
     batch_id: int,
 ) -> bool:
-    """Replay-safe wrapper for ``merge_additive_parquet`` inside
+    """Replay-safe wrapper for the additive MV merge inside
     foreachBatch: additive merges are NOT idempotent, so each applied
     batch_id is recorded as a marker file and a replayed batch is
-    skipped. Returns True if the merge ran, False if skipped. The
-    marker lands AFTER the merge — a transactional table format would
-    make the pair atomic; on plain parquet this narrows (not closes)
-    the crash window, which is the honest plain-parquet contract."""
+    skipped. Returns True if the merge ran, False if skipped.
+
+    Staged-write protocol (instead of overwrite-in-place): the merged
+    MV lands fully in a staging generation dir first, then the swap is
+    three driver-side metadata ops — retire old target, rename staging
+    to target, create marker. A crash during the (possibly long)
+    parquet write leaves the old MV untouched; the remaining
+    double-apply window is the single marker-create metadata op after
+    the rename — a transactional table format would close that last
+    gap, which is the honest plain-parquet contract. A crash between
+    retire and rename is recovered on the next call: the retired dir
+    carries the batch_id and is restored before re-merging."""
     import os
 
     os.makedirs(applied_dir, exist_ok=True)
     marker = os.path.join(applied_dir, f"batch_{batch_id}")
     if os.path.exists(marker):
         return False
-    merge_additive_parquet(spark, target_dir, delta, key_cols, add_cols)
+
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    Path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001,N806
+    tgt = Path(target_dir)
+    fs = tgt.getFileSystem(conf)
+    staging = Path(f"{target_dir}__stage_b{batch_id}")
+    retired = Path(f"{target_dir}__retired_b{batch_id}")
+    # Crash recovery: a previous attempt that renamed target away but
+    # died before the staging rename leaves `retired` holding the real
+    # MV (marker absent, so the batch was NOT applied) — restore it.
+    if fs.exists(retired) and not fs.exists(tgt):
+        fs.rename(retired, tgt)
+    for leftover in (staging, retired):
+        if fs.exists(leftover):
+            fs.delete(leftover, True)
+
+    merged = _merged_additive(spark, target_dir, delta, key_cols, add_cols)
+    merged.write.mode("overwrite").parquet(staging.toString())
+    had_target = fs.exists(tgt)
+    if had_target:
+        fs.rename(tgt, retired)
+    fs.rename(staging, tgt)
     open(marker, "w").close()
+    if had_target:
+        fs.delete(retired, True)
     return True

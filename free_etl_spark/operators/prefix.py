@@ -74,6 +74,31 @@ _RETIRED: dict[tuple, list[DataFrame]] = {}
 _LOCK = threading.Lock()
 
 
+def clear_prefix_cache(session=None) -> None:
+    """Invalidate the persisted range-partitioned relations (all
+    sessions, or one). REQUIRED before re-running an ``ordered_prefix``
+    query whose INPUT FILES changed in-session: the cache key is the
+    plan's semanticHash, which is path-based — a rewritten table at
+    the same path hashes identically and would silently serve stale
+    rows. All standing callers read immutable bench tables, so the
+    contract is: ordered_prefix inputs are immutable for the session
+    unless the caller invalidates here first."""
+    with _LOCK:
+        keys = [k for k in _PART_CACHE if session is None or k[0] is session]
+        for k in keys:
+            try:
+                _PART_CACHE.pop(k).unpersist()
+            except Exception:
+                pass
+        rkeys = [k for k in _RETIRED if session is None or k[0] is session]
+        for k in rkeys:
+            for df in _RETIRED.pop(k):
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+
+
 def _sem_hash(df: DataFrame) -> int | None:
     try:
         return df._jdf.queryExecution().analyzed().semanticHash()
@@ -90,10 +115,15 @@ def _persist_part(df: DataFrame, tag: str) -> DataFrame:
             hit = _PART_CACHE.get(key)
             if hit is not None:
                 return hit
+        # h None (non-JVM session / API drift) disables cache HITS, so
+        # every None-keyed construction must also treat the previous
+        # (sess, tag, None) entry as superseded — otherwise it would be
+        # overwritten below without retirement and its persisted blocks
+        # would leak unboundedly on that fallback path.
         stale = [
             k
             for k in _PART_CACHE
-            if k[0] is sess and k[1] == tag and k != key
+            if k[0] is sess and k[1] == tag and (k != key or h is None)
         ]
         retired = _RETIRED.setdefault((sess, tag), [])
         for k in stale:
@@ -126,7 +156,10 @@ def ordered_prefix(
                may carry ``.desc()``.
     cache_tag  stable identifier for the persisted partitioned
                relation (see _PART_CACHE) — one live cache entry per
-               tag per session.
+               tag per session. Inputs must be immutable for the
+               session (the cache key is the plan's semanticHash,
+               blind to file rewrites at the same path); call
+               ``clear_prefix_cache`` after mutating an input.
     sums       out_alias -> column: inclusive running sum in that
                order (``SUM(col) OVER (ORDER BY ... ROWS UNBOUNDED
                PRECEDING)``).

@@ -191,3 +191,56 @@ def test_ordered_prefix_exclusive_max_matches_global_window(spark, scrambled):
     }
     assert got == want
     assert got[min(got)] is None  # globally-first row has no predecessor
+
+
+def test_none_hash_fallback_retires_previous_entry(spark, scrambled, monkeypatch):
+    """When semanticHash is unavailable (non-JVM session / API drift)
+    cache HITS are disabled — but repeated constructions must still
+    retire the previous (sess, tag, None) entry instead of silently
+    overwriting it, or persisted blocks leak unboundedly on that
+    fallback path (the documented bound is ≤1 live + ≤1 retired per
+    (session, tag))."""
+    import free_etl_spark.operators.prefix as P
+
+    monkeypatch.setattr(P, "_sem_hash", lambda df: None)
+    frames = []
+    for n in (4, 8, 16):
+        frames.append(
+            P._persist_part(
+                scrambled.repartitionByRange(n, "k").withColumn(
+                    "__pid", F.spark_partition_id()
+                ),
+                "test_none_hash",
+            )
+        )
+    live = [k for k in P._PART_CACHE if k[1] == "test_none_hash"]
+    assert len(live) == 1
+    assert len(P._RETIRED.get((spark, "test_none_hash"), [])) <= 1
+    # oldest generation actually unpersisted, newest still live
+    assert not frames[0].storageLevel.useMemory
+    assert frames[2].storageLevel.useMemory
+
+
+def test_clear_prefix_cache_invalidates_and_unpersists(spark, scrambled):
+    """The explicit invalidation hook for in-session input mutation:
+    after clear_prefix_cache the tag's entries are gone, their blocks
+    unpersisted, and a rebuild persists a FRESH relation (no stale
+    semantic-hash hit)."""
+    import free_etl_spark.operators.prefix as P
+
+    def build():
+        return P._persist_part(
+            scrambled.repartitionByRange(4, "k").withColumn(
+                "__pid", F.spark_partition_id()
+            ),
+            "test_clear",
+        )
+
+    first = build()
+    assert first.storageLevel.useMemory
+    P.clear_prefix_cache(spark)
+    assert not any(k[1] == "test_clear" for k in P._PART_CACHE)
+    assert not first.storageLevel.useMemory
+    second = build()
+    assert second is not first
+    assert second.storageLevel.useMemory

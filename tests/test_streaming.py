@@ -676,3 +676,64 @@ def test_streaming_mv_refresh_recovers_after_kill(spark, tmp_path):
         "b": (4, 8.0),
         "c": (2, 2.0),
     }, got
+
+
+def test_merge_additive_null_key_accumulates(spark, tmp_path):
+    """A NULL group key (e.g. NULL hour from a NULL ts) is a
+    legitimate MV group and must ACCUMULATE across batches: the merge
+    joins with eqNullSafe, so batch slicing converges to the full
+    recompute even for nullable key columns (with plain == every batch
+    appended a fresh NULL-key row)."""
+    from free_etl_spark.operators.merge import merge_additive_parquet
+
+    schema = "k string, n long, s double"
+    target = str(tmp_path / "mv")
+    seed = spark.createDataFrame([(None, 1, 1.0), ("a", 2, 2.0)], schema)
+    d1 = spark.createDataFrame([(None, 3, 3.0), ("b", 1, 1.0)], schema)
+    merge_additive_parquet(spark, target, seed, ["k"], ["n", "s"])
+    merge_additive_parquet(spark, target, d1, ["k"], ["n", "s"])
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 3  # exactly one NULL-key row, not one per batch
+    got = {r.k: (r.n, r.s) for r in rows}
+    assert got[None] == (4, 4.0)
+    assert got["a"] == (2, 2.0) and got["b"] == (1, 1.0)
+
+
+def test_merge_additive_once_staged_write_recovery(spark, tmp_path):
+    """Staged-write protocol crash windows: (1) a crash that renamed
+    the target away but died before renaming staging in (marker
+    absent) is recovered on the next call — the retired dir is
+    restored and the batch applies exactly once; (2) leftover staging
+    junk from a crash mid-parquet-write is cleared and the old MV is
+    untouched until the staged write completes; (3) a marker still
+    skips replays."""
+    import os
+
+    from free_etl_spark.operators.merge import (
+        merge_additive_once,
+        merge_additive_parquet,
+    )
+
+    schema = "k string, n long, s double"
+    target = str(tmp_path / "mv")
+    applied = str(tmp_path / "applied")
+    seed = spark.createDataFrame([("a", 1, 1.0)], schema)
+    merge_additive_parquet(spark, target, seed, ["k"], ["n", "s"])
+
+    # crash state: batch 7 retired the target, never renamed staging in
+    os.rename(target, f"{target}__retired_b7")
+    os.makedirs(f"{target}__stage_b7")  # half-written staging junk
+    delta = spark.createDataFrame([("a", 2, 2.0), ("b", 5, 5.0)], schema)
+    ran = merge_additive_once(
+        spark, target, delta, ["k"], ["n", "s"], applied, 7
+    )
+    assert ran is True
+    got = {r.k: (r.n, r.s) for r in spark.read.parquet(target).collect()}
+    assert got == {"a": (3, 3.0), "b": (5, 5.0)}
+    assert not os.path.exists(f"{target}__retired_b7")
+    assert not os.path.exists(f"{target}__stage_b7")
+    # replay of an applied batch is skipped
+    assert (
+        merge_additive_once(spark, target, delta, ["k"], ["n", "s"], applied, 7)
+        is False
+    )
