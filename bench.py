@@ -281,6 +281,8 @@ HEADLINE = [
     "multimodal_scene_cuts",
     "sim_sparse_cosine_topk",
     "text_bpe_merge_candidates",
+    # r8 wave: the full iterative BPE trainer (6 merge rounds)
+    "text_bpe_train_rounds",
 ]
 
 

@@ -2525,3 +2525,140 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("freq").cast("long").alias("n"))
     )
     return pairs.orderBy(F.col("n").desc(), "pair").limit(20)
+
+
+def _bpe_train_oracle(rounds: int) -> str:
+    """Unrolled DuckDB oracle for ``text_bpe_train_rounds``: one
+    (pairs, argmax, merge-apply) CTE block per round, exactly the
+    pinned-round unroll pattern graph_kcore uses for its peels. The
+    merge-apply is a left fold over the spaced symbol string
+    (list_reduce), byte-identical to the Spark-side F.aggregate fold:
+    merge (la, lb) when the accumulator's LAST symbol equals la and
+    the next symbol is lb — the same greedy left-to-right semantics
+    as the classic regex-sub BPE reference implementation."""
+    sql = [
+        r"""
+    WITH w0 AS (
+      SELECT trim(regexp_replace(lower(tk), '(.)', '\1 ', 'g')) AS s,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS tk FROM documents)
+      WHERE tk <> '' AND regexp_matches(tk, '^[A-Za-z]+$')
+      GROUP BY lower(tk)
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        sql.append(f"""
+    , p{r} AS (
+      SELECT l[i] AS la, l[i+1] AS lb, CAST(SUM(freq) AS BIGINT) AS n
+      FROM (SELECT string_split(s, ' ') AS l, freq FROM w{p})
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(l) - 1)) AS i
+      ) g
+      GROUP BY 1, 2
+    ), b{r} AS (
+      SELECT la, lb, n FROM p{r} ORDER BY n DESC, la, lb LIMIT 1
+    ), w{r} AS (
+      SELECT list_reduce(string_split(s, ' '),
+        (acc, x) -> CASE
+          WHEN (acc = la OR acc LIKE '% ' || la) AND x = lb
+          THEN left(acc, length(acc) - length(la)) || la || lb
+          ELSE acc || ' ' || x END) AS s, freq
+      FROM w{p} CROSS JOIN b{r}
+    )""")
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {r} AS round, la AS lhs, lb AS rhs, la || lb AS merged, n"
+        f" FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    sql.append(f"\n    SELECT * FROM ({sel}) ORDER BY round")
+    return "".join(sql)
+
+
+_BPE_TRAIN_ROUNDS = 6
+
+
+@query("text_bpe_train_rounds", oracle=_bpe_train_oracle(_BPE_TRAIN_ROUNDS))
+def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTUAL BPE trainer loop (completing the round-1 statistics
+    of text_bpe_merge_candidates): for 6 pinned rounds, count adjacent
+    symbol pairs weighted by word frequency, pick the argmax pair
+    (count desc, pair asc tie-break), fuse it everywhere, and recount
+    — the GPT-2/SentencePiece training recipe on the collapsed
+    word-frequency relation. Returns the learned merge table
+    (round, lhs, rhs, merged, n); by round 6 a multi-character symbol
+    participates, proving real iteration rather than round-1 stats.
+
+    Scale shape: per round, one map-side fold over the vocabulary
+    relation (never the corpus — the word-frequency collapse is what
+    makes distributed BPE training tractable) plus one pair-keyed
+    shuffle for the counts. The per-round argmax is a single-row
+    TakeOrdered fetched to the driver — the canonical iterative-
+    algorithm coordination (kmeans centroids, pagerank convergence),
+    NOT a data collect: driver state is 6 merge rows total at any
+    corpus size. localCheckpoint truncates lineage per round exactly
+    like graph_kcore's peels. The merge-apply fold references the
+    pre-materialized symbol array column, so no expression re-inlines
+    into the HOF lambda (the projection-collapse re-evaluation trap).
+    Symbols are alphabetic-only by the word filter, so fold string
+    surgery needs no escaping on either engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("tk"))
+        .filter((F.col("tk") != "") & F.col("tk").rlike("^[A-Za-z]+$"))
+        .groupBy(F.lower(F.col("tk")).alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("s"), "freq"
+        )
+    )
+    cur = words.localCheckpoint(eager=True)
+    merges: list[tuple] = []
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        pairs = (
+            cur.select(F.split("s", " ").alias("l"), "freq")
+            .filter(F.size("l") >= 2)  # sequence(1,0) would DESCEND
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("l") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("l"), i).alias("la"),
+                            F.element_at(F.col("l"), i + F.lit(1)).alias(
+                                "lb"
+                            ),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.la").alias("la"), F.col("p.lb").alias("lb"))
+            .agg(F.sum("freq").cast("long").alias("n"))
+        )
+        best = pairs.orderBy(F.col("n").desc(), "la", "lb").first()
+        if best is None:  # degenerate corpus: nothing left to merge
+            break
+        la, lb, n = best["la"], best["lb"], best["n"]
+        merges.append((r, la, lb, la + lb, n))
+        cur = cur.select(
+            F.aggregate(
+                F.split("s", " "),
+                F.lit(""),
+                lambda acc, x: F.when(acc == F.lit(""), x)
+                .when(
+                    ((acc == F.lit(la)) | acc.endswith(" " + la))
+                    & (x == F.lit(lb)),
+                    F.concat(
+                        F.substring(
+                            acc, F.lit(1), F.length(acc) - len(la)
+                        ),
+                        F.lit(la + lb),
+                    ),
+                )
+                .otherwise(F.concat(acc, F.lit(" "), x)),
+            ).alias("s"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "round int, lhs string, rhs string, merged string, n long"
+    )
