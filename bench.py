@@ -440,8 +440,10 @@ def main() -> None:
     # cannot outgrow the window no matter how many queries register.
     qline = {"queries": timings, "sf": sf}
     print(json.dumps(qline))
-    with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as f:
-        json.dump(qline, f, indent=1)
+    if subset == 0:  # subset runs probe the stdout contract, not perf —
+        # don't let them clobber the last full-suite measurement
+        with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as f:
+            json.dump(qline, f, indent=1)
     if sf >= 0.1:  # stamp only full-SF runs; sf0.01 iteration runs
         # must not become a round's snapshot
         with open(

@@ -835,8 +835,16 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = buyers.groupBy("part").agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
+    # The filtered degree relation is one row per 2..64-buyer part —
+    # a part-keyed dimension, tiny relative to the bipartite fact —
+    # so it BROADCASTS: each self-join side is then the (reusable)
+    # part-keyed exchange of `buyers` plus a map-side hash join,
+    # instead of two extra shuffle joins per side (9.7 s shuffle-form
+    # vs 4.3 s broadcast-form at sf0.1 — the renamed b-side projection
+    # defeats exchange reuse of the whole kept subtree).
     kept = buyers.join(
-        deg.filter((F.col("d") >= 2) & (F.col("d") <= 64)), "part"
+        F.broadcast(deg.filter((F.col("d") >= 2) & (F.col("d") <= 64))),
+        "part",
     )
     a = kept.alias("a")
     b = kept.select(
