@@ -26,6 +26,8 @@ def test_bench_final_line_survives_driver_tail_window():
     # guard proves the contract on a 20-query single-rep subset.
     env["SPARK_GRAFT_BENCH_SUBSET"] = "20"
     env["SPARK_GRAFT_BENCH_REPS"] = "1"
+    side_path = os.path.join(_REPO, "BENCH_QUERIES.json")
+    side_before = open(side_path).read() if os.path.exists(side_path) else None
     out = subprocess.run(
         [sys.executable, os.path.join(_REPO, "bench.py")],
         capture_output=True,
@@ -56,14 +58,18 @@ def test_bench_final_line_survives_driver_tail_window():
     assert m, tail
     assert json.loads(m.group(0))["value"] == payload["value"]
 
-    # Per-query timings: own stdout line + side file, identical shape.
+    # Per-query timings: own stdout line, NOT the side file — subset
+    # runs probe the stdout contract and must leave the last full-suite
+    # BENCH_QUERIES.json measurement untouched.
     qlines = [l for l in lines if l.startswith('{"queries"')]
     assert len(qlines) == 1
     qpayload = json.loads(qlines[0])
     assert len(qpayload["queries"]) >= 20
     assert all(v >= 0 for v in qpayload["queries"].values())
-    side = json.load(open(os.path.join(_REPO, "BENCH_QUERIES.json")))
-    assert side["queries"] == qpayload["queries"]
+    if side_before is not None:
+        assert open(side_path).read() == side_before, (
+            "subset run overwrote BENCH_QUERIES.json"
+        )
 
 
 def test_bench_delta_provenance_recomputable():
