@@ -376,6 +376,19 @@ def _merged_additive(
     return joined.select(*out_cols)
 
 
+def _checked_rename(fs, src, dst, batch_id) -> None:
+    """Hadoop ``FileSystem.rename`` reports failure by returning False
+    (not raising), and renaming into a still-existing directory nests
+    the source INSIDE it — either outcome, unchecked, silently
+    corrupts the staged-swap protocol. Raise so the batch aborts with
+    no marker and the stream retries it."""
+    if not fs.rename(src, dst):
+        raise IOError(
+            f"fs.rename({src}, {dst}) returned false — aborting "
+            f"batch {batch_id} before marker creation"
+        )
+
+
 def merge_additive_once(
     spark: SparkSession,
     target_dir: str,
@@ -395,11 +408,22 @@ def merge_additive_once(
     three driver-side metadata ops — retire old target, rename staging
     to target, create marker. A crash during the (possibly long)
     parquet write leaves the old MV untouched; the remaining
-    double-apply window is the single marker-create metadata op after
-    the rename — a transactional table format would close that last
-    gap, which is the honest plain-parquet contract. A crash between
-    retire and rename is recovered on the next call: the retired dir
-    carries the batch_id and is restored before re-merging."""
+    double-apply window after the final rename is closed by recovery:
+    the state (retired exists AND target exists AND staging absent AND
+    marker absent) is reachable ONLY by a crash between the
+    staging→target rename and marker creation — the batch IS applied,
+    so recovery creates the marker and returns False rather than
+    re-merging the delta (which would double-count it). A crash
+    between retire and rename is likewise recovered: the retired dir
+    carries the batch_id and is restored before re-merging.
+
+    Every fs.rename() result is asserted: Hadoop's FileSystem.rename
+    reports failure by returning False, not raising, and renaming into
+    a still-existing target dir silently nests the source INSIDE it —
+    an unchecked failed retire followed by the staging rename would
+    leave stale MV rows at top level plus a nested stage dir while
+    still creating the marker (silent data loss). On a failed rename
+    the batch aborts with no marker, so the stream retries it."""
     import os
 
     os.makedirs(applied_dir, exist_ok=True)
@@ -413,11 +437,27 @@ def merge_additive_once(
     fs = tgt.getFileSystem(conf)
     staging = Path(f"{target_dir}__stage_b{batch_id}")
     retired = Path(f"{target_dir}__retired_b{batch_id}")
-    # Crash recovery: a previous attempt that renamed target away but
-    # died before the staging rename leaves `retired` holding the real
-    # MV (marker absent, so the batch was NOT applied) — restore it.
+
+    def _rename(src, dst):
+        _checked_rename(fs, src, dst, batch_id)
+
+    # Crash recovery, in causal order of the swap protocol:
+    # (a) renamed staging→target but died before the marker: retired +
+    #     target both exist, staging gone — the batch IS applied;
+    #     finish the bookkeeping (marker, drop retired) and skip.
+    if (
+        fs.exists(retired)
+        and fs.exists(tgt)
+        and not fs.exists(staging)
+    ):
+        open(marker, "w").close()
+        fs.delete(retired, True)
+        return False
+    # (b) renamed target away but died before the staging rename:
+    #     `retired` holds the real MV (marker absent, batch NOT
+    #     applied) — restore it and fall through to a clean re-merge.
     if fs.exists(retired) and not fs.exists(tgt):
-        fs.rename(retired, tgt)
+        _rename(retired, tgt)
     for leftover in (staging, retired):
         if fs.exists(leftover):
             fs.delete(leftover, True)
@@ -426,8 +466,8 @@ def merge_additive_once(
     merged.write.mode("overwrite").parquet(staging.toString())
     had_target = fs.exists(tgt)
     if had_target:
-        fs.rename(tgt, retired)
-    fs.rename(staging, tgt)
+        _rename(tgt, retired)
+    _rename(staging, tgt)
     open(marker, "w").close()
     if had_target:
         fs.delete(retired, True)

@@ -1610,36 +1610,23 @@ def sim_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     as sim_cosine_topk: the train scan is map-side against the
     broadcast holdout (a fixed probe set by definition); the scale
     path for a full-corpus sweep is the IVF route (sim_ivf_topk) with
-    identical vote/argmax tail. Cosine terms sum left-to-right over 64
-    dims in both engines — bit-identical doubles, no rounding needed
-    before the rank. Both the norm and the N×|test| dot product sit
-    in MAP-SIDE stages (scan projection, broadcast-join projection),
-    so they take the unrolled-codegen form via probe_dim, with the
-    float→double widening as per-ELEMENT scalar casts exactly like
-    the fold it replaces — NOT a pre-cast array<double> column, which
-    projection collapse inlines into every one of the 64 element_at
-    terms and re-materializes per term (measured 17 s vs the fold's
-    5.0 s; the scalar-cast unroll is 2.x s)."""
-    from free_etl_spark.operators.vectors import probe_dim
-
+    identical vote/argmax tail. Cosine folds run sequentially over 64
+    dims in both engines — bit-identical doubles, no rounding
+    needed before the rank. The dot product stays in the JVM
+    zip_with/aggregate fold form: the r8 experiment that unrolled it
+    into 64 element_at terms regressed the query 3.76× under the
+    driver bench (BENCH_QUERIES_r08: 17.82 s vs r7's 4.74 s) and was
+    reverted — do not re-unroll without a stamped BENCH_QUERIES_r*
+    number from a fresh session."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = probe_dim(emb, "embedding")
-
-    def _cast_dot(a: str, b: str) -> F.Column:
-        expr = F.lit(0.0)
-        for i in range(1, dim + 1):
-            expr = expr + (
-                F.element_at(a, i).cast("double")
-                * F.element_at(b, i).cast("double")
-            )
-        return expr
-
-    n = emb.select(
-        "vec_id",
-        "label",
-        "embedding",
-        F.sqrt(_cast_dot("embedding", "embedding")).alias("nrm"),
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
     )
+    n = emb.select("vec_id", "label", "embedding", nrm.alias("nrm"))
     test = n.filter(F.col("vec_id") % 5 == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("true_label"),
@@ -1647,6 +1634,11 @@ def sim_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qnrm"),
     )
     train = n.filter(F.col("vec_id") % 5 != 0)
+    dot = F.aggregate(
+        F.zip_with("qemb", "embedding", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
     scored = (
         train.join(F.broadcast(test))
         .select(
@@ -1654,10 +1646,7 @@ def sim_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_label",
             F.col("label").alias("cand_label"),
             F.col("vec_id").alias("cid"),
-            (
-                _cast_dot("qemb", "embedding")
-                / (F.col("qnrm") * F.col("nrm"))
-            ).alias("cosine"),
+            (dot / (F.col("qnrm") * F.col("nrm"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "cid")

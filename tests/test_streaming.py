@@ -737,3 +737,68 @@ def test_merge_additive_once_staged_write_recovery(spark, tmp_path):
         merge_additive_once(spark, target, delta, ["k"], ["n", "s"], applied, 7)
         is False
     )
+
+
+def test_merge_additive_once_marker_missed_recovery(spark, tmp_path):
+    """The crash window AFTER rename(staging, target) but BEFORE
+    marker creation: the state (retired exists AND target exists AND
+    staging absent AND marker absent) uniquely identifies 'batch
+    applied, marker missed'. Recovery must create the marker and
+    return False — NOT re-merge the delta, which would double-count
+    the batch (ADVICE r8)."""
+    import os
+
+    from free_etl_spark.operators.merge import (
+        merge_additive_once,
+        merge_additive_parquet,
+    )
+
+    schema = "k string, n long, s double"
+    target = str(tmp_path / "mv")
+    applied = str(tmp_path / "applied")
+    # batch 3 already fully applied into target...
+    seed = spark.createDataFrame([("a", 3, 3.0)], schema)
+    merge_additive_parquet(spark, target, seed, ["k"], ["n", "s"])
+    # ...and the crash left the retired pre-image behind, no marker
+    pre = spark.createDataFrame([("a", 1, 1.0)], schema)
+    pre.write.parquet(f"{target}__retired_b3")
+
+    delta = spark.createDataFrame([("a", 2, 2.0)], schema)
+    ran = merge_additive_once(
+        spark, target, delta, ["k"], ["n", "s"], applied, 3
+    )
+    assert ran is False  # batch recognized as applied, not re-merged
+    got = {r.k: (r.n, r.s) for r in spark.read.parquet(target).collect()}
+    assert got == {"a": (3, 3.0)}  # NOT (5, 5.0) — no double-apply
+    assert not os.path.exists(f"{target}__retired_b3")
+    assert os.path.exists(os.path.join(applied, "batch_3"))
+    # and a genuine replay is now marker-skipped too
+    assert (
+        merge_additive_once(spark, target, delta, ["k"], ["n", "s"], applied, 3)
+        is False
+    )
+
+
+def test_checked_rename_raises_on_false():
+    """Hadoop FileSystem.rename reports failure by returning False;
+    an unchecked false retire followed by the staging rename nests
+    staging inside the live target (silent data loss + a marker). The
+    swap protocol must raise on a false return so the batch aborts
+    with no marker (ADVICE r8)."""
+    from free_etl_spark.operators.merge import _checked_rename
+
+    class FakeFS:
+        def __init__(self, ok):
+            self.ok = ok
+            self.calls = []
+
+        def rename(self, src, dst):
+            self.calls.append((src, dst))
+            return self.ok
+
+    good = FakeFS(True)
+    _checked_rename(good, "a", "b", 1)  # no raise
+    assert good.calls == [("a", "b")]
+    bad = FakeFS(False)
+    with pytest.raises(IOError, match="returned false"):
+        _checked_rename(bad, "a", "b", 1)

@@ -1,0 +1,235 @@
+"""Pre-snapshot bench-regression tripwire (VERDICT r8 task #3).
+
+The r8 knn defect shipped because the last code change postdated the
+last bench run. This tool closes that window: given a git base ref
+(default: HEAD of the last committed round snapshot — pass explicitly
+for other baselines), it finds every registered query whose source
+changed since that ref, benches exactly those at sf0.1 on a warm
+session, and FAILS (exit 1) if any runs > 2x its entry in the newest
+stamped BENCH_QUERIES_r{N}.json (and is > 0.5 s absolute over it, so
+sub-second noise can't trip it).
+
+Change detection is function-level inside `free_etl_spark/queries/*`
+(so touching one query in a 100-query module doesn't re-bench all
+100), with two widening rules that keep it honest:
+  * if module-level code or a non-query helper in a queries module
+    changed, ALL queries in that module are re-benched;
+  * if a non-queries engine module changed (operators/, streaming/,
+    tables.py, ...), every queries module whose source imports it is
+    re-benched in full.
+
+Usage:
+    python tools/bench_tripwire.py [BASE_REF]         # default HEAD
+    SPARK_GRAFT_SF_DIR=... python tools/bench_tripwire.py BASE_REF
+
+Run it immediately BEFORE the end-of-round snapshot commit; a clean
+exit means every query touched this session still performs within 2x
+of its last stamped measurement.
+"""
+
+from __future__ import annotations
+
+import ast
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+REL_THRESHOLD = 2.0
+ABS_THRESHOLD_S = 0.5
+
+
+def _git_changed_files(base: str) -> list[str]:
+    out = subprocess.run(
+        ["git", "diff", "--name-only", base, "--", "*.py"],
+        cwd=HERE,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return [line.strip() for line in out.splitlines() if line.strip()]
+
+
+def _git_show(base: str, rel: str) -> str | None:
+    r = subprocess.run(
+        ["git", "show", f"{base}:{rel}"],
+        cwd=HERE,
+        capture_output=True,
+        text=True,
+    )
+    return r.stdout if r.returncode == 0 else None
+
+
+def _top_level_funcs(src: str) -> dict[str, str]:
+    """name -> exact source segment of each top-level def."""
+    tree = ast.parse(src)
+    out = {}
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            out[node.name] = ast.get_source_segment(src, node) or ""
+    return out
+
+
+def _module_level_code(src: str) -> str:
+    """Source with every top-level def/class segment blanked — the
+    residue is module-level code (constants, decorator args live in
+    the def segment, imports, registry side effects)."""
+    tree = ast.parse(src)
+    lines = src.splitlines()
+    for node in tree.body:
+        if isinstance(
+            node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        ):
+            for i in range(node.lineno - 1, node.end_lineno):
+                lines[i] = ""
+    return "\n".join(lines)
+
+
+def affected_queries(base: str) -> tuple[set[str], list[str]]:
+    """(query names to re-bench, human-readable reasons)."""
+    import inspect
+
+    import free_etl_spark.queries as q
+
+    by_file: dict[str, dict[str, str]] = {}  # rel path -> {qname: funcname}
+    for name, fn in q.QUERIES.items():
+        src_fn = inspect.unwrap(fn)
+        rel = os.path.relpath(inspect.getsourcefile(src_fn), HERE)
+        by_file.setdefault(rel, {})[name] = src_fn.__name__
+
+    changed = _git_changed_files(base)
+    affected: set[str] = set()
+    reasons: list[str] = []
+    query_files = set(by_file)
+
+    # pass 1: queries modules — function-level diff
+    for rel in changed:
+        if rel not in query_files:
+            continue
+        new_src = open(os.path.join(HERE, rel)).read()
+        old_src = _git_show(base, rel)
+        members = by_file[rel]
+        if old_src is None:  # new module: everything in it is new
+            affected |= set(members)
+            reasons.append(f"{rel}: new module -> all {len(members)} queries")
+            continue
+        old_funcs = _top_level_funcs(old_src)
+        new_funcs = _top_level_funcs(new_src)
+        changed_funcs = {
+            f
+            for f in new_funcs
+            if old_funcs.get(f) != new_funcs[f]
+        } | (set(old_funcs) - set(new_funcs))
+        query_funcs = set(members.values())
+        helper_changed = bool(changed_funcs - query_funcs) or (
+            _module_level_code(old_src) != _module_level_code(new_src)
+        )
+        if helper_changed:
+            affected |= set(members)
+            reasons.append(
+                f"{rel}: helper/module-level change -> all "
+                f"{len(members)} queries"
+            )
+        else:
+            hit = {n for n, f in members.items() if f in changed_funcs}
+            if hit:
+                affected |= hit
+                reasons.append(f"{rel}: {sorted(hit)}")
+
+    # pass 2: non-queries engine modules — widen to importing modules
+    for rel in changed:
+        if rel in query_files or not rel.startswith("free_etl_spark/"):
+            continue
+        modpath = rel[: -len(".py")].replace("/", ".")
+        stem = os.path.basename(rel)[: -len(".py")]
+        pat = re.compile(
+            rf"(?:from|import)\s+{re.escape(modpath)}\b"
+            rf"|from\s+free_etl_spark\.\w+\s+import\s+[^\n]*\b{re.escape(stem)}\b"
+        )
+        for qrel, members in by_file.items():
+            src = open(os.path.join(HERE, qrel)).read()
+            if pat.search(src):
+                affected |= set(members)
+                reasons.append(
+                    f"{rel} changed -> {qrel} imports it -> all "
+                    f"{len(members)} queries"
+                )
+    return affected, reasons
+
+
+def _prev_stamped() -> tuple[dict[str, float], str | None]:
+    stamps = sorted(glob.glob(os.path.join(HERE, "BENCH_QUERIES_r*.json")))
+    for path in reversed(stamps):
+        try:
+            d = json.load(open(path))
+            return d.get("queries", {}), os.path.basename(path)
+        except Exception:
+            continue
+    return {}, None
+
+
+def main() -> int:
+    base = sys.argv[1] if len(sys.argv) > 1 else "HEAD"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    affected, reasons = affected_queries(base)
+    for r in reasons:
+        print(f"# {r}")
+    if not affected:
+        print(json.dumps({"tripwire": "clean", "n_affected": 0}))
+        return 0
+
+    prev_q, prev_src = _prev_stamped()
+    import free_etl_spark.queries as q
+    from free_etl_spark.session import get_spark
+    from free_etl_spark.tables import ALL_TABLES, load_table
+
+    spark = get_spark("bench-tripwire")
+    for t in ALL_TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    failures = []
+    report = {}
+    for name in sorted(affected):
+        fn = q.QUERIES[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        prev = prev_q.get(name)
+        entry = {"now": round(best, 3), "prev": prev}
+        if (
+            prev is not None
+            and best > REL_THRESHOLD * prev
+            and best - prev > ABS_THRESHOLD_S
+        ):
+            entry["REGRESSION"] = True
+            failures.append(name)
+        report[name] = entry
+        print(f"{name}: {best:.2f}s (prev {prev})")
+
+    print(
+        json.dumps(
+            {
+                "tripwire": "FAIL" if failures else "clean",
+                "base": base,
+                "prev_source": prev_src,
+                "n_affected": len(affected),
+                "failures": failures,
+                "queries": report,
+            }
+        )
+    )
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
