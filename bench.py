@@ -283,6 +283,9 @@ HEADLINE = [
     "text_bpe_merge_candidates",
     # r8 wave: the full iterative BPE trainer (6 merge rounds)
     "text_bpe_train_rounds",
+    # r9 wave: the merge table's consumer — corpus tokenization +
+    # compression report
+    "text_bpe_encode",
 ]
 
 

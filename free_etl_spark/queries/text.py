@@ -2527,15 +2527,16 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(F.col("n").desc(), "pair").limit(20)
 
 
-def _bpe_train_oracle(rounds: int) -> str:
-    """Unrolled DuckDB oracle for ``text_bpe_train_rounds``: one
-    (pairs, argmax, merge-apply) CTE block per round, exactly the
-    pinned-round unroll pattern graph_kcore uses for its peels. The
-    merge-apply is a left fold over the spaced symbol string
-    (list_reduce), byte-identical to the Spark-side F.aggregate fold:
-    merge (la, lb) when the accumulator's LAST symbol equals la and
-    the next symbol is lb — the same greedy left-to-right semantics
-    as the classic regex-sub BPE reference implementation."""
+def _bpe_rounds_cte(rounds: int) -> str:
+    """The shared WITH-chain for the BPE oracles: one (pairs, argmax,
+    merge-apply) CTE block per round, exactly the pinned-round unroll
+    pattern graph_kcore uses for its peels. The merge-apply is a left
+    fold over the spaced symbol string (list_reduce), byte-identical
+    to the Spark-side F.aggregate fold: merge (la, lb) when the
+    accumulator's LAST symbol equals la and the next symbol is lb —
+    the same greedy left-to-right semantics as the classic regex-sub
+    BPE reference implementation. ``w{rounds}`` is the fully-merged
+    vocabulary relation; ``b1..b{rounds}`` are the learned merges."""
     sql = [
         r"""
     WITH w0 AS (
@@ -2566,42 +2567,54 @@ def _bpe_train_oracle(rounds: int) -> str:
           ELSE acc || ' ' || x END) AS s, freq
       FROM w{p} CROSS JOIN b{r}
     )""")
+    return "".join(sql)
+
+
+def _bpe_train_oracle(rounds: int) -> str:
+    """Unrolled DuckDB oracle for ``text_bpe_train_rounds``: the
+    shared round chain + the merge-table union."""
     sel = "\n    UNION ALL ".join(
         f"SELECT {r} AS round, la AS lhs, lb AS rhs, la || lb AS merged, n"
         f" FROM b{r}"
         for r in range(1, rounds + 1)
     )
-    sql.append(f"\n    SELECT * FROM ({sel}) ORDER BY round")
-    return "".join(sql)
+    return (
+        _bpe_rounds_cte(rounds) + f"\n    SELECT * FROM ({sel}) ORDER BY round"
+    )
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    """Unrolled DuckDB oracle for ``text_bpe_encode``: the shared
+    round chain + corpus-compression aggregates over the fully-merged
+    vocabulary ``w{rounds}``. The compression ratio is ONE IEEE
+    division of two exactly-computed integers — engine-deterministic
+    without rounding."""
+    return (
+        _bpe_rounds_cte(rounds)
+        + f"""
+    SELECT CAST(SUM(freq) AS BIGINT) AS n_words,
+           CAST(SUM(length(replace(s, ' ', '')) * freq) AS BIGINT)
+             AS tokens_char_level,
+           CAST(SUM(len(string_split(s, ' ')) * freq) AS BIGINT)
+             AS tokens_after_merges,
+           CAST(SUM(len(string_split(s, ' ')) * freq) AS DOUBLE)
+             / CAST(SUM(length(replace(s, ' ', '')) * freq) AS DOUBLE)
+             AS compression_ratio
+    FROM w{rounds}"""
+    )
 
 
 _BPE_TRAIN_ROUNDS = 6
 
 
-@query("text_bpe_train_rounds", oracle=_bpe_train_oracle(_BPE_TRAIN_ROUNDS))
-def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ACTUAL BPE trainer loop (completing the round-1 statistics
-    of text_bpe_merge_candidates): for 6 pinned rounds, count adjacent
-    symbol pairs weighted by word frequency, pick the argmax pair
-    (count desc, pair asc tie-break), fuse it everywhere, and recount
-    — the GPT-2/SentencePiece training recipe on the collapsed
-    word-frequency relation. Returns the learned merge table
-    (round, lhs, rhs, merged, n); by round 6 a multi-character symbol
-    participates, proving real iteration rather than round-1 stats.
-
-    Scale shape: per round, one map-side fold over the vocabulary
-    relation (never the corpus — the word-frequency collapse is what
-    makes distributed BPE training tractable) plus one pair-keyed
-    shuffle for the counts. The per-round argmax is a single-row
-    TakeOrdered fetched to the driver — the canonical iterative-
-    algorithm coordination (kmeans centroids, pagerank convergence),
-    NOT a data collect: driver state is 6 merge rows total at any
-    corpus size. localCheckpoint truncates lineage per round exactly
-    like graph_kcore's peels. The merge-apply fold references the
-    pre-materialized symbol array column, so no expression re-inlines
-    into the HOF lambda (the projection-collapse re-evaluation trap).
-    Symbols are alphabetic-only by the word filter, so fold string
-    surgery needs no escaping on either engine."""
+def _bpe_fit(
+    spark: SparkSession, sf_dir: str, rounds: int
+) -> tuple[list[tuple], DataFrame]:
+    """Run the iterative BPE trainer: returns (merge table rows,
+    fully-merged vocabulary relation). Shared by the trainer query
+    (which returns the merges) and the encoder query (which consumes
+    the merged vocabulary). See text_bpe_train_rounds for the scale
+    rationale."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("tk"))
@@ -2614,7 +2627,7 @@ def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cur = words.localCheckpoint(eager=True)
     merges: list[tuple] = []
-    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         pairs = (
             cur.select(F.split("s", " ").alias("l"), "freq")
             .filter(F.size("l") >= 2)  # sequence(1,0) would DESCEND
@@ -2659,6 +2672,66 @@ def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
             "freq",
         ).localCheckpoint(eager=True)
+    return merges, cur
+
+
+@query("text_bpe_train_rounds", oracle=_bpe_train_oracle(_BPE_TRAIN_ROUNDS))
+def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTUAL BPE trainer loop (completing the round-1 statistics
+    of text_bpe_merge_candidates): for 6 pinned rounds, count adjacent
+    symbol pairs weighted by word frequency, pick the argmax pair
+    (count desc, pair asc tie-break), fuse it everywhere, and recount
+    — the GPT-2/SentencePiece training recipe on the collapsed
+    word-frequency relation. Returns the learned merge table
+    (round, lhs, rhs, merged, n); by round 6 a multi-character symbol
+    participates, proving real iteration rather than round-1 stats.
+
+    Scale shape: per round, one map-side fold over the vocabulary
+    relation (never the corpus — the word-frequency collapse is what
+    makes distributed BPE training tractable) plus one pair-keyed
+    shuffle for the counts. The per-round argmax is a single-row
+    TakeOrdered fetched to the driver — the canonical iterative-
+    algorithm coordination (kmeans centroids, pagerank convergence),
+    NOT a data collect: driver state is 6 merge rows total at any
+    corpus size. localCheckpoint truncates lineage per round exactly
+    like graph_kcore's peels. The merge-apply fold references the
+    pre-materialized symbol array column, so no expression re-inlines
+    into the HOF lambda (the projection-collapse re-evaluation trap).
+    Symbols are alphabetic-only by the word filter, so fold string
+    surgery needs no escaping on either engine."""
+    merges, _ = _bpe_fit(spark, sf_dir, _BPE_TRAIN_ROUNDS)
     return spark.createDataFrame(
         merges, "round int, lhs string, rhs string, merged string, n long"
+    )
+
+
+@query("text_bpe_encode", oracle=_bpe_encode_oracle(_BPE_TRAIN_ROUNDS))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The natural CONSUMER of the learned BPE merge table
+    (VERDICT r8 task #7): tokenize the corpus with the 6 learned
+    merges and report the compression they buy — corpus word count,
+    char-level token count (the r0 baseline: every letter is a
+    token), token count after the merges, and the compression ratio.
+    This is the tokenizer-design feedback number (tokens-per-byte)
+    every LLM data pipeline tracks when choosing a vocabulary.
+
+    Scale shape: training is _bpe_fit (per-round vocabulary fold +
+    pair-keyed shuffle, bounded driver state — see
+    text_bpe_train_rounds); encoding costs nothing extra because the
+    trainer's merge-apply fold already materialized the fully-merged
+    vocabulary relation — the corpus-level numbers are ONE aggregate
+    over it, weighted by word frequency (never a rescan of raw text).
+    The compression ratio is a single IEEE division of two exact
+    integers — engine-deterministic, no rounding needed."""
+    _, vocab = _bpe_fit(spark, sf_dir, _BPE_TRAIN_ROUNDS)
+    toks = F.size(F.split("s", " ")).cast("long")
+    chars = F.length(F.translate("s", " ", "")).cast("long")
+    return vocab.agg(
+        F.sum("freq").cast("long").alias("n_words"),
+        F.sum(chars * F.col("freq")).cast("long").alias("tokens_char_level"),
+        F.sum(toks * F.col("freq")).cast("long").alias("tokens_after_merges"),
+        (
+            F.sum(toks * F.col("freq")).cast("double")
+            / F.sum(chars * F.col("freq")).cast("double")
+        ).alias("compression_ratio"),
     )
