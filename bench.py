@@ -284,8 +284,16 @@ HEADLINE = [
     # r8 wave: the full iterative BPE trainer (6 merge rounds)
     "text_bpe_train_rounds",
     # r9 wave: the merge table's consumer — corpus tokenization +
-    # compression report
+    # compression report — plus cohort retention, Markov transitions,
+    # neighbor-Jaccard link prediction, column profiling, MMR
+    # diversified re-ranking, class-balanced downsampling
     "text_bpe_encode",
+    "events_retention_matrix",
+    "events_markov_transitions",
+    "graph_jaccard_neighbors",
+    "quality_null_profile",
+    "sim_mmr_rerank",
+    "sample_class_balance",
 ]
 
 

@@ -5097,3 +5097,156 @@ def events_delta_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bits").cast("long").alias("total_bits"),
         )
     )
+
+
+@query(
+    "events_retention_matrix",
+    oracle="""
+    WITH first AS (
+      SELECT user_id,
+             MIN(date_trunc('week', CAST(ts AS TIMESTAMP))) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id,
+             date_trunc('week', CAST(ts AS TIMESTAMP)) AS w
+      FROM events
+    ),
+    cohort_sizes AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort
+      FROM first GROUP BY cohort_week
+    ),
+    cells AS (
+      SELECT f.cohort_week,
+             CAST(datediff('day', f.cohort_week, a.w) / 7 AS INT)
+               AS week_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM active a JOIN first f ON a.user_id = f.user_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
+           c.week_offset, s.n_cohort, c.n_active,
+           CAST(c.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE)
+             AS retention_rate
+    FROM cells c JOIN cohort_sizes s ON c.cohort_week = s.cohort_week
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def events_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort retention triangle — THE product-analytics table:
+    users grouped by first-activity week (cohort), and for each
+    (cohort, week-offset) cell the count and share of the cohort
+    still active that week. Complements events_growth_accounting
+    (which nets new/churned per period) with the per-cohort decay
+    curve.
+
+    Scale shape: two aggregates over the event scan (first-touch per
+    user, distinct user-weeks) joined on user_id — both shuffle on
+    the uniform user key; the output is O(cohorts x offsets) cells,
+    independent of event volume. Week offsets are exact integer
+    day-diffs / 7 (both weeks are Monday-truncated so the division is
+    exact); the retention rate is one IEEE division of two exact
+    integers — engine-deterministic without rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts").cast("timestamp"))
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = ev.select("user_id", wk.alias("w")).distinct()
+    cohort_sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    cells = (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("w", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return (
+        cells.join(cohort_sizes, "cohort_week")
+        .select(
+            F.col("cohort_week").cast("timestamp").alias("cohort_week"),
+            "week_offset",
+            "n_cohort",
+            "n_active",
+            (
+                F.col("n_active").cast("double")
+                / F.col("n_cohort").cast("double")
+            ).alias("retention_rate"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+      FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           CAST(t.n AS DOUBLE) / CAST(tt.n_from AS DOUBLE) AS p
+    FROM trans t JOIN totals tt ON t.from_type = tt.from_type
+    ORDER BY t.from_type, t.to_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for
+    each ordered per-user event pair, count (from_type -> to_type)
+    transitions and row-normalize into transition probabilities — the
+    input to next-action prediction, anomaly scoring (improbable
+    chains), and bot detection (near-deterministic rows). Differs
+    from events_sequence_pattern (which matches a fixed regex motif):
+    this estimates the full behavior chain.
+
+    Scale shape: one user-keyed window (lag) over the event scan —
+    the same partitioning every sessionization query uses — then a
+    (from,to)-keyed aggregate whose output is |event_type|^2 cells,
+    independent of volume. Probabilities are single IEEE divisions of
+    exact integer counts — engine-deterministic without rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), "event_id"
+    )
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_from")
+    )
+    return (
+        trans.join(totals, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("n_from").cast("double")).alias(
+                "p"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -1088,3 +1088,123 @@ def quality_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.bit_xor(row_hash).alias("xor_checksum"),
     )
+
+
+@query(
+    "quality_null_profile",
+    oracle="""
+    WITH cols AS (
+      SELECT 'event_type' AS col, event_type AS v FROM events
+      UNION ALL
+      SELECT 'props_k', json_extract_string(props, '$.k') FROM events
+      UNION ALL
+      SELECT 'props_tag', json_extract_string(props, '$.tag') FROM events
+    ),
+    g AS (
+      SELECT col, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cols GROUP BY col, v
+    ),
+    agg AS (
+      SELECT col,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt END), 0)
+                  AS BIGINT) AS n_null,
+             CAST(COALESCE(SUM(CASE WHEN v IS NOT NULL AND trim(v) = ''
+                                    THEN cnt END), 0) AS BIGINT) AS n_blank,
+             CAST(COUNT(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_distinct
+      FROM g GROUP BY col
+    ),
+    mode AS (
+      SELECT col, v AS mode_value, cnt AS mode_n FROM (
+        SELECT col, v, cnt,
+               ROW_NUMBER() OVER (PARTITION BY col
+                                  ORDER BY cnt DESC, v) AS rn
+        FROM g WHERE v IS NOT NULL
+      ) WHERE rn = 1
+    )
+    SELECT a.col AS column_name, a.n_rows, a.n_null, a.n_blank,
+           a.n_distinct, m.mode_value, CAST(m.mode_n AS BIGINT) AS mode_n
+    FROM agg a LEFT JOIN mode m ON m.col = a.col
+    ORDER BY column_name
+    """,
+)
+def quality_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column completeness/cardinality profile — the first audit any
+    data platform runs on a new feed: per column, row count, NULL
+    count, blank count, distinct non-null cardinality, and the modal
+    value with its frequency (tie-break: smallest value). Profiled
+    columns here are one physical string column and two JSON-path
+    extractions (props.k always present, props.tag always absent in
+    this corpus — exercising both completeness extremes).
+
+    Scale shape: ONE pass builds the (column, value) relation via
+    unpivot (stack) — a map-side explode by the fixed column count,
+    never a per-column scan — then a single (col, value)-keyed
+    aggregate; everything downstream operates on the distinct-value
+    relation, which is bounded by column cardinality, not row count.
+    The mode is a per-column row_number window over that small
+    relation. All outputs are integers/strings — no FP anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    cols = ev.select(
+        F.expr(
+            "stack(3,"
+            " 'event_type', event_type,"
+            " 'props_k', get_json_object(props, '$.k'),"
+            " 'props_tag', get_json_object(props, '$.tag')"
+            ") AS (col, v)"
+        )
+    )
+    g = cols.groupBy("col", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    agg = g.groupBy("col").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("v").isNull(), F.col("cnt"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_null"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("v").isNotNull() & (F.trim("v") == ""),
+                    F.col("cnt"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_blank"),
+        F.count(F.when(F.col("v").isNotNull(), 1)).cast("long").alias(
+            "n_distinct"
+        ),
+    )
+    from pyspark.sql import Window as _W
+
+    rn = F.row_number().over(
+        _W.partitionBy("col").orderBy(F.col("cnt").desc(), "v")
+    )
+    mode = (
+        g.filter(F.col("v").isNotNull())
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "col",
+            F.col("v").alias("mode_value"),
+            F.col("cnt").alias("mode_n"),
+        )
+    )
+    return (
+        agg.join(mode, "col", "left")
+        .select(
+            F.col("col").alias("column_name"),
+            "n_rows",
+            "n_null",
+            "n_blank",
+            "n_distinct",
+            "mode_value",
+            "mode_n",
+        )
+        .orderBy("column_name")
+    )

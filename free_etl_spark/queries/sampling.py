@@ -988,3 +988,77 @@ def sample_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_purchases_before",
         F.coalesce(F.col("lbl"), F.lit(False)).alias("label_purchase_7d"),
     )
+
+
+@query(
+    "sample_class_balance",
+    oracle="""
+    WITH sizes AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_before
+      FROM embeddings GROUP BY label
+    ),
+    cap AS (SELECT MIN(n_before) AS m FROM sizes),
+    ranked AS (
+      SELECT label, vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+             ) AS rn
+      FROM embeddings
+    ),
+    kept AS (
+      SELECT label, vec_id FROM ranked CROSS JOIN cap WHERE rn <= cap.m
+    )
+    SELECT s.label, s.n_before,
+           CAST(COUNT(k.vec_id) AS BIGINT) AS n_kept,
+           CAST(SUM(k.vec_id) AS BIGINT) AS vec_id_checksum
+    FROM sizes s JOIN kept k ON k.label = s.label
+    GROUP BY s.label, s.n_before
+    ORDER BY s.label
+    """,
+)
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class-balanced downsampling: cap every label at
+    the minority-class size, selecting survivors by md5(vec_id) order
+    — the standard rebalancing step before training a classifier head
+    (complements sample_temperature_mix, which SOFTENS imbalance
+    rather than equalizing it). The md5 order makes the kept set a
+    content-addressed pseudo-random draw both engines replay exactly;
+    the per-label vec_id checksum pins set equality, not just counts.
+
+    Scale shape: one label-keyed aggregate for class sizes, one
+    scalar min (a one-row broadcast), one label-partitioned
+    row_number window — the label key is low-cardinality by
+    definition, so at 100 TB the window is the skew point and the
+    per-label partitions are the unit of parallelism (acceptable: a
+    training-set label space is bounded; for extreme rows-per-label,
+    the same cap composes with a pre-filter hash sample). Integer
+    outputs only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sizes = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    cap = sizes.agg(F.min("n_before").alias("m"))
+    ranked = emb.select(
+        "label",
+        "vec_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("label").orderBy(
+                F.md5(F.col("vec_id").cast("string")), "vec_id"
+            )
+        )
+        .alias("rn"),
+    )
+    kept = ranked.crossJoin(F.broadcast(cap)).filter(
+        F.col("rn") <= F.col("m")
+    )
+    return (
+        sizes.join(kept, "label")
+        .groupBy("label", "n_before")
+        .agg(
+            F.count("vec_id").cast("long").alias("n_kept"),
+            F.sum("vec_id").cast("long").alias("vec_id_checksum"),
+        )
+        .orderBy("label")
+    )

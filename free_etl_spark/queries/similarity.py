@@ -1876,3 +1876,175 @@ def sim_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("cosine") * 1e6) / 1e6).alias("cosine"),
         )
     )
+
+
+_MMR_K = 5
+_MMR_SHORTLIST = 30
+_MMR_QID = 1
+
+
+def _mmr_oracle(k: int) -> str:
+    """Unrolled DuckDB oracle for ``sim_mmr_rerank``: one
+    (selected-set, max-sim, argmax) CTE block per round — the same
+    pinned-round unroll pattern as the BPE trainer. Cosines use the
+    identical list_zip/list_sum fold as the Spark zip_with/aggregate
+    form, so scores are bit-identical and the per-round argmax agrees
+    without rounding."""
+    dot = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+    )
+    sql = [
+        f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             SQRT({dot.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS qe, nrm AS qn FROM n WHERE vec_id = {_MMR_QID}),
+    cand AS (
+      SELECT * FROM (
+        SELECT n.vec_id, n.label, n.embedding, n.nrm,
+               {dot.format(a='n.embedding', b='q.qe')} / (n.nrm * q.qn) AS rel
+        FROM n CROSS JOIN q WHERE n.vec_id <> {_MMR_QID}
+      ) ORDER BY rel DESC, vec_id LIMIT {_MMR_SHORTLIST}
+    )"""
+    ]
+    pair = dot.format(a="c.embedding", b="s.embedding")
+    for r in range(1, k + 1):
+        prev_sel = (
+            " UNION ALL ".join(
+                f"SELECT * FROM p{i}" for i in range(1, r)
+            )
+            if r > 1
+            else None
+        )
+        if prev_sel is None:
+            sql.append(f"""
+    , m1 AS (
+      SELECT vec_id, label, rel, 0.0 AS maxsim FROM cand
+    )""")
+        else:
+            sql.append(f"""
+    , sel{r} AS ({prev_sel})
+    , m{r} AS (
+      SELECT c.vec_id, c.label, c.rel,
+             MAX({pair} / (c.nrm * s.nrm)) AS maxsim
+      FROM cand c JOIN (SELECT cand.* FROM cand
+                        JOIN sel{r} ON sel{r}.vec_id = cand.vec_id) s
+        ON c.vec_id <> s.vec_id
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r})
+      GROUP BY c.vec_id, c.label, c.rel
+    )""")
+        sql.append(f"""
+    , p{r} AS (
+      SELECT {r} AS rank, vec_id, label, rel,
+             0.7 * rel - 0.3 * maxsim AS mmr
+      FROM m{r}
+      ORDER BY 0.7 * rel - 0.3 * maxsim DESC, vec_id LIMIT 1
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM p{r}" for r in range(1, k + 1))
+    sql.append(f"""
+    SELECT CAST(rank AS INT) AS rank, vec_id, label,
+           rel AS relevance, mmr AS mmr_score
+    FROM ({union}) ORDER BY rank""")
+    return "".join(sql)
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle(_MMR_K))
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking — the diversity-aware
+    retrieval tail every RAG/recommendation stack runs after ANN:
+    from a cosine top-{_MMR_SHORTLIST} shortlist for a fixed probe
+    vector, iteratively select {_MMR_K} items maximizing
+    0.7*relevance - 0.3*max-similarity-to-already-selected
+    (Carbonell & Goldstein 1998), so near-duplicate hits don't crowd
+    the result page. Ties break on vec_id; the first pick reduces to
+    plain argmax relevance (empty selected set -> maxsim 0).
+
+    Scale shape: the shortlist is the ANN output (sim_ivf_topk /
+    sim_pq_topk are the scale path) — per query it is a BOUNDED
+    relation ({_MMR_SHORTLIST} rows), so the k selection rounds cost
+    k tiny broadcast-nested-loop joins against the <=k-row selected
+    set, with one-row argmax fetches as the only driver state (the
+    kmeans/BPE coordination pattern). The shortlist is
+    localCheckpointed once so rounds don't replay the corpus scan.
+    Cosines stay in the JVM zip_with/aggregate fold — bit-identical
+    to the oracle's list fold, so scores and argmaxes agree without
+    rounding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    n = emb.select("vec_id", "label", "embedding", nrm.alias("nrm"))
+    q = n.filter(F.col("vec_id") == _MMR_QID).select(
+        F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cand = (
+        n.filter(F.col("vec_id") != _MMR_QID)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "nrm",
+            (dot("embedding", "qe") / (F.col("nrm") * F.col("qn"))).alias(
+                "rel"
+            ),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_SHORTLIST)
+    ).localCheckpoint(eager=True)
+
+    selected: list[tuple] = []
+    for r in range(1, _MMR_K + 1):
+        if not selected:
+            scored = cand.select(
+                "vec_id", "label", "rel", F.lit(0.0).alias("maxsim")
+            )
+        else:
+            sel_ids = [s[1] for s in selected]
+            sel = cand.filter(F.col("vec_id").isin(sel_ids)).select(
+                F.col("vec_id").alias("sid"),
+                F.col("embedding").alias("se"),
+                F.col("nrm").alias("sn"),
+            )
+            scored = (
+                cand.filter(~F.col("vec_id").isin(sel_ids))
+                .join(F.broadcast(sel))
+                .select(
+                    "vec_id",
+                    "label",
+                    "rel",
+                    (dot("embedding", "se") / (F.col("nrm") * F.col("sn"))).alias(
+                        "sim"
+                    ),
+                )
+                .groupBy("vec_id", "label", "rel")
+                .agg(F.max("sim").alias("maxsim"))
+            )
+        mmr = F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("maxsim")
+        best = (
+            scored.select("vec_id", "label", "rel", mmr.alias("mmr"))
+            .orderBy(F.col("mmr").desc(), "vec_id")
+            .first()
+        )
+        selected.append(
+            (r, best["vec_id"], best["label"], best["rel"], best["mmr"])
+        )
+    return spark.createDataFrame(
+        selected,
+        "rank int, vec_id long, label int, relevance double, mmr_score double",
+    )

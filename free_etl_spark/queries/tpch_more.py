@@ -942,7 +942,13 @@ def orders_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join — the standard co-occurrence cap; every remaining stage
     shuffles on a uniform high-card key (cust, then part), and the
     per-part ranking window is bounded by co-item fan-out, not the
-    corpus."""
+    corpus. The distilled basket relation (distinct (cust, part) —
+    orders of magnitude smaller than lineitem) is materialized ONCE
+    via localCheckpoint and consumed three times (cap computation +
+    both self-join sides); without it each consumer replayed the
+    orders⋈lineitem join + distinct (r8 plan showed 16 parquet scans;
+    5.9 s → ~3 s warm at sf0.1). At cluster scale the same role is
+    played by persist(DISK_ONLY) or a staging table."""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     bought = (
@@ -953,7 +959,7 @@ def orders_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
         )
         .distinct()
-    )
+    ).localCheckpoint(eager=True)
     keep = (
         bought.groupBy("cust")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -384,6 +384,9 @@ def test_corpus_scale_queries_have_no_global_window(spark, name):
         ("graph_adamic_adar", "<= 64"),
         # also_bought: baskets over _BASKET_CAP excluded before pairing.
         ("orders_also_bought", "<= 100"),
+        # jaccard: wedge centers capped at degree 2..64 before the
+        # wedge self-join (same pattern as adamic_adar).
+        ("graph_jaccard_neighbors", "<= 64"),
     ],
 )
 def test_degree_cap_sits_below_pair_self_join(spark, name, cap_needle):
