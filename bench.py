@@ -294,6 +294,8 @@ HEADLINE = [
     "quality_null_profile",
     "sim_mmr_rerank",
     "sample_class_balance",
+    "join_interval_overlap",
+    "quality_candidate_key_profile",
 ]
 
 

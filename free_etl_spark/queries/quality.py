@@ -1208,3 +1208,82 @@ def quality_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+@query(
+    "quality_candidate_key_profile",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders),
+    u AS (
+      SELECT 'o_orderkey' AS key_cols,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey',
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_custkey,o_orderdate',
+             CAST(COUNT(DISTINCT (o_custkey, o_orderdate)) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey,o_orderdate,o_totalprice',
+             CAST(COUNT(DISTINCT (o_custkey, o_orderdate, o_totalprice))
+                  AS BIGINT)
+      FROM orders
+    )
+    SELECT u.key_cols, n.n_rows, u.n_distinct,
+           u.n_distinct = n.n_rows AS is_unique,
+           CAST(u.n_distinct AS DOUBLE) / CAST(n.n_rows AS DOUBLE)
+             AS uniqueness_ratio
+    FROM u CROSS JOIN n
+    ORDER BY key_cols
+    """,
+)
+def quality_candidate_key_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Candidate-key discovery audit: for a ladder of column combos,
+    the distinct-combination count vs the row count — is_unique TRUE
+    marks a candidate primary key; the uniqueness ratio quantifies
+    how far a non-key is from unique (the signal schema-inference and
+    CDC-key-selection tools rank on). Complements quality_fd_check
+    (which tests a -> b dependency, not key-ness).
+
+    Scale shape: each combo is one exact distinct-count — a map-side
+    partial distinct then a key-shuffled count, the same plan as
+    COUNT(DISTINCT); the combos are fixed and fan out from ONE scan
+    (Spark runs the multi-distinct via expand). At 100 TB the exact
+    counts are replaceable by approx_count_distinct with a tolerance
+    gate (agg_approx_distinct demonstrates the pattern); the exact
+    form is kept here so the uniqueness booleans are decisive. The
+    ratio is one IEEE division of exact integers."""
+    orders = load_table(spark, sf_dir, "orders")
+    combos = [
+        ("o_orderkey", ["o_orderkey"]),
+        ("o_custkey", ["o_custkey"]),
+        ("o_custkey,o_orderdate", ["o_custkey", "o_orderdate"]),
+        (
+            "o_custkey,o_orderdate,o_totalprice",
+            ["o_custkey", "o_orderdate", "o_totalprice"],
+        ),
+    ]
+    agg = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[
+            F.countDistinct(*cols).cast("long").alias(f"d{i}")
+            for i, (_, cols) in enumerate(combos)
+        ],
+    )
+    rows = None
+    for i, (label, _) in enumerate(combos):
+        r = agg.select(
+            F.lit(label).alias("key_cols"),
+            "n_rows",
+            F.col(f"d{i}").alias("n_distinct"),
+            (F.col(f"d{i}") == F.col("n_rows")).alias("is_unique"),
+            (
+                F.col(f"d{i}").cast("double") / F.col("n_rows").cast("double")
+            ).alias("uniqueness_ratio"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows.orderBy("key_cols")

@@ -2222,3 +2222,190 @@ def orders_abc_xyz_classification(
     return classed.groupBy("abc", "xyz").agg(
         F.count(F.lit(1)).cast("long").alias("n_parts")
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, t,
+             CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev
+    ),
+    sess AS (
+      SELECT user_id, MIN(t) AS s, MAX(t) AS e
+      FROM (
+        SELECT user_id, t,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+      )
+      GROUP BY user_id, sid
+      HAVING COUNT(*) >= 2
+    ),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', t) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(n) AS BIGINT) AS n_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours
+      FROM hourly GROUP BY event_type
+    ),
+    bursts AS (
+      SELECT h.event_type, h.h AS bs, h.h + INTERVAL 1 HOUR AS be
+      FROM hourly h JOIN tot USING (event_type)
+      WHERE h.n * tot.n_hours >= 2 * tot.n_type
+    ),
+    hits AS (
+      SELECT b.event_type, s.user_id, s.s, b.bs,
+             epoch_us(least(s.e, b.be)) - epoch_us(greatest(s.s, b.bs))
+               AS ov_us
+      FROM sess s JOIN bursts b
+        ON s.s < b.be AND b.bs <= s.e
+    )
+    SELECT t.event_type,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bursts b2
+            WHERE b2.event_type = t.event_type) AS n_bursts,
+           CAST(COUNT(DISTINCT CASE WHEN h.user_id IS NOT NULL
+                                    THEN (h.user_id, h.s) END) AS BIGINT)
+             AS n_sessions_hit,
+           CAST(COALESCE(SUM(h.ov_us), 0) AS BIGINT) AS overlap_us
+    FROM tot t LEFT JOIN hits h ON h.event_type = t.event_type
+    GROUP BY t.event_type
+    ORDER BY t.event_type
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join — the range-join algorithm row
+    (distinct from join_range_bands' point-in-band and
+    join_asof_events' nearest-predecessor): per-user activity sessions
+    (30-min-gap sessionization, >=2 events) joined against per-type
+    burst windows (hours where the type's count is >=2x its hourly
+    mean, by exact integer cross-product n*H >= 2*N), reporting per
+    type how many sessions overlap a burst and the total overlap
+    microseconds (exact integer epoch-µs arithmetic — second-level
+    truncation would diverge on sub-second timestamps). Overlap
+    predicate: s < burst_end AND burst_start <= e
+    (sessions closed, bursts half-open).
+
+    Scale shape: the naive overlap join is a cross product with a
+    theta predicate — a BroadcastNestedLoop at best. This lowering
+    EXPLODES each session across the hour grid it spans
+    (sequence(hour(s), hour(e)) — bounded by session length, not
+    corpus size) and equi-joins on the hour bucket, exactly the
+    join_spatial_proximity trick in one dimension: hash-partitionable
+    at 100 TB, with the exact interval predicate as a residual
+    filter. Burst windows are one hour wide so a (session, burst)
+    pair matches exactly one bucket — no post-join dedup needed."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    prev = F.lag("t").over(w)
+    marked = ev.select(
+        "user_id",
+        "t",
+        F.when(
+            prev.isNull()
+            | (
+                F.col("t").cast("long") - prev.cast("long")
+                > 30 * 60
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = (
+        marked.select(
+            "user_id",
+            "t",
+            F.sum("new_s")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("t").alias("s"),
+            F.max("t").alias("e"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") >= 2)
+        .select("user_id", "s", "e")
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "t").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_type"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    )
+    bursts = (
+        hourly.join(F.broadcast(tot), "event_type")
+        .filter(F.col("n") * F.col("n_hours") >= 2 * F.col("n_type"))
+        .select(
+            "event_type",
+            F.col("h").alias("bs"),
+            (F.col("h") + F.expr("INTERVAL 1 HOUR")).alias("be"),
+        )
+    )
+    # time-grid blocking: explode sessions over the hour buckets they
+    # span; equi-join bucket = burst hour; exact predicate as residual
+    gridded = sess.select(
+        "user_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s"),
+                F.date_trunc("hour", "e"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    hits = (
+        gridded.join(bursts, gridded.bucket == bursts.bs)
+        .filter((F.col("s") < F.col("be")) & (F.col("bs") <= F.col("e")))
+        .select(
+            "event_type",
+            "user_id",
+            "s",
+            (
+                F.unix_micros(F.least("e", "be"))
+                - F.unix_micros(F.greatest("s", "bs"))
+            ).alias("ov_us"),
+        )
+    )
+    per_type = hits.groupBy("event_type").agg(
+        F.countDistinct("user_id", "s").cast("long").alias("n_sessions_hit"),
+        F.sum("ov_us").cast("long").alias("overlap_us"),
+    )
+    burst_counts = bursts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bursts")
+    )
+    return (
+        tot.select("event_type")
+        .join(F.broadcast(burst_counts), "event_type", "left")
+        .join(per_type, "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce("n_bursts", F.lit(0)).cast("long").alias("n_bursts"),
+            F.coalesce("n_sessions_hit", F.lit(0))
+            .cast("long")
+            .alias("n_sessions_hit"),
+            F.coalesce("overlap_us", F.lit(0))
+            .cast("long")
+            .alias("overlap_us"),
+        )
+        .orderBy("event_type")
+    )
