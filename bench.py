@@ -327,16 +327,36 @@ def main() -> None:
     timings: dict[str, float] = {}
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
+    # Interleaved best-of-N: run the WHOLE suite `reps` times and take
+    # the per-query MIN across passes. This host shows multi-second
+    # stalls on idle CPUs (r3: identical warm work varied 4-18s; r4
+    # probes: 0.95-10.9s); consecutive per-query reps let one stall
+    # window poison all reps of adjacent queries (r4 manufactured 8
+    # fake regressions that way). Interleaving puts ~suite-length
+    # (minutes) between a query's reps, so one stall can at most
+    # inflate one pass of each query.
+    for _ in range(reps):
+        for name in headline:
+            t0 = time.time()
+            q.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, float("inf")), dt)
+
+
     # intake throughput — the surface directly comparable to the
     # reference (single-threaded pandas CSV parse+re-serialize,
     # ~10-30 MB/s typical, strictly serial across files): an 8-file
     # upload batch (lineitem split 8 ways) through the §2A scale path
     # with concurrent per-file pipelines. CSV setup is untimed.
-    # Runs BEFORE the query suite: in r8 it ran last, after 226
-    # queries of JVM/page-cache pressure, and recorded a -21% drop
-    # (62.0 -> 48.8 MB/s) on untouched intake code; fronting it
-    # measures intake throughput on the same freshly-warmed session
-    # every round instead of on whatever heap state query #226 left.
+    # Runs AFTER the query suite, deliberately: r9 tried fronting it
+    # (hypothesis: r8's 62.0 -> 48.8 MB/s was late-suite JVM/page-cache
+    # pressure) and measured 27.5 MB/s — WORSE, on a round whose median
+    # per-query delta was +0.007 s. JIT/page-cache maturity helps this
+    # path, not hurts it; end-of-suite placement is both the faster and
+    # the r7/r8-comparable methodology. Negative result pinned here so
+    # the reorder isn't retried.
     import glob as _glob
     import shutil
     import tempfile
@@ -360,7 +380,7 @@ def main() -> None:
             csv_mb += os.path.getsize(src) / 1e6
             shutil.move(src, os.path.join(landing, f"upload_{i}.csv"))
         cfg = load_cfg({"app": {"max_file_mb": 4096}})
-        # best-of-N, matching the per-query methodology below: a
+        # best-of-N, matching the per-query methodology above: a
         # single run lets one shared-host stall masquerade as engine
         # throughput (r3 recorded 3.9 MB/s from exactly that)
         dt = float("inf")
@@ -376,22 +396,6 @@ def main() -> None:
         timings["intake_csv_mb_per_s"] = round(csv_mb / dt, 1)
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    # Interleaved best-of-N: run the WHOLE suite `reps` times and take
-    # the per-query MIN across passes. This host shows multi-second
-    # stalls on idle CPUs (r3: identical warm work varied 4-18s; r4
-    # probes: 0.95-10.9s); consecutive per-query reps let one stall
-    # window poison all reps of adjacent queries (r4 manufactured 8
-    # fake regressions that way). Interleaving puts ~suite-length
-    # (minutes) between a query's reps, so one stall can at most
-    # inflate one pass of each query.
-    for _ in range(reps):
-        for name in headline:
-            t0 = time.time()
-            q.QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            dt = round(time.time() - t0, 3)
-            timings[name] = min(timings.get(name, float("inf")), dt)
 
     total = round(
         sum(v for k, v in timings.items() if not k.endswith("_mb_per_s")), 3

@@ -841,16 +841,13 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds the worst part's fan-out at 100 TB; the cap-below-join
     property is gated in tests/test_plans.py.) The kept relation
     carries the part degree, so no third join is needed; top-20 is
-    TakeOrdered with full key tie-break."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    buyers = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
-        )
-        .distinct()
-    )
+    TakeOrdered with full key tie-break. The distinct (cust, part)
+    relation is the same one orders_also_bought distills — both pull
+    it from the shared session relation cache, so either query warms
+    the other."""
+    from free_etl_spark.queries.tpch_more import bought_baskets
+
+    buyers = bought_baskets(spark, sf_dir)
     deg = buyers.groupBy("part").agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )

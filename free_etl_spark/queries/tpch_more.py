@@ -900,6 +900,36 @@ _ALSO_TOPK = 3
 _ALSO_MIN_CO = 2  # noise floor: a single co-purchase is not signal
 
 
+def bought_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (customer, part) purchase relation — the distilled
+    bipartite graph orders_also_bought AND graph_adamic_adar both
+    consume. Persisted via the shared session relation cache (the
+    user_copresence_edges pattern): the orders⋈lineitem join +
+    distinct runs once per (session, corpus), and every consumer —
+    including the three references inside a single also_bought plan
+    (cap computation + both self-join sides) — reads the persisted
+    relation."""
+    from free_etl_spark.queries.dedup import _cached_relation
+
+    def build() -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders")
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        return (
+            orders.join(
+                lineitem, orders.o_orderkey == lineitem.l_orderkey
+            )
+            .select(
+                F.col("o_custkey").alias("cust"),
+                F.col("l_partkey").alias("part"),
+            )
+            .distinct()
+        )
+
+    return _cached_relation(
+        spark, sf_dir, "bought_baskets", build, src_table="lineitem.parquet"
+    )
+
+
 @query(
     "orders_also_bought",
     oracle=f"""
@@ -943,23 +973,18 @@ def orders_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on a uniform high-card key (cust, then part), and the
     per-part ranking window is bounded by co-item fan-out, not the
     corpus. The distilled basket relation (distinct (cust, part) —
-    orders of magnitude smaller than lineitem) is materialized ONCE
-    via localCheckpoint and consumed three times (cap computation +
+    orders of magnitude smaller than lineitem) is persisted via the
+    shared relation cache and consumed three times (cap computation +
     both self-join sides); without it each consumer replayed the
-    orders⋈lineitem join + distinct (r8 plan showed 16 parquet scans;
-    5.9 s → ~3 s warm at sf0.1). At cluster scale the same role is
-    played by persist(DISK_ONLY) or a staging table."""
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    bought = (
-        orders.join(
-            lineitem, orders.o_orderkey == lineitem.l_orderkey
-        )
-        .select(
-            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
-        )
-        .distinct()
-    ).localCheckpoint(eager=True)
+    orders⋈lineitem join + distinct (r8 plan showed 16 parquet
+    scans). Negative result (r9): an eager localCheckpoint here
+    measured FASTER isolated (4.4 s) but 2x SLOWER inside the full
+    bench suite (12.3 s vs the 5.9 s baseline, BENCH_QUERIES_r09
+    first stamp) — the per-invocation checkpoint write fights the
+    suite for disk; the session-scoped persist amortizes across
+    repeated invocations the way a staging table would on a
+    cluster."""
+    bought = bought_baskets(spark, sf_dir)
     keep = (
         bought.groupBy("cust")
         .agg(F.count(F.lit(1)).alias("n"))
