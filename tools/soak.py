@@ -37,6 +37,9 @@ _SWITCH_TARGETS = [
     "sample_curriculum_shards",  # prefix._PART_CACHE replace-on-tag
     "window_ntile_movavg",       # prefix._PART_CACHE replace-on-tag
     "orders_rfm_segmentation",   # three prefix tags per construction
+    "orders_also_bought",        # shared bought_baskets relation cache
+    "graph_adamic_adar",         # same bought_baskets cache, 2nd consumer
+    "graph_jaccard_neighbors",   # minute-grain interaction-edge cache
 ]
 
 
