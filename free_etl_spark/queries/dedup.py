@@ -460,34 +460,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     across tokens; sign → signature bit. md5-deterministic, so DuckDB
     reproduces every signature bit-for-bit (the oracle replays the
     hash/weight/sign pipeline in SQL). Pairing is dedup_simhash_pairs
-    below."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    )
-    h64 = F.conv(
-        F.substring(F.md5(F.col("tok").cast("binary")), 1, 16), 16, -10
-    ).cast("long")
-    toks = docs.select("doc_id", h64.alias("h"))
-    weights = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"w{j}")
-            for j in range(64)
-        ]
-    )
-    # bit 63 contributes MIN_LONG (the signed value of 1<<63); all
-    # positive terms sum to ≤ 2^63-1, so the long arithmetic is exact
-    simhash = None
-    for j in range(64):
-        val = -9223372036854775808 if j == 63 else (1 << j)
-        bit = F.when(F.col(f"w{j}") > 0, F.lit(val).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    below — which rebuilds this exact relation, so the signature
+    relation is persisted via the shared session relation cache (one
+    token-explode + 64-column weight aggregate per session, not per
+    consumer)."""
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
         )
-        simhash = bit if simhash is None else simhash + bit
-    return weights.select(
-        "doc_id", simhash.cast("long").alias("simhash64")
-    )
+        h64 = F.conv(
+            F.substring(F.md5(F.col("tok").cast("binary")), 1, 16), 16, -10
+        ).cast("long")
+        toks = docs.select("doc_id", h64.alias("h"))
+        weights = toks.groupBy("doc_id").agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1
+                    ).otherwise(-1)
+                ).alias(f"w{j}")
+                for j in range(64)
+            ]
+        )
+        # bit 63 contributes MIN_LONG (the signed value of 1<<63); all
+        # positive terms sum to ≤ 2^63-1, so the long arithmetic is
+        # exact
+        simhash = None
+        for j in range(64):
+            val = -9223372036854775808 if j == 63 else (1 << j)
+            bit = F.when(
+                F.col(f"w{j}") > 0, F.lit(val).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            simhash = bit if simhash is None else simhash + bit
+        return weights.select(
+            "doc_id", simhash.cast("long").alias("simhash64")
+        )
+
+    return _cached_relation(spark, sf_dir, "simhash_sig", build)
 
 
 _COS_T = 0.45

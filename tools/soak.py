@@ -40,6 +40,7 @@ _SWITCH_TARGETS = [
     "orders_also_bought",        # shared bought_baskets relation cache
     "graph_adamic_adar",         # same bought_baskets cache, 2nd consumer
     "graph_jaccard_neighbors",   # minute-grain interaction-edge cache
+    "dedup_simhash_pairs",       # simhash_sig signature cache
 ]
 
 
