@@ -41,6 +41,7 @@ _SWITCH_TARGETS = [
     "graph_adamic_adar",         # same bought_baskets cache, 2nd consumer
     "graph_jaccard_neighbors",   # minute-grain interaction-edge cache
     "dedup_simhash_pairs",       # simhash_sig signature cache
+    "multimodal_audio_vad",      # shared pcm_frames decode cache
 ]
 
 
