@@ -423,3 +423,20 @@ def test_degree_cap_sits_below_pair_self_join(spark, name, cap_needle):
             f"input {i} — cap is applied AFTER enumeration:\n"
             + j.toString()[:2000]
         )
+
+
+def test_interval_overlap_joins_on_grid_bucket(spark):
+    """join_interval_overlap's scale property: the session×burst
+    overlap join must execute as a HASH equi-join on the exploded
+    hour bucket with the interval predicate as a residual — never a
+    BroadcastNestedLoopJoin/CartesianProduct evaluating the theta
+    predicate pairwise (the naive lowering, quadratic in
+    sessions×bursts at 100 TB)."""
+    import free_etl_spark.queries as q
+
+    df = q.QUERIES["join_interval_overlap"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # the bucket equi-join exists and carries the residual condition
+    assert "bucket" in plan and "Join" in plan
