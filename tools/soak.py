@@ -42,6 +42,8 @@ _SWITCH_TARGETS = [
     "graph_jaccard_neighbors",   # minute-grain interaction-edge cache
     "dedup_simhash_pairs",       # simhash_sig signature cache
     "multimodal_audio_vad",      # shared pcm_frames decode cache
+    "dedup_embedding_cosine",    # emb_cos_pairs cache (semdedup shares)
+    "dedup_semdedup_keep",       # rides emb_cos_pairs across sf switch
 ]
 
 
