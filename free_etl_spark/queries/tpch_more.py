@@ -1107,11 +1107,22 @@ def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (Spark half-up, DuckDB half-even) and int-ratio
     denominators here (n_item products) exceed the 5^6 safe bound.
     Ordering is by the integer co-count with part tie-breakers, so
-    the LIMIT is decided on exact values only."""
-    li = load_table(spark, sf_dir, "lineitem")
-    b = li.select(
-        F.col("l_orderkey").alias("ord"), F.col("l_partkey").alias("part")
-    ).distinct()
+    the LIMIT is decided on exact values only. The distinct
+    order-basket relation feeds FOUR consumers (order count, item
+    supports, both self-join sides) — persisted via the shared
+    session cache like its customer-keyed sibling bought_baskets."""
+    from free_etl_spark.queries.dedup import _cached_relation
+
+    def build_baskets() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        return li.select(
+            F.col("l_orderkey").alias("ord"), F.col("l_partkey").alias("part")
+        ).distinct()
+
+    b = _cached_relation(
+        spark, sf_dir, "order_baskets", build_baskets,
+        src_table="lineitem.parquet",
+    )
     nb = b.agg(F.countDistinct("ord").cast("double").alias("n_orders"))
     item = b.groupBy("part").agg(
         F.count(F.lit(1)).cast("long").alias("n_item")
