@@ -417,6 +417,16 @@ def merge_additive_once(
     between retire and rename is likewise recovered: the retired dir
     carries the batch_id and is restored before re-merging.
 
+    The first-ever batch has no target to retire, which would make
+    "applied but marker missed" (target exists, nothing else)
+    indistinguishable from "never ran" — so before its staging→target
+    rename a SENTINEL retired dir (containing ``__EMPTY_MV__``) is
+    created, meaning "the prior state was no-target". Recovery then
+    sees the same (retired ∃ ∧ target ∃ ∧ staging ∄) applied-state
+    signature for batch 0 as for every later batch; a crash between
+    sentinel creation and the rename restores no-target by deleting
+    the sentinel instead of renaming it over the target.
+
     Every fs.rename() result is asserted: Hadoop's FileSystem.rename
     reports failure by returning False, not raising, and renaming into
     a still-existing target dir silently nests the source INSIDE it —
@@ -453,11 +463,17 @@ def merge_additive_once(
         open(marker, "w").close()
         fs.delete(retired, True)
         return False
-    # (b) renamed target away but died before the staging rename:
-    #     `retired` holds the real MV (marker absent, batch NOT
-    #     applied) — restore it and fall through to a clean re-merge.
+    # (b) died between retiring the target (or creating the first-
+    #     batch sentinel) and the staging→target rename: marker
+    #     absent, batch NOT applied. A real retired dir holds the MV
+    #     — restore it; the first-batch sentinel means the prior
+    #     state was "no target" — delete it. Either way fall through
+    #     to a clean re-merge.
     if fs.exists(retired) and not fs.exists(tgt):
-        _rename(retired, tgt)
+        if fs.exists(Path(retired, "__EMPTY_MV__")):
+            fs.delete(retired, True)
+        else:
+            _rename(retired, tgt)
     for leftover in (staging, retired):
         if fs.exists(leftover):
             fs.delete(leftover, True)
@@ -467,8 +483,14 @@ def merge_additive_once(
     had_target = fs.exists(tgt)
     if had_target:
         _rename(tgt, retired)
+    else:
+        # first batch: no target to retire — create the sentinel so a
+        # crash after the next rename is still recognizable as
+        # "applied" (see docstring; without it the post-rename state
+        # looks like "never ran" and retry double-counts the delta).
+        fs.mkdirs(retired)
+        fs.create(Path(retired, "__EMPTY_MV__")).close()
     _rename(staging, tgt)
     open(marker, "w").close()
-    if had_target:
-        fs.delete(retired, True)
+    fs.delete(retired, True)
     return True

@@ -80,23 +80,27 @@ def _cached_relation(
     sf_dir: str,
     tag: str,
     build,
-    src_table: str = "documents.parquet",
+    src_table: "str | list[str]" = "documents.parquet",
 ) -> DataFrame:
     """Memoize ``build()`` persisted MEMORY_AND_DISK per (session, tag,
-    sf_dir). The cache key includes the source file's mtime (the
-    table the relation derives from — documents for the shingle
-    family, events for graph edges): a regenerated corpus within the
-    same session must rebuild (and the stale persisted relation is
-    dropped, not leaked)."""
+    sf_dir). The cache key includes EVERY source file's mtime (the
+    tables the relation derives from — documents for the shingle
+    family, events for graph edges, a list for joins like
+    orders⋈lineitem): a regenerated corpus within the same session
+    must rebuild even when only one join side changed (and the stale
+    persisted relation is dropped, not leaked)."""
     import os
 
     from pyspark import StorageLevel
 
-    src = os.path.join(sf_dir, src_table)
-    try:
-        key = (tag, sf_dir, os.path.getmtime(src))
-    except OSError:
-        key = (tag, sf_dir, None)
+    tables = [src_table] if isinstance(src_table, str) else src_table
+    mtimes = []
+    for t in tables:
+        try:
+            mtimes.append(os.path.getmtime(os.path.join(sf_dir, t)))
+        except OSError:
+            mtimes.append(None)
+    key = (tag, sf_dir, tuple(mtimes))
     per_session = _RELATION_CACHE.setdefault(spark, {})
     cached = per_session.get(key)
     if cached is not None:

@@ -1091,9 +1091,8 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = sym.groupBy(F.col("nbr").alias("cnode")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
-    # wait: degree counts rows where the node appears as SOURCE; by
-    # symmetry counting by nbr is identical — keyed by nbr so the
-    # broadcast joins directly on the wedge-center column.
+    # degree keyed by nbr (identical to by-node under symmetrization)
+    # so the broadcast joins directly on the wedge-center column.
     kept = sym.join(
         F.broadcast(deg.filter((F.col("d") >= 2) & (F.col("d") <= 64))),
         sym.nbr == F.col("cnode"),

@@ -2316,10 +2316,13 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "t",
         F.when(
+            # exact epoch-µs gap (cast('long') truncates sub-second
+            # and diverges from the oracle's INTERVAL comparison on
+            # boundary gaps) — same rule as events.py _GAP_US
             prev.isNull()
             | (
-                F.col("t").cast("long") - prev.cast("long")
-                > 30 * 60
+                F.unix_micros(F.col("t")) - F.unix_micros(prev)
+                > 30 * 60 * 1_000_000
             ),
             1,
         )

@@ -926,7 +926,13 @@ def bought_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _cached_relation(
-        spark, sf_dir, "bought_baskets", build, src_table="lineitem.parquet"
+        spark,
+        sf_dir,
+        "bought_baskets",
+        build,
+        # both join sides key the cache: a regenerated orders.parquet
+        # with an untouched lineitem.parquet must rebuild (ADVICE r9)
+        src_table=["orders.parquet", "lineitem.parquet"],
     )
 
 

@@ -802,3 +802,52 @@ def test_checked_rename_raises_on_false():
     bad = FakeFS(False)
     with pytest.raises(IOError, match="returned false"):
         _checked_rename(bad, "a", "b", 1)
+
+
+def test_merge_additive_once_first_batch_marker_missed(spark, tmp_path):
+    """The FIRST-ever batch has no target to retire, so without extra
+    state a crash between rename(staging, target) and marker creation
+    would leave (target exists, nothing else) — indistinguishable from
+    'never ran', and the retry would re-merge the delta into the
+    already-applied target (ADVICE r9). The sentinel retired dir
+    (__EMPTY_MV__) makes that state recognizable: retry must return
+    False and leave the MV unchanged. Also: a crash between sentinel
+    creation and the rename (sentinel + staging present, no target)
+    must restore 'no target' — delete the sentinel, not rename it in —
+    and then apply cleanly."""
+    import os
+
+    from free_etl_spark.operators.merge import merge_additive_once
+
+    schema = "k string, n long, s double"
+    target = str(tmp_path / "mv")
+    applied = str(tmp_path / "applied")
+
+    # window 1: sentinel created, staging written, crash before the
+    # staging->target rename. State: retired(sentinel) + staging, no
+    # target, no marker. Batch NOT applied -> clean re-merge.
+    os.makedirs(f"{target}__retired_b0")
+    open(f"{target}__retired_b0/__EMPTY_MV__", "w").close()
+    os.makedirs(f"{target}__stage_b0")  # half-written staging junk
+    delta0 = spark.createDataFrame([("a", 1, 1.0)], schema)
+    ran = merge_additive_once(
+        spark, target, delta0, ["k"], ["n", "s"], applied, 0
+    )
+    assert ran is True
+    got = {r.k: (r.n, r.s) for r in spark.read.parquet(target).collect()}
+    assert got == {"a": (1, 1.0)}
+    assert not os.path.exists(f"{target}__retired_b0")
+
+    # window 2: first batch fully renamed in, sentinel still present,
+    # marker missed. Retry must recognize 'applied', not double-count.
+    os.remove(os.path.join(applied, "batch_0"))
+    os.makedirs(f"{target}__retired_b0")
+    open(f"{target}__retired_b0/__EMPTY_MV__", "w").close()
+    ran = merge_additive_once(
+        spark, target, delta0, ["k"], ["n", "s"], applied, 0
+    )
+    assert ran is False
+    got = {r.k: (r.n, r.s) for r in spark.read.parquet(target).collect()}
+    assert got == {"a": (1, 1.0)}  # NOT (2, 2.0) — no double-apply
+    assert not os.path.exists(f"{target}__retired_b0")
+    assert os.path.exists(os.path.join(applied, "batch_0"))

@@ -16,7 +16,13 @@ Change detection is function-level inside `free_etl_spark/queries/*`
     changed, ALL queries in that module are re-benched;
   * if a non-queries engine module changed (operators/, streaming/,
     tables.py, ...), every queries module whose source imports it is
-    re-benched in full.
+    re-benched in full;
+  * if a queries module's HELPERS changed (or specific changed
+    functions are imported elsewhere), every OTHER queries module
+    importing from it is re-benched in full — cross-module helper
+    exports like tpch_more.bought_baskets (consumed by graph.py) or
+    dedup._cached_relation would otherwise reopen the stale-bench
+    window this tool exists to close (ADVICE r9).
 
 Usage:
     python tools/bench_tripwire.py [BASE_REF]         # default HEAD
@@ -67,12 +73,21 @@ def _git_show(base: str, rel: str) -> str | None:
 
 
 def _top_level_funcs(src: str) -> dict[str, str]:
-    """name -> exact source segment of each top-level def."""
+    """name -> exact source segment of each top-level def, WITH its
+    decorators (get_source_segment starts at the ``def`` line, and
+    _module_level_code blanks decorator lines — without prepending
+    them here a decorator-only edit would be invisible)."""
     tree = ast.parse(src)
     out = {}
     for node in tree.body:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
-            out[node.name] = ast.get_source_segment(src, node) or ""
+            decs = "\n".join(
+                ast.get_source_segment(src, d) or ""
+                for d in node.decorator_list
+            )
+            out[node.name] = decs + "\n" + (
+                ast.get_source_segment(src, node) or ""
+            )
     return out
 
 
@@ -86,9 +101,44 @@ def _module_level_code(src: str) -> str:
         if isinstance(
             node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
         ):
-            for i in range(node.lineno - 1, node.end_lineno):
+            # include decorator lines in the blanked span: they belong
+            # to the def, and get_source_segment excludes them, so
+            # leaving them here would double-count a decorator edit
+            first = min(
+                [node.lineno] + [d.lineno for d in node.decorator_list]
+            )
+            for i in range(first - 1, node.end_lineno):
                 lines[i] = ""
-    return "\n".join(lines)
+    # drop blank residue: a pure line-count shift inside a function
+    # must not read as a module-level change (it previously widened
+    # every in-function edit to the whole module)
+    return "\n".join(line for line in lines if line.strip())
+
+
+def _imports_from(src: str, modpath: str) -> tuple[set[str], bool]:
+    """(specific names ``src`` imports from ``modpath``, whether it
+    imports the module wholesale). Walks the full AST so imports
+    nested inside function bodies (the queries-module convention for
+    cross-module helpers) are seen."""
+    parent, _, stem = modpath.rpartition(".")
+    names: set[str] = set()
+    whole = False
+    for node in ast.walk(ast.parse(src)):
+        if isinstance(node, ast.ImportFrom):
+            if node.module == modpath:
+                for a in node.names:
+                    if a.name == "*":
+                        whole = True
+                    else:
+                        names.add(a.name)
+            elif node.module == parent and any(
+                a.name == stem for a in node.names
+            ):
+                whole = True
+        elif isinstance(node, ast.Import):
+            if any(a.name == modpath for a in node.names):
+                whole = True
+    return names, whole
 
 
 def affected_queries(base: str) -> tuple[set[str], list[str]]:
@@ -108,7 +158,10 @@ def affected_queries(base: str) -> tuple[set[str], list[str]]:
     reasons: list[str] = []
     query_files = set(by_file)
 
-    # pass 1: queries modules — function-level diff
+    # pass 1: queries modules — function-level diff. Record what
+    # changed per module so pass 2b can widen to cross-module
+    # importers of the changed names.
+    qmod_changes: dict[str, tuple[set[str], bool]] = {}  # rel -> (funcs, helper?)
     for rel in changed:
         if rel not in query_files:
             continue
@@ -118,6 +171,7 @@ def affected_queries(base: str) -> tuple[set[str], list[str]]:
         if old_src is None:  # new module: everything in it is new
             affected |= set(members)
             reasons.append(f"{rel}: new module -> all {len(members)} queries")
+            qmod_changes[rel] = (set(_top_level_funcs(new_src)), True)
             continue
         old_funcs = _top_level_funcs(old_src)
         new_funcs = _top_level_funcs(new_src)
@@ -130,6 +184,7 @@ def affected_queries(base: str) -> tuple[set[str], list[str]]:
         helper_changed = bool(changed_funcs - query_funcs) or (
             _module_level_code(old_src) != _module_level_code(new_src)
         )
+        qmod_changes[rel] = (changed_funcs, helper_changed)
         if helper_changed:
             affected |= set(members)
             reasons.append(
@@ -160,6 +215,31 @@ def affected_queries(base: str) -> tuple[set[str], list[str]]:
                     f"{rel} changed -> {qrel} imports it -> all "
                     f"{len(members)} queries"
                 )
+
+    # pass 2b: changed queries modules as import SOURCES — a helper
+    # one queries module exports to another (bought_baskets,
+    # _cached_relation, ...) must widen to the consumer's queries too.
+    for rel, (changed_funcs, helper_changed) in qmod_changes.items():
+        modpath = rel[: -len(".py")].replace("/", ".")
+        for qrel, members in by_file.items():
+            if qrel == rel:
+                continue
+            names, whole = _imports_from(
+                open(os.path.join(HERE, qrel)).read(), modpath
+            )
+            # widen when the importer pulls a changed name, or pulls
+            # anything at all from a module whose helpers/module-level
+            # code changed (a changed helper can sit under an
+            # unchanged exported name — be conservative there).
+            if (names & changed_funcs) or (
+                (names or whole) and helper_changed
+            ):
+                if not set(members) <= affected:
+                    affected |= set(members)
+                    reasons.append(
+                        f"{rel} exports changed -> {qrel} imports it -> "
+                        f"all {len(members)} queries"
+                    )
     return affected, reasons
 
 
