@@ -32,19 +32,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _query_order() -> list[str]:
-    """Order queries for a possibly time/count-budgeted verifier:
-    queries with no green row in any prior round's CORRECTNESS_r*.json
-    come first (so every round verifies the largest possible set of
-    not-yet-proven queries), cheapest-first within each group (from
-    the tools/query_times.json snapshot) so a fixed budget covers the
-    most queries. Deterministic: ties break on name."""
+    """Order queries for a possibly time/count-budgeted verifier.
+
+    Front group: queries with no green row in any prior round's
+    CORRECTNESS_r*.json (new or known-red) — every round verifies the
+    largest possible set of not-yet-proven queries, cheapest first
+    (tools/query_times.json snapshot) so a fixed budget covers most.
+
+    Verified group — FRESHNESS ROTATION (VERDICT r9): with the whole
+    registry green, a 50/round budget means rows go stale; order
+    green queries stalest-first so no row ages unboundedly. Staleness
+    key: (round of the latest driver row ascending, source-changed-
+    since-that-row first, cheap first). The round is computed live
+    from the artifacts (a red row in round N re-fronts the query via
+    the status pass regardless); the changed flag comes from
+    tools/query_staleness.json, regenerated at round end by
+    tools/gen_staleness.py via git — missing file degrades to
+    round-only rotation, never to an error."""
     # last-write-wins across rounds (files sort by zero-padded round
     # number): a query green in round N-1 but red in round N must be
     # re-fronted — its LATEST row decides. A query green earlier and
     # simply not re-run since keeps its green.
     status: dict[str, bool] = {}
+    last_round: dict[str, int] = {}
     for path in sorted(_glob.glob(_os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         try:
+            rnd = int(_os.path.basename(path).split("_r")[1].split(".")[0])
             for name, row in _json.load(open(path)).items():
                 # green = ran without error AND no recorded mismatch.
                 # err=None with hash_match=False is a VALUE FAILURE —
@@ -57,6 +70,7 @@ def _query_order() -> list[str]:
                         row.get(k) is False
                         for k in ("rows_match", "schema_match", "hash_match")
                     )
+                    last_round[name] = rnd
         except Exception:  # malformed artifact — ignore, keep default order
             pass
     verified = {name for name, green in status.items() if green}
@@ -64,10 +78,20 @@ def _query_order() -> list[str]:
         times = _json.load(open(_os.path.join(_HERE, "tools", "query_times.json")))
     except Exception:
         times = {}
-    return sorted(
-        _q.QUERIES,
-        key=lambda n: (n in verified, times.get(n, 99.0), n),
-    )
+    try:
+        stale = _json.load(
+            open(_os.path.join(_HERE, "tools", "query_staleness.json"))
+        )
+    except Exception:
+        stale = {}
+
+    def key(n: str):
+        if n not in verified:
+            return (0, 0, False, times.get(n, 99.0), n)
+        unchanged = not stale.get(n, {}).get("changed", False)
+        return (1, last_round.get(n, 0), unchanged, times.get(n, 99.0), n)
+
+    return sorted(_q.QUERIES, key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -212,6 +212,49 @@ def test_query_order_prefers_unverified_then_cheap(tmp_path, monkeypatch):
                 )
 
 
+def test_query_order_rotates_stalest_verified_first():
+    """Freshness rotation (VERDICT r9): among verified queries, the
+    round of the latest driver row must be non-decreasing through the
+    order, and within a round source-changed queries come first —
+    so a 50/round budget always re-verifies the stalest rows."""
+    import glob as g
+    import json
+    import os
+
+    import __spark_entry__ as e
+
+    here = os.path.dirname(e.__file__)
+    last_round: dict[str, int] = {}
+    status: dict[str, bool] = {}
+    for p in sorted(g.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(p).split("_r")[1].split(".")[0])
+        for name, row in json.load(open(p)).items():
+            if isinstance(row, dict):
+                last_round[name] = rnd
+                status[name] = not row.get("err") and not any(
+                    row.get(k) is False
+                    for k in ("rows_match", "schema_match", "hash_match")
+                )
+    verified = {n for n, ok in status.items() if ok}
+    if not verified:
+        return
+    try:
+        stale = json.load(open(os.path.join(here, "tools", "query_staleness.json")))
+    except OSError:
+        stale = {}
+    seq = [n for n in e._query_order() if n in verified]
+    rounds = [last_round[n] for n in seq]
+    assert rounds == sorted(rounds), "verified queries not stalest-first"
+    for a, b in zip(seq, seq[1:]):
+        if last_round[a] == last_round[b]:
+            a_ch = stale.get(a, {}).get("changed", False)
+            b_ch = stale.get(b, {}).get("changed", False)
+            assert a_ch or not b_ch, (
+                f"{b} (changed) ordered after {a} (unchanged) in round "
+                f"{last_round[a]}"
+            )
+
+
 def test_boilerplate_filter_drops_shared_lines(spark, tmp_path):
     """Real newline-delimited input through boilerplate_line_filter:
     a cookie banner shared by 3 docs is dropped, unique lines survive,
