@@ -307,7 +307,13 @@ def main() -> None:
     # regex-matchable in a 2000-char tail) is independent of suite
     # size, and the full 220+-query suite outgrew any pytest budget.
     subset = int(os.environ.get("SPARK_GRAFT_BENCH_SUBSET", "0"))
-    headline = HEADLINE[:subset] if subset > 0 else HEADLINE
+    # Full-registry coverage (VERDICT r9 task #2): every registered
+    # query gets a per-round stamp so tools/bench_tripwire.py can
+    # guard the whole surface, not just the curated headline list.
+    # HEADLINE order is preserved (shared-relation caches warm in the
+    # order the list was tuned for); the remainder appends sorted.
+    suite = HEADLINE + sorted(set(q.QUERIES) - set(HEADLINE))
+    headline = suite[:subset] if subset > 0 else suite
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("free-etl-spark-bench")

@@ -103,3 +103,19 @@ def test_bench_delta_provenance_recomputable():
             cur[k],
             prev[k],
         )
+
+
+def test_bench_suite_covers_full_registry():
+    """Every registered query must be in the bench suite (HEADLINE +
+    registry remainder) so each round's BENCH_QUERIES_r{N}.json stamps
+    it and bench_tripwire can guard it. An unknown name in HEADLINE
+    (typo / renamed query) must also fail here, not at bench time."""
+    import bench
+    import free_etl_spark.queries as q
+
+    assert set(bench.HEADLINE) <= set(q.QUERIES), (
+        sorted(set(bench.HEADLINE) - set(q.QUERIES))
+    )
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    suite = bench.HEADLINE + sorted(set(q.QUERIES) - set(bench.HEADLINE))
+    assert set(suite) == set(q.QUERIES)

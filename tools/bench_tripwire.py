@@ -269,6 +269,22 @@ def main() -> int:
     from free_etl_spark.session import get_spark
     from free_etl_spark.tables import ALL_TABLES, load_table
 
+    # stamp-coverage report: an affected query with no prior stamp has
+    # no regression baseline — it is benched and reported, but the
+    # guard is blind to its history. Since r10 bench.py stamps the
+    # FULL registry, a non-empty list here means either brand-new
+    # queries (expected mid-round) or a bench run that predates them.
+    unstamped = sorted(set(q.QUERIES) - set(prev_q))
+    print(
+        json.dumps(
+            {
+                "stamp_coverage": f"{len(q.QUERIES) - len(unstamped)}"
+                f"/{len(q.QUERIES)}",
+                "unstamped": unstamped,
+            }
+        )
+    )
+
     spark = get_spark("bench-tripwire")
     for t in ALL_TABLES:
         load_table(spark, sf_dir, t).count()
