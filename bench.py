@@ -296,6 +296,11 @@ HEADLINE = [
     "sample_class_balance",
     "join_interval_overlap",
     "quality_candidate_key_profile",
+    # r10 wave: canonical-URL dedup, IVF radius search, CLIP-style
+    # caption-alignment audit
+    "dedup_url_canonicalize",
+    "sim_range_search",
+    "multimodal_caption_align",
 ]
 
 

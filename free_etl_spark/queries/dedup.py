@@ -1511,3 +1511,173 @@ def dedup_editdistance_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "name_a", "name_b", dist.alias("edit_dist")
     ).filter(F.col("edit_dist") <= 2)
+
+
+# --- canonical-URL dedup (VERDICT r9 task #7a) ------------------------
+# The documents table carries no URL column, so a deterministic
+# URL-shaped string is derived per doc (scheme/WWW/host-case/port/
+# trailing-slash/tracking-param/fragment variants keyed on doc_id
+# residues, host keyed on source) — the derivation is mirrored
+# verbatim in the oracle; the operator under test is the relational
+# CANONICALIZATION of the raw string, not the synthesis.
+_URL_TRACKING_RE = "^(utm_[a-z]+|gclid|fbclid)="
+
+
+def _raw_url_col():
+    """The synthetic raw URL expression (Spark side)."""
+    m = lambda k: F.col("doc_id") % k  # noqa: E731
+    return F.concat(
+        F.when(m(3) == 0, "HTTP").when(m(3) == 1, "https").otherwise("HTTPS"),
+        F.lit("://"),
+        F.when(m(2) == 0, "WWW.").otherwise(""),
+        F.col("source"),
+        F.when(m(5) == 0, ".Example.COM").otherwise(".example.com"),
+        F.when(m(7) == 0, ":443").otherwise(""),
+        F.lit("/articles/"),
+        (m(10)).cast("string"),
+        F.when(m(4) == 0, "/").otherwise(""),
+        F.when(
+            m(4) == 0,
+            F.concat(F.lit("?utm_source=news&ref=r"), m(3).cast("string")),
+        )
+        .when(
+            m(4) == 1,
+            F.concat(
+                F.lit("?ref=r"), m(3).cast("string"), F.lit("&utm_campaign=spring")
+            ),
+        )
+        .when(
+            m(4) == 2,
+            F.concat(F.lit("?gclid=1x&ref=r"), m(3).cast("string")),
+        )
+        .otherwise(""),
+        F.when(m(6) == 0, "#section-2").otherwise(""),
+    )
+
+
+_RAW_URL_SQL = """
+      CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HTTPS' END
+      || '://'
+      || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+      || source
+      || CASE WHEN doc_id % 5 = 0 THEN '.Example.COM' ELSE '.example.com' END
+      || CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END
+      || '/articles/' || CAST(doc_id % 10 AS VARCHAR)
+      || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+      || CASE doc_id % 4
+           WHEN 0 THEN '?utm_source=news&ref=r' || CAST(doc_id % 3 AS VARCHAR)
+           WHEN 1 THEN '?ref=r' || CAST(doc_id % 3 AS VARCHAR)
+                       || '&utm_campaign=spring'
+           WHEN 2 THEN '?gclid=1x&ref=r' || CAST(doc_id % 3 AS VARCHAR)
+           ELSE '' END
+      || CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END
+"""
+
+
+@query(
+    "dedup_url_canonicalize",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_RAW_URL_SQL} AS url FROM documents),
+    nofrag AS (
+      SELECT doc_id, url,
+             split_part(split_part(url, '://', 2), '#', 1) AS rest
+      FROM raw),
+    hp AS (
+      SELECT doc_id, url,
+             split_part(rest, '?', 1) AS hostpath,
+             split_part(rest, '?', 2) AS qs
+      FROM nofrag),
+    kept AS (
+      SELECT doc_id, url, hostpath,
+             array_to_string(list_sort(list_filter(string_split(qs, '&'),
+               p -> p <> '' AND NOT regexp_matches(p, '{_URL_TRACKING_RE}'))),
+               '&') AS qs2
+      FROM hp),
+    canon AS (
+      SELECT doc_id, url,
+             'https://'
+             || regexp_replace(regexp_replace(
+                  lower(split_part(hostpath, '/', 1)), '^www\\.', ''),
+                  ':443$', '')
+             || regexp_replace(regexp_replace(hostpath, '^[^/]*', ''),
+                  '/+$', '')
+             || CASE WHEN qs2 <> '' THEN '?' || qs2 ELSE '' END
+             AS canonical_url
+      FROM kept)
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc
+    FROM canon
+    GROUP BY canonical_url
+    HAVING COUNT(*) >= 2
+    ORDER BY n_docs DESC, canonical_url
+    LIMIT 15
+    """,
+)
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup — the CommonCrawl curation staple: lowercase
+    scheme/host, strip www. and default :443 port, resolve the trivial
+    http->https redirect, drop the fragment, strip trailing slashes,
+    remove tracking params (utm_*/gclid/fbclid) and ORDER-NORMALIZE the
+    survivors, then group docs by canonical form and keep the smallest
+    doc_id. Reports the top duplicate groups with raw-form counts.
+
+    Scale shape: pure map-side string canonicalization + one hash
+    aggregation on the canonical key — no joins, no windows; at 100 TB
+    this is a single shuffle keyed on canonical_url, and the HAVING
+    pushes the (overwhelmingly unique) singleton mass out before the
+    top-k sort."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _raw_url_col().alias("url")
+    )
+    rest = F.split_part(F.split_part(F.col("url"), F.lit("://"), F.lit(2)),
+                        F.lit("#"), F.lit(1))
+    parts = docs.select(
+        "doc_id",
+        "url",
+        F.split_part(rest, F.lit("?"), F.lit(1)).alias("hostpath"),
+        F.split_part(rest, F.lit("?"), F.lit(2)).alias("qs"),
+    )
+    qs2 = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.col("qs"), "&"),
+                lambda p: (p != "") & ~p.rlike(_URL_TRACKING_RE),
+            )
+        ),
+        "&",
+    )
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.split_part(F.col("hostpath"), F.lit("/"), F.lit(1))),
+            "^www\\.",
+            "",
+        ),
+        ":443$",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(F.col("hostpath"), "^[^/]*", ""), "/+$", ""
+    )
+    canon = parts.select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.lit("https://"),
+            host,
+            path,
+            F.when(qs2 != "", F.concat(F.lit("?"), qs2)).otherwise(""),
+        ).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("url").cast("long").alias("n_raw_forms"),
+            F.min("doc_id").cast("long").alias("keep_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "canonical_url")
+        .limit(15)
+    )

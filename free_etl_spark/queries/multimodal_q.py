@@ -715,3 +715,118 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("feat").cast("long").alias("n_frames"),
         cuts.cast("long").alias("n_cuts"),
     )
+
+
+@query(
+    "multimodal_caption_align",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+             label,
+             SQRT(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    img AS (SELECT vec_id // 2 AS pid, label, emb, nrm FROM v
+            WHERE vec_id % 2 = 0),
+    cap AS (SELECT (vec_id - 1) // 2 AS pid, emb, nrm FROM v
+            WHERE vec_id % 2 = 1),
+    pairs AS (
+      SELECT i.pid, i.label,
+             ROUND(list_sum(list_transform(list_zip(i.emb, c.emb),
+                   z -> z[1] * z[2])) / (i.nrm * c.nrm), 6) AS cos_true,
+             ROUND(list_sum(list_transform(list_zip(i.emb, d.emb),
+                   z -> z[1] * z[2])) / (i.nrm * d.nrm), 6) AS cos_decoy
+      FROM img i
+      JOIN cap c ON c.pid = i.pid
+      JOIN cap d ON d.pid = i.pid + 1
+    )
+    SELECT CAST(label AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN cos_true > cos_decoy THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_aligned,
+           ROUND(SUM(cos_true - cos_decoy), 6) / COUNT(*) AS mean_margin,
+           ROUND(SUM(cos_true), 6) / COUNT(*) AS mean_cos
+    FROM pairs
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def multimodal_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image<->caption pairing audit (CLIP-score-shaped, VERDICT r9
+    task #7c): treat even vec_ids as image embeddings and the
+    following odd vec_id as the paired caption; for each pair compute
+    the true-pair cosine and the cosine against a DECOY caption (the
+    next pair's), and report per image-label how often the true
+    caption wins plus the mean alignment margin — the standard
+    contrastive-retrieval sanity check before multimodal training.
+
+    Scale shape: two equi-joins on the dense pair id (no window, no
+    cross join) followed by one hash aggregation on label — linear,
+    partition-prunable when the corpus is written pair-bucketed. FP
+    rule: per-pair cosines rounded to 6 dp, group sums re-rounded to
+    the same grid before the single IEEE division (registry contract).
+    """
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        "label",
+    )
+    nrm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x))
+    n = v.select("vec_id", "emb", "label", nrm.alias("nrm"))
+    img = n.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") / 2).cast("long").alias("pid"),
+        "label",
+        F.col("emb").alias("i_emb"),
+        F.col("nrm").alias("i_nrm"),
+    )
+    cap = n.filter(F.col("vec_id") % 2 == 1).select(
+        ((F.col("vec_id") - 1) / 2).cast("long").alias("pid"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    decoy = cap.select(
+        (F.col("pid") - 1).alias("pid"),
+        F.col("c_emb").alias("d_emb"),
+        F.col("c_nrm").alias("d_nrm"),
+    )
+
+    def cos(a: str, b: str, na: str, nb: str):
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (F.col(na) * F.col(nb)),
+            6,
+        )
+
+    pairs = (
+        img.join(cap, "pid")
+        .join(decoy, "pid")
+        .select(
+            "label",
+            cos("i_emb", "c_emb", "i_nrm", "c_nrm").alias("cos_true"),
+            cos("i_emb", "d_emb", "i_nrm", "d_nrm").alias("cos_decoy"),
+        )
+    )
+    return (
+        pairs.groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("cos_true") > F.col("cos_decoy"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_aligned"),
+            (
+                F.round(F.sum(F.col("cos_true") - F.col("cos_decoy")), 6)
+                / F.count(F.lit(1))
+            ).alias("mean_margin"),
+            (F.round(F.sum("cos_true"), 6) / F.count(F.lit(1))).alias(
+                "mean_cos"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -2054,3 +2054,86 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         selected,
         "rank int, vec_id long, label int, relevance double, mmr_score double",
     )
+
+
+_RANGE_COS_T = 0.3  # radius: ~1-6 matches/query at sf0.01, ~11-16 at sf0.1
+
+
+@query(
+    "sim_range_search",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    parm AS ({_SCALED_K_SQL}),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM v
+             WHERE vec_id < (SELECT k FROM parm)),
+    rnk AS (
+      SELECT v.vec_id, cent.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+               list_sum(list_transform(list_zip(v.emb, cent.cemb),
+                        z -> (z[1] - z[2]) * (z[1] - z[2]))), cent.cent_id) AS rn
+      FROM v CROSS JOIN cent),
+    asn AS (SELECT vec_id, cent_id FROM rnk WHERE rn = 1),
+    probe AS (SELECT vec_id AS qid, cent_id FROM rnk
+              WHERE rn <= {_IVF_NPROBE} AND vec_id < {_N_QUERIES}),
+    nn AS (SELECT vec_id, emb,
+                  SQRT(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM v),
+    cand AS (
+      SELECT p.qid, a.vec_id AS cid
+      FROM probe p JOIN asn a ON a.cent_id = p.cent_id AND a.vec_id <> p.qid
+    )
+    SELECT qid, cid, cosine FROM (
+      SELECT c.qid, c.cid,
+             ROUND(list_sum(list_transform(list_zip(q.emb, t.emb),
+                   z -> z[1] * z[2])) / (q.nrm * t.nrm), 6) AS cosine
+      FROM cand c JOIN nn q ON q.vec_id = c.qid JOIN nn t ON t.vec_id = c.cid)
+    WHERE cosine >= {_RANGE_COS_T}
+    ORDER BY qid, cid
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (threshold) similarity search — the top-k family's
+    complement (VERDICT r9 task #7b): return EVERY candidate whose
+    exact cosine clears the radius, not a fixed count. Same IVF
+    layout as sim_ivf_topk (coarse centroids K ≈ √N, nearest-cell
+    assignment, nprobe-pruned probes), so at 100 TB the scan touches
+    only the probed cells of the cluster-partitioned corpus
+    (operators.vectors.ivf_write) — the radius filter replaces the
+    per-qid ranking window, making this strictly cheaper than top-k
+    (no shuffle after the candidate join: filter + map only).
+
+    Exactness note: like every IVF query, recall < 1 by construction —
+    a true neighbor assigned to an unprobed cell is missed; the oracle
+    replays the same probe set, so the driver compares identical
+    semantics."""
+    from free_etl_spark.operators.vectors import (
+        centroid_rank,
+        cosine_scored_pairs,
+        probe_dim,
+        scaled_centroid_k,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    k = scaled_centroid_k(emb.count())
+    cent = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    )
+    ranked = centroid_rank(emb, cent, probe_dim(emb))
+    asn = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    probe = ranked.filter(
+        (F.col("rn") <= _IVF_NPROBE) & (F.col("vec_id") < _N_QUERIES)
+    ).select(F.col("vec_id").alias("qid"), "cent_id")
+    cand = (
+        probe.join(asn, "cent_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"))
+    )
+    return (
+        cosine_scored_pairs(cand, emb, "qid", "cid", probe_dim(emb))
+        .filter(F.col("cosine") >= _RANGE_COS_T)
+        .select("qid", "cid", "cosine")
+    )
