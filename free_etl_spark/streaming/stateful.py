@@ -107,9 +107,11 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest-per-key compaction (the oracle). This is the foreachBatch
     materialized-upsert pattern a production CDC sink uses when no
     transactional table format is available. Gate cost is dominated
-    by fixed micro-batch machinery (4 real triggers + checkpoint +
+    by fixed micro-batch machinery (2 real triggers + checkpoint +
     per-batch parquet rewrite), not plan cost — it does not grow
-    with sf (4.6s at sf0.01 vs ~5s at sf0.1)."""
+    with sf. Measured per-batch constant ~0.5 s (r10: 4-batch vs
+    2-batch replay diff at sf0.1); 2 batches keep the multi-batch
+    convergence property at half the harness cost."""
     import os
     import shutil
 
@@ -132,9 +134,9 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     upsert_latest_parquet(spark, target, seed, ["user_id"], ["ts", "event_id"])
 
-    # change stream: the odd half, laid out as 4 parquet files and
+    # change stream: the odd half, laid out as 2 parquet files and
     # replayed with maxFilesPerTrigger=1 so the apply loop runs over
-    # FOUR separate micro-batches (each carrying an arbitrary slice of
+    # separate micro-batches (each carrying an arbitrary slice of
     # each key's history) — the order-insensitive merge must still
     # converge to the global latest-per-key
     changes_dir = f"{target}_changes"
@@ -144,7 +146,7 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*cols)
         .filter(F.col("event_id") % 2 == 1)
     )
-    changes.repartition(4).write.mode("overwrite").parquet(changes_dir)
+    changes.repartition(2).write.mode("overwrite").parquet(changes_dir)
     ev = (
         spark.readStream.schema(changes.schema)
         .option("maxFilesPerTrigger", 1)
@@ -230,9 +232,9 @@ def streaming_cdc_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacts. Scale: each micro-batch is one partition-scoped merge;
     the compaction is one anti-join rewrite.
 
-    Gate cost (~5s+ at sf0.01) is the maxFilesPerTrigger=1 harness:
-    4 genuine micro-batch replays, each paying streaming-query
-    start/commit latency, plus the seed write and terminal
+    Gate cost is the maxFilesPerTrigger=1 harness: 2 genuine
+    micro-batch replays (per-batch constant ~0.55 s measured r10),
+    each paying streaming-query start/commit latency, plus the seed write and terminal
     compaction — fixed per-run overhead that does not grow with data
     volume (a production stream amortizes start-up across an
     unbounded run)."""
@@ -271,7 +273,7 @@ def streaming_cdc_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id") % 2 == 1)
         .withColumn("is_del", F.col("event_id") % 10 == 5)
     )
-    changes.repartition(4).write.mode("overwrite").parquet(changes_dir)
+    changes.repartition(2).write.mode("overwrite").parquet(changes_dir)
     ev = (
         spark.readStream.schema(changes.schema)
         .option("maxFilesPerTrigger", 1)
@@ -346,7 +348,7 @@ def compact_cdc_tombstones(spark: SparkSession, target: str) -> int:
 def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental materialized-view maintenance: the
     per-(type, hour) aggregate MV is seeded from the even half of the
-    log, then the odd half replays as FOUR real micro-batches
+    log, then the odd half replays as TWO real micro-batches
     (maxFilesPerTrigger=1); each batch's delta aggregate merges into
     the stored MV via the additive partial-state merge
     (operators/merge.merge_additive_parquet). Count/sum are
@@ -361,9 +363,10 @@ def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     atomic; on plain parquet the marker lands after the merge,
     narrowing (not closing) the crash window — documented trade.
 
-    Gate cost is fixed micro-batch machinery (4 triggers + checkpoint
-    + per-batch MV rewrite), volume-independent; each delta aggregate
-    shuffles only its batch, and the merge join is MV-sized."""
+    Gate cost is fixed micro-batch machinery (2 triggers + checkpoint
+    + per-batch MV rewrite), volume-independent (~0.4 s/batch
+    measured r10); each delta aggregate shuffles only its batch, and
+    the merge join is MV-sized."""
     import os
     import shutil
 
@@ -399,7 +402,7 @@ def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "event_type", "value"
     )
     changes_dir = f"{target}_changes"
-    changes.repartition(4).write.mode("overwrite").parquet(changes_dir)
+    changes.repartition(2).write.mode("overwrite").parquet(changes_dir)
     stream = (
         spark.readStream.schema(changes.schema)
         .option("maxFilesPerTrigger", 1)
