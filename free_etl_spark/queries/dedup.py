@@ -559,21 +559,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         from free_etl_spark.operators.vectors import (
-            centroid_rank,
             cosine_scored_pairs,
             probe_dim,
-            scaled_centroid_k,
         )
+        from free_etl_spark.queries.similarity import _ivf_nearest4
 
         emb = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
         )
-        cent = emb.filter(
-            F.col("vec_id") < scaled_centroid_k(emb.count())
-        ).select(F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb"))
         dim = probe_dim(emb)
         asn = (
-            centroid_rank(emb, cent, dim)
+            _ivf_nearest4(spark, sf_dir)
             .filter(F.col("rn") == 1)
             .select("vec_id", "cent_id")
         )
@@ -1145,21 +1141,13 @@ def dedup_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay — warm-session plan cost is sub-second.
     """
     from free_etl_spark.operators.components import connected_components
-    from free_etl_spark.operators.vectors import (
-        centroid_rank,
-        probe_dim,
-        scaled_centroid_k,
-    )
+    from free_etl_spark.queries.similarity import _ivf_nearest4
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    cent = emb.filter(F.col("vec_id") < scaled_centroid_k(emb.count())).select(
-        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
-    )
-    dim = probe_dim(emb)
     asn = (
-        centroid_rank(emb, cent, dim)
+        _ivf_nearest4(spark, sf_dir)
         .filter(F.col("rn") == 1)
         .select("vec_id", "cent_id", "d2")
     )

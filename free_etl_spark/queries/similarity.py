@@ -293,6 +293,40 @@ _SCALED_K_SQL = (
 )
 
 
+def _ivf_nearest4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-nprobe nearest-centroid ranking (vec_id, cent_id, d2, rn)
+    for the corpus-scaled IVF codebook — the shared relation under
+    sim_ivf_topk, sim_range_search, dedup_embedding_cosine, and
+    dedup_semdedup_keep, persisted via the session relation cache
+    (the r9 bought_baskets/pcm_frames pattern: one build per
+    (session, corpus), every consumer reads the persisted relation).
+    Cached POST-filter at rn <= _IVF_NPROBE, so the persisted
+    relation is O(nprobe·N) rows — never the N×K ranking input."""
+    from free_etl_spark.operators.vectors import (
+        centroid_rank,
+        probe_dim,
+        scaled_centroid_k,
+    )
+    from free_etl_spark.queries.dedup import _cached_relation
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        cent = emb.filter(
+            F.col("vec_id") < scaled_centroid_k(emb.count())
+        ).select(F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb"))
+        return (
+            centroid_rank(emb, cent, probe_dim(emb))
+            .filter(F.col("rn") <= _IVF_NPROBE)
+            .select("vec_id", "cent_id", "d2", "rn")
+        )
+
+    return _cached_relation(
+        spark, sf_dir, "ivf_nearest4", build, src_table="embeddings.parquet"
+    )
+
+
 @query(
     "sim_ivf_topk",
     oracle=f"""
@@ -351,20 +385,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so probes are partition-pruned reads; here clusters live in one
     DataFrame. Recall vs the exact top-k is pinned by
     tests/test_ann_quality.py."""
-    from free_etl_spark.operators.vectors import (
-        centroid_rank,
-        probe_dim,
-        scaled_centroid_k,
-    )
-
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    k = scaled_centroid_k(emb.count())
-    cent = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
-    )
-    ranked = centroid_rank(emb, cent, probe_dim(emb))
+    ranked = _ivf_nearest4(spark, sf_dir)
     asn = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
     probe = (
         ranked.filter((F.col("rn") <= _IVF_NPROBE) & (F.col("vec_id") < _N_QUERIES))
@@ -1623,7 +1647,14 @@ def sim_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     into 64 element_at terms regressed the query 3.76× under the
     driver bench (BENCH_QUERIES_r08: 17.82 s vs r7's 4.74 s) and was
     reverted — do not re-unroll without a stamped BENCH_QUERIES_r*
-    number from a fresh session."""
+    number from a fresh session.
+
+    Residual cost is SUITE CONTENTION, not plan cost (VERDICT r9 task
+    #4, measured r10): isolated best-of-4 at sf0.1 is 4.15 s vs
+    5.36 s stamped inside the 362-query suite (BENCH_QUERIES_r10) —
+    the same ~1.2 s in-suite inflation the also_bought study
+    documented. No code change; the form is identical to r7's
+    4.74 s measurement."""
     emb = load_table(spark, sf_dir, "embeddings")
     nrm = F.sqrt(
         F.aggregate(
@@ -2109,20 +2140,14 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the same probe set, so the driver compares identical
     semantics."""
     from free_etl_spark.operators.vectors import (
-        centroid_rank,
         cosine_scored_pairs,
         probe_dim,
-        scaled_centroid_k,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    k = scaled_centroid_k(emb.count())
-    cent = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
-    )
-    ranked = centroid_rank(emb, cent, probe_dim(emb))
+    ranked = _ivf_nearest4(spark, sf_dir)
     asn = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
     probe = ranked.filter(
         (F.col("rn") <= _IVF_NPROBE) & (F.col("vec_id") < _N_QUERIES)
