@@ -301,6 +301,11 @@ HEADLINE = [
     "dedup_url_canonicalize",
     "sim_range_search",
     "multimodal_caption_align",
+    # r10 wave B: ANN recall curve, data-constrained epoch schedule,
+    # video frame-overlap dedup
+    "sim_ivf_recall_curve",
+    "sample_epoch_mix_schedule",
+    "multimodal_frame_phash_dedup",
 ]
 
 

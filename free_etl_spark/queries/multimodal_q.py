@@ -14,7 +14,7 @@ full value-level oracle instead of a rows-only check.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from free_etl_spark.operators.multimodal import (
@@ -829,4 +829,149 @@ def multimodal_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("label")
+    )
+
+
+_FRAME_DF_CAP = 256   # max videos sharing a frame hash and still joining
+_FRAME_MIN_SHARED = 2  # frames in common to call two videos near-dup
+
+# ~1/50 of videos share a planted 256-byte opening segment (2 frames at
+# the 128-byte frame size) so the frame-overlap join sees real partial
+# overlap: shared openings match, per-doc tails are md5-avalanche
+# distinct — the credits/intro-sequence shape a real video corpus has.
+_FRAME_PAY_SQL = (
+    # class-keyed content must fill BOTH shared frames: a constant pad
+    # would make frame 1 identical across every class — boilerplate the
+    # DF cap correctly drops, leaving single-frame overlaps below the
+    # near-dup threshold (caught at sf0.01: 21 rows instead of 500)
+    "substr(repeat('seg' || CAST(doc_id % 50 AS VARCHAR) || '.', 64), 1, 256)"
+    " || text"
+)
+
+
+@query(
+    "multimodal_frame_phash_dedup",
+    oracle=f"""
+    WITH pay AS (
+      SELECT doc_id, {_FRAME_PAY_SQL} AS payload FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, payload,
+             unnest(generate_series(0,
+               LEAST(4, CAST(CEIL(length(payload) / 128.0) AS INT)) - 1))
+               AS i
+      FROM pay
+    ),
+    sig AS (
+      SELECT DISTINCT doc_id,
+             {_phash_sig_sql("substr(payload, 128*i + 1, 128)")} AS h
+      FROM fr
+    ),
+    keep AS (SELECT h FROM sig GROUP BY h
+             HAVING COUNT(*) <= {_FRAME_DF_CAP}),
+    s2 AS (SELECT sig.doc_id, sig.h FROM sig JOIN keep USING (h)),
+    m AS (
+      SELECT a.doc_id AS d, b.doc_id AS o,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM s2 a JOIN s2 b ON a.h = b.h AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_FRAME_MIN_SHARED}
+    )
+    SELECT d AS doc_id, o AS best_match, n_shared FROM (
+      SELECT d, o, n_shared,
+             ROW_NUMBER() OVER (PARTITION BY d
+                                ORDER BY n_shared DESC, o) AS rn
+      FROM m)
+    WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def multimodal_frame_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-level near-duplicate detection via FRAME-hash overlap —
+    the missing level above per-image phash dedup: sample frames from
+    each video payload (operators.sample_frames), perceptual-hash
+    each frame through the Arrow-batched decoder (dhash_images, md5
+    stub here), then call two videos near-dups when they share >=
+    {_FRAME_MIN_SHARED} frame hashes, reporting each video's best
+    match. Position-independent (join on hash, not frame index), the
+    re-encode/trim-robust form real video dedup uses.
+
+    Scale shape: the pair generator is an EQUI-join on the 64-bit
+    frame hash — a perfect inverted index — with a document-frequency
+    cap ({_FRAME_DF_CAP}) dropping boilerplate frames (black frames,
+    test cards) before the join, exactly the shingle DF-cap
+    discipline from dedup_ngram_jaccard; candidate volume is bounded
+    by df-cap x matching frames, never videos². The per-video argmax
+    is one window over the (sparse) match relation."""
+    from free_etl_spark.operators.multimodal import dhash_images, sample_frames
+    from free_etl_spark.queries.dedup import _cached_relation
+
+    def build_sig() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        payload = docs.select(
+            F.col("doc_id").cast("string").alias("path"),
+            F.encode(
+                F.concat(
+                    F.substring(
+                        F.repeat(
+                            F.concat(
+                                F.lit("seg"),
+                                (F.col("doc_id") % 50).cast("string"),
+                                F.lit("."),
+                            ),
+                            64,
+                        ),
+                        1,
+                        256,
+                    ),
+                    F.col("text"),
+                ),
+                "UTF-8",
+            ).alias("content"),
+        )
+        frames = sample_frames(payload, frame_bytes=128, max_frames=4)
+        fr = frames.select(
+            F.concat_ws("#", "path", F.col("frame_idx").cast("string")).alias(
+                "path"
+            ),
+            F.col("frame_bytes").alias("content"),
+        )
+        return (
+            dhash_images(fr, force_stub=True)
+            .select(
+                F.split_part(F.col("path"), F.lit("#"), F.lit(1))
+                .cast("long")
+                .alias("doc_id"),
+                F.col("dhash64").alias("h"),
+            )
+            .distinct()
+        )
+
+    # persisted per (session, corpus): the decode subtree is referenced
+    # by the DF-cap aggregate AND both self-join sides — at real image
+    # sizes the decode IS the cost, so planning it 4x would 4x the job
+    sig = _cached_relation(spark, sf_dir, "frame_phash_sig", build_sig)
+    keep = sig.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _FRAME_DF_CAP
+    )
+    s2 = sig.join(F.broadcast(keep.select("h")), "h")
+    a = s2.select(F.col("doc_id").alias("d"), "h")
+    b = s2.select(F.col("doc_id").alias("o"), "h")
+    m = (
+        a.join(b, "h")
+        .filter(F.col("d") != F.col("o"))
+        .groupBy("d", "o")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _FRAME_MIN_SHARED)
+    )
+    w = Window.partitionBy("d").orderBy(F.col("n_shared").desc(), "o")
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("d").alias("doc_id"),
+            F.col("o").alias("best_match"),
+            "n_shared",
+        )
+        .orderBy("doc_id")
     )

@@ -1062,3 +1062,121 @@ def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_EPOCH_CAP = 4        # max repetitions of any bucket (RpD sweet spot)
+_BUDGET_MULT = 2      # token budget = 2x the corpus
+
+
+@query(
+    "sample_epoch_mix_schedule",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS tok_cnt,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, tok_cnt,
+             NTILE(4) OVER (ORDER BY ttr DESC, doc_id) AS bucket
+      FROM d
+    ),
+    agg AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(tok_cnt) AS BIGINT) AS bucket_tokens
+      FROM b GROUP BY bucket
+    ),
+    sched AS (
+      SELECT bucket, n_docs, bucket_tokens,
+             (SELECT SUM(bucket_tokens) * {_BUDGET_MULT} FROM agg)
+               - {_EPOCH_CAP} * COALESCE(SUM(bucket_tokens) OVER (
+                   ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS allowed
+      FROM agg
+    )
+    SELECT CAST(bucket AS INT) AS bucket, n_docs, bucket_tokens,
+           CAST(LEAST({_EPOCH_CAP}, GREATEST(0,
+                CAST(FLOOR(allowed / bucket_tokens) AS BIGINT))) AS INT)
+             AS epochs,
+           CAST(LEAST({_EPOCH_CAP}, GREATEST(0,
+                CAST(FLOOR(allowed / bucket_tokens) AS BIGINT)))
+                * bucket_tokens AS BIGINT) AS effective_tokens
+    FROM sched
+    ORDER BY bucket
+    """,
+)
+def sample_epoch_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch-repetition schedule (the Muennighoff-
+    et-al recipe a token-budgeted pretraining run uses when unique
+    data runs out): docs are quartile-bucketed by a quality proxy
+    (type-token ratio, highest first), and the token budget
+    (2x the corpus) is allocated greedily — each bucket
+    repeats for min(4, what the remaining budget affords)
+    epochs, so the highest-quality quartile repeats up to the cap and
+    the tail gets zero. The greedy is CLOSED-FORM: bucket i's
+    remaining budget assumes all better buckets took the cap, which
+    is exactly greedy-with-cap semantics (a bucket that can't afford
+    one full epoch ends the schedule).
+
+    Scale shape: one scan to token-count (map-side), one NTILE over
+    the quality ordering via operators/prefix.global_ntile (range-
+    partitioned prefix row number, NOT a single-task window — the
+    sample_curriculum_shards discipline), a 4-row aggregate, and a
+    4-row window for the prefix sums. The ttr ordering key is a
+    single IEEE division of the same two integers in both engines —
+    bit-identical, so the total order (ttr DESC, doc_id) needs no
+    rounding. Everything after the bucket agg is aggregate-sized."""
+    from free_etl_spark.operators.prefix import global_ntile
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    d = d.select(
+        "doc_id",
+        F.size("toks").alias("tok_cnt"),
+        (
+            F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
+        ).alias("ttr"),
+    )
+    b = global_ntile(
+        d,
+        [F.desc("ttr"), F.col("doc_id")],
+        4,
+        "bucket",
+        cache_tag="epoch_mix_buckets",
+    )
+    agg = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tok_cnt").cast("long").alias("bucket_tokens"),
+    )
+    wtot = Window.partitionBy()
+    wpre = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    allowed = (
+        F.sum("bucket_tokens").over(wtot) * _BUDGET_MULT
+        - _EPOCH_CAP * F.coalesce(F.sum("bucket_tokens").over(wpre), F.lit(0))
+    )
+    epochs = F.least(
+        F.lit(_EPOCH_CAP),
+        F.greatest(
+            F.lit(0),
+            F.floor(allowed / F.col("bucket_tokens")).cast("long"),
+        ),
+    ).cast("int")
+    return (
+        agg.select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_docs",
+            "bucket_tokens",
+            epochs.alias("epochs"),
+            (epochs.cast("long") * F.col("bucket_tokens"))
+            .cast("long")
+            .alias("effective_tokens"),
+        )
+        .orderBy("bucket")
+    )

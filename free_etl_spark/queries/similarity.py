@@ -2162,3 +2162,165 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= _RANGE_COS_T)
         .select("qid", "cid", "cosine")
     )
+
+
+@query(
+    "sim_ivf_recall_curve",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    parm AS ({_SCALED_K_SQL}),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM v
+             WHERE vec_id < (SELECT k FROM parm)),
+    rnk AS (
+      SELECT v.vec_id, cent.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+               list_sum(list_transform(list_zip(v.emb, cent.cemb),
+                        z -> (z[1] - z[2]) * (z[1] - z[2]))), cent.cent_id) AS rn
+      FROM v CROSS JOIN cent),
+    asn AS (SELECT vec_id, cent_id FROM rnk WHERE rn = 1),
+    nn AS (SELECT vec_id, emb,
+                  SQRT(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM v),
+    exact AS (
+      SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(q.emb, c.emb),
+                       z -> z[1] * z[2])) / (q.nrm * c.nrm) DESC,
+                 c.vec_id) AS ern
+        FROM nn q JOIN nn c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {_N_QUERIES})
+      WHERE ern <= {_IVF_TOPK}),
+    cand AS (
+      SELECT p.vec_id AS qid, a.vec_id AS cid, p.rn AS probe_rank
+      FROM rnk p JOIN asn a ON a.cent_id = p.cent_id AND a.vec_id <> p.vec_id
+      WHERE p.rn <= {_IVF_NPROBE} AND p.vec_id < {_N_QUERIES}),
+    depth AS (
+      SELECT qid, cid,
+             unnest(generate_series(probe_rank, {_IVF_NPROBE})) AS nprobe
+      FROM cand),
+    ivf AS (
+      SELECT qid, cid, nprobe FROM (
+        SELECT d.qid, d.cid, d.nprobe,
+               ROW_NUMBER() OVER (PARTITION BY d.qid, d.nprobe ORDER BY
+                 list_sum(list_transform(list_zip(q.emb, t.emb),
+                       z -> z[1] * z[2])) / (q.nrm * t.nrm) DESC,
+                 d.cid) AS irn
+        FROM depth d JOIN nn q ON q.vec_id = d.qid JOIN nn t ON t.vec_id = d.cid)
+      WHERE irn <= {_IVF_TOPK})
+    SELECT CAST(nprobe AS INT) AS nprobe,
+           CAST(COUNT(e.qid) AS BIGINT) AS n_hits,
+           CAST(COUNT(e.qid) AS DOUBLE)
+             / ({_N_QUERIES} * {_IVF_TOPK}) AS recall
+    FROM ivf i LEFT JOIN exact e ON e.qid = i.qid AND e.cid = i.cid
+    GROUP BY nprobe
+    ORDER BY nprobe
+    """,
+)
+def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k curve of the IVF index vs the exact top-k, per probe
+    depth 1..nprobe — ANN quality as a FIRST-CLASS QUERY (not only a
+    test pin): for each probe depth p, the IVF top-k from cells
+    ranked <= p is intersected with the brute-force top-k, and the
+    curve reports hits and recall per depth. This is the audit a
+    production vector store runs after every reindex: pick nprobe from
+    the measured recall/latency frontier, don't guess it.
+
+    Scale shape: the candidate relation carries each (qid, cid) once
+    with its MINIMUM sufficient depth (probe_rank), then explodes to
+    the <= nprobe depths it participates in — bounded by
+    nprobe, not corpus; cosine is computed once per candidate row off
+    the shared _ivf_nearest4 session relation. The exact side is the
+    5-query broadcast brute force (the pinned exactness baseline).
+    Integer hits divided once per group — engine-deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    nrm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x))
+    nn = emb.select("vec_id", "emb", nrm.alias("nrm"))
+    q_side = nn.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    t_side = nn.select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("t_emb"),
+        F.col("nrm").alias("t_nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "t_emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    # exact top-k (brute force over the corpus for the 5 probe qids)
+    scored_all = (
+        F.broadcast(q_side)
+        .join(t_side, F.col("qid") != F.col("cid"))
+        .select("qid", "cid", (dot / (F.col("q_nrm") * F.col("t_nrm"))).alias("cos"))
+    )
+    we = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    exact = (
+        scored_all.withColumn("ern", F.row_number().over(we))
+        .filter(F.col("ern") <= _IVF_TOPK)
+        .select("qid", "cid")
+    )
+    # IVF candidates off the shared nearest-centroid relation, each
+    # tagged with the minimum probe depth that reaches it
+    ranked = _ivf_nearest4(spark, sf_dir)
+    asn = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    probes = ranked.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "cent_id", F.col("rn").alias("probe_rank")
+    )
+    cand = (
+        probes.join(asn, "cent_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"), "probe_rank")
+    )
+    scored_cand = (
+        cand.join(F.broadcast(q_side), "qid")
+        .join(t_side, "cid")
+        .select(
+            "qid",
+            "cid",
+            "probe_rank",
+            (dot / (F.col("q_nrm") * F.col("t_nrm"))).alias("cos"),
+        )
+    )
+    deep = scored_cand.select(
+        "qid",
+        "cid",
+        "cos",
+        F.explode(
+            F.sequence(F.col("probe_rank"), F.lit(_IVF_NPROBE))
+        ).alias("nprobe"),
+    )
+    wi = Window.partitionBy("qid", "nprobe").orderBy(F.col("cos").desc(), "cid")
+    ivf = (
+        deep.withColumn("irn", F.row_number().over(wi))
+        .filter(F.col("irn") <= _IVF_TOPK)
+        .select("qid", "cid", "nprobe")
+    )
+    hit = F.when(F.col("e_qid").isNotNull(), 1).otherwise(0)
+    joined = ivf.join(
+        F.broadcast(
+            exact.select(
+                F.col("qid").alias("e_qid"), F.col("cid").alias("e_cid")
+            )
+        ),
+        (F.col("qid") == F.col("e_qid")) & (F.col("cid") == F.col("e_cid")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("nprobe").cast("int").alias("nprobe"))
+        .agg(
+            F.sum(hit).cast("long").alias("n_hits"),
+            (
+                F.sum(hit).cast("double")
+                / F.lit(_N_QUERIES * _IVF_TOPK)
+            ).alias("recall"),
+        )
+        .orderBy("nprobe")
+    )

@@ -259,6 +259,10 @@ def test_no_python_stage_creep_across_registry(spark):
         # dHash runs through the same mapInPandas decoder registry
         "multimodal_phash",
         "multimodal_phash_dedup",
+        # frame-level dHash: sample_frames is JVM-side but each frame
+        # hashes through the mapInPandas decoder (the legitimate
+        # Python boundary), 4 plan references -> 4 Python stages
+        "multimodal_frame_phash_dedup",
     }
     offenders = []
     for name in q.QUERIES:
