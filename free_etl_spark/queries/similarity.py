@@ -2324,3 +2324,68 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+@query(
+    "sim_ivf_build_stats",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    parm AS ({_SCALED_K_SQL}),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM v
+             WHERE vec_id < (SELECT k FROM parm)),
+    rnk AS (
+      SELECT v.vec_id, cent.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+               list_sum(list_transform(list_zip(v.emb, cent.cemb),
+                        z -> (z[1] - z[2]) * (z[1] - z[2]))), cent.cent_id) AS rn
+      FROM v CROSS JOIN cent),
+    asn AS (SELECT vec_id, cent_id FROM rnk WHERE rn = 1),
+    cells AS (
+      SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM asn GROUP BY cent_id)
+    SELECT CAST((SELECT k FROM parm) AS BIGINT) AS n_centroids,
+           CAST(COUNT(*) AS BIGINT) AS n_occupied,
+           CAST(SUM(sz) AS BIGINT) AS n_vectors,
+           CAST(MIN(sz) AS BIGINT) AS min_cell,
+           CAST(MAX(sz) AS BIGINT) AS max_cell,
+           CAST(SUM(sz) AS DOUBLE) / COUNT(*) AS avg_cell,
+           CAST(MAX(sz) AS DOUBLE) * COUNT(*) / SUM(sz)
+             AS imbalance_factor
+    FROM cells
+    """,
+)
+def sim_ivf_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health audit — the companion to sim_ivf_recall_curve
+    on the OTHER axis: cell-occupancy statistics of the coarse
+    quantizer (occupied cells, min/max/avg cell size, imbalance
+    factor = max/avg). An imbalance factor far above 1 means probe
+    latency is dominated by a few hot cells (the skew that kills IVF
+    tail latency at scale) — the signal to re-train centroids or salt
+    hot cells. Runs off the shared _ivf_nearest4 session relation:
+    one 16-ish-row aggregate over cell sizes, nothing corpus-sized
+    after the assignment. Ratios are single IEEE divisions of exact
+    integers."""
+    from free_etl_spark.operators.vectors import scaled_centroid_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = scaled_centroid_k(emb.count())
+    asn = _ivf_nearest4(spark, sf_dir).filter(F.col("rn") == 1)
+    cells = asn.groupBy("cent_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return cells.agg(
+        F.lit(k).cast("long").alias("n_centroids"),
+        F.count(F.lit(1)).cast("long").alias("n_occupied"),
+        F.sum("sz").cast("long").alias("n_vectors"),
+        F.min("sz").cast("long").alias("min_cell"),
+        F.max("sz").cast("long").alias("max_cell"),
+        (F.sum("sz").cast("double") / F.count(F.lit(1))).alias("avg_cell"),
+        (
+            F.max("sz").cast("double")
+            * F.count(F.lit(1))
+            / F.sum("sz")
+        ).alias("imbalance_factor"),
+    )

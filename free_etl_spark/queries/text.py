@@ -2735,3 +2735,92 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(chars * F.col("freq")).cast("double")
         ).alias("compression_ratio"),
     )
+
+
+def _bpe_fertility_oracle(rounds: int) -> str:
+    """Unrolled DuckDB oracle for ``text_bpe_fertility_by_lang``: the
+    shared round chain + per-language word counts joined back to the
+    fully-merged vocabulary on the de-spaced symbol string (the
+    merged string's letters concatenated ARE the original word)."""
+    return (
+        _bpe_rounds_cte(rounds)
+        + f"""
+    , wl AS (
+      SELECT lang, lower(tk) AS w, CAST(COUNT(*) AS BIGINT) AS freq_l
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS tk
+            FROM documents)
+      WHERE tk <> '' AND regexp_matches(tk, '^[A-Za-z]+$')
+      GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(SUM(freq_l) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split(v.s, ' ')) * freq_l) AS BIGINT)
+             AS n_tokens,
+           CAST(SUM(length(replace(v.s, ' ', '')) * freq_l) AS BIGINT)
+             AS n_chars,
+           CAST(SUM(len(string_split(v.s, ' ')) * freq_l) AS DOUBLE)
+             / SUM(freq_l) AS fertility,
+           CAST(SUM(length(replace(v.s, ' ', '')) * freq_l) AS DOUBLE)
+             / SUM(len(string_split(v.s, ' ')) * freq_l)
+             AS chars_per_token
+    FROM wl JOIN w{rounds} v ON replace(v.s, ' ', '') = wl.w
+    GROUP BY lang
+    ORDER BY lang"""
+    )
+
+
+@query(
+    "text_bpe_fertility_by_lang",
+    oracle=_bpe_fertility_oracle(_BPE_TRAIN_ROUNDS),
+)
+def text_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit by language — the multilingual-mix
+    health check every shared-vocabulary LLM pipeline runs: apply the
+    corpus-trained BPE merges and report tokens-per-word (fertility)
+    and chars-per-token per declared language. A language whose
+    fertility is far above the corpus-dominant one is being
+    over-segmented by the shared vocabulary (its text costs more
+    tokens per word), the classic signal to rebalance the training
+    mix or grow the vocab.
+
+    Scale shape: training is the shared _bpe_fit (vocabulary-relation
+    folds, bounded driver state); the per-language pass joins the
+    per-(lang, word) frequency relation to the merged vocabulary on
+    the de-spaced symbol string — word-keyed equi-join, aggregate-
+    sized output. Fertility and chars_per_token are single IEEE
+    divisions of exact integers — engine-deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    wl = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tk"))
+        .filter((F.col("tk") != "") & F.col("tk").rlike("^[A-Za-z]+$"))
+        .groupBy("lang", F.lower(F.col("tk")).alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("freq_l"))
+    )
+    _, vocab = _bpe_fit(spark, sf_dir, _BPE_TRAIN_ROUNDS)
+    v = vocab.select(
+        F.translate("s", " ", "").alias("w"),
+        F.size(F.split("s", " ")).cast("long").alias("toks"),
+        F.length(F.translate("s", " ", "")).cast("long").alias("chars"),
+    )
+    j = wl.join(v, "w")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.sum("freq_l").cast("long").alias("n_words"),
+            F.sum(F.col("toks") * F.col("freq_l"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.sum(F.col("chars") * F.col("freq_l"))
+            .cast("long")
+            .alias("n_chars"),
+            (
+                F.sum(F.col("toks") * F.col("freq_l")).cast("double")
+                / F.sum("freq_l")
+            ).alias("fertility"),
+            (
+                F.sum(F.col("chars") * F.col("freq_l")).cast("double")
+                / F.sum(F.col("toks") * F.col("freq_l"))
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
