@@ -112,6 +112,18 @@ def _cached_relation(
     return df
 
 
+def clear_relation_cache(spark: SparkSession) -> None:
+    """Unpersist and forget every session-cached relation. Test hook
+    for plan-shape audits (a cached relation's printed plan embeds its
+    child plan, inflating node counts in text-based audits) and an
+    escape hatch for long-lived sessions."""
+    per_session = _RELATION_CACHE.get(spark)
+    if per_session:
+        for df in per_session.values():
+            df.unpersist()
+        per_session.clear()
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-n-gram shingles per doc: doc_id, sh.
 

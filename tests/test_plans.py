@@ -187,7 +187,14 @@ def test_near_dup_plans_have_no_cartesian_products(spark):
         assert a["cartesian_joins"] == 0, name
         assert a["python_stages"] == 0, name
     # embedding_cosine's only BNL is the broadcast 16-row centroid
-    # argmin; the candidate join itself must be hash-keyed
+    # argmin; the candidate join itself must be hash-keyed. Audit the
+    # CANONICAL build plan: a session-cached relation's printed plan
+    # embeds its child plan text, so prior tests that populated the
+    # relation cache (ann_quality's sim_ivf_topk run) would inflate
+    # the text-based BNL count — clear the cache first.
+    from free_etl_spark.queries.dedup import clear_relation_cache
+
+    clear_relation_cache(spark)
     a = audit(spark, "dedup_embedding_cosine", SF_DIR)
     assert a["bnl_joins"] <= 2
 
