@@ -44,6 +44,13 @@ _SWITCH_TARGETS = [
     "multimodal_audio_vad",      # shared pcm_frames decode cache
     "dedup_embedding_cosine",    # emb_cos_pairs cache (semdedup shares)
     "dedup_semdedup_keep",       # rides emb_cos_pairs across sf switch
+    # r10: shared IVF nearest-centroid relation + its four consumers
+    "sim_ivf_topk",
+    "sim_range_search",
+    "sim_ivf_recall_curve",
+    "sim_ivf_build_stats",
+    "multimodal_frame_phash_dedup",  # frame_phash_sig cache
+    "sample_epoch_mix_schedule",     # prefix._PART_CACHE tag
 ]
 
 
