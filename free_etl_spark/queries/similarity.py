@@ -1650,11 +1650,11 @@ def sim_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     number from a fresh session.
 
     Residual cost is SUITE CONTENTION, not plan cost (VERDICT r9 task
-    #4, measured r10): isolated best-of-4 at sf0.1 is 4.15 s vs
-    5.36 s stamped inside the 362-query suite (BENCH_QUERIES_r10) —
-    the same ~1.2 s in-suite inflation the also_bought study
-    documented. No code change; the form is identical to r7's
-    4.74 s measurement."""
+    #4, measured r10): isolated best-of-4 at sf0.1 is 4.15 s; the
+    r10 stamped in-suite number is 4.97 s (BENCH_QUERIES_r10, 366-
+    query suite; a mid-round 362-query run stamped 5.36 s — the
+    spread is the documented host/suite variance). No code change;
+    the form is identical to r7's 4.74 s measurement."""
     emb = load_table(spark, sf_dir, "embeddings")
     nrm = F.sqrt(
         F.aggregate(
