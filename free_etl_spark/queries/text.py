@@ -2607,7 +2607,40 @@ def _bpe_encode_oracle(rounds: int) -> str:
 _BPE_TRAIN_ROUNDS = 6
 
 
+_BPE_FIT_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+
+
 def _bpe_fit(
+    spark: SparkSession, sf_dir: str, rounds: int
+) -> tuple[list[tuple], DataFrame]:
+    """Session-memoized BPE trainer: returns (merge table rows,
+    fully-merged vocabulary relation), computed once per (session,
+    corpus, rounds). THREE queries consume the identical fit
+    (trainer, encoder, per-lang fertility) and each run costs ~1.8 s
+    of iterative folds at sf0.1 — the same shared-relation rule as
+    _cached_relation (keyed on the source mtime so a regenerated
+    corpus refits; the vocab relation is an eager localCheckpoint, so
+    reuse across queries is safe and leaks LESS than re-fitting)."""
+    import os
+    import weakref
+
+    global _BPE_FIT_CACHE
+    if _BPE_FIT_CACHE is None:
+        _BPE_FIT_CACHE = weakref.WeakKeyDictionary()
+    try:
+        mtime = os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
+    except OSError:
+        mtime = None
+    key = (sf_dir, rounds, mtime)
+    per_session = _BPE_FIT_CACHE.setdefault(spark, {})
+    if key not in per_session:
+        for old in [k for k in per_session if k[:2] == (sf_dir, rounds)]:
+            per_session.pop(old)
+        per_session[key] = _bpe_fit_impl(spark, sf_dir, rounds)
+    return per_session[key]
+
+
+def _bpe_fit_impl(
     spark: SparkSession, sf_dir: str, rounds: int
 ) -> tuple[list[tuple], DataFrame]:
     """Run the iterative BPE trainer: returns (merge table rows,

@@ -51,6 +51,8 @@ _SWITCH_TARGETS = [
     "sim_ivf_build_stats",
     "multimodal_frame_phash_dedup",  # frame_phash_sig cache
     "sample_epoch_mix_schedule",     # prefix._PART_CACHE tag
+    "text_bpe_encode",               # shared _bpe_fit memo
+    "text_bpe_fertility_by_lang",    # same fit, 3rd consumer
 ]
 
 
