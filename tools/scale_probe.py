@@ -91,6 +91,19 @@ PROBE_QUERIES = [
     "events_dau_wau_mau",
     "multimodal_audio_energy",
     "dedup_bloom_prescreen",
+    # r10 wave: canonical-URL dedup is map+agg (linearity check); the
+    # IVF family rides the shared nearest-centroid relation (K=sqrt(N)
+    # growth); frame dedup's DF cap must drop the M-way duplicated
+    # class frames (the boilerplate path) while text-copy frames pair;
+    # fertility joins the per-lang vocabulary against the merged fit
+    "dedup_url_canonicalize",
+    "sim_range_search",
+    "sim_ivf_recall_curve",
+    "sim_ivf_build_stats",
+    "multimodal_caption_align",
+    "multimodal_frame_phash_dedup",
+    "text_bpe_fertility_by_lang",
+    "sample_epoch_mix_schedule",
 ]
 
 
