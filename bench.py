@@ -306,9 +306,11 @@ HEADLINE = [
     "sim_ivf_recall_curve",
     "sample_epoch_mix_schedule",
     "multimodal_frame_phash_dedup",
-    # r10 wave C: tokenizer fertility by language, IVF occupancy audit
+    # r10 wave C: tokenizer fertility by language, IVF occupancy audit,
+    # greedy k-center coreset selection
     "text_bpe_fertility_by_lang",
     "sim_ivf_build_stats",
+    "sample_kcenter_coreset",
 ]
 
 

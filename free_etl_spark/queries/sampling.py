@@ -1180,3 +1180,107 @@ def sample_epoch_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_KC_POOL = 64   # candidate shortlist (pre-sampled at scale)
+_KC_K = 5       # coreset size = selection rounds
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled DuckDB oracle for ``sample_kcenter_coreset``: one
+    (selected-set, min-distance, argmax) CTE block per round — the
+    sim_mmr_rerank / BPE-trainer pinned-round pattern. Distances use
+    the identical list_zip/list_sum fold as the Spark
+    zip_with/aggregate form, so the per-round maximin argmax agrees
+    without rounding."""
+    d2 = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
+        " * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))))"
+    )
+    sql = [
+        f"""
+    WITH pool AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE vec_id < {_KC_POOL}
+    ),
+    p1 AS (
+      SELECT 1 AS rank, vec_id, label, embedding, 0.0 AS maximin_d2
+      FROM pool ORDER BY vec_id LIMIT 1
+    )"""
+    ]
+    pair = d2.format(a="c.embedding", b="s.embedding")
+    for r in range(2, k + 1):
+        prev = " UNION ALL ".join(f"SELECT * FROM p{i}" for i in range(1, r))
+        sql.append(f"""
+    , sel{r} AS ({prev})
+    , m{r} AS (
+      SELECT c.vec_id, c.label, c.embedding,
+             MIN({pair}) AS mind
+      FROM pool c JOIN sel{r} s ON c.vec_id <> s.vec_id
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r})
+      GROUP BY c.vec_id, c.label, c.embedding
+    ), p{r} AS (
+      SELECT {r} AS rank, vec_id, label, embedding, mind AS maximin_d2
+      FROM m{r} ORDER BY mind DESC, vec_id LIMIT 1
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM p{r}" for r in range(1, k + 1))
+    sql.append(f"""
+    SELECT CAST(rank AS INT) AS rank, vec_id, CAST(label AS INT) AS label,
+           maximin_d2
+    FROM ({union}) ORDER BY rank""")
+    return "".join(sql)
+
+
+@query("sample_kcenter_coreset", oracle=_kcenter_oracle(_KC_K))
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center CORESET selection — diversity-based data
+    pruning (the global complement to sim_mmr_rerank's query-relative
+    re-rank): seed with the lowest vec_id, then each round pick the
+    candidate FARTHEST from its nearest already-selected center
+    (maximin L2², vec_id tie-break) — the classic 2-approximation of
+    the k-center cover, used to prune redundant training examples
+    while keeping the embedding space covered.
+
+    Scale shape: greedy k-center is inherently sequential in k, so
+    the loop runs k pinned rounds (the BPE-trainer/MMR coordination
+    pattern — driver state is one selected row per round, never
+    data); each round is one broadcast of the <=k selected centers
+    against the candidate pool + a single-row TakeOrdered. The pool
+    here is a fixed shortlist (vec_id < 64) — at 100 TB the pool
+    comes from a pre-sampling/pre-clustering pass (the IVF centroids
+    themselves are the natural shortlist), never the raw corpus.
+    Distances are the identical fold in both engines — bit-exact
+    argmax, no rounding."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _KC_POOL
+    ).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    seed = emb.orderBy("vec_id").first()
+    selected = [(1, seed["vec_id"], int(seed["label"]), 0.0)]
+    sel_rows = [(seed["vec_id"], seed["e"])]
+    d2 = F.aggregate(
+        F.zip_with("e", "se", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    for r in range(2, _KC_K + 1):
+        sel_ids = [v for v, _ in sel_rows]
+        s = spark.createDataFrame(
+            sel_rows, "sid long, se array<double>"
+        )
+        best = (
+            emb.filter(~F.col("vec_id").isin(sel_ids))
+            .join(F.broadcast(s))
+            .select("vec_id", "label", "e", d2.alias("d2"))
+            .groupBy("vec_id", "label", "e")
+            .agg(F.min("d2").alias("mind"))
+            .orderBy(F.col("mind").desc(), "vec_id")
+            .first()
+        )
+        selected.append((r, best["vec_id"], int(best["label"]), best["mind"]))
+        sel_rows.append((best["vec_id"], best["e"]))
+    return spark.createDataFrame(
+        selected, "rank int, vec_id long, label int, maximin_d2 double"
+    )
