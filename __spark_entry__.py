@@ -39,11 +39,14 @@ def _query_order() -> list[str]:
     largest possible set of not-yet-proven queries, cheapest first
     (tools/query_times.json snapshot) so a fixed budget covers most.
 
-    Verified group — FRESHNESS ROTATION (VERDICT r9): with the whole
-    registry green, a 50/round budget means rows go stale; order
-    green queries stalest-first so no row ages unboundedly. Staleness
-    key: (round of the latest driver row ascending, source-changed-
-    since-that-row first, cheap first). The round is computed live
+    Verified group — FRESHNESS ROTATION (VERDICT r9, key flipped in
+    r11 per VERDICT r10): with the whole registry green, a 50/round
+    budget means rows go stale; order green queries stalest-first so
+    no row ages unboundedly. Staleness key: (source-changed-since-
+    green FIRST, round of the latest driver row ascending, cheap
+    first) — a query whose code changed after its last green stamp
+    outranks one that is merely old, because the stamp no longer
+    covers the code that ships. The round is computed live
     from the artifacts (a red row in round N re-fronts the query via
     the status pass regardless); the changed flag comes from
     tools/query_staleness.json, regenerated at round end by
@@ -89,7 +92,7 @@ def _query_order() -> list[str]:
         if n not in verified:
             return (0, 0, False, times.get(n, 99.0), n)
         unchanged = not stale.get(n, {}).get("changed", False)
-        return (1, last_round.get(n, 0), unchanged, times.get(n, 99.0), n)
+        return (1, unchanged, last_round.get(n, 0), times.get(n, 99.0), n)
 
     return sorted(_q.QUERIES, key=key)
 

@@ -213,10 +213,12 @@ def test_query_order_prefers_unverified_then_cheap(tmp_path, monkeypatch):
 
 
 def test_query_order_rotates_stalest_verified_first():
-    """Freshness rotation (VERDICT r9): among verified queries, the
-    round of the latest driver row must be non-decreasing through the
-    order, and within a round source-changed queries come first —
-    so a 50/round budget always re-verifies the stalest rows."""
+    """Freshness rotation (VERDICT r9, key flipped per VERDICT r10):
+    among verified queries, ALL source-changed-since-green queries
+    come before every unchanged one (the stamp no longer covers the
+    code that ships), and within each group the round of the latest
+    driver row is non-decreasing — so a 50/round budget re-verifies
+    changed code first, then the merely-stale rows."""
     import glob as g
     import json
     import os
@@ -243,16 +245,17 @@ def test_query_order_rotates_stalest_verified_first():
     except OSError:
         stale = {}
     seq = [n for n in e._query_order() if n in verified]
-    rounds = [last_round[n] for n in seq]
-    assert rounds == sorted(rounds), "verified queries not stalest-first"
-    for a, b in zip(seq, seq[1:]):
-        if last_round[a] == last_round[b]:
-            a_ch = stale.get(a, {}).get("changed", False)
-            b_ch = stale.get(b, {}).get("changed", False)
-            assert a_ch or not b_ch, (
-                f"{b} (changed) ordered after {a} (unchanged) in round "
-                f"{last_round[a]}"
-            )
+    changed_flags = [bool(stale.get(n, {}).get("changed", False)) for n in seq]
+    # changed group strictly precedes unchanged group
+    assert changed_flags == sorted(changed_flags, reverse=True), (
+        "a source-changed query ordered after an unchanged one"
+    )
+    for group_changed in (True, False):
+        rounds = [last_round[n] for n, ch in zip(seq, changed_flags) if ch is group_changed]
+        assert rounds == sorted(rounds), (
+            f"verified {'changed' if group_changed else 'unchanged'} queries "
+            "not stalest-first within their group"
+        )
 
 
 def test_boilerplate_filter_drops_shared_lines(spark, tmp_path):
