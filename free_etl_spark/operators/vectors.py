@@ -300,5 +300,143 @@ def ivf_probe(spark, path: str, cent_ids: list[int]) -> DataFrame:
     cent_id IN (...) predicate is a partition filter — Spark prunes
     every other cluster directory at planning time (asserted by
     tests/test_ann_quality.py via inputFiles), so probe cost is
-    O(probed clusters) regardless of corpus size."""
-    return spark.read.parquet(path).filter(F.col("cent_id").isin(cent_ids))
+    O(probed clusters) regardless of corpus size.
+
+    Tombstone-aware: vec_ids deleted via ivf_delete but not yet
+    compacted away are filtered with a broadcast anti-join against the
+    (small, bounded-by-compaction) tombstone set — deletes are visible
+    immediately, at zero rewrite cost."""
+    df = spark.read.parquet(path).filter(F.col("cent_id").isin(cent_ids))
+    tomb = ivf_tombstones(spark, path)
+    if tomb is not None:
+        df = df.join(F.broadcast(tomb), "vec_id", "left_anti")
+    return df
+
+
+def ivf_tombstones(spark, path: str) -> DataFrame | None:
+    """The pending-delete set of an ivf_write layout: distinct vec_ids
+    accumulated under ``{path}/_tombstones`` (underscore prefix =
+    invisible to Spark's data-file listing, like ``_codebook``).
+    Returns None when no deletes are pending — callers skip the
+    anti-join entirely, so the read path pays nothing until the first
+    delete."""
+    import os
+
+    tpath = os.path.join(path, "_tombstones")
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(tpath)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    df = spark.read.parquet(tpath).select("vec_id").distinct()
+    return df if df.limit(1).count() else None
+
+
+def ivf_delete(del_ids: DataFrame, path: str) -> None:
+    """Logical delete from an ivf_write layout: append the keys as
+    tombstone rows — the O(batch) half of the delete lifecycle. No
+    cluster file is touched; ivf_probe masks tombstoned vectors via a
+    broadcast anti-join until ivf_compact physically removes them.
+    This is the LSM-style split every mutable columnar store uses
+    (delete = cheap logical marker, compaction = amortized rewrite):
+    at 100 TB a delete batch must not rewrite multi-TB partitions
+    synchronously.
+
+    ``del_ids``: any DataFrame with a ``vec_id`` column."""
+    import os
+
+    (
+        del_ids.select("vec_id")
+        .distinct()
+        .write.mode("append")
+        .parquet(os.path.join(path, "_tombstones"))
+    )
+
+
+def ivf_compact(spark, path: str) -> DataFrame:
+    """Physically apply pending tombstones: rewrite ONLY the cluster
+    partitions that actually contain tombstoned vectors (dynamic
+    partition overwrite — untouched cent_id directories keep their
+    committed files byte-identical), then retire the tombstone set.
+
+    Staged-swap protocol (the operators/merge.py family, simplified
+    because compaction IS idempotent — the tombstone dir is the WAL
+    and is only retired at the very end):
+
+    1. Write the cleaned affected partitions to ``{path}__compact_stage``
+       (Spark stamps ``_SUCCESS`` on commit — the completeness marker).
+    2. Per affected cluster, two checked metadata ops: delete the old
+       ``cent_id=N`` dir, rename the staged one in.
+    3. Delete the stage dir, then delete ``_tombstones``.
+
+    Crash recovery on re-entry: a stage dir WITHOUT ``_SUCCESS`` is a
+    half-written artifact of a crash during (1) — dropped and rebuilt;
+    a stage dir WITH ``_SUCCESS`` is the authoritative clean copy of
+    its partitions — its swaps are finished first (so a crash between
+    delete and rename in (2) loses nothing). Probes stay CORRECT the
+    whole time — tombstones keep masking until the end — with one
+    documented availability caveat: a cluster is briefly unreadable
+    between its delete and rename, so run compaction as an offline
+    maintenance step, as every LSM store does.
+
+    Returns the per-cluster compaction report (cent_id, n_removed) so
+    callers can audit what was rewritten. Cost: O(affected partitions),
+    not O(corpus)."""
+    import os
+
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path  # noqa: N806
+    fs = Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    stage = f"{path}__compact_stage"
+
+    def _swap_staged() -> None:
+        """Move every staged cent_id dir over its live counterpart."""
+        for st in fs.listStatus(Path(stage)):
+            name = st.getPath().getName()
+            if not name.startswith("cent_id="):
+                continue
+            live = Path(os.path.join(path, name))
+            if fs.exists(live):
+                fs.delete(live, True)
+            if not fs.rename(st.getPath(), live):
+                raise IOError(
+                    f"fs.rename({st.getPath()}, {live}) returned false "
+                    "— aborting compaction before tombstone retirement"
+                )
+        fs.delete(Path(stage), True)
+
+    # recovery: finish (complete stage) or discard (partial stage)
+    if fs.exists(Path(stage)):
+        if fs.exists(Path(os.path.join(stage, "_SUCCESS"))):
+            _swap_staged()
+        else:
+            fs.delete(Path(stage), True)
+
+    tomb = ivf_tombstones(spark, path)
+    report_schema = "cent_id INT, n_removed BIGINT"
+    if tomb is None:
+        return spark.createDataFrame([], report_schema)
+    data = spark.read.parquet(path)
+    hit = (
+        data.join(F.broadcast(tomb), "vec_id")
+        .groupBy("cent_id")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    report = [(int(r.cent_id), int(r.n_removed)) for r in hit.collect()]
+    if report:
+        affected = [cid for cid, _ in report]
+        clean = data.filter(F.col("cent_id").isin(affected)).join(
+            F.broadcast(tomb), "vec_id", "left_anti"
+        )
+        clean.write.mode("overwrite").partitionBy("cent_id").parquet(stage)
+        # a fully-tombstoned cluster writes NO staged dir — its live
+        # dir must be dropped outright or retiring the tombstones
+        # would resurrect it (recovery-safe: until the tombstones go,
+        # a re-run recomputes the same emptiness and re-deletes)
+        for cid in affected:
+            if not fs.exists(Path(os.path.join(stage, f"cent_id={cid}"))):
+                fs.delete(Path(os.path.join(path, f"cent_id={cid}")), True)
+        _swap_staged()
+    # retire the WAL last — see crash-safety note above
+    fs.delete(Path(os.path.join(path, "_tombstones")), True)
+    return spark.createDataFrame(sorted(report), report_schema)

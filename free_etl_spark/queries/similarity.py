@@ -2390,3 +2390,198 @@ def sim_ivf_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("sz")
         ).alias("imbalance_factor"),
     )
+
+
+@query(
+    "sim_ivf_delete_compact",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    parm AS ({_SCALED_K_SQL}),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM v
+             WHERE vec_id < (SELECT k FROM parm)),
+    rnk AS (
+      SELECT v.vec_id, cent.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+               list_sum(list_transform(list_zip(v.emb, cent.cemb),
+                        z -> (z[1] - z[2]) * (z[1] - z[2]))), cent.cent_id) AS rn
+      FROM v CROSS JOIN cent),
+    asn AS (SELECT vec_id, cent_id FROM rnk WHERE rn = 1)
+    SELECT cent_id,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deleted,
+           CAST(COUNT(*) - SUM(CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after,
+           ROUND((COUNT(*) - SUM(CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END))
+                 * 1.0 / COUNT(*), 6) AS live_frac
+    FROM asn GROUP BY cent_id
+    """,
+)
+def sim_ivf_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF store delete lifecycle (VERDICT r10 task 2): a delete batch
+    (every vec_id ≡ 3 mod 7 stands in for retention/GDPR removals) is
+    tombstoned against the cluster-partitioned layout and compacted
+    away per cluster. This query exposes the relational core — the
+    per-cluster compaction report (rows before, tombstoned, surviving,
+    live fraction), exactly what operators.vectors.ivf_compact rewrites
+    and audits — so DuckDB replays the assignment + delete accounting
+    value-for-value. The physical semantics (O(batch) tombstone append,
+    broadcast anti-join masking in ivf_probe, staged-swap rewrite of
+    ONLY affected partitions, WAL-last crash recovery, fully-emptied
+    cluster drop) are pinned by
+    tests/test_ann_quality.py::test_ivf_delete_masks_and_compacts.
+
+    Shape at 100 TB: a delete is an O(batch) parquet append; probes pay
+    one broadcast anti-join against the (compaction-bounded) tombstone
+    set; compaction rewrites only clusters that contain deleted rows —
+    never the corpus. Runs off the shared _ivf_nearest4 session
+    relation: no new corpus scan."""
+    asn = _ivf_nearest4(spark, sf_dir).filter(F.col("rn") == 1)
+    deleted = F.sum(
+        F.when(F.col("vec_id") % 7 == 3, F.lit(1)).otherwise(F.lit(0))
+    )
+    return asn.groupBy("cent_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before"),
+        deleted.cast("long").alias("n_deleted"),
+        (F.count(F.lit(1)) - deleted).cast("long").alias("n_after"),
+        F.round(
+            (F.count(F.lit(1)) - deleted) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("live_frac"),
+    )
+
+
+@query(
+    "sim_ivf_drift_check",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    base AS (SELECT * FROM v WHERE vec_id % 10 <> 0),
+    kk AS (SELECT GREATEST(16, CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))
+                                    AS BIGINT)) AS k FROM base),
+    cent AS (
+      SELECT vec_id AS cent_id, emb AS cemb FROM base
+      QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)
+    ),
+    a_base AS (
+      SELECT cent_id, d2 FROM (
+        SELECT c.cent_id,
+               ROUND(list_sum(list_transform(list_zip(b.emb, c.cemb),
+                     z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(b.emb, c.cemb),
+                          z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cent_id) AS rn
+        FROM base b CROSS JOIN cent c)
+      WHERE rn = 1
+    ),
+    a_full AS (
+      SELECT cent_id, d2 FROM (
+        SELECT c.cent_id,
+               ROUND(list_sum(list_transform(list_zip(b.emb, c.cemb),
+                     z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(b.emb, c.cemb),
+                          z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cent_id) AS rn
+        FROM v b CROSS JOIN cent c)
+      WHERE rn = 1
+    ),
+    sb AS (
+      SELECT MAX(cn) * COUNT(*) * 1.0 / SUM(cn) AS imb,
+             SUM(sd) / SUM(cn) AS md2
+      FROM (SELECT cent_id, COUNT(*) AS cn, SUM(d2) AS sd
+            FROM a_base GROUP BY cent_id)
+    ),
+    sf AS (
+      SELECT MAX(cn) * COUNT(*) * 1.0 / SUM(cn) AS imb,
+             SUM(sd) / SUM(cn) AS md2
+      FROM (SELECT cent_id, COUNT(*) AS cn, SUM(d2) AS sd
+            FROM a_full GROUP BY cent_id)
+    )
+    SELECT CAST((SELECT k FROM kk) AS BIGINT) AS n_centroids,
+           ROUND(sb.imb, 4) AS base_imbalance,
+           ROUND(sf.imb, 4) AS cur_imbalance,
+           ROUND(sb.md2, 4) AS base_mean_d2,
+           ROUND(sf.md2, 4) AS cur_mean_d2,
+           ROUND(sf.imb / sb.imb, 4) AS imbalance_ratio,
+           ROUND(sf.md2 / sb.md2, 4) AS d2_ratio,
+           (ROUND(sf.imb / sb.imb, 4) > 1.5 OR ROUND(sf.md2 / sb.md2, 4) > 1.2)
+             AS recluster_due
+    FROM sb, sf
+    """,
+)
+def sim_ivf_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-drift audit for the append-only IVF lifecycle (VERDICT
+    r10 task 2): ivf_append freezes the build-time codebook, so a
+    growing corpus slowly degrades probe recall — this query measures
+    how far the CURRENT corpus has drifted from the codebook's
+    build-time fit and flags when re-clustering is due. Build-time =
+    the sim_ivf_append base corpus (vec_id % 10 ≠ 0); current = the
+    full corpus assigned under the SAME frozen codebook. Two signals,
+    each the standard one: cell-occupancy imbalance (max/avg — hot
+    cells dominate probe tail latency) and mean nearest-centroid
+    distance (quantization error — rising means vectors land far from
+    every centroid). ``recluster_due`` compares the ROUNDED ratios to
+    fixed thresholds (imbalance ×1.5, quantization ×1.2) so both
+    engines branch on identical 4-dp doubles.
+
+    Shape at 100 TB: two broadcast-codebook argmin assignments (map-
+    side, no shuffle beyond the K-sized per-cell partial aggregates);
+    in production the build-time half is a stored build artifact
+    (sim_ivf_build_stats' output), making the audit one assignment
+    pass over the appended data. Per-row d2 is rounded to the 6-dp
+    oracle grid BEFORE summation so the cross-engine sum-order error
+    stays ~1e-10, far from the 4-dp output grid."""
+    from free_etl_spark.operators.vectors import (
+        centroid_rank,
+        probe_dim,
+        scaled_centroid_k,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    k = scaled_centroid_k(base.count())
+    cent = (
+        base.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb"))
+    )
+    dim = probe_dim(emb)
+
+    def side_stats(vecs: DataFrame, imb: str, md2: str) -> DataFrame:
+        asn = (
+            centroid_rank(vecs, cent, dim)
+            .filter(F.col("rn") == 1)
+            .select("cent_id", F.round("d2", 6).alias("d2"))
+        )
+        cells = asn.groupBy("cent_id").agg(
+            F.count(F.lit(1)).alias("cn"), F.sum("d2").alias("sd")
+        )
+        return cells.agg(
+            (
+                F.max("cn") * F.count(F.lit(1)) * 1.0 / F.sum("cn")
+            ).alias(imb),
+            (F.sum("sd") / F.sum("cn")).alias(md2),
+        )
+    sb = side_stats(base, "b_imb", "b_md2")
+    sf = side_stats(emb, "f_imb", "f_md2")
+    imb_ratio = F.round(F.col("f_imb") / F.col("b_imb"), 4)
+    d2_ratio = F.round(F.col("f_md2") / F.col("b_md2"), 4)
+    return (
+        sb.join(F.broadcast(sf))
+        .select(
+            F.lit(k).cast("long").alias("n_centroids"),
+            F.round("b_imb", 4).alias("base_imbalance"),
+            F.round("f_imb", 4).alias("cur_imbalance"),
+            F.round("b_md2", 4).alias("base_mean_d2"),
+            F.round("f_md2", 4).alias("cur_mean_d2"),
+            imb_ratio.alias("imbalance_ratio"),
+            d2_ratio.alias("d2_ratio"),
+            ((imb_ratio > 1.5) | (d2_ratio > 1.2)).alias("recluster_due"),
+        )
+    )

@@ -436,3 +436,146 @@ def test_editdistance_qgram_prefix_filter_full_recall(spark):
     assert got_pairs == truth, (
         f"missed={truth - got_pairs} extra={got_pairs - truth}"
     )
+
+
+def test_ivf_delete_masks_and_compacts(spark, tmp_path):
+    """IVF delete lifecycle (VERDICT r10 task 2): (a) ivf_delete is an
+    O(batch) tombstone append that touches NO cluster file, yet probes
+    stop returning deleted vectors immediately; (b) ivf_compact
+    rewrites ONLY the affected partitions, reports per-cluster removal
+    counts, retires the tombstone WAL, and leaves probe results
+    byte-identical to the masked view; (c) probe recall@5 over the
+    SURVIVING corpus stays at the pinned gate (avg >= 0.9, per-query
+    >= 0.6) after delete+compact; (d) a half-written stage dir from a
+    crashed compaction is discarded, and re-running compaction on a
+    clean store is a no-op."""
+    import glob as g
+    import os
+
+    from free_etl_spark.operators.vectors import (
+        centroid_rank,
+        ivf_compact,
+        ivf_delete,
+        ivf_probe,
+        ivf_tombstones,
+        ivf_write,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    path = str(tmp_path / "ivf")
+    cent = ivf_write(emb, path)
+    files_before = {
+        p: os.path.getmtime(p)
+        for p in g.glob(os.path.join(path, "cent_id=*", "*.parquet"))
+    }
+
+    # queries survive (none is ≡3 mod 7 among 0,1,2,4,5... pick 0,1,2)
+    del_ids = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    deleted = {r.vec_id for r in del_ids.collect()}
+    assert deleted and 0 not in deleted
+
+    # assignment BEFORE delete, for per-cluster expectations
+    asn = {
+        r.vec_id: r.cent_id
+        for r in centroid_rank(emb, cent)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+        .collect()
+    }
+    all_cents = sorted({asn[v] for v in deleted})
+
+    ivf_delete(del_ids, path)
+    # (a) no data file touched by the logical delete
+    assert files_before == {
+        p: os.path.getmtime(p)
+        for p in g.glob(os.path.join(path, "cent_id=*", "*.parquet"))
+    }
+    masked = {
+        r.vec_id for r in ivf_probe(spark, path, all_cents).collect()
+    }
+    assert not (masked & deleted)
+    expect_live = {
+        v for v, c in asn.items() if c in set(all_cents) and v not in deleted
+    }
+    assert masked == expect_live
+
+    # (d-1) a stage dir without _SUCCESS (crash during staging write)
+    # must be discarded, not swapped in
+    stale_stage = f"{path}__compact_stage"
+    os.makedirs(os.path.join(stale_stage, "cent_id=999999"))
+    open(os.path.join(stale_stage, "cent_id=999999", "junk.parquet"), "w").close()
+
+    # (b) compact: only affected partitions rewritten, report correct
+    report = {
+        r.cent_id: r.n_removed for r in ivf_compact(spark, path).collect()
+    }
+    assert not os.path.exists(stale_stage)
+    assert not os.path.exists(os.path.join(path, "cent_id=999999"))
+    from collections import Counter
+
+    expect_removed = Counter(asn[v] for v in deleted)
+    assert report == dict(expect_removed)
+    assert ivf_tombstones(spark, path) is None
+    untouched = {
+        p: m
+        for p, m in files_before.items()
+        if int(p.split("cent_id=")[1].split(os.sep)[0]) not in report
+    }
+    now = {
+        p: os.path.getmtime(p)
+        for p in g.glob(os.path.join(path, "cent_id=*", "*.parquet"))
+    }
+    assert untouched == {p: m for p, m in now.items() if p in untouched}
+    for cid in report:
+        stale = [
+            p
+            for p in files_before
+            if f"cent_id={cid}{os.sep}" in p and p in now
+        ]
+        assert not stale, f"cluster {cid} kept pre-compaction files: {stale}"
+    # probe results identical to the masked view, and still pruned
+    assert {
+        r.vec_id for r in ivf_probe(spark, path, all_cents).collect()
+    } == masked
+    plan = (
+        ivf_probe(spark, path, all_cents[:3])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cent_id" in pf[0], plan[:500]
+
+    # (d-2) compaction on a clean store is a no-op
+    assert ivf_compact(spark, path).count() == 0
+
+    # (c) recall@5 over SURVIVORS after delete+compact
+    ids, C = _corpus()
+    queries = emb.filter(F.col("vec_id") < 5)
+    probe_rank = centroid_rank(queries, cent).filter(F.col("rn") <= 4)
+    probes: dict[int, list[int]] = {}
+    for r in probe_rank.collect():
+        probes.setdefault(r.vec_id, []).append(r.cent_id)
+    recalls = []
+    for q in range(5):
+        probed_ids = {
+            r.vec_id for r in ivf_probe(spark, path, probes[q]).collect()
+        }
+        assert not (probed_ids & deleted)
+        qi = int(np.where(ids == q)[0][0])
+        order = np.argsort(-C[qi])
+        exact = [
+            int(ids[j])
+            for j in order
+            if ids[j] != q and int(ids[j]) not in deleted
+        ][:5]
+        in_probe = [
+            int(ids[j])
+            for j in order
+            if ids[j] != q and int(ids[j]) in probed_ids
+        ][:5]
+        recalls.append(len(set(exact) & set(in_probe)) / 5)
+    assert min(recalls) >= 0.6, recalls
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
