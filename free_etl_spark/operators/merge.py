@@ -470,7 +470,14 @@ def merge_additive_once(
     #     state was "no target" — delete it. Either way fall through
     #     to a clean re-merge.
     if fs.exists(retired) and not fs.exists(tgt):
-        if fs.exists(Path(retired, "__EMPTY_MV__")):
+        # An EMPTY retired dir (neither the __EMPTY_MV__ file nor any
+        # data file) is also the sentinel: it can only arise from a
+        # crash between the sentinel dir's creation and its marker
+        # file's — renaming it over the absent target would wedge
+        # every retry on reading an empty dir as parquet.
+        if fs.exists(Path(retired, "__EMPTY_MV__")) or len(
+            fs.listStatus(retired)
+        ) == 0:
             fs.delete(retired, True)
         else:
             _rename(retired, tgt)
@@ -488,7 +495,10 @@ def merge_additive_once(
         # crash after the next rename is still recognizable as
         # "applied" (see docstring; without it the post-rename state
         # looks like "never ran" and retry double-counts the delta).
-        fs.mkdirs(retired)
+        # One FS op, not mkdirs-then-create: fs.create makes parent
+        # dirs itself, and the recovery above additionally treats a
+        # bare empty retired dir as the sentinel — both halves of
+        # closing the non-atomic-creation window flagged in r10.
         fs.create(Path(retired, "__EMPTY_MV__")).close()
     _rename(staging, tgt)
     open(marker, "w").close()

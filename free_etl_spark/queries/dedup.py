@@ -116,12 +116,17 @@ def clear_relation_cache(spark: SparkSession) -> None:
     """Unpersist and forget every session-cached relation. Test hook
     for plan-shape audits (a cached relation's printed plan embeds its
     child plan, inflating node counts in text-based audits) and an
-    escape hatch for long-lived sessions."""
+    escape hatch for long-lived sessions. Also clears the BPE fit
+    cache (queries/text.py), the one other session-keyed relation
+    store, so this hook covers every cache (ADVICE r10)."""
     per_session = _RELATION_CACHE.get(spark)
     if per_session:
         for df in per_session.values():
             df.unpersist()
         per_session.clear()
+    from free_etl_spark.queries.text import clear_bpe_fit_cache
+
+    clear_bpe_fit_cache(spark)
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -843,9 +843,15 @@ _FRAME_PAY_SQL = (
     # class-keyed content must fill BOTH shared frames: a constant pad
     # would make frame 1 identical across every class — boilerplate the
     # DF cap correctly drops, leaving single-frame overlaps below the
-    # near-dup threshold (caught at sf0.01: 21 rows instead of 500)
+    # near-dup threshold (caught at sf0.01: 21 rows instead of 500).
+    # text is stripped to printable ASCII so the payload is ASCII BY
+    # CONSTRUCTION: the Spark side frames the UTF-8 BYTES (the real
+    # sample_frames plumbing) while this oracle frames CHARACTERS, and
+    # the two slicings coincide only when byte == char — one multibyte
+    # character anywhere would silently shift every later frame
+    # boundary (ADVICE r10)
     "substr(repeat('seg' || CAST(doc_id % 50 AS VARCHAR) || '.', 64), 1, 256)"
-    " || text"
+    " || regexp_replace(text, '[^\\x20-\\x7E]', '', 'g')"
 )
 
 
@@ -924,7 +930,10 @@ def multimodal_frame_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         1,
                         256,
                     ),
-                    F.col("text"),
+                    # printable-ASCII strip: keeps the byte-framed
+                    # Spark side and the char-framed oracle on the
+                    # same boundaries at ANY corpus (see _FRAME_PAY_SQL)
+                    F.regexp_replace("text", r"[^\x20-\x7E]", ""),
                 ),
                 "UTF-8",
             ).alias("content"),

@@ -2610,6 +2610,33 @@ _BPE_TRAIN_ROUNDS = 6
 _BPE_FIT_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a localCheckpoint'd DataFrame's cached
+    RDD blocks (ADVICE r10): the checkpointed data lives as RDD blocks
+    the DataFrame-level unpersist() never touches, so an evicted vocab
+    relation would otherwise pin executor storage until driver GC. The
+    checkpoint RDD is reachable through the plan's LogicalRDD node;
+    anything unexpected (plan shape, py4j) degrades to the old
+    GC-eventually behavior, never to an error."""
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)  # noqa: SLF001
+    except Exception:
+        pass
+
+
+def clear_bpe_fit_cache(spark: SparkSession) -> None:
+    """Release and forget every session-cached BPE fit — invoked by
+    dedup.clear_relation_cache so the soak/test hook covers this cache
+    too (ADVICE r10)."""
+    if _BPE_FIT_CACHE is None:
+        return
+    per_session = _BPE_FIT_CACHE.get(spark)
+    if per_session:
+        for _merges, vocab in per_session.values():
+            _release_checkpoint(vocab)
+        per_session.clear()
+
+
 def _bpe_fit(
     spark: SparkSession, sf_dir: str, rounds: int
 ) -> tuple[list[tuple], DataFrame]:
@@ -2635,7 +2662,7 @@ def _bpe_fit(
     per_session = _BPE_FIT_CACHE.setdefault(spark, {})
     if key not in per_session:
         for old in [k for k in per_session if k[:2] == (sf_dir, rounds)]:
-            per_session.pop(old)
+            _release_checkpoint(per_session.pop(old)[1])
         per_session[key] = _bpe_fit_impl(spark, sf_dir, rounds)
     return per_session[key]
 
@@ -2686,6 +2713,7 @@ def _bpe_fit_impl(
             break
         la, lb, n = best["la"], best["lb"], best["n"]
         merges.append((r, la, lb, la + lb, n))
+        prev = cur
         cur = cur.select(
             F.aggregate(
                 F.split("s", " "),
@@ -2705,6 +2733,10 @@ def _bpe_fit_impl(
             ).alias("s"),
             "freq",
         ).localCheckpoint(eager=True)
+        # the new checkpoint fully supersedes the previous round's —
+        # release its blocks NOW instead of orphaning one generation
+        # per round until driver GC (ADVICE r10)
+        _release_checkpoint(prev)
     return merges, cur
 
 

@@ -79,3 +79,55 @@ def test_resize_images_stub_plumbing(spark, tmp_path):
     digest = hashlib.md5(payload + b"|32x32").digest()
     out = (digest * (3072 // 16 + 1))[:3072]
     assert src["a.png"]["checksum"] == hashlib.md5(out.hex().encode()).hexdigest()[:16]
+
+
+def test_frame_phash_dedup_survives_multibyte_text(spark, tmp_path):
+    """ADVICE r10: the frame-dedup oracle slices the payload by
+    CHARACTER while the Spark side frames UTF-8 BYTES — the two now
+    agree at ANY corpus because both strip text to printable ASCII
+    before framing. Pin it with a corpus where multibyte characters
+    land inside the first frames: Spark and DuckDB must produce the
+    identical best-match relation (pre-fix, every frame boundary after
+    the first multibyte char shifts and the join silently diverges)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from free_etl_spark.queries import ORACLES, QUERIES
+    from free_etl_spark.queries.dedup import clear_relation_cache
+
+    rows = []
+    for d in range(40):
+        # shared class body so near-dup pairs exist; non-ASCII placed
+        # early enough to sit inside frames 2-4 of the 512-byte window
+        body = f"cláss-{d % 4} 日本語テキスト naïve façade " * 12
+        rows.append((d, body, "xx", "src", len(body)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    clear_relation_cache(spark)  # don't ride a cached sig from SF_DIR
+    try:
+        got = (
+            QUERIES["multimodal_frame_phash_dedup"](spark, str(tmp_path))
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+        )
+        want = (
+            con.execute(ORACLES["multimodal_frame_phash_dedup"])
+            .fetchdf()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want) > 0
+        assert (got["doc_id"].values == want["doc_id"].values).all()
+        assert (got["best_match"].values == want["best_match"].values).all()
+        assert (got["n_shared"].values == want["n_shared"].values).all()
+    finally:
+        clear_relation_cache(spark)  # drop the crafted-corpus sig

@@ -684,3 +684,33 @@ def test_abc_pareto_class_shares(spark):
     # cumulative share monotone in rank order
     s = df.sort_values(["revenue", "o_custkey"], ascending=[False, True])
     assert s["cum_share"].is_monotonic_increasing
+
+
+def test_bpe_fit_cache_releases_checkpoint_blocks(spark):
+    """ADVICE r10: the BPE fit cache's vocab relation is an eager
+    localCheckpoint whose RDD blocks DataFrame.unpersist never frees.
+    Both release paths must drop the blocks: eviction inside _bpe_fit
+    and the registry-wide dedup.clear_relation_cache hook (which now
+    covers this cache too)."""
+    import free_etl_spark.queries.text as textmod
+    from free_etl_spark.queries.dedup import clear_relation_cache
+    from free_etl_spark.queries.text import _bpe_fit, _BPE_TRAIN_ROUNDS
+
+    def stored_ids() -> set:
+        return {
+            i.id()
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    clear_relation_cache(spark)  # start from a known-clean slate
+    before = stored_ids()
+    _merges, vocab = _bpe_fit(spark, SF_DIR, _BPE_TRAIN_ROUNDS)
+    assert vocab.count() > 0
+    created = stored_ids() - before
+    assert created, "fit should have checkpointed the vocab relation"
+    assert textmod._BPE_FIT_CACHE.get(spark)
+
+    clear_relation_cache(spark)
+    assert not textmod._BPE_FIT_CACHE.get(spark)
+    leaked = stored_ids() & created
+    assert not leaked, f"vocab checkpoint blocks survived clear: {leaked}"

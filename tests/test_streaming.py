@@ -851,3 +851,39 @@ def test_merge_additive_once_first_batch_marker_missed(spark, tmp_path):
     assert got == {"a": (1, 1.0)}  # NOT (2, 2.0) — no double-apply
     assert not os.path.exists(f"{target}__retired_b0")
     assert os.path.exists(os.path.join(applied, "batch_0"))
+
+
+def test_merge_additive_once_bare_empty_retired_recovery(spark, tmp_path):
+    """The residual window ADVICE r10 flagged: a crash between the
+    sentinel dir's creation and its __EMPTY_MV__ file leaves a BARE
+    empty retired dir with no target. Recovery must treat it as the
+    sentinel (delete it and re-merge cleanly) — renaming it over the
+    absent target would wedge every retry on reading an empty dir as
+    parquet. (The window itself is also closed — sentinel creation is
+    now a single fs.create — but recovery stays tolerant for dirs left
+    by older code or exotic filesystems.)"""
+    import os
+
+    from free_etl_spark.operators.merge import merge_additive_once
+
+    schema = "k string, n long, s double"
+    target = str(tmp_path / "mv")
+    applied = str(tmp_path / "applied")
+
+    os.makedirs(f"{target}__retired_b0")  # bare: no __EMPTY_MV__, no data
+    delta0 = spark.createDataFrame([("a", 1, 1.0)], schema)
+    ran = merge_additive_once(
+        spark, target, delta0, ["k"], ["n", "s"], applied, 0
+    )
+    assert ran is True  # batch was NOT applied — clean merge, once
+    got = {r.k: (r.n, r.s) for r in spark.read.parquet(target).collect()}
+    assert got == {"a": (1, 1.0)}
+    assert not os.path.exists(f"{target}__retired_b0")
+    # and the store is healthy: the next batch accumulates normally
+    delta1 = spark.createDataFrame([("a", 2, 2.0)], schema)
+    assert (
+        merge_additive_once(spark, target, delta1, ["k"], ["n", "s"], applied, 1)
+        is True
+    )
+    got = {r.k: (r.n, r.s) for r in spark.read.parquet(target).collect()}
+    assert got == {"a": (3, 3.0)}
