@@ -984,3 +984,310 @@ def multimodal_frame_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---- audio near-dup fingerprinting (VERDICT r10 task 4) ------------
+# Chromaprint-style: per 64-sample PCM window, 16 sub-band energies
+# (4 samples each, Σ|x| — exact integers) + the window total; 62
+# fingerprint bits from four delta families. Every bit is an INTEGER
+# comparison, so Spark and DuckDB agree exactly with no rounding.
+_AFP_BANDS = 16          # sub-bands per analysis window
+_AFP_BAND_W = _PCM_FRAME // _AFP_BANDS  # samples per sub-band (4)
+_AFP_MAX_SIGS = 16       # fingerprint at most this many windows/doc
+_AFP_DF_CAP = 256        # max docs sharing a fingerprint (boilerplate)
+_AFP_HAMMING_T = 3       # near-match tolerance (4x16 bands: full recall)
+_AFP_MIN_SHARED = 2      # matched frames to call two docs near-dup
+
+# ~1/50 of audio payloads share a planted 384-byte class-keyed opening
+# (3 full 64-sample windows -> fingerprints f=2,3 identical within the
+# class) so the frame-match join sees real partial overlap — the
+# re-encoded-intro shape audio dedup exists for. Content is class-
+# keyed THROUGHOUT the shared span (the r10 frame-dedup lesson:
+# constant padding creates one corpus-wide boilerplate unit the DF cap
+# correctly drops).
+_AFP_PAY_SQL = (
+    "substr(repeat('aud' || CAST(doc_id % 50 AS VARCHAR) || '.', 96),"
+    " 1, 384) || text"
+)
+
+
+def _afp_sig_sql(cur: str, prev: str) -> str:
+    """Closed-form 62-bit audio fingerprint over two adjacent windows'
+    band-energy lists (17th element = window total). Bit families:
+    0-15 temporal (band grew vs previous window), 16-30 spectral
+    (band vs next band, current window), 31-45 second-order
+    (chromaprint's 2D delta-of-deltas), 46-61 coarse magnitude
+    (16*band > window total — integer-exact 'above mean'). Bit 63
+    unused, so the signed BIGINT is always non-negative."""
+    terms = []
+
+    def el(arr: str, i: int) -> str:
+        return f"{arr}[{i}]"
+
+    for j in range(62):
+        if j < 16:
+            b = j + 1
+            cond = f"{el(cur, b)} > {el(prev, b)}"
+        elif j < 31:
+            b = j - 15
+            cond = f"{el(cur, b)} > {el(cur, b + 1)}"
+        elif j < 46:
+            b = j - 30
+            cond = (
+                f"({el(cur, b)} - {el(cur, b + 1)})"
+                f" > ({el(prev, b)} - {el(prev, b + 1)})"
+            )
+        else:
+            b = j - 45
+            cond = f"16 * {el(cur, b)} > {el(cur, 17)}"
+        terms.append(f"CASE WHEN {cond} THEN (1::BIGINT << {j}) ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _afp_sig_col(cur: str, prev: str):
+    """Spark mirror of _afp_sig_sql: same bit layout, same strict->0
+    tie rule, element_at lookups on MATERIALIZED array columns (cheap
+    per-reference; never re-derives the energies)."""
+    def el(arr: str, i: int):
+        return F.element_at(F.col(arr), i)
+
+    expr = F.lit(0).cast("long")
+    for j in range(62):
+        if j < 16:
+            b = j + 1
+            cond = el(cur, b) > el(prev, b)
+        elif j < 31:
+            b = j - 15
+            cond = el(cur, b) > el(cur, b + 1)
+        elif j < 46:
+            b = j - 30
+            cond = (el(cur, b) - el(cur, b + 1)) > (
+                el(prev, b) - el(prev, b + 1)
+            )
+        else:
+            b = j - 45
+            cond = el(cur, b) * 16 > el(cur, 17)
+        expr = expr + F.when(cond, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return expr
+
+
+def _audio_fp_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DISTINCT audio frame fingerprints (doc_id, sig) —
+    the relation the near-dup join consumes, persisted per (session,
+    corpus) because the PCM decode + band folds dominate the cost.
+
+    Pipeline (map-only until the lag window): planted payload ->
+    int16-LE samples (_pcm_frames_build's decode plane) -> explode the
+    first <= {_AFP_MAX_SIGS}+1 full windows, each carrying its 17
+    band energies (computed INSIDE the explode so the sample array is
+    never duplicated per window row) -> lag(1) over (doc, window) for
+    the previous window's energies -> 62-bit fingerprint. The
+    per-doc window cap bounds work per row at any corpus scale (the
+    'intro fingerprint' every audio matcher uses)."""
+    from free_etl_spark.queries.dedup import _cached_relation
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        pay = docs.select(
+            "doc_id",
+            F.concat(
+                F.substring(
+                    F.repeat(
+                        F.concat(
+                            F.lit("aud"),
+                            (F.col("doc_id") % 50).cast("string"),
+                            F.lit("."),
+                        ),
+                        96,
+                    ),
+                    1,
+                    384,
+                ),
+                F.col("text"),
+            ).alias("text"),
+        )
+        base = (
+            _pcm_frames_build(pay)
+            .select("doc_id", "samples")
+            .filter(F.size("samples") >= 2 * _PCM_FRAME)
+        )
+
+        def band_e(f, b):
+            start = (f - 1) * _PCM_FRAME + (b - 1) * _AFP_BAND_W + 1
+            return F.aggregate(
+                F.slice("samples", start, _AFP_BAND_W),
+                F.lit(0).cast("long"),
+                lambda a, x: a + F.abs(x),
+            )
+
+        def win_total(f):
+            return F.aggregate(
+                F.slice("samples", (f - 1) * _PCM_FRAME + 1, _PCM_FRAME),
+                F.lit(0).cast("long"),
+                lambda a, x: a + F.abs(x),
+            )
+
+        # size(samples) is referenced OUTSIDE the lambda too, keeping
+        # the decoded array materialized (the VAD CollapseProject
+        # lesson: a single in-lambda reference gets inlined and
+        # re-decoded per element)
+        nf = F.least(
+            F.floor(F.size("samples") / _PCM_FRAME).cast("int"),
+            F.lit(_AFP_MAX_SIGS + 1),
+        )
+        eb = lambda f: F.transform(  # noqa: E731
+            F.sequence(F.lit(1), F.lit(_AFP_BANDS + 1)),
+            lambda b: F.when(b <= _AFP_BANDS, band_e(f, b)).otherwise(
+                win_total(f)
+            ),
+        )
+        wrows = base.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), nf),
+                    lambda f: F.struct(f.alias("f"), eb(f).alias("eb")),
+                )
+            ).alias("w"),
+        ).select("doc_id", F.col("w.f").alias("f"), F.col("w.eb").alias("eb"))
+        lagw = Window.partitionBy("doc_id").orderBy("f")
+        sigrows = wrows.select(
+            "doc_id", "eb", F.lag("eb").over(lagw).alias("ebp")
+        ).filter(F.col("ebp").isNotNull())
+        return sigrows.select(
+            "doc_id", _afp_sig_col("eb", "ebp").alias("sig")
+        ).distinct()
+
+    return _cached_relation(spark, sf_dir, "audio_fp_sig", build)
+
+
+@query(
+    "multimodal_audio_fingerprint_dedup",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, lower(hex(encode({_AFP_PAY_SQL}))) AS hx FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, CAST(FLOOR(length(hx) / 4) AS INT)),
+               i -> CAST(('0x' || substr(hx, 4*i - 3, 2))::INT
+                  + 256 * ('0x' || substr(hx, 4*i - 1, 2))::INT
+                  - CASE WHEN ('0x' || substr(hx, 4*i - 1, 2))::INT >= 128
+                         THEN 65536 ELSE 0 END AS INT)
+             ) AS samples
+      FROM a
+    ),
+    w AS (
+      SELECT doc_id, samples,
+             unnest(generate_series(1,
+               LEAST(CAST(FLOOR(len(samples) / {_PCM_FRAME}.0) AS INT),
+                     {_AFP_MAX_SIGS + 1}))) AS f
+      FROM s WHERE len(samples) >= {2 * _PCM_FRAME}
+    ),
+    e AS (
+      SELECT doc_id, f,
+             list_transform(generate_series(1, {_AFP_BANDS + 1}),
+               b -> CASE WHEN b <= {_AFP_BANDS} THEN
+                 list_sum(list_transform(
+                   samples[(f-1)*{_PCM_FRAME} + (b-1)*{_AFP_BAND_W} + 1
+                         : (f-1)*{_PCM_FRAME} + (b-1)*{_AFP_BAND_W}
+                           + {_AFP_BAND_W}],
+                   x -> abs(x)))
+               ELSE
+                 list_sum(list_transform(
+                   samples[(f-1)*{_PCM_FRAME} + 1
+                         : (f-1)*{_PCM_FRAME} + {_PCM_FRAME}],
+                   x -> abs(x)))
+               END) AS eb
+      FROM w
+    ),
+    fp AS (
+      SELECT c.doc_id, {_afp_sig_sql('c.eb', 'p.eb')} AS sig
+      FROM e c JOIN e p ON p.doc_id = c.doc_id AND p.f = c.f - 1
+    ),
+    sd AS (SELECT DISTINCT doc_id, sig FROM fp),
+    keep AS (SELECT sig FROM sd GROUP BY sig
+             HAVING COUNT(*) <= {_AFP_DF_CAP}),
+    s2 AS (SELECT sd.doc_id, sd.sig FROM sd JOIN keep USING (sig)),
+    m AS (
+      SELECT x.doc_id AS d, y.doc_id AS o,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM s2 x JOIN s2 y
+        ON x.doc_id <> y.doc_id
+       AND bit_count(xor(x.sig, y.sig)) <= {_AFP_HAMMING_T}
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_AFP_MIN_SHARED}
+    )
+    SELECT d AS doc_id, o AS best_match, n_shared FROM (
+      SELECT d, o, n_shared,
+             ROW_NUMBER() OVER (PARTITION BY d
+                                ORDER BY n_shared DESC, o) AS rn
+      FROM m)
+    WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def multimodal_audio_fingerprint_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio near-duplicate detection via chromaprint-style frame
+    fingerprints — closing the one modality without a banded near-dup
+    path (text/image/video have one; VERDICT r10 task 4). Each blob's
+    PCM16 plane is windowed ({_PCM_FRAME} samples), each window
+    reduced to {_AFP_BANDS} sub-band energies, and adjacent windows
+    yield a 62-bit fingerprint from temporal / spectral /
+    second-order-delta / coarse-magnitude comparisons (the
+    Chromaprint/Shazam bit recipe over an energy plane; exact-integer
+    bits, so fully value-oracled). Two blobs are near-dups when >=
+    {_AFP_MIN_SHARED} frame fingerprints match within hamming
+    {_AFP_HAMMING_T}; each reports its best match.
+
+    Scale shape: candidates come from the SHARED pigeonhole band core
+    (operators/hashing.py hamming_band_pairs — 4x16-bit band
+    equi-join, full recall at threshold {_AFP_HAMMING_T}, ~N/65536
+    expected bucket occupancy), after a document-frequency cap
+    ({_AFP_DF_CAP}) drops boilerplate fingerprints (silence, test
+    tones) — the shingle-DF-cap discipline. Per-doc work is bounded
+    by the {_AFP_MAX_SIGS}-window cap; the per-(band, value) bucket
+    bound makes candidate volume linear-with-cap, never blobs². The
+    oracle brute-forces the identical answer (pigeonhole guarantees
+    the banded join finds every pair the brute force does)."""
+    from free_etl_spark.operators.hashing import hamming_band_pairs
+
+    sd = _audio_fp_sigs(spark, sf_dir)
+    keep = (
+        sd.groupBy("sig")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _AFP_DF_CAP)
+    )
+    s2 = sd.join(F.broadcast(keep.select("sig")), "sig")
+    rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("sig"))
+    ids = s2.select(
+        (F.col("doc_id") * 256 + rn).alias("fid"), F.col("sig")
+    )
+    pairs = hamming_band_pairs(ids, "fid", "sig", _AFP_HAMMING_T)
+    dpairs = pairs.select(
+        F.floor(F.col("fid_a") / 256).cast("long").alias("da"),
+        F.floor(F.col("fid_b") / 256).cast("long").alias("db"),
+    ).filter(F.col("da") != F.col("db"))
+    m = (
+        dpairs.select(F.col("da").alias("d"), F.col("db").alias("o"))
+        .unionAll(dpairs.select(F.col("db").alias("d"), F.col("da").alias("o")))
+        .groupBy("d", "o")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _AFP_MIN_SHARED)
+    )
+    w = Window.partitionBy("d").orderBy(F.col("n_shared").desc(), "o")
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("d").alias("doc_id"),
+            F.col("o").alias("best_match"),
+            "n_shared",
+        )
+        .orderBy("doc_id")
+    )

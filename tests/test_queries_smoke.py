@@ -714,3 +714,65 @@ def test_bpe_fit_cache_releases_checkpoint_blocks(spark):
     assert not textmod._BPE_FIT_CACHE.get(spark)
     leaked = stored_ids() & created
     assert not leaked, f"vocab checkpoint blocks survived clear: {leaked}"
+
+
+def test_chat_turn_dedup_is_role_aware(spark, tmp_path):
+    """dedup_chat_turns must dedup at the (role, turn)-sequence level:
+    (a) two conversations with identical turn sequences are found;
+    (b) the SAME turn texts shifted by one position (so every turn
+    lands on the opposite speaker) share ZERO body shingles — role
+    tagging, not raw text, drives the match; (c) a shared opening
+    preamble alone stays under the Jaccard bar for full-length
+    dialogues."""
+    import pyspark.sql.functions as F
+
+    from free_etl_spark.queries import QUERIES
+    from free_etl_spark.queries.dedup import (
+        _CHAT_TURN_TOKS,
+        _chat_turn_shingles,
+        clear_relation_cache,
+    )
+
+    turn = lambda tag: " ".join(  # noqa: E731
+        f"{tag}w{i}" for i in range(_CHAT_TURN_TOKS)
+    )
+    body = " ".join(turn(f"t{k}") for k in range(6))
+    shifted = turn("pad") + " " + body  # same turns, one position later
+    rows = [
+        (1, body, "en", "s", len(body)),
+        (26, body, "en", "s", len(body)),         # identical conv (same class 1)
+        (3, body, "en", "s", len(body)),
+        (28, shifted, "en", "s", len(shifted)),   # role-shifted twin (class 3)
+        (4, " ".join(turn(f"u{k}") for k in range(6)), "en", "s", 1),
+        (29, " ".join(turn(f"v{k}") for k in range(6)), "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    try:
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in QUERIES["dedup_chat_turns"](spark, str(tmp_path)).collect()
+        }
+        assert (1, 26) in got                       # (a) identical conv found
+        assert (3, 28) not in got                   # (b)+(c) shifted twin not a dup
+        assert not any({a, b} == {4, 29} for a, b in got)  # distinct bodies clean
+
+        # (b) precisely: the shifted twin shares NO body shingles — its
+        # overlap with doc 3 is exactly the 5 opening-preamble bigrams
+        sh = _chat_turn_shingles(spark, str(tmp_path))
+
+        def sset(d: int) -> set:
+            return {r.sh for r in sh.filter(F.col("doc_id") == d).collect()}
+
+        # role-shifted twin: overlap is EXACTLY the 5 opening-preamble
+        # bigrams — zero body shingles despite identical body turn texts
+        assert len(sset(3) & sset(28)) == 5
+        # same-class docs with unrelated bodies: also opening-only
+        assert len(sset(4) & sset(29)) == 5
+        # different classes share nothing at all
+        assert sset(3) & sset(4) == set()
+    finally:
+        clear_relation_cache(spark)

@@ -1,0 +1,146 @@
+"""Generate a replicated scale-up of an existing testdata dir for the
+second slope decade (VERDICT r10 task 3): N key-shifted replicas of
+sf0.1 -> a structurally-faithful sf{0.1*N} under .scaledata/ (never
+/root/testdata, which is read-only driver property).
+
+Faithfulness rules, chosen so per-query cost MODELS a genuinely larger
+corpus instead of a degenerate 10x-duplicated one:
+
+- Every key domain shifts by replica * (max_key + 1), consistently
+  across referencing tables (orders.o_custkey moves with
+  customer.c_custkey, lineitem with orders/part/supplier), so join
+  cardinalities scale linearly and no cross-replica joins appear.
+  region/nation are fixed dimensions - written once.
+- documents.text gets a PER-REPLICA TOKEN BIJECTION (token -> token +
+  'r<replica>' for replica > 0): within-replica n-gram/minhash/
+  containment structure is preserved EXACTLY (bijective rename),
+  while cross-replica shingle overlap is zero - so dedup pair volume
+  grows linearly, the way a real 10x corpus behaves, not
+  quadratically the way naive duplication would. doc_id shifts by
+  5000 (divisible by every planted modulus in queries: 25/40/50), so
+  planted class structure replicates per-replica.
+- embeddings get a cyclic DIMENSION ROTATION per replica (rot r*7 mod
+  dim): within-replica dot products are bit-preserved, cross-replica
+  cosines decorrelate - ANN cluster structure scales instead of
+  collapsing into 10-member duplicate stacks.
+- events/orders keep their timestamps (10x traffic in the same time
+  window - the realistic shape); user/event ids shift.
+
+Usage: python tools/gen_sf_scale.py [N_REPLICAS] [SRC] [DST]
+Defaults: 10 /root/testdata/sf0.1 <repo>/.scaledata/sf1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (key column -> its own table) domains that shift together
+SHIFT_COLS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+# key column -> offset unit (max+1 of the column in the SOURCE dir)
+DOMAIN_OF = {
+    "c_custkey": "c_custkey",
+    "o_orderkey": "o_orderkey",
+    "o_custkey": "c_custkey",
+    "l_orderkey": "o_orderkey",
+    "l_partkey": "p_partkey",
+    "l_suppkey": "s_suppkey",
+    "p_partkey": "p_partkey",
+    "s_suppkey": "s_suppkey",
+    "event_id": "event_id",
+    "user_id": "user_id",
+    "doc_id": "doc_id",
+    "vec_id": "vec_id",
+}
+FIXED = ["region", "nation"]
+
+
+def _suffix_tokens(texts: list, r: int) -> list:
+    suf = f"r{r}"
+    return [
+        " ".join(t + suf if t else t for t in s.split(" "))
+        if s is not None
+        else None
+        for s in texts
+    ]
+
+
+def main() -> None:
+    n_rep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    dst = (
+        sys.argv[3]
+        if len(sys.argv) > 3
+        else os.path.join(REPO, ".scaledata", "sf1")
+    )
+    os.makedirs(dst, exist_ok=True)
+
+    tables = {
+        name: pq.read_table(os.path.join(src, f"{name}.parquet"))
+        for name in list(SHIFT_COLS) + FIXED
+    }
+    unit: dict[str, int] = {}
+    for name, t in tables.items():
+        for col in SHIFT_COLS.get(name, []):
+            dom = DOMAIN_OF[col]
+            if dom == col:
+                unit[dom] = int(pc.max(t[col]).as_py()) + 1
+
+    for name in FIXED:
+        pq.write_table(tables[name], os.path.join(dst, f"{name}.parquet"))
+
+    for name in SHIFT_COLS:
+        t = tables[name]
+        reps = []
+        for r in range(n_rep):
+            cols = {}
+            for field in t.schema:
+                arr = t[field.name]
+                if field.name in SHIFT_COLS[name]:
+                    off = r * unit[DOMAIN_OF[field.name]]
+                    arr = pc.add(arr, pa.scalar(off, type=field.type))
+                cols[field.name] = arr
+            if name == "documents" and r > 0:
+                texts = _suffix_tokens(
+                    t["text"].to_pylist(), r
+                )
+                cols["text"] = pa.array(texts, type=pa.string())
+                cols["n_chars"] = pa.array(
+                    [len(s) if s is not None else None for s in texts],
+                    type=pa.int64(),
+                )
+            if name == "embeddings" and r > 0:
+                emb = np.stack(
+                    [np.asarray(v, dtype=np.float32) for v in
+                     t["embedding"].to_pylist()]
+                )
+                rot = (r * 7) % emb.shape[1]
+                emb = np.roll(emb, rot, axis=1)
+                cols["embedding"] = pa.array(
+                    [row.tolist() for row in emb],
+                    type=t.schema.field("embedding").type,
+                )
+            reps.append(pa.table(cols, schema=t.schema))
+        out = pa.concat_tables(reps)
+        pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
+        print(f"{name}: {t.num_rows} -> {out.num_rows}")
+
+
+if __name__ == "__main__":
+    main()
