@@ -1936,13 +1936,14 @@ _CHAT_TURNS_SQL = f"""
 """
 
 
-def _chat_turn_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, sh) turn-hash bigram shingles per derived
-    conversation — the role-aware unit: each turn is hashed WITH its
-    role (md5('user|'/'assistant|' + normalized turn text)), so the
-    same sentences with shifted speakers share NO shingles (pinned in
-    tests). Persisted per (session, corpus): the verify join consumes
-    it on both sides and the band builder aggregates it."""
+def _chat_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived conversational records (doc_id, turns array<string>) —
+    the shared plane under dedup_chat_turns and text_chat_turn_stats,
+    session-cached like every multi-consumer relation. Turn layout:
+    {_CHAT_OPEN} class-keyed opening turns + up to {_CHAT_MAX_OWN}
+    {_CHAT_TURN_TOKS}-token body turns (scripted pair-plant for
+    doc_id % 25 == 0); roles alternate by global position (odd =
+    user). Mirrored verbatim by the oracle CTE _CHAT_TURNS_SQL."""
 
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
@@ -1986,7 +1987,21 @@ def _chat_turn_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        conv = staged.select("doc_id", F.concat(opening, own).alias("turns"))
+        return staged.select("doc_id", F.concat(opening, own).alias("turns"))
+
+    return _cached_relation(spark, sf_dir, "chat_conversations", build)
+
+
+def _chat_turn_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, sh) turn-hash bigram shingles per derived
+    conversation — the role-aware unit: each turn is hashed WITH its
+    role (md5('user|'/'assistant|' + normalized turn text)), so the
+    same sentences with shifted speakers share NO shingles (pinned in
+    tests). Persisted per (session, corpus): the verify join consumes
+    it on both sides and the band builder aggregates it."""
+
+    def build() -> DataFrame:
+        conv = _chat_conversations(spark, sf_dir)
         hs = F.transform(
             F.sequence(F.lit(1), F.size("turns")),
             lambda k: F.md5(
@@ -2109,4 +2124,209 @@ def dedup_chat_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", "inter", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _CHAT_T)
+    )
+
+
+@query(
+    "quality_dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_SH_SQL},
+    fp AS (
+      SELECT doc_id, n_chars,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS canon_fp
+      FROM documents
+    ),
+    exact_g AS (
+      SELECT MIN(doc_id) AS doc_id, COUNT(*) AS exact_sz
+      FROM fp GROUP BY canon_fp
+    ),
+    kdoc AS (SELECT doc_id FROM exact_g),
+    shk AS (SELECT sh.doc_id, sh.sh FROM sh JOIN kdoc USING (doc_id)),
+    keepk AS (SELECT sh FROM shk GROUP BY sh HAVING COUNT(*) <= {_DF_CAP}),
+    shck AS (SELECT shk.doc_id, shk.sh FROM shk JOIN keepk USING (sh)),
+    csz AS (SELECT doc_id, COUNT(*) AS n_sh FROM shck GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM shck a JOIN shck b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN csz sa ON cand.doc_a = sa.doc_id
+      JOIN csz sb ON cand.doc_b = sb.doc_id
+      WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6)
+            >= {_JACCARD_T}
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT k.doc_id,
+             LEAST(k.doc_id, COALESCE(MIN(r.b), k.doc_id)) AS component
+      FROM kdoc k LEFT JOIN reach r ON r.a = k.doc_id
+      GROUP BY k.doc_id
+    ),
+    -- full duplicate-cluster size = raw docs in the cluster: sum of
+    -- each member keeper's exact-group size
+    clus AS (
+      SELECT c.component, CAST(SUM(g.exact_sz) AS BIGINT) AS sz
+      FROM comp c JOIN exact_g g USING (doc_id)
+      GROUP BY c.component
+    ),
+    tot AS (SELECT SUM(sz) AS n_docs, MAX(sz) AS max_sz FROM clus)
+    SELECT CAST(FLOOR(LOG2(sz)) AS INT) AS log2_bucket,
+           CAST(POWER(2, FLOOR(LOG2(sz))) AS BIGINT) AS bucket_min_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           ROUND(SUM(sz) * 1.0 / tot.n_docs, 6) AS doc_share,
+           ROUND(tot.max_sz * 1.0 / tot.n_docs, 6) AS max_cluster_share
+    FROM clus, tot
+    GROUP BY 1, 2, tot.n_docs, tot.max_sz
+    """,
+)
+def quality_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the power-law audit run
+    beside the effect report: real web corpora have cluster sizes
+    following a heavy tail, and a single giant component is the
+    classic sign of a broken similarity threshold (boilerplate
+    chaining unrelated docs). Clusters are the FULL pipeline clusters
+    (exact-fingerprint groups folded into their near-dup component),
+    bucketed by floor(log2 size); each row carries the cluster count,
+    total raw docs, doc share, and the corpus-wide max-cluster share
+    (the alarm metric). Reuses the session-cached `pipeline_pairs`
+    relation and the same components operator — the only additions
+    are two aggregate-sized passes."""
+    from free_etl_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    fp = docs.select("doc_id", F.md5(canon.cast("binary")).alias("canon_fp"))
+    exact_g = fp.groupBy("canon_fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("exact_sz"),
+    )
+    keepers = exact_g.select("doc_id")
+
+    def build_pairs() -> DataFrame:
+        sh = _shingles(spark, sf_dir).join(keepers, "doc_id")
+        return _jaccard_pairs(sh).filter(
+            F.col("jaccard") >= _JACCARD_T
+        ).select("doc_a", "doc_b")
+
+    pairs = _cached_relation(spark, sf_dir, "pipeline_pairs", build_pairs)
+    comp = connected_components(
+        keepers, pairs, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    clus = (
+        comp.join(exact_g.select("doc_id", "exact_sz"), "doc_id")
+        .groupBy("component")
+        .agg(F.sum("exact_sz").cast("long").alias("sz"))
+    )
+    tot = clus.agg(
+        F.sum("sz").alias("t_docs"), F.max("sz").alias("t_max")
+    )
+    bucket = F.floor(F.log2("sz")).cast("int")
+    return (
+        clus.join(F.broadcast(tot))
+        .groupBy(
+            bucket.alias("log2_bucket"),
+            F.pow(F.lit(2.0), F.floor(F.log2("sz")))
+            .cast("long")
+            .alias("bucket_min_size"),
+            F.col("t_docs"),
+            F.col("t_max"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+        )
+        .select(
+            "log2_bucket",
+            "bucket_min_size",
+            "n_clusters",
+            "n_docs",
+            F.round(F.col("n_docs") * 1.0 / F.col("t_docs"), 6).alias(
+                "doc_share"
+            ),
+            F.round(F.col("t_max") * 1.0 / F.col("t_docs"), 6).alias(
+                "max_cluster_share"
+            ),
+        )
+    )
+
+
+@query(
+    "text_chat_turn_stats",
+    oracle=f"""
+    WITH {_CHAT_TURNS_SQL},
+    per AS (
+      SELECT c.doc_id,
+             CAST(len(c.turns) AS BIGINT) AS n_turns,
+             list_sum(list_transform(generate_series(1, len(c.turns)),
+               k -> CASE WHEN k % 2 = 1
+                    THEN len(string_split(c.turns[k], ' ')) ELSE 0 END))
+               AS u_tok,
+             list_sum(list_transform(generate_series(1, len(c.turns)),
+               k -> CASE WHEN k % 2 = 0
+                    THEN len(string_split(c.turns[k], ' ')) ELSE 0 END))
+               AS a_tok
+      FROM conv c
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_convs,
+           CAST(SUM(n_turns) AS BIGINT) AS total_turns,
+           CAST(SUM(n_turns) AS DOUBLE) / COUNT(*) AS avg_turns,
+           CAST(SUM(u_tok) AS BIGINT) AS user_tokens,
+           CAST(SUM(a_tok) AS BIGINT) AS assistant_tokens,
+           CAST(SUM(u_tok) AS DOUBLE) / SUM(a_tok) AS role_token_ratio
+    FROM per JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def text_chat_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-structure statistics per language — the profiling
+    companion to the chat family (template pack, role-aware dedup):
+    dialogue counts, turn totals/averages, and the user-vs-assistant
+    token split (role balance — a skewed ratio is the standard signal
+    of truncated or role-collapsed SFT data). Runs on the shared
+    _chat_conversations relation (one build serves dedup_chat_turns
+    too); per-turn token counts fold INSIDE the turns array per row,
+    so nothing per-turn ever materializes as rows. Integer sums +
+    single IEEE divisions of exact integers — engine-deterministic
+    without rounding."""
+    conv = _chat_conversations(spark, sf_dir)
+    lang = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def role_tok(parity: int):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.size("turns")),
+            F.lit(0).cast("long"),
+            lambda a, k: a
+            + F.when(
+                k % 2 == parity,
+                F.size(F.split(F.element_at(F.col("turns"), k), " ")),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+
+    per = conv.select(
+        "doc_id",
+        F.size("turns").cast("long").alias("n_turns"),
+        role_tok(1).alias("u_tok"),
+        role_tok(0).alias("a_tok"),
+    )
+    return per.join(lang, "doc_id").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.sum("n_turns").cast("long").alias("total_turns"),
+        (F.sum("n_turns").cast("double") / F.count(F.lit(1))).alias(
+            "avg_turns"
+        ),
+        F.sum("u_tok").cast("long").alias("user_tokens"),
+        F.sum("a_tok").cast("long").alias("assistant_tokens"),
+        (F.sum("u_tok").cast("double") / F.sum("a_tok")).alias(
+            "role_token_ratio"
+        ),
     )

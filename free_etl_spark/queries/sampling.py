@@ -1284,3 +1284,141 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         selected, "rank int, vec_id long, label int, maximin_d2 double"
     )
+
+
+from free_etl_spark.queries.dedup import _DF_CAP as _DF_CAP_S  # noqa: E402
+from free_etl_spark.queries.dedup import _JACCARD_T as _JACCARD_T_S  # noqa: E402
+from free_etl_spark.queries.dedup import _SH_SQL as _SH_SQL_S  # noqa: E402
+
+
+@query(
+    "sample_dedup_aware_weights",
+    oracle=f"""
+    WITH RECURSIVE {_SH_SQL_S},
+    fp AS (
+      SELECT doc_id, lang,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS canon_fp
+      FROM documents
+    ),
+    exact_g AS (
+      SELECT canon_fp, MIN(doc_id) AS keeper, COUNT(*) AS exact_sz
+      FROM fp GROUP BY canon_fp
+    ),
+    kdoc AS (SELECT keeper AS doc_id FROM exact_g),
+    shk AS (SELECT sh.doc_id, sh.sh FROM sh JOIN kdoc USING (doc_id)),
+    keepk AS (SELECT sh FROM shk GROUP BY sh HAVING COUNT(*) <= {_DF_CAP_S}),
+    shck AS (SELECT shk.doc_id, shk.sh FROM shk JOIN keepk USING (sh)),
+    csz AS (SELECT doc_id, COUNT(*) AS n_sh FROM shck GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM shck a JOIN shck b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN csz sa ON cand.doc_a = sa.doc_id
+      JOIN csz sb ON cand.doc_b = sb.doc_id
+      WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6)
+            >= {_JACCARD_T_S}
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT k.doc_id,
+             LEAST(k.doc_id, COALESCE(MIN(r.b), k.doc_id)) AS component
+      FROM kdoc k LEFT JOIN reach r ON r.a = k.doc_id
+      GROUP BY k.doc_id
+    ),
+    clus AS (
+      SELECT c.component, CAST(SUM(g.exact_sz) AS BIGINT) AS sz
+      FROM comp c JOIN exact_g g ON g.keeper = c.doc_id
+      GROUP BY c.component
+    ),
+    wdoc AS (
+      SELECT f.lang, ROUND(1.0 / cl.sz, 6) AS w
+      FROM fp f
+      JOIN exact_g g USING (canon_fp)
+      JOIN comp c ON c.doc_id = g.keeper
+      JOIN clus cl USING (component)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(w), 4) AS effective_docs,
+           ROUND(COUNT(*) / SUM(w), 4) AS duplication_factor
+    FROM wdoc GROUP BY lang
+    """,
+)
+def sample_dedup_aware_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware sampling weights — keep EVERY copy but weight each
+    document by 1/cluster-size so a duplicate cluster contributes
+    exactly one effective document (the soft alternative to hard
+    removal some pipelines prefer: preserves within-cluster variation
+    while neutralizing over-representation). Clusters are the full
+    pipeline clusters (exact groups folded into near-dup components,
+    the same machinery as quality_dedup_cluster_sizes, sharing the
+    session-cached `pipeline_pairs` relation). Per language: raw
+    docs, effective docs (Σ 1/sz, each weight 6-dp-rounded before the
+    sum so the cross-engine sum-order error stays far from the 4-dp
+    output grid), and the duplication factor raw/effective — the
+    number a mixture designer divides by before setting per-source
+    rates.
+
+    Shape at 100 TB: the weight attachment is three key equi-joins
+    down the (doc -> exact group -> component -> cluster size) chain,
+    each keyed on ids, no new pairwise work — the pair generation and
+    clustering are the already-audited shared relations."""
+    from free_etl_spark.operators.components import connected_components
+    from free_etl_spark.queries.dedup import (
+        _cached_relation,
+        _jaccard_pairs,
+        _shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    fp = docs.select(
+        "doc_id", "lang", F.md5(canon.cast("binary")).alias("canon_fp")
+    )
+    exact_g = fp.groupBy("canon_fp").agg(
+        F.min("doc_id").alias("keeper"),
+        F.count(F.lit(1)).alias("exact_sz"),
+    )
+    keepers = exact_g.select(F.col("keeper").alias("doc_id"))
+
+    def build_pairs() -> DataFrame:
+        sh = _shingles(spark, sf_dir).join(keepers, "doc_id")
+        return _jaccard_pairs(sh).filter(
+            F.col("jaccard") >= _JACCARD_T_S
+        ).select("doc_a", "doc_b")
+
+    pairs = _cached_relation(spark, sf_dir, "pipeline_pairs", build_pairs)
+    comp = connected_components(
+        keepers, pairs, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    clus = (
+        comp.join(
+            exact_g.select(F.col("keeper").alias("doc_id"), "exact_sz"),
+            "doc_id",
+        )
+        .groupBy("component")
+        .agg(F.sum("exact_sz").cast("long").alias("sz"))
+    )
+    wdoc = (
+        fp.join(exact_g, "canon_fp")
+        .join(
+            comp.select(F.col("doc_id").alias("keeper"), "component"),
+            "keeper",
+        )
+        .join(clus, "component")
+        .select("lang", F.round(F.lit(1.0) / F.col("sz"), 6).alias("w"))
+    )
+    return wdoc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.sum("w"), 4).alias("effective_docs"),
+        F.round(F.count(F.lit(1)) / F.sum("w"), 4).alias("duplication_factor"),
+    )

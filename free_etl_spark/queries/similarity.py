@@ -2585,3 +2585,175 @@ def sim_ivf_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((imb_ratio > 1.5) | (d2_ratio > 1.2)).alias("recluster_due"),
         )
     )
+
+
+@query(
+    "sim_ivf_recluster_gain",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    base AS (SELECT * FROM v WHERE vec_id % 10 <> 0),
+    ko AS (SELECT GREATEST(16, CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))
+                                    AS BIGINT)) AS k FROM base),
+    kn AS (SELECT GREATEST(16, CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))
+                                    AS BIGINT)) AS k FROM v),
+    cold AS (
+      SELECT vec_id AS cent_id, emb AS cemb FROM base
+      QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM ko)
+    ),
+    cinit AS (SELECT vec_id AS cent_id, emb AS cemb FROM v
+              WHERE vec_id < (SELECT k FROM kn)),
+    a_old AS (
+      SELECT cent_id, d2 FROM (
+        SELECT c.cent_id,
+               ROUND(list_sum(list_transform(list_zip(b.emb, c.cemb),
+                     z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(b.emb, c.cemb),
+                          z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cent_id) AS rn
+        FROM v b CROSS JOIN cold c)
+      WHERE rn = 1
+    ),
+    a1 AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT b.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(b.emb, c.cemb),
+                          z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cent_id) AS rn
+        FROM v b CROSS JOIN cinit c)
+      WHERE rn = 1
+    ),
+    upd AS (
+      SELECT a1.cent_id, g.i AS dim, ROUND(AVG(v.emb[g.i]), 6) AS m
+      FROM a1 JOIN v USING (vec_id) CROSS JOIN generate_series(1, 64) AS g(i)
+      GROUP BY a1.cent_id, g.i
+    ),
+    cnew AS (SELECT cent_id, list(m ORDER BY dim) AS cemb FROM upd
+             GROUP BY cent_id),
+    a_new AS (
+      SELECT cent_id, d2 FROM (
+        SELECT c.cent_id,
+               ROUND(list_sum(list_transform(list_zip(b.emb, c.cemb),
+                     z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(b.emb, c.cemb),
+                          z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cent_id) AS rn
+        FROM v b CROSS JOIN cnew c)
+      WHERE rn = 1
+    ),
+    so AS (
+      SELECT MAX(cn) * COUNT(*) * 1.0 / SUM(cn) AS imb,
+             SUM(sd) / SUM(cn) AS md2
+      FROM (SELECT cent_id, COUNT(*) AS cn, SUM(d2) AS sd
+            FROM a_old GROUP BY cent_id)
+    ),
+    sn AS (
+      SELECT MAX(cn) * COUNT(*) * 1.0 / SUM(cn) AS imb,
+             SUM(sd) / SUM(cn) AS md2
+      FROM (SELECT cent_id, COUNT(*) AS cn, SUM(d2) AS sd
+            FROM a_new GROUP BY cent_id)
+    )
+    SELECT CAST((SELECT k FROM ko) AS BIGINT) AS k_old,
+           CAST((SELECT k FROM kn) AS BIGINT) AS k_new,
+           ROUND(so.md2, 4) AS old_mean_d2,
+           ROUND(sn.md2, 4) AS new_mean_d2,
+           ROUND(so.imb, 4) AS old_imbalance,
+           ROUND(sn.imb, 4) AS new_imbalance,
+           ROUND(so.md2 / sn.md2, 4) AS d2_gain,
+           (ROUND(so.md2 / sn.md2, 4) >= 1.0) AS improved
+    FROM so, sn
+    """,
+)
+def sim_ivf_recluster_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION sim_ivf_drift_check triggers, with its measured
+    payoff — completing the IVF lifecycle loop (build -> append ->
+    drift audit -> RECLUSTER): rebuild the coarse codebook on the
+    CURRENT corpus (K regrown to ceil(sqrt N), deterministic first-K
+    init + one Lloyd refinement — the emb_kmeans_2iter update shape,
+    6-dp-rounded means so DuckDB replays the refinement FP-stably)
+    and report quantization error + occupancy imbalance under the
+    frozen build-time codebook vs the fresh one. ``d2_gain`` > 1 is
+    the recluster's measured benefit; ``improved`` pins that the
+    refreshed codebook never LOSES to the stale one on its own
+    corpus.
+
+    Shape at 100 TB: three broadcast-codebook argmin passes (old
+    assign, init assign, refined assign) + one k x dims mean-update
+    shuffle — all map-side heavy, nothing pairwise; in production the
+    old-codebook half is the stored drift audit, so the marginal cost
+    of a recluster decision is exactly one kmeans refinement."""
+    from free_etl_spark.operators.vectors import (
+        centroid_rank,
+        probe_dim,
+        scaled_centroid_k,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    k_old = scaled_centroid_k(base.count())
+    k_new = scaled_centroid_k(emb.count())
+    cold = (
+        base.orderBy("vec_id")
+        .limit(k_old)
+        .select(F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb"))
+    )
+    dim = probe_dim(emb)
+    # one Lloyd refinement, OCCUPIED cells only — inline (not
+    # kmeans_centroids, whose empty-cluster coalesce would keep
+    # centroids the oracle's mean-update CTE drops)
+    cinit = emb.filter(F.col("vec_id") < k_new).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    )
+    a1 = (
+        centroid_rank(emb, cinit, dim)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    cnew = (
+        a1.join(emb, "vec_id")
+        .select("cent_id", F.posexplode("emb").alias("pos", "x"))
+        .groupBy("cent_id", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("cent_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cemb")
+        )
+    )
+
+    def side_stats(cents: DataFrame, imb: str, md2: str) -> DataFrame:
+        asn = (
+            centroid_rank(emb, cents, dim)
+            .filter(F.col("rn") == 1)
+            .select("cent_id", F.round("d2", 6).alias("d2"))
+        )
+        cells = asn.groupBy("cent_id").agg(
+            F.count(F.lit(1)).alias("cn"), F.sum("d2").alias("sd")
+        )
+        return cells.agg(
+            (F.max("cn") * F.count(F.lit(1)) * 1.0 / F.sum("cn")).alias(imb),
+            (F.sum("sd") / F.sum("cn")).alias(md2),
+        )
+
+    so = side_stats(cold, "o_imb", "o_md2")
+    sn = side_stats(cnew, "n_imb", "n_md2")
+    gain = F.round(F.col("o_md2") / F.col("n_md2"), 4)
+    return (
+        so.join(F.broadcast(sn))
+        .select(
+            F.lit(k_old).cast("long").alias("k_old"),
+            F.lit(k_new).cast("long").alias("k_new"),
+            F.round("o_md2", 4).alias("old_mean_d2"),
+            F.round("n_md2", 4).alias("new_mean_d2"),
+            F.round("o_imb", 4).alias("old_imbalance"),
+            F.round("n_imb", 4).alias("new_imbalance"),
+            gain.alias("d2_gain"),
+            (gain >= 1.0).alias("improved"),
+        )
+    )
