@@ -1291,3 +1291,192 @@ def multimodal_audio_fingerprint_dedup(
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "multimodal_audio_silence_trim",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, CAST(FLOOR(length(hx) / 4) AS INT)),
+               i -> CAST(('0x' || substr(hx, 4*i - 3, 2))::INT
+                  + 256 * ('0x' || substr(hx, 4*i - 1, 2))::INT
+                  - CASE WHEN ('0x' || substr(hx, 4*i - 1, 2))::INT >= 128
+                         THEN 65536 ELSE 0 END AS INT)
+             ) AS samples
+      FROM a
+    ),
+    f AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, CAST(CEIL(len(samples) / {_PCM_FRAME}.0) AS INT)),
+               j -> list_max(list_transform(
+                      samples[(j-1)*{_PCM_FRAME}+1 : (j-1)*{_PCM_FRAME}+{_PCM_FRAME}],
+                      x -> abs(x))) >= {_PCM_QUIET}
+             ) AS fl
+      FROM s WHERE len(samples) > 0
+    ),
+    g AS (
+      SELECT doc_id, CAST(len(fl) AS BIGINT) AS n_frames,
+             COALESCE(list_position(fl, true), 0) AS first_on,
+             CASE WHEN list_position(fl, true) IS NULL THEN 0
+                  ELSE len(fl) - list_position(list_reverse(fl), true) + 1
+             END AS last_on
+      FROM f
+    )
+    SELECT doc_id, n_frames,
+           CAST(CASE WHEN first_on = 0 THEN n_frames
+                     ELSE first_on - 1 END AS BIGINT) AS lead_trim,
+           CAST(CASE WHEN first_on = 0 THEN 0
+                     ELSE n_frames - last_on END AS BIGINT) AS tail_trim,
+           CAST(CASE WHEN first_on = 0 THEN 0
+                     ELSE last_on - first_on + 1 END AS BIGINT) AS kept_frames,
+           ROUND(CAST(CASE WHEN first_on = 0 THEN 0
+                           ELSE last_on - first_on + 1 END AS DOUBLE)
+                 / n_frames, 6) AS kept_ratio
+    FROM g
+    """,
+)
+def multimodal_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading/trailing silence trim boundaries per audio blob — the
+    preprocessing transform between VAD and feature extraction (ASR
+    pipelines trim before windowing so padding doesn't dominate short
+    utterances). Per blob: frames to drop at each end (peak below the
+    {_PCM_QUIET} threshold), frames kept, and the kept ratio; a blob
+    with no speech frame trims to zero. Runs on the shared
+    _pcm_frames decode plane (zero additional decode cost when the
+    energy/VAD queries ran); first/last speech positions come from
+    array_position over the per-row flag array — map-only, no
+    shuffles, no per-frame rows."""
+    frames = _pcm_frames(spark, sf_dir)
+    fl = F.transform("frame_peaks", lambda p: p >= F.lit(_PCM_QUIET))
+    g = frames.select(
+        "doc_id",
+        F.size("frame_peaks").cast("long").alias("n_frames"),
+        F.array_position(fl, F.lit(True)).cast("long").alias("first_on"),
+        F.when(
+            F.array_position(fl, F.lit(True)) == 0, F.lit(0).cast("long")
+        )
+        .otherwise(
+            F.size("frame_peaks")
+            - F.array_position(F.reverse(fl), F.lit(True))
+            + 1
+        )
+        .cast("long")
+        .alias("last_on"),
+    )
+    kept = F.when(F.col("first_on") == 0, F.lit(0).cast("long")).otherwise(
+        F.col("last_on") - F.col("first_on") + 1
+    )
+    return g.select(
+        "doc_id",
+        "n_frames",
+        F.when(F.col("first_on") == 0, F.col("n_frames"))
+        .otherwise(F.col("first_on") - 1)
+        .cast("long")
+        .alias("lead_trim"),
+        F.when(F.col("first_on") == 0, F.lit(0))
+        .otherwise(F.col("n_frames") - F.col("last_on"))
+        .cast("long")
+        .alias("tail_trim"),
+        kept.cast("long").alias("kept_frames"),
+        F.round(kept.cast("double") / F.col("n_frames"), 6).alias(
+            "kept_ratio"
+        ),
+    )
+
+
+@query(
+    "multimodal_audio_downsample_2x",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, CAST(FLOOR(length(hx) / 4) AS INT)),
+               i -> CAST(('0x' || substr(hx, 4*i - 3, 2))::INT
+                  + 256 * ('0x' || substr(hx, 4*i - 1, 2))::INT
+                  - CASE WHEN ('0x' || substr(hx, 4*i - 1, 2))::INT >= 128
+                         THEN 65536 ELSE 0 END AS INT)
+             ) AS samples
+      FROM a
+    ),
+    d AS (
+      SELECT doc_id,
+             CAST(len(samples) AS BIGINT) AS n_in,
+             list_transform(generate_series(1, len(samples), 2),
+                            i -> samples[i]) AS ds,
+             CAST(list_sum(list_transform(samples, x -> abs(x))) AS BIGINT)
+               AS sum_in
+      FROM s WHERE len(samples) > 0
+    )
+    SELECT doc_id, n_in,
+           CAST(len(ds) AS BIGINT) AS n_out,
+           CAST(list_sum(list_transform(ds, x -> abs(x))) AS BIGINT)
+             AS sum_abs_out,
+           CAST(list_sum(list_transform(ds, x -> abs(x))) AS DOUBLE)
+             * 2 / NULLIF(CAST(sum_in AS DOUBLE), 0) AS energy_ratio
+    FROM d
+    """,
+)
+def multimodal_audio_downsample_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x decimation over the PCM16 sample plane — the sample-rate
+    conversion stub of the audio family (the analogue of
+    multimodal_resize_32 for images): keep every second sample,
+    report in/out sample counts, the decimated |amplitude| checksum
+    (exact integer — pins the kept-sample SELECTION, not just the
+    count), and the energy-preservation ratio (2x the decimated
+    energy over the original — near 1 for stationary signals, the
+    anti-aliasing QA number). Map-only fold per blob; a production
+    decoder swaps the hex plane for numpy polyphase resampling under
+    the same schema."""
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.lower(F.hex(F.encode("text", "UTF-8")))
+    base = docs.select("doc_id", hx.alias("hx")).withColumn(
+        "n_samples", (F.length("hx") / 4).cast("int")
+    )
+
+    def _sample_u(i):
+        lo = F.conv(F.col("hx").substr(4 * i - 3, F.lit(2)), 16, 10).cast("int")
+        hi = F.conv(F.col("hx").substr(4 * i - 1, F.lit(2)), 16, 10).cast("int")
+        return (lo + 256 * hi).cast("int")
+
+    samples = F.transform(
+        F.transform(F.sequence(F.lit(1), F.col("n_samples")), _sample_u),
+        lambda x: (
+            x - F.when(x >= 32768, F.lit(65536)).otherwise(F.lit(0))
+        ).cast("int"),
+    )
+    withs = base.filter(F.col("n_samples") > 0).select(
+        "doc_id", samples.alias("samples")
+    )
+    ds = F.transform(
+        F.sequence(F.lit(1), F.size("samples"), F.lit(2)),
+        lambda i: F.element_at(F.col("samples"), i),
+    )
+    absum = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+    )
+    d = withs.select(
+        "doc_id",
+        F.size("samples").cast("long").alias("n_in"),
+        ds.alias("ds"),
+        absum(F.col("samples")).alias("sum_in"),
+    )
+    return d.select(
+        "doc_id",
+        "n_in",
+        F.size("ds").cast("long").alias("n_out"),
+        absum(F.col("ds")).alias("sum_abs_out"),
+        (
+            absum(F.col("ds")).cast("double")
+            * 2
+            / F.nullif(F.col("sum_in").cast("double"), F.lit(0.0))
+        ).alias("energy_ratio"),
+    )
