@@ -1044,12 +1044,19 @@ def _afp_sig_sql(cur: str, prev: str) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
-def _afp_sig_col(cur: str, prev: str):
+def _afp_sig_col(cur, prev):
     """Spark mirror of _afp_sig_sql: same bit layout, same strict->0
-    tie rule, element_at lookups on MATERIALIZED array columns (cheap
-    per-reference; never re-derives the energies)."""
-    def el(arr: str, i: int):
-        return F.element_at(F.col(arr), i)
+    tie rule, element_at lookups on MATERIALIZED array values (cheap
+    per-reference; never re-derives the energies). ``cur``/``prev``
+    are column names or Column expressions (the streaming probe passes
+    element_at lookups into a nested window array)."""
+    if isinstance(cur, str):
+        cur = F.col(cur)
+    if isinstance(prev, str):
+        prev = F.col(prev)
+
+    def el(arr, i: int):
+        return F.element_at(arr, i)
 
     expr = F.lit(0).cast("long")
     for j in range(62):
@@ -1073,92 +1080,113 @@ def _afp_sig_col(cur: str, prev: str):
     return expr
 
 
+def _afp_payload(docs: DataFrame) -> DataFrame:
+    """Planted audio payload (doc_id, text) — Spark mirror of
+    _AFP_PAY_SQL; shared by the batch relation and the stream probe."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.substring(
+                F.repeat(
+                    F.concat(
+                        F.lit("aud"),
+                        (F.col("doc_id") % 50).cast("string"),
+                        F.lit("."),
+                    ),
+                    96,
+                ),
+                1,
+                384,
+            ),
+            F.col("text"),
+        ).alias("text"),
+    )
+
+
+def _afp_sig_rows(spark: SparkSession, pay: DataFrame) -> DataFrame:
+    """(doc_id, sig) — per-document DISTINCT 62-bit frame fingerprints,
+    derived MAP-SIDE from a (doc_id, text) payload frame. Works on
+    batch AND streaming inputs (no window functions, no per-doc
+    aggregation): the adjacent-window pairing is arrays_zip of two
+    slices of the per-row window-energy array.
+
+    Three hard-won shape rules are load-bearing here (each measured):
+    (1) repartition the RAW rows first — the 1-file documents scan is
+    a single partition and the decode dominates; (2) a second exchange
+    after the decode projection pins the sample array materialized —
+    without a boundary the int16 decode inlines into the per-window
+    lambdas and re-runs per window (69 s -> 14 s at sf0.1); (3) the
+    window-energy array is built ONCE per row and referenced
+    THREE times (size + two slices) in the pairing projection, so
+    CollapseProject cannot inline it, and the fingerprint reads its
+    energies through the zip-struct LAMBDA VARIABLE — the
+    element_at-on-a-column formulation re-derived the whole energy
+    array per reference (~190x per fingerprint, 0.22 s/fingerprint:
+    428 s at sf0.01 for what now takes ~2 s)."""
+    cpus = spark.sparkContext.defaultParallelism
+    pay = pay.filter(
+        F.octet_length(F.encode("text", "UTF-8")) >= 4 * _PCM_FRAME
+    ).repartition(cpus, "doc_id")
+    base = (
+        _pcm_frames_build(pay)
+        .select("doc_id", "samples")
+        .repartition(cpus, "doc_id")
+    )
+
+    # band energies as UNROLLED element_at sums (the probe_dim rule:
+    # unrolled expression trees beat interpreted slice+fold in
+    # map-side stages — measured 9.8 -> 8.0 s at sf0.1 here); the
+    # window total is the sum of the 16 band sums, a pure integer
+    # reassociation of the oracle's 64-term list_sum, so the values
+    # are identical in both engines.
+    def band_e_unrolled(f, b):
+        base_i = (f - 1) * _PCM_FRAME + (b - 1) * _AFP_BAND_W
+        expr = F.lit(0).cast("long")
+        for o in range(1, _AFP_BAND_W + 1):
+            expr = expr + F.abs(
+                F.element_at(F.col("samples"), base_i + F.lit(o))
+            )
+        return expr
+
+    def eb_unrolled(f):
+        es = [band_e_unrolled(f, b) for b in range(1, _AFP_BANDS + 1)]
+        total = es[0]
+        for e in es[1:]:
+            total = total + e
+        return F.array(*es, total)
+
+    nf = F.least(
+        F.floor(F.size("samples") / _PCM_FRAME).cast("int"),
+        F.lit(_AFP_MAX_SIGS + 1),
+    )
+    # the byte filter above guarantees nf >= 2
+    ebs = F.transform(F.sequence(F.lit(1), nf), eb_unrolled)
+    staged = base.select("doc_id", ebs.alias("ebs"))
+    pairs = F.arrays_zip(
+        F.slice("ebs", 2, F.size("ebs") - 1),
+        F.slice("ebs", 1, F.size("ebs") - 1),
+    )
+    paired = staged.select("doc_id", pairs.alias("pairs"))
+    sigs = F.array_distinct(
+        F.transform(F.col("pairs"), lambda p: _afp_sig_col(p["0"], p["1"]))
+    )
+    return paired.select("doc_id", F.explode(sigs).alias("sig"))
+
+
 def _audio_fp_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document DISTINCT audio frame fingerprints (doc_id, sig) —
-    the relation the near-dup join consumes, persisted per (session,
-    corpus) because the PCM decode + band folds dominate the cost.
-
-    Pipeline (map-only until the lag window): planted payload ->
-    int16-LE samples (_pcm_frames_build's decode plane) -> explode the
-    first <= {_AFP_MAX_SIGS}+1 full windows, each carrying its 17
-    band energies (computed INSIDE the explode so the sample array is
-    never duplicated per window row) -> lag(1) over (doc, window) for
-    the previous window's energies -> 62-bit fingerprint. The
-    per-doc window cap bounds work per row at any corpus scale (the
-    'intro fingerprint' every audio matcher uses)."""
+    the relation the near-dup join and the streaming probe's static
+    index consume, persisted per (session, corpus) because the PCM
+    decode + band folds dominate the cost. See _afp_sig_rows for the
+    pipeline and its measured shape rules; the per-doc window cap
+    bounds work per row at any corpus scale (the 'intro fingerprint'
+    every audio matcher uses)."""
     from free_etl_spark.queries.dedup import _cached_relation
 
     def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
-        pay = docs.select(
-            "doc_id",
-            F.concat(
-                F.substring(
-                    F.repeat(
-                        F.concat(
-                            F.lit("aud"),
-                            (F.col("doc_id") % 50).cast("string"),
-                            F.lit("."),
-                        ),
-                        96,
-                    ),
-                    1,
-                    384,
-                ),
-                F.col("text"),
-            ).alias("text"),
+        return _afp_sig_rows(
+            spark, _afp_payload(load_table(spark, sf_dir, "documents"))
         )
-        base = (
-            _pcm_frames_build(pay)
-            .select("doc_id", "samples")
-            .filter(F.size("samples") >= 2 * _PCM_FRAME)
-        )
-
-        def band_e(f, b):
-            start = (f - 1) * _PCM_FRAME + (b - 1) * _AFP_BAND_W + 1
-            return F.aggregate(
-                F.slice("samples", start, _AFP_BAND_W),
-                F.lit(0).cast("long"),
-                lambda a, x: a + F.abs(x),
-            )
-
-        def win_total(f):
-            return F.aggregate(
-                F.slice("samples", (f - 1) * _PCM_FRAME + 1, _PCM_FRAME),
-                F.lit(0).cast("long"),
-                lambda a, x: a + F.abs(x),
-            )
-
-        # size(samples) is referenced OUTSIDE the lambda too, keeping
-        # the decoded array materialized (the VAD CollapseProject
-        # lesson: a single in-lambda reference gets inlined and
-        # re-decoded per element)
-        nf = F.least(
-            F.floor(F.size("samples") / _PCM_FRAME).cast("int"),
-            F.lit(_AFP_MAX_SIGS + 1),
-        )
-        eb = lambda f: F.transform(  # noqa: E731
-            F.sequence(F.lit(1), F.lit(_AFP_BANDS + 1)),
-            lambda b: F.when(b <= _AFP_BANDS, band_e(f, b)).otherwise(
-                win_total(f)
-            ),
-        )
-        wrows = base.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), nf),
-                    lambda f: F.struct(f.alias("f"), eb(f).alias("eb")),
-                )
-            ).alias("w"),
-        ).select("doc_id", F.col("w.f").alias("f"), F.col("w.eb").alias("eb"))
-        lagw = Window.partitionBy("doc_id").orderBy("f")
-        sigrows = wrows.select(
-            "doc_id", "eb", F.lag("eb").over(lagw).alias("ebp")
-        ).filter(F.col("ebp").isNotNull())
-        return sigrows.select(
-            "doc_id", _afp_sig_col("eb", "ebp").alias("sig")
-        ).distinct()
 
     return _cached_relation(spark, sf_dir, "audio_fp_sig", build)
 

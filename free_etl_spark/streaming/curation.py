@@ -209,3 +209,190 @@ def streaming_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_cand_hits") > 0).alias("is_neardup"),
     )
     return run_to_completion(out, "complete")
+
+
+def _afp_probe_oracle() -> str:
+    from free_etl_spark.queries.multimodal_q import (
+        _AFP_BAND_W,
+        _AFP_BANDS,
+        _AFP_DF_CAP,
+        _AFP_HAMMING_T,
+        _AFP_MAX_SIGS,
+        _AFP_MIN_SHARED,
+        _AFP_PAY_SQL,
+        _afp_sig_sql,
+        _PCM_FRAME,
+    )
+
+    return f"""
+    WITH a AS (
+      SELECT doc_id, lower(hex(encode({_AFP_PAY_SQL}))) AS hx FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, CAST(FLOOR(length(hx) / 4) AS INT)),
+               i -> CAST(('0x' || substr(hx, 4*i - 3, 2))::INT
+                  + 256 * ('0x' || substr(hx, 4*i - 1, 2))::INT
+                  - CASE WHEN ('0x' || substr(hx, 4*i - 1, 2))::INT >= 128
+                         THEN 65536 ELSE 0 END AS INT)
+             ) AS samples
+      FROM a
+    ),
+    w AS (
+      SELECT doc_id, samples,
+             unnest(generate_series(1,
+               LEAST(CAST(FLOOR(len(samples) / {_PCM_FRAME}.0) AS INT),
+                     {_AFP_MAX_SIGS + 1}))) AS f
+      FROM s WHERE len(samples) >= {2 * _PCM_FRAME}
+    ),
+    e AS (
+      SELECT doc_id, f,
+             list_transform(generate_series(1, {_AFP_BANDS + 1}),
+               b -> CASE WHEN b <= {_AFP_BANDS} THEN
+                 list_sum(list_transform(
+                   samples[(f-1)*{_PCM_FRAME} + (b-1)*{_AFP_BAND_W} + 1
+                         : (f-1)*{_PCM_FRAME} + (b-1)*{_AFP_BAND_W}
+                           + {_AFP_BAND_W}],
+                   x -> abs(x)))
+               ELSE
+                 list_sum(list_transform(
+                   samples[(f-1)*{_PCM_FRAME} + 1
+                         : (f-1)*{_PCM_FRAME} + {_PCM_FRAME}],
+                   x -> abs(x)))
+               END) AS eb
+      FROM w
+    ),
+    fp AS (
+      SELECT c.doc_id, {_afp_sig_sql('c.eb', 'p.eb')} AS sig
+      FROM e c JOIN e p ON p.doc_id = c.doc_id AND p.f = c.f - 1
+    ),
+    sd AS (SELECT DISTINCT doc_id, sig FROM fp),
+    keep AS (SELECT sig FROM sd GROUP BY sig
+             HAVING COUNT(*) <= {_AFP_DF_CAP}),
+    s2 AS (SELECT sd.doc_id, sd.sig FROM sd JOIN keep USING (sig)),
+    ab AS (SELECT doc_id, sig, g.b AS band_id,
+                  (sig >> (16 * g.b)) & 65535 AS band_val
+           FROM sd CROSS JOIN generate_series(0, 3) AS g(b)),
+    ib AS (SELECT doc_id, sig, g.b AS band_id,
+                  (sig >> (16 * g.b)) & 65535 AS band_val
+           FROM s2 CROSS JOIN generate_series(0, 3) AS g(b)),
+    hits AS (
+      SELECT a.doc_id,
+             COUNT(b.doc_id) AS n_band_hits
+      FROM ab a LEFT JOIN ib b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.doc_id <> b.doc_id
+       AND bit_count(xor(a.sig, b.sig)) <= {_AFP_HAMMING_T}
+      GROUP BY a.doc_id
+    )
+    SELECT doc_id, CAST(n_band_hits AS BIGINT) AS n_band_hits,
+           n_band_hits >= {4 * _AFP_MIN_SHARED} AS flag_neardup
+    FROM hits
+    """
+
+
+@query("streaming_audio_fingerprint_probe", oracle=_afp_probe_oracle())
+def streaming_audio_fingerprint_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ingest-time audio near-dup flagging — the streaming twin of
+    multimodal_audio_fingerprint_dedup, completing the flag-on-stream
+    / confirm-in-batch split every production dedup runs: each
+    incoming audio blob's chromaprint-style frame fingerprints are
+    computed ENTIRELY MAP-SIDE within its own row (_afp_sig_rows — the
+    SAME derivation the batch relation uses; zero streaming state for
+    the signature), exploded into 4x16-bit
+    pigeonhole bands, and probed against the STATIC DF-capped
+    fingerprint index (the session-cached _audio_fp_sigs relation the
+    batch dedup maintains). A band hit is verified with the exact
+    bit_count(xor) <= threshold test inside the join condition.
+
+    The per-doc collision counter is the only streaming state (the
+    streaming_neardup_filter complete-mode shape); `flag_neardup`
+    fires at >= 4 x {{min_shared}} raw band hits — an exact-duplicate
+    frame agrees on ALL 4 bands, so the flag means "at least
+    min-shared fully-agreeing frames (or proportionally more partial
+    ones)"; the batch pair query is the confirming authority."""
+    from free_etl_spark.queries.multimodal_q import (
+        _AFP_HAMMING_T,
+        _AFP_MIN_SHARED,
+        _afp_payload,
+        _afp_sig_rows,
+        _audio_fp_sigs,
+    )
+
+    docs = documents_stream(spark, sf_dir)
+    # identical payload + fingerprint derivation as the batch relation
+    # (_afp_sig_rows is pure DataFrame ops — no windows, no per-doc
+    # aggregation — so the same code runs on the stream; the measured
+    # shape rules live in its docstring)
+    sig_rows = _afp_sig_rows(spark, _afp_payload(docs))
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright("sig", 16 * b)
+                .bitwiseAND(65535)
+                .alias("band_val"),
+            )
+            for b in range(4)
+        ]
+    )
+    ab = sig_rows.select("doc_id", "sig", F.explode(band_arr).alias("bd")).select(
+        "doc_id",
+        "sig",
+        F.col("bd.band_id").alias("band_id"),
+        F.col("bd.band_val").alias("band_val"),
+    )
+    idx_sig = _audio_fp_sigs(spark, sf_dir)
+    keep = (
+        idx_sig.groupBy("sig")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 256)
+    )
+    s2 = idx_sig.join(F.broadcast(keep.select("sig")), "sig")
+    ib = s2.select(
+        F.col("doc_id").alias("idx_doc"), F.col("sig").alias("idx_sig")
+    ).select(
+        "idx_doc",
+        "idx_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("idx_band"),
+                        F.shiftright("idx_sig", 16 * b)
+                        .bitwiseAND(65535)
+                        .alias("idx_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bd"),
+    ).select(
+        "idx_doc",
+        "idx_sig",
+        F.col("bd.idx_band").alias("idx_band"),
+        F.col("bd.idx_val").alias("idx_val"),
+    )
+    joined = ab.join(
+        ib,
+        (F.col("band_id") == F.col("idx_band"))
+        & (F.col("band_val") == F.col("idx_val"))
+        & (F.col("doc_id") != F.col("idx_doc"))
+        & (
+            F.bit_count(F.col("sig").bitwiseXOR(F.col("idx_sig")))
+            <= _AFP_HAMMING_T
+        ),
+        "left",
+    )
+    agg = joined.groupBy("doc_id").agg(
+        F.count(F.col("idx_doc")).alias("n_band_hits")
+    )
+    out = agg.select(
+        "doc_id",
+        F.col("n_band_hits").cast("long").alias("n_band_hits"),
+        (F.col("n_band_hits") >= 4 * _AFP_MIN_SHARED).alias("flag_neardup"),
+    )
+    return run_to_completion(out, "complete")

@@ -23,8 +23,17 @@ corpus instead of a degenerate 10x-duplicated one:
   dim): within-replica dot products are bit-preserved, cross-replica
   cosines decorrelate - ANN cluster structure scales instead of
   collapsing into 10-member duplicate stacks.
-- events/orders keep their timestamps (10x traffic in the same time
-  window - the realistic shape); user/event ids shift.
+- events TIME-DILATE: replica r's timestamps shift by r * (span + 1s),
+  so the scaled corpus is "N x more history at the same instantaneous
+  traffic" - the axis a 100 TB event table actually grows along.
+  (The alternative - same window, N x density - was measured first:
+  it drives the minute-grain co-presence graph quadratic, kcore
+  decade exponent 1.71, because users-per-minute-bucket pairs grow
+  as density squared. That is a real operational regime, but its
+  fix is bucket grain / pair caps, not engine scaling - documented
+  in docs/SCALE.md; the slope table measures the history axis.)
+  orders keep their dates (order-date predicates stay selective);
+  user/event ids shift.
 
 Usage: python tools/gen_sf_scale.py [N_REPLICAS] [SRC] [DST]
 Defaults: 10 /root/testdata/sf0.1 <repo>/.scaledata/sf1
@@ -115,6 +124,16 @@ def main() -> None:
                 if field.name in SHIFT_COLS[name]:
                     off = r * unit[DOMAIN_OF[field.name]]
                     arr = pc.add(arr, pa.scalar(off, type=field.type))
+                if name == "events" and field.name == "ts" and r > 0:
+                    span_us = (
+                        pc.max(t["ts"]).cast(pa.int64()).as_py()
+                        - pc.min(t["ts"]).cast(pa.int64()).as_py()
+                        + 1_000_000
+                    )
+                    arr = pc.add(
+                        arr.combine_chunks().cast(pa.int64()),
+                        pa.scalar(r * span_us, type=pa.int64()),
+                    ).cast(field.type)
                 cols[field.name] = arr
             if name == "documents" and r > 0:
                 texts = _suffix_tokens(
