@@ -1464,26 +1464,10 @@ def multimodal_audio_downsample_2x(spark: SparkSession, sf_dir: str) -> DataFram
     anti-aliasing QA number). Map-only fold per blob; a production
     decoder swaps the hex plane for numpy polyphase resampling under
     the same schema."""
-    docs = load_table(spark, sf_dir, "documents")
-    hx = F.lower(F.hex(F.encode("text", "UTF-8")))
-    base = docs.select("doc_id", hx.alias("hx")).withColumn(
-        "n_samples", (F.length("hx") / 4).cast("int")
-    )
-
-    def _sample_u(i):
-        lo = F.conv(F.col("hx").substr(4 * i - 3, F.lit(2)), 16, 10).cast("int")
-        hi = F.conv(F.col("hx").substr(4 * i - 1, F.lit(2)), 16, 10).cast("int")
-        return (lo + 256 * hi).cast("int")
-
-    samples = F.transform(
-        F.transform(F.sequence(F.lit(1), F.col("n_samples")), _sample_u),
-        lambda x: (
-            x - F.when(x >= 32768, F.lit(65536)).otherwise(F.lit(0))
-        ).cast("int"),
-    )
-    withs = base.filter(F.col("n_samples") > 0).select(
-        "doc_id", samples.alias("samples")
-    )
+    # ride the shared PCM decode plane (energy/VAD/silence-trim share
+    # it): the decode is the dominant cost and the persisted relation
+    # already carries the full sample array
+    withs = _pcm_frames(spark, sf_dir).select("doc_id", "samples")
     ds = F.transform(
         F.sequence(F.lit(1), F.size("samples"), F.lit(2)),
         lambda i: F.element_at(F.col("samples"), i),
