@@ -701,3 +701,55 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"dim": "o_orderpriority", "tbl": "idq_orders"},
     )
+
+
+@query("source_xlsx_distributed", oracle=_ORACLE)
+def source_xlsx_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed XLSX scan under the value gate: the spark-excel
+    escape hatch from SURVEY §2A op #7's scale note, implemented as
+    binaryFile → mapInPandas (intake/xlsx_distributed.py) instead of
+    the external connector. The lineitem slice lands as FOUR xlsx
+    files — one per orderkey bucket, one of them with its columns
+    deliberately REORDERED (landing feeds do that) — and is read back
+    through the distributed source, which aligns columns by header
+    name, parses each file executor-side, and never materializes rows
+    on the driver. Cast string→typed, aggregate, hash-equal the
+    parquet oracle.
+
+    Fixture note: xlsx has no Spark writer, so fixture GENERATION is
+    driver-side from the bounded slice (l_orderkey ≤ 1000, the same
+    bound every source_* fixture uses) — the path under test is the
+    read. At scale the landing files arrive from outside the engine;
+    parallelism = files, grouped by maxPartitionBytes."""
+    import pandas as pd  # noqa: PLC0415
+
+    from free_etl_spark.intake.xlsx_distributed import read_xlsx_distributed
+    from free_etl_spark.intake.xlsx_lite import write_xlsx
+
+    cols = ["l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"]
+    out_dir = os.path.join(
+        "/tmp",
+        f"fes_source_xlsx_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    marker = os.path.join(out_dir, "_FIXTURE_OK")
+    if not os.path.exists(marker):  # idempotent per (sf, application)
+        os.makedirs(out_dir, exist_ok=True)
+        pdf = _slice(spark, sf_dir).toPandas()  # bounded fixture gen
+        for b in range(4):
+            part = pdf[pdf["l_orderkey"] % 4 == b]
+            # bucket 3 reorders its columns: name-alignment under test
+            part = part[list(reversed(cols))] if b == 3 else part[cols]
+            with open(os.path.join(out_dir, f"part-{b}.xlsx"), "wb") as f:
+                f.write(write_xlsx(part))
+        with open(marker, "w") as f:
+            f.write("ok")
+    typed = read_xlsx_distributed(
+        spark, os.path.join(out_dir, "*.xlsx"), columns=cols
+    ).select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+    )
+    return _agg(typed)

@@ -270,6 +270,9 @@ def test_no_python_stage_creep_across_registry(spark):
         # hashes through the mapInPandas decoder (the legitimate
         # Python boundary), 4 plan references -> 4 Python stages
         "multimodal_frame_phash_dedup",
+        # xlsx has no native Spark source: binaryFile → mapInPandas is
+        # the legitimate Python boundary (intake/xlsx_distributed.py)
+        "source_xlsx_distributed",
     }
     offenders = []
     for name in q.QUERIES:

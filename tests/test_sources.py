@@ -145,3 +145,87 @@ def test_python_datasource_reads_partition_parallel(spark):
     ).distinct().count()
     assert nparts == 8
     assert raw.count() == 8000
+
+
+# ---- distributed XLSX source (intake/xlsx_distributed.py) ----------------
+
+
+def _mk_xlsx(path, rows, cols):
+    import pandas as pd
+
+    from free_etl_spark.intake.xlsx_lite import write_xlsx
+
+    path.write_bytes(write_xlsx(pd.DataFrame(rows, columns=cols)))
+
+
+def test_xlsx_distributed_aligns_columns_by_name(spark, tmp_path):
+    """Two files with different column ORDER and one missing a declared
+    column: rows align by header name; the missing column reads ""."""
+    from free_etl_spark.intake.xlsx_distributed import read_xlsx_distributed
+
+    _mk_xlsx(tmp_path / "a.xlsx", [["1", "x"], ["2", "y"]], ["id", "val"])
+    _mk_xlsx(tmp_path / "b.xlsx", [["z", "3"]], ["val", "id"])  # reordered
+    _mk_xlsx(tmp_path / "c.xlsx", [["4"]], ["id"])  # missing "val"
+    out = read_xlsx_distributed(
+        spark, str(tmp_path / "*.xlsx"), columns=["id", "val"]
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert got == [("1", "x"), ("2", "y"), ("3", "z"), ("4", "")]
+
+
+def test_xlsx_distributed_include_path_lineage(spark, tmp_path):
+    from free_etl_spark.intake.xlsx_distributed import read_xlsx_distributed
+
+    _mk_xlsx(tmp_path / "only.xlsx", [["7", "q"]], ["id", "val"])
+    row = (
+        read_xlsx_distributed(
+            spark, str(tmp_path / "*.xlsx"), columns=["id"], include_path=True
+        )
+        .collect()[0]
+    )
+    assert row["id"] == "7" and row["_source_path"].endswith("only.xlsx")
+
+
+def test_xlsx_distributed_capture_isolates_bad_file(spark, tmp_path):
+    """One corrupt file among good ones: 'capture' yields the good rows
+    plus ONE error row per bad file (op #9 parity at the source)."""
+    from free_etl_spark.intake.xlsx_distributed import read_xlsx_distributed
+
+    _mk_xlsx(tmp_path / "good.xlsx", [["1", "x"]], ["id", "val"])
+    (tmp_path / "bad.xlsx").write_bytes(b"not a zip at all")
+    out = read_xlsx_distributed(
+        spark, str(tmp_path / "*.xlsx"), columns=["id", "val"], on_error="capture"
+    ).collect()
+    ok = [r for r in out if r["_error"] is None]
+    bad = [r for r in out if r["_error"] is not None]
+    assert len(ok) == 1 and ok[0]["id"] == "1"
+    assert len(bad) == 1 and bad[0]["_source_path"].endswith("bad.xlsx")
+    assert "Could not parse file" in bad[0]["_error"]
+
+
+def test_xlsx_distributed_fail_mode_raises(spark, tmp_path):
+    import pytest
+
+    from free_etl_spark.intake.xlsx_distributed import read_xlsx_distributed
+
+    (tmp_path / "bad.xlsx").write_bytes(b"junk")
+    with pytest.raises(Exception, match="Could not parse file"):
+        read_xlsx_distributed(
+            spark, str(tmp_path / "*.xlsx"), columns=["id"]
+        ).collect()
+
+
+def test_xlsx_distributed_size_guard(spark, tmp_path):
+    """max_bytes is the op #3 size guard applied per file at the
+    source: an oversized file becomes an error row, not a parse."""
+    from free_etl_spark.intake.xlsx_distributed import read_xlsx_distributed
+
+    _mk_xlsx(tmp_path / "big.xlsx", [["1", "x" * 100]], ["id", "val"])
+    out = read_xlsx_distributed(
+        spark,
+        str(tmp_path / "*.xlsx"),
+        columns=["id", "val"],
+        max_bytes=10,
+        on_error="capture",
+    ).collect()
+    assert len(out) == 1 and "File too large" in out[0]["_error"]
