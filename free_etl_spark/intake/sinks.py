@@ -83,11 +83,28 @@ def s3_put_fn(cfg: AppConfig, secrets: dict) -> Callable[[str, bytes, str], None
     except Exception as e:  # pragma: no cover
         raise RuntimeError("boto3 not installed or failed to import") from e
     aws = secrets["aws"]
+    # endpoint_url: LocalStack / minio / on-prem S3-compatible stores
+    # (and the in-process wire test, tests/test_s3_wire.py). Absent →
+    # real AWS, exactly the reference's behavior. Path-style
+    # addressing because custom endpoints rarely resolve
+    # bucket-subdomain virtual hosting.
+    client_kwargs: dict = {}
+    if aws.get("endpoint_url"):
+        from botocore.config import Config  # noqa: PLC0415
+
+        client_kwargs = {
+            "endpoint_url": aws["endpoint_url"],
+            "config": Config(
+                s3={"addressing_style": "path"},
+                retries={"max_attempts": 1},
+                request_checksum_calculation="when_required",
+            ),
+        }
     client = boto3.Session(
         aws_access_key_id=aws["access_key_id"],
         aws_secret_access_key=aws["secret_access_key"],
         region_name=cfg.aws_region,
-    ).client("s3")
+    ).client("s3", **client_kwargs)
 
     def put(key: str, body: bytes, content_type: str = "text/csv") -> None:
         client.put_object(Bucket=cfg.s3_bucket, Key=key, Body=body, ContentType=content_type)

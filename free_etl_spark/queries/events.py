@@ -4320,9 +4320,13 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     grid AS (
       SELECT s.event_type, g.t,
+             -- frac parenthesized to match the Spark tree a*(b/c):
+             -- left-assoc (a*b)/c differs in the last ulp and flips
+             -- the FLOOR at integer boundaries of iv*1e6 (seen at
+             -- sf0.001 r11: 41.4465 vs 41.446499)
              s.v + (s.next_v - s.v)
-                 * (epoch_us(g.t) - epoch_us(s.day))
-                 / (epoch_us(s.next_day) - epoch_us(s.day)) AS iv
+                 * ((epoch_us(g.t) - epoch_us(s.day))
+                    / (epoch_us(s.next_day) - epoch_us(s.day))) AS iv
       FROM seg s
       CROSS JOIN LATERAL (
         SELECT unnest(generate_series(s.day,
