@@ -753,3 +753,63 @@ def source_xlsx_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
     )
     return _agg(typed)
+
+
+@query(
+    "source_zorder_clustered_scan",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_partkey <= 400 AND l_suppkey <= 20
+    GROUP BY l_returnflag
+    """,
+)
+def source_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering under the value gate: lineitem re-laid-out
+    with operators/maintenance.py:zorder_write on (l_partkey,
+    l_suppkey) — bit-interleaved z-value from one approxQuantile
+    sketch pass, range-partitioned so every file covers a compact
+    2-D hyper-rectangle — then scanned back with a BOX predicate on
+    both clustered columns and aggregated; must hash-equal the
+    plain-parquet oracle (a z-layout that loses/duplicates/reorders
+    bits breaks the value hash).
+
+    Scale story: this is the OPTIMIZE ZORDER analogue — at 100 TB,
+    single-column sort gives tight file min/max on ONE key and
+    useless stats on the rest; the z-layout gives narrow per-file
+    spans on EVERY clustered column (pinned < 0.6 of domain in
+    tests/test_maintenance.py), so parquet min/max skipping prunes
+    row groups for box predicates on any participating dimension."""
+    from free_etl_spark.operators.maintenance import zorder_write
+
+    path = os.path.join(
+        "/tmp",
+        f"fes_zorder_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        zorder_write(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_partkey",
+                "l_suppkey",
+                "l_returnflag",
+                "l_quantity",
+                "l_extendedprice",
+            ),
+            path,
+            ["l_partkey", "l_suppkey"],
+            n_files=8,
+        )
+    return (
+        spark.read.parquet(path)
+        .filter((F.col("l_partkey") <= 400) & (F.col("l_suppkey") <= 20))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
