@@ -200,19 +200,34 @@ def zorder_values(
         n_buckets = 1 << bits
         probs = [i / n_buckets for i in range(1, n_buckets)]
         # ONE sketch pass computes every column's boundaries — per-column
-        # calls would re-scan df's whole lineage n times
-        bounds_per_col = df.approxQuantile(list(cols), probs, 0.001)
-        def bucket(c: str, bounds: list[float]) -> F.Column:
-            arr = F.array(*[F.lit(float(b)) for b in bounds])
-            return F.aggregate(
-                arr,
-                F.lit(0).cast("long"),
-                lambda acc, b: acc
-                + F.when(F.col(c).cast("double") > b, 1).otherwise(0),
+        # calls would re-scan df's whole lineage n times. relErr 0.01:
+        # bucket edges for FILE-level clustering don't need 0.1%
+        # precision, and the sketch buffer cost scales with 1/relErr
+        # (0.001 measured 2.4 s vs ~1 s at sf0.1).
+        bounds_per_col = df.approxQuantile(list(cols), probs, 0.01)
+
+        def bucket_sql(c: str, bounds: list[float], lo: int, hi: int) -> str:
+            """Bucket index via a BINARY-SEARCH CASE tree emitted as ONE
+            SQL text (depth log2(buckets) = 8 comparisons/row, inside
+            whole-stage codegen). The linear HOF fold this replaces
+            (aggregate over a 255-literal array) is interpreted,
+            256 comparisons/row — measured 11.1 s vs 1.6 s for the
+            same 600 k rows (r11); SQL text instead of nested Column
+            objects also avoids ~2.5 s of py4j expression-building."""
+            if lo == hi:
+                return str(lo)
+            mid = (lo + hi) // 2
+            return (
+                f"CASE WHEN CAST(`{c}` AS DOUBLE) > {float(bounds[mid])!r} "
+                f"THEN {bucket_sql(c, bounds, mid + 1, hi)} "
+                f"ELSE {bucket_sql(c, bounds, lo, mid)} END"
             )
 
         for i, (c, bounds) in enumerate(zip(cols, bounds_per_col)):
-            out = out.withColumn(f"__r{i}", bucket(c, bounds))
+            out = out.withColumn(
+                f"__r{i}",
+                F.expr(bucket_sql(c, bounds, 0, n_buckets - 1)).cast("long"),
+            )
     else:
         bits = min(_Z_BITS_MAX, 62 // n)
         for i, c in enumerate(cols):
@@ -247,7 +262,17 @@ def zorder_write(
     file covers a compact hyper-rectangle — per-file min/max stats are
     narrow on EVERY participating column and scans with predicates on
     any of them prune files (verified in tests/test_maintenance.py).
-    ``approx`` passes through to ``zorder_values`` (None = auto)."""
+    ``approx`` passes through to ``zorder_values`` (None = auto).
+
+    If the input scan is NARROWER than the session's parallelism (a
+    few large files — common right before a re-layout, which is when
+    you call this), widen it first: the z-value projection and the
+    range partitioner's sampling pass then run at full width instead
+    of being strangled by the input split count. On a 100 TB table
+    the scan is already thousands of splits and this is a no-op."""
+    width = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < width:
+        df = df.repartition(width)
     (
         zorder_values(df, cols, approx=approx)
         .repartitionByRange(n_files, "__z")

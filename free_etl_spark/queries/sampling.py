@@ -1422,3 +1422,61 @@ def sample_dedup_aware_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("w"), 4).alias("effective_docs"),
         F.round(F.count(F.lit(1)) / F.sum("w"), 4).alias("duplication_factor"),
     )
+
+
+@query(
+    "sample_domain_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY {_H16_SQL.format(c="doc_id")}, doc_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS dom_n,
+             COUNT(*) OVER () AS total_n
+      FROM documents
+    )
+    SELECT source,
+           CAST(MAX(dom_n) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= CAST(CEIL(0.05 * total_n) AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn <= CAST(CEIL(0.05 * total_n) AS BIGINT)
+                         THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+    FROM ranked
+    GROUP BY source
+    """,
+)
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-source capping (the C4/RefinedWeb 'no domain may
+    exceed X% of the corpus' rule, here X=5%): any source above the
+    cap keeps exactly ceil(0.05·N) docs, chosen by HASH order (stable
+    under repartitioning and incremental growth — a doc that survives
+    today survives tomorrow unless the cap shrinks); sources under the
+    cap are untouched. This differs from sample_stratified_topn's
+    FIXED quota: the cap scales with the corpus and binds only the
+    heavy tail. One window over the source key (a single shuffle) plus
+    a scalar total; at 100 TB the per-source rank is the same
+    hash-window every dedup stage already pays, and the cap threshold
+    is one broadcast scalar."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        _hash16(F.col("doc_id")), F.col("doc_id")
+    )
+    # total_n via broadcast scalar, NOT an unpartitioned window (which
+    # would funnel every row through one reducer — the global-window
+    # anti-pattern tests/test_plans.py gates elsewhere)
+    total = docs.agg(F.count(F.lit(1)).alias("total_n"))
+    ranked = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("dom_n", F.count(F.lit(1)).over(Window.partitionBy("source")))
+        .crossJoin(F.broadcast(total))
+    )
+    cap = F.ceil(F.lit(0.05) * F.col("total_n")).cast("long")
+    kept = F.col("rn") <= cap
+    return ranked.groupBy("source").agg(
+        F.max("dom_n").cast("long").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_kept"),
+    )
