@@ -149,3 +149,55 @@ def test_compact_heals_crash_between_swap_renames(spark, tmp_path):
     assert not os.path.isdir(leaf + "__compacting")
     got = {(r["id"], r["region"]) for r in spark.read.parquet(out).collect()}
     assert got == want
+
+
+def test_zorder_box_predicate_skips_row_groups_by_footer_stats(spark, tmp_path):
+    """HARD skipping evidence, straight from the parquet footers: with
+    a z-order layout, a 2-D box predicate (the
+    source_zorder_clustered_scan shape) excludes most row groups by
+    min/max stats ALONE — the exact mechanism a 100 TB scan prunes
+    with — while a single-column sort's stats can exclude (almost)
+    nothing for a predicate on the OTHER column."""
+    import pyarrow.parquet as pq
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_partkey", "l_suppkey")
+
+    single = str(tmp_path / "single")
+    (
+        li.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.parquet(single)
+    )
+    zord = str(tmp_path / "zorder")
+    zorder_write(li, zord, ["l_partkey", "l_suppkey"], n_files=8)
+
+    # predicate on the NON-sort column only: the single-column layout
+    # has nothing to prune with, the z-layout still does
+    s_hi = li.agg(F.max("l_suppkey")).first()[0]
+    box = {"l_suppkey": s_hi // 4}
+
+    def surviving_row_groups(path: str) -> tuple[int, int]:
+        total = survive = 0
+        for f in glob.glob(path + "/part-*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            names = {
+                meta.row_group(0).column(i).path_in_schema: i
+                for i in range(meta.num_columns)
+            }
+            for rg in range(meta.num_row_groups):
+                total += 1
+                ok = all(
+                    meta.row_group(rg).column(names[c]).statistics.min <= v
+                    for c, v in box.items()
+                )
+                survive += int(ok)
+        return survive, total
+
+    z_live, z_total = surviving_row_groups(zord)
+    s_live, s_total = surviving_row_groups(single)
+    assert z_total >= 8 and s_total >= 8
+    # z-order: the suppkey quartile touches well under full scan
+    assert z_live / z_total <= 0.5, (z_live, z_total)
+    # single-column partkey sort: every row group spans ~the full
+    # suppkey range, so stats exclude (almost) nothing
+    assert s_live / s_total >= 0.9, (s_live, s_total)
