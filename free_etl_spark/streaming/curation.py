@@ -396,3 +396,124 @@ def streaming_audio_fingerprint_probe(
         (F.col("n_band_hits") >= 4 * _AFP_MIN_SHARED).alias("flag_neardup"),
     )
     return run_to_completion(out, "complete")
+
+
+@query(
+    "streaming_psi_drift_probe",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ),
+    bounds AS (
+      SELECT MIN(ts_us) + (MAX(ts_us) - MIN(ts_us)) // 2 AS mid FROM ev
+    ),
+    halves AS (
+      SELECT e.event_type, e.value,
+             CASE WHEN e.ts_us < b.mid THEN 0 ELSE 1 END AS half
+      FROM ev e CROSS JOIN bounds b
+    ),
+    cuts AS (
+      SELECT quantile_cont(value, 0.25) AS c1,
+             quantile_cont(value, 0.50) AS c2,
+             quantile_cont(value, 0.75) AS c3
+      FROM halves WHERE half = 0
+    ),
+    bucketed AS (
+      SELECT h.event_type, h.half,
+             CASE WHEN h.value < c.c1 THEN 0
+                  WHEN h.value < c.c2 THEN 1
+                  WHEN h.value < c.c3 THEN 2
+                  ELSE 3 END AS bucket
+      FROM halves h CROSS JOIN cuts c
+    ),
+    counts AS (
+      SELECT event_type, bucket,
+             COUNT(*) FILTER (WHERE half = 0) AS n_base,
+             COUNT(*) FILTER (WHERE half = 1) AS n_cur
+      FROM bucketed GROUP BY event_type, bucket
+    ),
+    totals AS (
+      SELECT event_type,
+             SUM(n_base) AS t_base, SUM(n_cur) AS t_cur
+      FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(SUM(c.n_base) AS BIGINT) AS n_baseline,
+           CAST(SUM(c.n_cur) AS BIGINT)  AS n_current,
+           ROUND(SUM(
+             ((c.n_base + 0.5) / (t.t_base + 2.0)
+              - (c.n_cur + 0.5) / (t.t_cur + 2.0))
+             * LN(((c.n_base + 0.5) / (t.t_base + 2.0))
+                  / ((c.n_cur + 0.5) / (t.t_cur + 2.0)))
+           ), 6) AS psi
+    FROM counts c JOIN totals t USING (event_type)
+    GROUP BY c.event_type
+    """,
+)
+def streaming_psi_drift_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of quality_psi_drift — drift monitoring as it
+    actually deploys: the BASELINE (first time half) is profiled once
+    in batch (midpoint, exact quartile cuts, per-type bucket counts —
+    all one-row/KB-sized artifacts a production job would persist),
+    and the LIVE stream buckets each incoming event against the
+    broadcast cuts and maintains per-(type, bucket) counts — a
+    mergeable streaming aggregate, state = |types|×4 rows, regardless
+    of stream length. The drained current counts + stored baseline
+    reproduce the batch PSI EXACTLY (same doubles, same formula), so
+    the batch query's oracle gates this one unchanged. At 100 TB/day
+    the stream side never rescans history — that is the point of
+    shipping PSI as baseline-artifact + streaming counter."""
+    from free_etl_spark.streaming.windows import events_stream
+    from free_etl_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "ts_us")
+    mid = ev.agg(
+        (F.min("ts_us") + F.expr("(MAX(ts_us) - MIN(ts_us)) DIV 2")).alias("m")
+    ).first()["m"]
+    base = ev.filter(F.col("ts_us") < mid)
+    c1, c2, c3 = (
+        base.agg(
+            F.expr("percentile(value, array(0.25, 0.5, 0.75))").alias("c")
+        ).first()["c"]
+    )
+
+    def bucket(col):
+        return (
+            F.when(col < F.lit(c1), 0)
+            .when(col < F.lit(c2), 1)
+            .when(col < F.lit(c3), 2)
+            .otherwise(3)
+        )
+
+    base_counts = base.groupBy(
+        "event_type", bucket(F.col("value")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_base"))
+
+    cur_stream = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("ts_us") >= F.lit(mid))
+        .groupBy("event_type", bucket(F.col("value")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    cur_counts = run_to_completion(cur_stream, "complete")
+
+    counts = base_counts.join(
+        cur_counts, ["event_type", "bucket"], "full_outer"
+    ).select(
+        "event_type",
+        F.coalesce(F.col("n_base"), F.lit(0)).alias("n_base"),
+        F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("n_base").alias("t_base"), F.sum("n_cur").alias("t_cur")
+    )
+    j = counts.join(totals, "event_type")
+    p = (F.col("n_base") + 0.5) / (F.col("t_base") + 2.0)
+    q = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 2.0)
+    return j.groupBy("event_type").agg(
+        F.sum("n_base").cast("long").alias("n_baseline"),
+        F.sum("n_cur").cast("long").alias("n_current"),
+        F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+    )
