@@ -813,3 +813,32 @@ def source_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+@query("source_compaction_roundtrip", oracle=_ORACLE)
+def source_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction under the value gate: the lineitem slice
+    lands deliberately FRAGMENTED (32 files for a few-MB slice — the
+    classic streaming-sink pathology), compact_parquet
+    (operators/maintenance.py:122) rewrites it to byte-derived file
+    counts in place with crash-safe per-leaf swaps, and the compacted
+    table must aggregate hash-equal to the parquet oracle. File-count
+    reduction is asserted in tests/test_maintenance.py; here the
+    driver pins that compaction never loses, duplicates, or mutates a
+    row. At 100 TB compaction is the maintenance op that keeps scan
+    task counts proportional to bytes instead of to the ingest
+    cadence."""
+    from free_etl_spark.operators.maintenance import compact_parquet
+
+    path = os.path.join(
+        "/tmp",
+        f"fes_compact_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    marker = os.path.join(path, "_COMPACTED")
+    if not os.path.exists(marker):
+        _slice(spark, sf_dir).repartition(32).write.mode("overwrite").parquet(path)
+        compact_parquet(spark, path, target_file_mb=512)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return _agg(spark.read.schema(_SLICE_SCHEMA).parquet(path))

@@ -610,3 +610,50 @@ def test_cms_matches_hashlib_replication(spark, docs, tmp_path_factory):
         for r in agg_heavy_hitters_cms(spark, out_dir).collect()
     }
     assert got == expect
+
+
+# ---- distributed XLSX round-trip (intake/xlsx_distributed.py) -------------
+
+_cell_text = st.text(
+    # printable unicode incl. multibyte, quotes, angle brackets; no
+    # control chars (XML 1.0 cannot carry them) — the intake contract
+    # is TEXT cells
+    alphabet=st.characters(
+        blacklist_categories=("Cs", "Cc"), min_codepoint=32
+    ),
+    max_size=24,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(_cell_text, _cell_text), min_size=1, max_size=12
+    )
+)
+def test_xlsx_distributed_roundtrips_arbitrary_text(spark, rows, tmp_path_factory):
+    """write_xlsx → binaryFile+mapInPandas read is IDENTITY for
+    arbitrary printable unicode (multibyte, quotes, XML specials):
+    escaping bugs anywhere in the writer's inline strings or the
+    reader's ElementTree path surface as a mismatch here first."""
+    import pandas as pd
+
+    from free_etl_spark.intake.xlsx_distributed import read_xlsx_distributed
+    from free_etl_spark.intake.xlsx_lite import write_xlsx
+
+    d = tmp_path_factory.mktemp("xlsxprop")
+    pdf = pd.DataFrame(rows, columns=["colx", "coly"])
+    (d / "t.xlsx").write_bytes(write_xlsx(pdf))
+    got = sorted(
+        map(
+            tuple,
+            read_xlsx_distributed(
+                spark, str(d / "*.xlsx"), columns=["colx", "coly"]
+            ).collect(),
+        )
+    )
+    assert got == sorted(map(tuple, pdf.itertuples(index=False, name=None)))
