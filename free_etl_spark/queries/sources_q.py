@@ -842,3 +842,83 @@ def source_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(marker, "w") as f:
             f.write("ok")
     return _agg(spark.read.schema(_SLICE_SCHEMA).parquet(path))
+
+
+@query(
+    "sql_scripting_binary_search",
+    oracle="""
+    WITH hist AS (
+      SELECT CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS kd,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+             CAST(CEIL(0.9 * SUM(n)) AS BIGINT) AS k_target
+      FROM hist
+    ),
+    cum AS (
+      SELECT kd, SUM(n) OVER (ORDER BY kd) AS c FROM hist
+    )
+    SELECT (SELECT MIN(kd) FROM cum, tot WHERE c >= k_target)
+             AS p90_kilodollar,
+           k_target, n_total
+    FROM tot
+    """,
+)
+def sql_scripting_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4.1 BEGIN/DECLARE/WHILE/IF): an iterative
+    binary search for the 90th-percentile order-value bucket, the
+    procedural-SQL surface a migrating warehouse user expects
+    (T-SQL/PLpgSQL-style control flow) — every loop round is a scalar
+    subquery against a pre-aggregated ~600-row histogram TEMP VIEW,
+    never the fact table, so the loop costs ~10 driver-paced tiny
+    jobs (the same pinned-rounds overhead class as graph_kcore) while
+    the single fact-table scan happens once up front. The oracle
+    computes the same order statistic set-wise; the script must
+    converge to the identical integer."""
+    # materialize the histogram (one fact scan) — a view over the raw
+    # lineage would re-scan orders on EVERY loop iteration
+    hist_path = os.path.join(
+        "/tmp",
+        f"fes_scr_hist_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    if not os.path.exists(os.path.join(hist_path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "orders")
+            .groupBy(
+                F.floor(F.col("o_totalprice") / 1000).cast("long").alias("kd")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(hist_path)
+        )
+    spark.read.parquet(hist_path).createOrReplaceTempView("scr_hist")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE n_total BIGINT;
+          DECLARE k_target BIGINT;
+          DECLARE lo BIGINT; DECLARE hi BIGINT;
+          DECLARE mid BIGINT; DECLARE cum BIGINT;
+          SET n_total = (SELECT SUM(n) FROM scr_hist);
+          SET k_target = CAST(CEIL(0.9 * n_total) AS BIGINT);
+          SET lo = (SELECT MIN(kd) FROM scr_hist);
+          SET hi = (SELECT MAX(kd) FROM scr_hist);
+          WHILE hi > lo DO
+            SET mid = (lo + hi) DIV 2;
+            SET cum = (SELECT COALESCE(SUM(n), 0) FROM scr_hist
+                       WHERE kd <= mid);
+            IF cum >= k_target THEN
+              SET hi = mid;
+            ELSE
+              SET lo = mid + 1;
+            END IF;
+          END WHILE;
+          SELECT hi AS p90_kilodollar, k_target, n_total;
+        END
+        """
+    )
