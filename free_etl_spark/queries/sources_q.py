@@ -922,3 +922,87 @@ def sql_scripting_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "source_python_datasource_stream",
+    oracle="""
+    SELECT CAST((id * id) % 97 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(id) AS BIGINT) AS sum_id
+    FROM generate_series(0, 7999) AS t(id)
+    GROUP BY 1
+    """,
+)
+def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Python Data Source (Spark 4): the streaming half of
+    the custom-connector API — a SimpleDataSourceStreamReader that
+    advances a JSON offset 2000 ids per micro-batch (the wrap-a-queue/
+    REST-poll shape), drained with processAllAvailable so the offset
+    genuinely advances across FOUR micro-batches (availableNow
+    snapshots the first read's end offset and stops after one — the
+    probe that found this is the reason for the manual drain).
+    readBetweenOffsets provides replay-on-recovery. The generator is
+    deterministic, so DuckDB replays it from generate_series. Gate
+    cost is Python-worker + micro-batch machinery, fixed."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class _SeqStreamReader(SimpleDataSourceStreamReader):
+        _CHUNK = 2000
+        _END = 8000
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = start["pos"]
+            if pos >= self._END:
+                return iter([]), {"pos": pos}
+            rows = [(i, (i * i) % 97) for i in range(pos, pos + self._CHUNK)]
+            return iter(rows), {"pos": pos + self._CHUNK}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                (i, (i * i) % 97) for i in range(start["pos"], end["pos"])
+            )
+
+    class _SeqStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "fes_seq_stream"
+
+        def schema(self) -> str:
+            return "id bigint, bucket bigint"
+
+        def simpleStreamReader(self, schema):
+            return _SeqStreamReader()
+
+    spark.dataSource.register(_SeqStreamSource)
+    import uuid as _uuid
+
+    name = f"fes_pds_{_uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.format("fes_seq_stream")
+            .load()
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("id").cast("long").alias("sum_id"),
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
