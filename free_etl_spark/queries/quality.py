@@ -1287,3 +1287,73 @@ def quality_candidate_key_profile(
         )
         rows = r if rows is None else rows.unionAll(r)
     return rows.orderBy("key_cols")
+
+
+@query(
+    "quality_table_stats_catalog",
+    oracle="""
+    SELECT 'orders' AS tbl, 'o_custkey' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_s,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', 'l_partkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+           CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MIN(l_partkey) AS VARCHAR), CAST(MAX(l_partkey) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'customer', 'c_mktsegment', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+           CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           MIN(c_mktsegment), MAX(c_mktsegment)
+    FROM customer
+    """,
+)
+def quality_table_stats_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics catalog — the stats a
+    cost-based optimizer (and a data steward) feeds on: per (table,
+    column), exact row count, NDV, null count, and min/max rendered as
+    strings so numeric and categorical columns share one catalog
+    schema. Each table is ONE aggregate scan computing all of its
+    columns' stats together (COUNT(DISTINCT x) plans as a partial
+    expand + merge, no row-wise shuffle of the fact table); at 100 TB
+    this is the scheduled ANALYZE job whose output is a KB-sized
+    catalog table, and the exact-NDV cost is the documented price of
+    CBO-grade stats (the approx family — HLL/quantile sketches —
+    lives in agg_approx_*)."""
+
+    def col_stats(tbl: str, col: str):
+        df = load_table(spark, sf_dir, tbl)
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(F.col(col)).cast("long").alias("ndv"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.min(F.col(col)).cast("string").alias("min_s"),
+            F.max(F.col(col)).cast("string").alias("max_s"),
+        ).select("tbl", "col", "n_rows", "ndv", "n_null", "min_s", "max_s")
+
+    out = col_stats("orders", "o_custkey")
+    for tbl, col in (
+        ("orders", "o_orderpriority"),
+        ("lineitem", "l_partkey"),
+        ("customer", "c_mktsegment"),
+    ):
+        out = out.unionByName(col_stats(tbl, col))
+    return out

@@ -53,6 +53,16 @@ _SWITCH_TARGETS = [
     "sample_epoch_mix_schedule",     # prefix._PART_CACHE tag
     "text_bpe_encode",               # shared _bpe_fit memo
     "text_bpe_fertility_by_lang",    # same fit, 3rd consumer
+    # r11: per-(sf, app) /tmp fixtures + temp views that must re-key
+    # on an sf switch within one session
+    "source_xlsx_distributed",       # xlsx fixture dir per sf
+    "source_zorder_clustered_scan",  # zorder layout dir per sf
+    "source_compaction_roundtrip",   # compacted dir per sf
+    "sql_scripting_binary_search",   # scr_hist TEMP VIEW re-pointed per call
+    "streaming_interval_join_left_outer",  # heartbeat dir per sf
+    "streaming_psi_drift_probe",     # baseline cuts recomputed per call
+    "dedup_chat_turns",              # _chat_conversations shared relation
+    "multimodal_audio_fingerprint_dedup",  # pcm fingerprint plane
 ]
 
 
