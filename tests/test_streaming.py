@@ -887,3 +887,42 @@ def test_merge_additive_once_bare_empty_retired_recovery(spark, tmp_path):
     )
     got = {r.k: (r.n, r.s) for r in spark.read.parquet(target).collect()}
     assert got == {"a": (3, 3.0)}
+
+
+def test_rocksdb_state_store_matches_hdfs_backend(spark):
+    """The RocksDB state store provider (the backend a 100 TB/day
+    stateful stream actually runs — state spills to local disk
+    instead of living on the JVM heap) is a drop-in: the same
+    watermarked sliding-window aggregation drains to IDENTICAL rows
+    under both providers. Pinning this here means the engine's
+    streaming queries are not silently coupled to the default
+    in-memory backend."""
+    import pyspark.sql.functions as F
+
+    from free_etl_spark.streaming.windows import events_stream, run_to_completion
+
+    def drained():
+        agg = (
+            events_stream(spark, SF_DIR)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "6 hours", "3 hours"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("window.start").alias("ws"), "event_type", "n"
+            )
+        )
+        return sorted(map(tuple, run_to_completion(agg, "append").collect()))
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(key)
+    base = drained()
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        rocks = drained()
+    finally:
+        spark.conf.set(key, default)
+    assert rocks == base and len(base) > 0
