@@ -1006,3 +1006,32 @@ def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFra
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+@query(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT o_orderpriority AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderkey > 500
+    GROUP BY 1
+    """,
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE (Spark 4): dynamic SQL held in a session
+    VARIABLE and executed with a bound parameter (USING) — the other
+    half of the injection-safe templating story next to
+    sql_identifier_clause: the statement TEXT is dynamic, the value is
+    a parameter marker, never string-spliced. The warehouse-migration
+    surface for generated dashboards/ELT runners."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ei_orders")
+    spark.sql("DECLARE OR REPLACE stmt STRING")
+    spark.sql(
+        "SET VAR stmt = 'SELECT o_orderpriority AS grp, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(SUM(o_totalprice), 2) AS total "
+        "FROM ei_orders WHERE o_orderkey > ? GROUP BY 1'"
+    )
+    return spark.sql("EXECUTE IMMEDIATE stmt USING 500")
