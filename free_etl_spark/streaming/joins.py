@@ -157,9 +157,13 @@ def streaming_interval_join_left_outer(
         f"_{spark.sparkContext.applicationId}",
     )
     if not os.path.exists(os.path.join(hb_dir, "_SUCCESS")):
+        # heartbeat instant from ts_us (the same micro-second basis
+        # events_stream emits) — NOT a session-tz NTZ cast, which on a
+        # non-UTC vanilla session would shift the heartbeat by the tz
+        # offset and re-trap the tail in state
         (
             load_table(spark, sf_dir, "events")
-            .agg(F.max(F.col("ts").cast("timestamp")).alias("m"))
+            .agg(F.timestamp_micros(F.max("ts_us")).alias("m"))
             .select(
                 F.lit(-1).cast("long").alias("event_id"),
                 (F.col("m") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
