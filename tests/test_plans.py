@@ -365,6 +365,8 @@ def test_observation_metrics_free_audit(spark):
         "orders_skyline",
         "quality_key_skew_report",
         "text_negative_sampling",
+        # r11: corpus total via broadcast scalar, per-source window only
+        "sample_domain_cap",
     ],
 )
 def test_corpus_scale_queries_have_no_global_window(spark, name):
