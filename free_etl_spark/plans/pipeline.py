@@ -1,0 +1,154 @@
+"""Incremental pipeline runner: a declarative DAG of named steps, each
+materialized to a parquet "lake" directory with a content SIGNATURE, so
+re-runs skip every step whose inputs and logic are unchanged and
+rebuild exactly the dirty suffix of the DAG — the dbt/medallion shape a
+production curation pipeline runs on, built from the engine's own
+operators.
+
+Design:
+
+- A ``Step`` is (name, deps, build, version). ``build(spark, inputs)``
+  receives dep DataFrames read from the lake (sources read from the
+  table dir) and returns the step's DataFrame. ``version`` is the
+  human-bumped logic token — change the transformation, bump the
+  version (the runner cannot hash a closure meaningfully, and silent
+  code-hash invalidation is exactly the flakiness dbt avoids the same
+  way).
+- A step's SIGNATURE = sha256(version ∥ sorted dep signatures ∥ source
+  fingerprints). Source fingerprint = (relative path, byte size) of
+  every data file under the source table — rename- and append-
+  sensitive, mtime-free (mtimes don't survive copies).
+- ``run_pipeline`` topo-sorts, and for each step compares the stored
+  ``_meta.json`` signature: match → SKIP (the materialized parquet is
+  current); mismatch/missing → rebuild, overwrite, stamp. The returned
+  manifest records built/skipped per step — the audit trail every
+  scheduled run ships.
+
+Scale notes: signatures read file LISTINGS only (no data); each step
+writes through the engine's normal partitioned writers, so a 100 TB
+step parallelizes exactly like the operator it wraps; skipping is
+O(metadata). Failure atomicity: steps write to a ``__building``
+temp dir and swap via atomic rename, so a crashed build leaves the
+previous materialization intact and the next run redoes only the
+dirty step.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+from typing import Callable, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Step:
+    name: str
+    build: Callable[[SparkSession, Mapping[str, DataFrame]], DataFrame]
+    deps: Sequence[str] = field(default_factory=tuple)
+    sources: Sequence[str] = field(default_factory=tuple)  # table dirs
+    version: str = "1"
+
+
+def _source_fingerprint(path: str) -> str:
+    """(relpath, size) of every data file under ``path``, hashed.
+    Listing-only — never reads data bytes."""
+    entries = []
+    if os.path.isfile(path):
+        entries.append((os.path.basename(path), os.path.getsize(path)))
+    else:
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if f.startswith(("_", ".")):
+                    continue  # _SUCCESS / checksums don't change content
+                fp = os.path.join(root, f)
+                entries.append(
+                    (os.path.relpath(fp, path), os.path.getsize(fp))
+                )
+    h = hashlib.sha256()
+    for rel, sz in sorted(entries):
+        h.update(f"{rel}:{sz};".encode())
+    return h.hexdigest()
+
+
+def _topo(steps: Sequence[Step]) -> list[Step]:
+    by_name = {s.name: s for s in steps}
+    if len(by_name) != len(steps):
+        raise ValueError("duplicate step names")
+    out: list[Step] = []
+    state: dict[str, int] = {}  # 1=visiting 2=done
+
+    def visit(name: str) -> None:
+        if name not in by_name:
+            raise ValueError(f"unknown dep: {name}")
+        st = state.get(name)
+        if st == 2:
+            return
+        if st == 1:
+            raise ValueError(f"dependency cycle through {name}")
+        state[name] = 1
+        for d in by_name[name].deps:
+            visit(d)
+        state[name] = 2
+        out.append(by_name[name])
+
+    for s in steps:
+        visit(s.name)
+    return out
+
+
+def run_pipeline(
+    spark: SparkSession,
+    steps: Sequence[Step],
+    lake_dir: str,
+) -> dict:
+    """Materialize the DAG into ``lake_dir``; return the run manifest
+    {step: {action, signature, rows?}} (rows recorded on build only —
+    skipped steps are not re-counted, that's the point)."""
+    os.makedirs(lake_dir, exist_ok=True)
+    sigs: dict[str, str] = {}
+    manifest: dict[str, dict] = {}
+    for step in _topo(steps):
+        h = hashlib.sha256()
+        h.update(f"v={step.version};".encode())
+        for d in step.deps:
+            h.update(f"dep={d}:{sigs[d]};".encode())
+        for src in step.sources:
+            h.update(f"src={_source_fingerprint(src)};".encode())
+        sig = h.hexdigest()
+        sigs[step.name] = sig
+
+        out_dir = os.path.join(lake_dir, step.name)
+        meta_path = os.path.join(out_dir, "_meta.json")
+        stored = None
+        if os.path.exists(meta_path):
+            try:
+                stored = json.load(open(meta_path)).get("signature")
+            except Exception:
+                stored = None
+        if stored == sig:
+            manifest[step.name] = {"action": "skipped", "signature": sig}
+            continue
+
+        inputs = {
+            d: spark.read.parquet(os.path.join(lake_dir, d)) for d in step.deps
+        }
+        df = step.build(spark, inputs)
+        tmp_dir = out_dir + "__building"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        df.write.mode("overwrite").parquet(tmp_dir)
+        rows = spark.read.parquet(tmp_dir).count()
+        with open(os.path.join(tmp_dir, "_meta.json"), "w") as f:
+            json.dump({"signature": sig, "rows": rows}, f)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.rename(tmp_dir, out_dir)
+        manifest[step.name] = {
+            "action": "built",
+            "signature": sig,
+            "rows": rows,
+        }
+    return manifest

@@ -1357,3 +1357,66 @@ def quality_table_stats_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionByName(col_stats(tbl, col))
     return out
+
+
+@query(
+    "pipeline_incremental_by_lang",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents
+    WHERE n_chars >= 100
+    GROUP BY lang
+    """,
+)
+def pipeline_incremental_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental pipeline runner (plans/pipeline.py) under the
+    value gate: a 3-step DAG (load → length-filter → per-lang rollup)
+    materializes into a per-(sf, application) lake with content
+    signatures; within a session the second invocation SKIPS every
+    step (asserted in tests/test_pipeline.py along with dirty-suffix
+    rebuild, source-append invalidation and crash-leftover recovery)
+    and this query just reads the materialized leaf — the dbt-style
+    scheduled-run shape where only changed steps pay compute. The
+    leaf must hash-equal the direct SQL oracle."""
+    import os
+
+    from free_etl_spark.plans.pipeline import Step, run_pipeline
+    from free_etl_spark.tables import load_table as _lt
+
+    def load_docs(sp, inputs):
+        return _lt(sp, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def filtered(sp, inputs):
+        return inputs["docs"].filter(F.col("n_chars") >= 100)
+
+    def by_lang(sp, inputs):
+        return (
+            inputs["filtered"]
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("chars"),
+            )
+        )
+
+    lake = os.path.join(
+        "/tmp",
+        f"fes_pipeline_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    run_pipeline(
+        spark,
+        [
+            Step(
+                "docs",
+                load_docs,
+                sources=[os.path.join(sf_dir, "documents.parquet")],
+            ),
+            Step("filtered", filtered, deps=["docs"]),
+            Step("by_lang", by_lang, deps=["filtered"]),
+        ],
+        lake,
+    )
+    return spark.read.parquet(os.path.join(lake, "by_lang"))

@@ -1,0 +1,122 @@
+"""Incremental pipeline-runner tests (plans/pipeline.py): build-all →
+skip-all, dirty-suffix rebuild on version bump, source-append
+invalidation, crash-leftover tolerance, and value parity with the
+direct computation."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from free_etl_spark.plans.pipeline import Step, run_pipeline
+from free_etl_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def _steps(sf_dir: str, min_chars: int = 100):
+    def load_docs(spark, inputs):
+        return load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+
+    def filtered(spark, inputs):
+        return inputs["docs"].filter(F.col("n_chars") >= min_chars)
+
+    def by_lang(spark, inputs):
+        return (
+            inputs["filtered"]
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("chars"),
+            )
+        )
+
+    return [
+        Step(
+            "docs",
+            load_docs,
+            sources=[os.path.join(sf_dir, "documents.parquet")],
+        ),
+        Step("filtered", filtered, deps=["docs"], version=str(min_chars)),
+        Step("by_lang", by_lang, deps=["filtered"]),
+    ]
+
+
+def test_pipeline_builds_then_skips(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    m1 = run_pipeline(spark, _steps(SF_DIR), lake)
+    assert {v["action"] for v in m1.values()} == {"built"}
+    m2 = run_pipeline(spark, _steps(SF_DIR), lake)
+    assert {v["action"] for v in m2.values()} == {"skipped"}
+    assert {k: v["signature"] for k, v in m1.items()} == {
+        k: v["signature"] for k, v in m2.items()
+    }
+
+
+def test_pipeline_rebuilds_dirty_suffix_only(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    run_pipeline(spark, _steps(SF_DIR, min_chars=100), lake)
+    m = run_pipeline(spark, _steps(SF_DIR, min_chars=200), lake)
+    assert m["docs"]["action"] == "skipped"  # upstream untouched
+    assert m["filtered"]["action"] == "built"  # version bumped
+    assert m["by_lang"]["action"] == "built"  # dep signature changed
+
+
+def test_pipeline_source_append_invalidates_root(spark, tmp_path):
+    src = tmp_path / "src"
+    load_table(spark, SF_DIR, "nation").write.parquet(str(src))
+
+    def load_src(sp, inputs):
+        return sp.read.parquet(str(src))
+
+    def agg(sp, inputs):
+        return inputs["src"].agg(F.count(F.lit(1)).alias("n"))
+
+    steps = [
+        Step("src", load_src, sources=[str(src)]),
+        Step("agg", agg, deps=["src"]),
+    ]
+    lake = str(tmp_path / "lake")
+    run_pipeline(spark, steps, lake)
+    # append a file to the source table → fingerprint changes
+    load_table(spark, SF_DIR, "nation").limit(2).write.mode("append").parquet(
+        str(src)
+    )
+    m = run_pipeline(spark, steps, lake)
+    assert m["src"]["action"] == "built"
+    assert m["agg"]["action"] == "built"
+
+
+def test_pipeline_tolerates_crashed_build_leftover(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    steps = _steps(SF_DIR)
+    run_pipeline(spark, steps, lake)
+    # simulate a crash mid-build of a later run: stale temp dir exists
+    os.makedirs(os.path.join(lake, "filtered__building", "junk"), exist_ok=True)
+    m = run_pipeline(spark, _steps(SF_DIR, min_chars=300), lake)
+    assert m["filtered"]["action"] == "built"
+    assert not os.path.exists(os.path.join(lake, "filtered__building"))
+
+
+def test_pipeline_final_table_matches_direct(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    run_pipeline(spark, _steps(SF_DIR), lake)
+    got = sorted(
+        map(tuple, spark.read.parquet(os.path.join(lake, "by_lang")).collect())
+    )
+    direct = sorted(
+        map(
+            tuple,
+            load_table(spark, SF_DIR, "documents")
+            .filter(F.col("n_chars") >= 100)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("chars"),
+            )
+            .collect(),
+        )
+    )
+    assert got == direct and len(got) > 0
