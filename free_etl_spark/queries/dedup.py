@@ -2330,3 +2330,102 @@ def text_chat_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "role_token_ratio"
         ),
     )
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    flag AS (
+      SELECT doc_id, lang, tok, pos,
+             CASE WHEN CAST(('0x' || substr(md5(tok), 1, 4))::UBIGINT
+                       AS INT) % 64 = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM tok
+    ),
+    cid AS (
+      SELECT doc_id, lang, tok, pos,
+             COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0) AS chunk_id
+      FROM flag
+    ),
+    chunks AS (
+      SELECT doc_id, lang, chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp,
+             COUNT(*) AS n_tok
+      FROM cid GROUP BY doc_id, lang, chunk_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT chunk_fp) AS BIGINT) AS n_unique,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           ROUND(1.0 - COUNT(DISTINCT chunk_fp) / COUNT(*), 6)
+             AS dup_chunk_share
+    FROM chunks GROUP BY lang
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED chunking dedup (Rabin/gear-style, at token
+    granularity): a token is a chunk BOUNDARY when md5(token) % 64 == 0
+    — boundaries move WITH the content, so an insertion early in a
+    document shifts only its own chunk while every later chunk keeps
+    its identity (the property fixed-stride windows — see
+    dedup_substring_spans — lack, and the reason storage/transfer
+    dedup is CDC-based). Per language: chunk count, distinct-chunk
+    count, and the duplicated-chunk share (the dedupable-storage
+    estimate). Shape: one explode to token rows, one per-doc window
+    for the running boundary count (partitioned by doc_id — no global
+    window), one groupBy(doc, chunk) to fingerprint chunks, one
+    per-lang rollup; every stage is key-partitioned and linear at
+    100 TB. Expected chunk length = 64 tokens (the boundary mask)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    h16 = F.conv(
+        F.substring(F.md5(F.col("tok").cast("binary")), 1, 4), 16, 10
+    ).cast("int")
+    flag = tok.withColumn("b", F.when(h16 % 64 == 0, 1).otherwise(0))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cid = flag.withColumn(
+        "chunk_id", F.coalesce(F.sum("b").over(w), F.lit(0))
+    )
+    chunks = (
+        cid.groupBy("doc_id", "lang", "chunk_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                ).cast("binary")
+            ).alias("chunk_fp"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+    )
+    return chunks.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.countDistinct("chunk_fp").cast("long").alias("n_unique"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.round(
+            1.0 - F.countDistinct("chunk_fp") / F.count(F.lit(1)), 6
+        ).alias("dup_chunk_share"),
+    )
