@@ -7,7 +7,7 @@ one scan with map-side partial aggregation, never per-column jobs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from free_etl_spark.registry import query
@@ -1420,3 +1420,123 @@ def pipeline_incremental_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         lake,
     )
     return spark.read.parquet(os.path.join(lake, "by_lang"))
+
+
+@query(
+    "pipeline_full_curation",
+    oracle="""
+    WITH quality AS (
+      SELECT doc_id, lang, source, n_chars, text
+      FROM documents WHERE n_chars BETWEEN 200 AND 20000
+    ),
+    exact AS (
+      SELECT * FROM (
+        SELECT q.*, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                       ORDER BY doc_id) AS rn
+        FROM quality q
+      ) WHERE rn = 1
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT e.doc_id, e.lang, e.source, e.n_chars,
+               ROW_NUMBER() OVER (
+                 PARTITION BY source
+                 ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                1, 4))::UBIGINT AS INT), doc_id) AS srn,
+               (SELECT CAST(CEIL(0.10 * COUNT(*) ) AS BIGINT) FROM exact)
+                 AS cap
+        FROM exact e
+      ) WHERE srn <= cap
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM capped GROUP BY lang
+    """,
+)
+def pipeline_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A four-stage curation pipeline run THROUGH the incremental
+    runner (plans/pipeline.py): length-window quality filter → exact
+    dedup (keep lowest doc_id per content hash) → 10% domain-share cap
+    (hash-ordered survivors) → per-lang rollup. Each stage is a
+    materialized, signature-stamped lake table, so a scheduled re-run
+    with unchanged sources skips everything and a threshold change
+    rebuilds only from the edited stage down — the production shape of
+    dedup_pipeline_keep_set's logic. The oracle replays the exact
+    chain as CTEs; every stage is hash-deterministic."""
+    import os
+
+    from free_etl_spark.plans.pipeline import Step, run_pipeline
+    from free_etl_spark.tables import load_table as _lt
+
+    def docs(sp, inputs):
+        return _lt(sp, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars", "text"
+        )
+
+    def quality(sp, inputs):
+        return inputs["docs"].filter(F.col("n_chars").between(200, 20000))
+
+    def exact(sp, inputs):
+        w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
+            "doc_id"
+        )
+        return (
+            inputs["quality"]
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "lang", "source", "n_chars")
+        )
+
+    def capped(sp, inputs):
+        e = inputs["exact"]
+        h16 = F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int")
+        w = Window.partitionBy("source").orderBy(h16, "doc_id")
+        total = e.agg(F.count(F.lit(1)).alias("n"))
+        return (
+            e.withColumn("srn", F.row_number().over(w))
+            .crossJoin(F.broadcast(total))
+            .filter(
+                F.col("srn")
+                <= F.ceil(F.lit(0.10) * F.col("n")).cast("long")
+            )
+            .select("doc_id", "lang", "source", "n_chars")
+        )
+
+    def report(sp, inputs):
+        return (
+            inputs["capped"]
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("chars"),
+            )
+        )
+
+    lake = os.path.join(
+        "/tmp",
+        f"fes_pipefull_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    run_pipeline(
+        spark,
+        [
+            Step(
+                "docs",
+                docs,
+                sources=[os.path.join(sf_dir, "documents.parquet")],
+            ),
+            Step("quality", quality, deps=["docs"]),
+            Step("exact", exact, deps=["quality"]),
+            Step("capped", capped, deps=["exact"]),
+            Step("report", report, deps=["capped"]),
+        ],
+        lake,
+    )
+    return spark.read.parquet(os.path.join(lake, "report"))
