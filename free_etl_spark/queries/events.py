@@ -5254,3 +5254,107 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@query(
+    "agg_theta_kmv_intersection",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  ::UBIGINT AS BIGINT) AS h
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    ),
+    sk AS (SELECT event_type, h, rn FROM ranked WHERE rn <= 64),
+    side AS (
+      SELECT event_type, MAX(h) AS kth, COUNT(*) AS k_used
+      FROM sk GROUP BY event_type
+    ),
+    theta AS (SELECT MIN(kth) AS theta FROM side),
+    inter AS (
+      SELECT COUNT(*) AS c
+      FROM sk a JOIN sk b ON a.h = b.h
+       AND a.event_type = 'view' AND b.event_type = 'purchase'
+      CROSS JOIN theta t
+      WHERE a.h < t.theta
+    ),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter FROM (
+        SELECT user_id FROM events WHERE event_type = 'view'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+      )
+    )
+    SELECT CAST(i.c AS BIGINT) AS n_common_hashes,
+           CAST(t.theta AS BIGINT) AS theta,
+           ROUND(i.c * 4294967296.0 / t.theta, 4) AS est_inter,
+           e.exact_inter
+    FROM inter i CROSS JOIN theta t CROSS JOIN exact e
+    """,
+)
+def agg_theta_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch INTERSECTION (the DataSketches-style bottom-k
+    alternative to HLL): each segment keeps only its K=64 smallest
+    distinct md5 user hashes; |A∩B| is estimated from hash survivors
+    below θ = min(θ_A, θ_B) scaled by M/θ — set algebra directly on
+    KB-sized sketches, with an estimator HLL cannot provide natively
+    (agg_hll_set_algebra gets intersection only via inclusion-
+    exclusion, compounding three errors). Because the hash is md5 —
+    not an engine-private seed — the WHOLE sketch is replayed by the
+    oracle and gated by VALUE, no tolerance band needed. Scale path:
+    the bottom-k per segment is a two-phase top-K (threshold prefilter
+    → exact rank of survivors), never a global sort of the fact table;
+    sketches merge by keeping the k smallest of the union, so per-day
+    segment sketches roll up without rescans."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    hashes = ev.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = hashes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 64
+    )
+    side = sk.groupBy("event_type").agg(F.max("h").alias("kth"))
+    theta = side.agg(F.min("kth").alias("theta"))
+    a = sk.filter(F.col("event_type") == "view").select("h")
+    b = sk.filter(F.col("event_type") == "purchase").select("h")
+    inter = (
+        a.join(b, "h")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    v = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    ).select("user_id").distinct()
+    p = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id").distinct()
+    exact = v.join(p, "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_inter")
+    )
+    return (
+        inter.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.col("c").cast("long").alias("n_common_hashes"),
+            F.col("theta").cast("long").alias("theta"),
+            F.round(
+                F.col("c") * F.lit(4294967296.0) / F.col("theta"), 4
+            ).alias("est_inter"),
+            "exact_inter",
+        )
+    )

@@ -1540,3 +1540,38 @@ def pipeline_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         lake,
     )
     return spark.read.parquet(os.path.join(lake, "report"))
+
+
+@query(
+    "quality_freshness_lag",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS mx
+      FROM events GROUP BY event_type
+    ),
+    g AS (SELECT MAX(mx) AS gmx FROM m)
+    SELECT m.event_type,
+           CAST((g.gmx - m.mx) // 1000000 AS BIGINT) AS lag_s,
+           (g.gmx - m.mx) // 1000000 > 86400 AS stale_24h
+    FROM m CROSS JOIN g
+    """,
+)
+def quality_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA audit — the first dashboard every ingestion
+    pipeline ships: per source (event_type here), how far its newest
+    record lags the newest record anywhere, with a 24 h staleness
+    flag. The lake's own global max is the reference instant, so the
+    audit is deterministic and replayable (wall-clock 'now' would
+    never hash-match an oracle). Two aggregate-only passes over
+    per-type maxima; at 100 TB both are partial-agg scans with
+    KB-sized results."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts_us")
+    m = ev.groupBy("event_type").agg(F.max("ts_us").alias("mx"))
+    g = m.agg(F.max("mx").alias("gmx"))
+    lag = F.expr("(gmx - mx) DIV 1000000")
+    return m.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        lag.cast("long").alias("lag_s"),
+        (lag > 86400).alias("stale_24h"),
+    )
