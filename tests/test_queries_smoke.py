@@ -776,3 +776,57 @@ def test_chat_turn_dedup_is_role_aware(spark, tmp_path):
         assert sset(3) & sset(4) == set()
     finally:
         clear_relation_cache(spark)
+
+
+def test_theta_kmv_sketch_merge_law(spark):
+    """The property that makes bottom-k sketches a 100 TB primitive:
+    merge(sketch(A), sketch(B)) == sketch(A ∪ B) — the k smallest of
+    the union of two k-smallest sets equals the k smallest of the
+    union of the raw sets. Verified on the real user-hash population
+    split into two day-halves."""
+    import pyspark.sql.functions as F
+
+    from free_etl_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts_us")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    mid = ev.agg(F.expr("MIN(ts_us) + (MAX(ts_us) - MIN(ts_us)) DIV 2")).first()[0]
+    K = 64
+
+    def bottom_k(df):
+        return [
+            r[0]
+            for r in df.select(h.alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(K)
+            .collect()
+        ]
+
+    a = bottom_k(ev.filter(F.col("ts_us") < mid))
+    b = bottom_k(ev.filter(F.col("ts_us") >= mid))
+    merged = sorted(set(a) | set(b))[:K]
+    full = bottom_k(ev)
+    assert merged == full
+
+
+def test_domain_cap_leaves_small_sources_untouched(spark):
+    """sample_domain_cap only binds sources ABOVE ceil(5%·N): every
+    under-cap source keeps all of its docs (n_kept == n_docs)."""
+    from free_etl_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["sample_domain_cap"](spark, SF_DIR).collect()
+    total = sum(r["n_docs"] for r in rows)
+    cap = -(-total * 5 // 100)  # ceil(0.05 * total)
+    # the synthetic corpus is near-uniform across sources, so at this
+    # SF the cap may bind nowhere — the invariant under test is exact
+    # either way: kept = min(n_docs, cap), never anything else
+    assert len(rows) > 1
+    for r in rows:
+        assert r["n_kept"] == min(r["n_docs"], cap), (r, cap)
