@@ -43,10 +43,15 @@ def _parse_one(content: bytes) -> pd.DataFrame:
         import openpyxl  # noqa: F401, PLC0415
         import io  # noqa: PLC0415
 
+        # fillna BEFORE astype: the reverse order (the reference's own
+        # quirk, streamlit_app.py:174, kept verbatim in validate.py for
+        # parity) stringifies blank cells to the literal 'nan' first,
+        # making fillna a no-op — here the documented ''-not-NULL
+        # invariant wins so both dual paths agree (ADVICE r11).
         return (
             pd.read_excel(io.BytesIO(content), dtype=str, engine="openpyxl")
-            .astype(str)
             .fillna("")
+            .astype(str)
         )
     except ImportError:
         return read_xlsx(content).astype(str).fillna("")

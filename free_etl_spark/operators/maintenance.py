@@ -206,6 +206,19 @@ def zorder_values(
         # (0.001 measured 2.4 s vs ~1 s at sf0.1).
         bounds_per_col = df.approxQuantile(list(cols), probs, 0.01)
 
+        def _dlit(v: float) -> str:
+            """SQL double literal that survives non-finite values:
+            repr(float('inf')) is the bare token 'inf', which Spark SQL
+            cannot parse — render inf/nan via CAST (ADVICE r11)."""
+            v = float(v)
+            if v != v:
+                return "CAST('NaN' AS DOUBLE)"
+            if v == float("inf"):
+                return "CAST('Infinity' AS DOUBLE)"
+            if v == float("-inf"):
+                return "CAST('-Infinity' AS DOUBLE)"
+            return repr(v)
+
         def bucket_sql(c: str, bounds: list[float], lo: int, hi: int) -> str:
             """Bucket index via a BINARY-SEARCH CASE tree emitted as ONE
             SQL text (depth log2(buckets) = 8 comparisons/row, inside
@@ -218,15 +231,20 @@ def zorder_values(
                 return str(lo)
             mid = (lo + hi) // 2
             return (
-                f"CASE WHEN CAST(`{c}` AS DOUBLE) > {float(bounds[mid])!r} "
+                f"CASE WHEN CAST(`{c}` AS DOUBLE) > {_dlit(bounds[mid])} "
                 f"THEN {bucket_sql(c, bounds, mid + 1, hi)} "
                 f"ELSE {bucket_sql(c, bounds, lo, mid)} END"
             )
 
         for i, (c, bounds) in enumerate(zip(cols, bounds_per_col)):
+            # approxQuantile returns EMPTY bounds for an all-NULL column
+            # — bounds[mid] would IndexError; constant bucket 0 matches
+            # the old F.lit-fold behavior (ADVICE r11)
             out = out.withColumn(
                 f"__r{i}",
-                F.expr(bucket_sql(c, bounds, 0, n_buckets - 1)).cast("long"),
+                F.expr(bucket_sql(c, bounds, 0, n_buckets - 1)).cast("long")
+                if bounds
+                else F.lit(0).cast("long"),
             )
     else:
         bits = min(_Z_BITS_MAX, 62 // n)

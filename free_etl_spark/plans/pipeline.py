@@ -28,9 +28,12 @@ Scale notes: signatures read file LISTINGS only (no data); each step
 writes through the engine's normal partitioned writers, so a 100 TB
 step parallelizes exactly like the operator it wraps; skipping is
 O(metadata). Failure atomicity: steps write to a ``__building``
-temp dir and swap via atomic rename, so a crashed build leaves the
-previous materialization intact and the next run redoes only the
-dirty step.
+temp dir and promote via a rename-aside swap (old -> ``__retired``,
+tmp -> live, delete retired — the compact_parquet discipline,
+operators/maintenance.py): a crash at any point leaves either the old
+materialization readable or the step missing its ``_meta.json``, which
+forces a rebuild — never a half-written live dir. Leftover
+``__building``/``__retired`` dirs are swept on the next run.
 """
 
 from __future__ import annotations
@@ -58,6 +61,10 @@ def _source_fingerprint(path: str) -> str:
     """(relpath, size) of every data file under ``path``, hashed.
     Listing-only — never reads data bytes."""
     entries = []
+    if not os.path.exists(path):
+        # a typo'd source would otherwise hash an EMPTY listing — the
+        # step builds once and never invalidates, silently (ADVICE r11)
+        raise FileNotFoundError(f"pipeline source does not exist: {path}")
     if os.path.isfile(path):
         entries.append((os.path.basename(path), os.path.getsize(path)))
     else:
@@ -123,6 +130,9 @@ def run_pipeline(
         sigs[step.name] = sig
 
         out_dir = os.path.join(lake_dir, step.name)
+        # sweep a retired dir a previous crash may have stranded (the
+        # live dir, if present, is always the authoritative one)
+        shutil.rmtree(out_dir + "__retired", ignore_errors=True)
         meta_path = os.path.join(out_dir, "_meta.json")
         stored = None
         if os.path.exists(meta_path):
@@ -144,8 +154,13 @@ def run_pipeline(
         rows = spark.read.parquet(tmp_dir).count()
         with open(os.path.join(tmp_dir, "_meta.json"), "w") as f:
             json.dump({"signature": sig, "rows": rows}, f)
-        shutil.rmtree(out_dir, ignore_errors=True)
+        # rename-aside promote (never rmtree-the-live-then-rename: a
+        # crash between those left NEITHER old nor new — ADVICE r11).
+        retired = out_dir + "__retired"
+        if os.path.exists(out_dir):
+            os.rename(out_dir, retired)
         os.rename(tmp_dir, out_dir)
+        shutil.rmtree(retired, ignore_errors=True)
         manifest[step.name] = {
             "action": "built",
             "signature": sig,

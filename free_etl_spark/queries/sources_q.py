@@ -896,9 +896,18 @@ def sql_scripting_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(hist_path)
         )
     spark.read.parquet(hist_path).createOrReplaceTempView("scr_hist")
+    # restore the prior scripting flag afterwards — a bare set() leaks
+    # session state into every later query in the run (ADVICE r11; the
+    # script executes eagerly inside spark.sql, so restoring in finally
+    # is safe)
+    try:
+        prev_scripting = spark.conf.get("spark.sql.scripting.enabled")
+    except Exception:
+        prev_scripting = None
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    return spark.sql(
-        """
+    try:
+        return spark.sql(
+            """
         BEGIN
           DECLARE n_total BIGINT;
           DECLARE k_target BIGINT;
@@ -921,7 +930,12 @@ def sql_scripting_binary_search(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT hi AS p90_kilodollar, k_target, n_total;
         END
         """
-    )
+        )
+    finally:
+        if prev_scripting is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev_scripting)
 
 
 @query(

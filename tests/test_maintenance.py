@@ -201,3 +201,24 @@ def test_zorder_box_predicate_skips_row_groups_by_footer_stats(spark, tmp_path):
     # single-column partkey sort: every row group spans ~the full
     # suppkey range, so stats exclude (almost) nothing
     assert s_live / s_total >= 0.9, (s_live, s_total)
+
+
+def test_zorder_approx_handles_all_null_and_nonfinite(spark, tmp_path):
+    """ADVICE r11 guards: an all-NULL numeric column makes
+    approxQuantile return EMPTY bounds (bucket 0, no IndexError), and
+    inf/nan values land in the sketch boundaries, which must render as
+    parseable SQL literals (CAST('Infinity' AS DOUBLE)), not the bare
+    repr token 'inf'."""
+    from free_etl_spark.operators.maintenance import zorder_values
+
+    df = spark.range(0, 1000).select(
+        F.col("id").cast("double").alias("x"),
+        F.lit(None).cast("double").alias("all_null"),
+        F.when(F.col("id") % 3 == 0, float("inf"))
+        .when(F.col("id") % 3 == 1, float("nan"))
+        .otherwise(F.col("id").cast("double"))
+        .alias("wild"),
+    )
+    z = zorder_values(df, ["x", "all_null", "wild"], approx=True)
+    lo, hi = z.agg(F.min("__z"), F.max("__z")).first()
+    assert lo is not None and lo >= 0 and hi > lo

@@ -120,3 +120,17 @@ def test_pipeline_final_table_matches_direct(spark, tmp_path):
         )
     )
     assert got == direct and len(got) > 0
+
+
+def test_pipeline_missing_source_raises(spark, tmp_path):
+    """A typo'd source path must fail loudly — hashing the empty
+    listing of a nonexistent dir would build once and then never
+    invalidate (ADVICE r11)."""
+    import pytest
+
+    def build(spark_, inputs):
+        return load_table(spark_, SF_DIR, "region")
+
+    step = Step("r", build, sources=[str(tmp_path / "no_such_table")])
+    with pytest.raises(FileNotFoundError):
+        run_pipeline(spark, [step], str(tmp_path / "lake"))
