@@ -440,3 +440,87 @@ def ivf_compact(spark, path: str) -> DataFrame:
     # retire the WAL last — see crash-safety note above
     fs.delete(Path(os.path.join(path, "_tombstones")), True)
     return spark.createDataFrame(sorted(report), report_schema)
+
+
+def ivf_recluster(
+    spark,
+    path: str,
+    k: int | None = None,
+    codebook: str = "kmeans",
+    iters: int = 2,
+) -> DataFrame:
+    """Rebuild the coarse codebook on the CURRENT corpus and atomically
+    swap the whole store layout — the ACTION sim_ivf_drift_check
+    triggers and sim_ivf_recluster_gain measures (VERDICT r11 task 3).
+    ivf_append freezes the build-time codebook, so a grown corpus
+    drifts: cells go hot (probe tail latency) and quantization error
+    rises (recall). This rebuilds with K regrown to
+    scaled_centroid_k(N_current) unless ``k`` is given, APPLIES any
+    pending tombstones (the rebuilt store simply excludes them — the
+    cheapest compaction there is), and promotes via the rename-aside
+    protocol of maintenance.compact_parquet:
+
+    1. heal: ``__retired`` present + live missing → a previous swap
+       crashed between its two renames; the retired dir holds the
+       complete previous store — restore it. Any other ``__retired``
+       or ``__recluster_stage`` leftover is stale — delete (a
+       recluster recomputes from the live store, so discarding an
+       interrupted build never loses data).
+    2. build the full new layout (data partitioned by cent_id +
+       ``_codebook``) in ``{path}__recluster_stage``.
+    3. swap: rename(live → retired), rename(stage → live),
+       delete(retired). A crash at any point leaves either the old
+       store live, or the old store in ``__retired`` with the live
+       dir missing — both states heal on the next call, and probes
+       against a healed store are correct (pending tombstones keep
+       masking until a swap actually completes, because the WAL is
+       inside the store dir and travels with it).
+
+    Cost at 100 TB: iters+1 broadcast-codebook argmin passes + iters
+    k×dims mean shuffles + ONE full partitioned rewrite — the rewrite
+    is the unavoidable part of re-laying-out a store and runs at the
+    cluster's full write bandwidth. Run it when drift_check says so,
+    not on a schedule. Returns the fresh codebook (read back from the
+    promoted store, so a successful return proves the swap)."""
+    import os
+    import shutil
+
+    stage = path.rstrip("/") + "__recluster_stage"
+    retired = path.rstrip("/") + "__retired"
+    if os.path.isdir(retired) and not os.path.isdir(path):
+        os.rename(retired, path)
+    shutil.rmtree(retired, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+
+    data = spark.read.parquet(path)
+    emb = data.select(
+        *[c for c in data.columns if c != "cent_id"]
+    )
+    tomb = ivf_tombstones(spark, path)
+    if tomb is not None:
+        emb = emb.join(F.broadcast(tomb), "vec_id", "left_anti")
+    if k is None:
+        k = scaled_centroid_k(emb.count())
+    dim = probe_dim(emb)
+    if codebook == "kmeans":
+        cent = kmeans_centroids(emb, k, iters, dim)
+    elif codebook == "first_k":
+        cent = first_k_centroids(emb, k)
+    else:
+        raise ValueError(f"unknown codebook mode: {codebook!r}")
+    asn = (
+        centroid_rank(emb, cent, dim)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    (
+        emb.join(asn, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(stage)
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(stage, "_codebook"))
+    os.rename(path, retired)
+    os.rename(stage, path)
+    shutil.rmtree(retired, ignore_errors=True)
+    return spark.read.parquet(os.path.join(path, "_codebook"))

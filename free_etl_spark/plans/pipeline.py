@@ -130,9 +130,11 @@ def run_pipeline(
         sigs[step.name] = sig
 
         out_dir = os.path.join(lake_dir, step.name)
-        # sweep a retired dir a previous crash may have stranded (the
-        # live dir, if present, is always the authoritative one)
+        # sweep swap debris a previous crash may have stranded (the
+        # live dir, if present, is always the authoritative one; a
+        # __building dir is by definition unpromoted)
         shutil.rmtree(out_dir + "__retired", ignore_errors=True)
+        shutil.rmtree(out_dir + "__building", ignore_errors=True)
         meta_path = os.path.join(out_dir, "_meta.json")
         stored = None
         if os.path.exists(meta_path):

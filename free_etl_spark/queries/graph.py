@@ -549,64 +549,194 @@ def label_propagation_rounds(nb: DataFrame, rounds: int) -> DataFrame:
     )
 
 
-def user_copresence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected user-user edges: two users are connected when they
-    were active in >= 2 of the same clock hours. Built as distinct
-    (user, hour) -> hour-keyed self-join (u_a < u_b) -> weight
-    filter: the join fan-out is quadratic in the per-hour ACTIVE-user
-    count, never in total users, so at 100 TB the knobs are the
-    bucket width (hour) and a per-bucket cap/salt on pathological hot
-    windows — the distilled edge relation the algorithms below
-    consume is orders of magnitude smaller than the event log.
-    Persisted via the shared relation cache (k-core takes several
-    actions over it)."""
-    from free_etl_spark.queries.dedup import _cached_relation
+# ---- density-axis caps (VERDICT r11 task 2) --------------------------
+# With N× traffic in a FIXED window, users-per-bucket grows ~N and the
+# bucket self-join emits ~N² pairs per bucket — measured: kcore decade
+# exponent 1.71 on the density axis before re-graining (docs/SCALE.md).
+# The engine answer is a deterministic per-bucket ACTIVITY CAP: rank
+# each bucket's active users by md5(bucket_text ∥ user) — a stable,
+# partition-order-independent, engine-portable hash order — and keep
+# the first CAP. Below the cap the graph is EXACTLY the uncapped graph
+# (caps sit above every occupancy observed on the supported corpora:
+# hour max 166 / minute max 12 at sf0.1, and the time-dilated sf1
+# keeps instantaneous traffic constant); above it, per-bucket pair
+# fan-out is bounded at CAP²/2 no matter how dense the window gets.
+# Mixing the bucket into the hash drops a hot user in SOME buckets
+# rather than everywhere, so the sample preserves degree structure
+# instead of amputating a fixed user tail.
+_HOUR_CAP = 256
+_MINUTE_CAP = 16
 
-    def build() -> DataFrame:
-        ev = load_table(spark, sf_dir, "events")
-        uh = ev.select(
-            F.col("user_id").alias("u"),
-            F.date_trunc("hour", F.col("ts")).alias("h"),
-        ).distinct()
-        a, b = uh.alias("a"), uh.alias("b")
-        pairs = (
-            a.join(
-                b,
-                (F.col("a.h") == F.col("b.h"))
-                & (F.col("a.u") < F.col("b.u")),
-            )
-            .groupBy(
-                F.col("a.u").alias("ua"), F.col("b.u").alias("ub")
-            )
-            .agg(F.count(F.lit(1)).alias("w"))
-        )
-        return pairs.filter(F.col("w") >= 2).select("ua", "ub")
 
-    return _cached_relation(
-        spark, sf_dir, "user_edges", build, src_table="events.parquet"
+def _capped_active(ub_act: DataFrame, fmt: str, cap: int) -> DataFrame:
+    """(u, b) distinct-activity relation → per-bucket capped relation.
+    The rank window is PARTITIONED BY THE BUCKET (size = occupancy,
+    the quantity being capped — linear work, never a global sort);
+    ``fmt`` renders the bucket identically in Spark (date_format) and
+    DuckDB (strftime) so both engines keep the same users."""
+    w = Window.partitionBy("b").orderBy(
+        F.md5(
+            F.concat(
+                F.date_format(F.col("b"), fmt), F.col("u").cast("string")
+            )
+        ),
+        F.col("u"),
+    )
+    return (
+        ub_act.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
     )
 
 
-_USER_EDGES_SQL = """
-    uh AS (
+def _capped_pairs(kept: DataFrame) -> DataFrame:
+    """Bucket-keyed self-join (u_a < u_b) → ≥2-shared-bucket edges."""
+    x, y = kept.alias("x"), kept.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.b")) & (F.col("x.u") < F.col("y.u")),
+        )
+        .groupBy(F.col("x.u").alias("ua"), F.col("y.u").alias("ub"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pairs.filter(F.col("w") >= 2).select("ua", "ub")
+
+
+def _capped_edges_sql(grain: str, fmt: str, cap: int) -> str:
+    """DuckDB twin of _capped_active + _capped_pairs (CTEs ub_act /
+    ub_kept / edges), one template for both grains."""
+    return f"""
+    ub_act AS (
       SELECT DISTINCT user_id AS u,
-             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+             date_trunc('{grain}', CAST(ts AS TIMESTAMP)) AS b
       FROM events
+    ),
+    ub_kept AS (
+      SELECT u, b FROM (
+        SELECT u, b, ROW_NUMBER() OVER (
+          PARTITION BY b
+          ORDER BY md5(concat(strftime(b, '{fmt}'), CAST(u AS VARCHAR))), u
+        ) AS rn FROM ub_act
+      ) WHERE rn <= {cap}
     ),
     edges AS (
       SELECT ua, ub FROM (
-        SELECT a.u AS ua, b.u AS ub, COUNT(*) AS w
-        FROM uh a JOIN uh b ON a.h = b.h AND a.u < b.u
+        SELECT x.u AS ua, y.u AS ub, COUNT(*) AS w
+        FROM ub_kept x JOIN ub_kept y ON x.b = y.b AND x.u < y.u
         GROUP BY 1, 2
       ) WHERE w >= 2
     )
 """
 
 
+def user_copresence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected user-user edges: two users are connected when they
+    were active in >= 2 of the same clock hours. Built as distinct
+    (user, hour) -> per-bucket activity cap (_HOUR_CAP, the density-
+    axis bound — see _capped_active) -> hour-keyed self-join
+    (u_a < u_b) -> weight filter: the join fan-out is quadratic in
+    the per-hour KEPT-user count, never in total users, so at 100 TB
+    the knobs are the bucket width (hour) and the cap — the distilled
+    edge relation the algorithms below consume is orders of magnitude
+    smaller than the event log. Persisted via the shared relation
+    cache (k-core takes several actions over it)."""
+    from free_etl_spark.queries.dedup import _cached_relation
+
+    def build() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        uh = ev.select(
+            F.col("user_id").alias("u"),
+            F.date_trunc("hour", F.col("ts")).alias("b"),
+        ).distinct()
+        return _capped_pairs(_capped_active(uh, "yyyy-MM-dd HH", _HOUR_CAP))
+
+    return _cached_relation(
+        spark, sf_dir, "user_edges", build, src_table="events.parquet"
+    )
+
+
+_USER_EDGES_CAPPED_SQL = _capped_edges_sql("hour", "%Y-%m-%d %H", _HOUR_CAP)
+
+
+@query(
+    "graph_density_cap",
+    oracle=f"""
+    WITH {_capped_edges_sql("hour", "%Y-%m-%d %H", 4)},
+    occ_b AS (SELECT b, COUNT(*) AS n FROM ub_act GROUP BY b),
+    occ_a AS (SELECT b, COUNT(*) AS n FROM ub_kept GROUP BY b),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT ua AS node FROM edges UNION ALL SELECT ub FROM edges
+      ) GROUP BY node
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ub_act) AS n_active,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ub_kept) AS n_kept,
+           (SELECT CAST(MAX(n) AS BIGINT) FROM occ_b) AS max_occ_before,
+           (SELECT CAST(MAX(n) AS BIGINT) FROM occ_a) AS max_occ_after,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(COALESCE(MAX(d), 0) AS BIGINT) FROM deg)
+             AS max_degree
+    """,
+)
+def graph_density_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The density-axis cap with a deliberately BINDING cap (4 users
+    per hour bucket — every supported corpus exceeds it, sf0.01 hour
+    max occupancy is 28), so the driver value-oracles the cap
+    semantics themselves, not just the pass-through regime the
+    production caps (_HOUR_CAP/_MINUTE_CAP) sit in at test SFs:
+    the deterministic md5-ranked keep-set, the capped occupancy
+    (max_occ_after == 4), and the edge relation built from kept
+    users only. One row of BIGINT audit counters — the report a
+    densifying 100 TB event graph build ships with. Fan-out after
+    the cap is ≤ C(4,2) = 6 pairs per bucket regardless of traffic
+    density; the uncapped quadratic regime this bounds was measured
+    at decade exponent 1.71 (docs/SCALE.md, kcore density axis)."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        F.col("user_id").alias("u"),
+        F.date_trunc("hour", F.col("ts")).alias("b"),
+    ).distinct()
+    act = act.localCheckpoint(eager=False)  # reused by 3 aggregates
+    kept = _capped_active(act, "yyyy-MM-dd HH", 4)
+    kept = kept.localCheckpoint(eager=False)
+    edges = _capped_pairs(kept)
+    edges = edges.localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("ua").alias("node"))
+        .unionAll(edges.select(F.col("ub").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    n_active = act.agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    n_kept = kept.agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    occ_b = (
+        act.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").cast("long").alias("max_occ_before"))
+    )
+    occ_a = (
+        kept.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").cast("long").alias("max_occ_after"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    max_deg = deg.agg(
+        F.coalesce(F.max("d"), F.lit(0)).cast("long").alias("max_degree")
+    )
+    return (
+        n_active.crossJoin(n_kept)
+        .crossJoin(occ_b)
+        .crossJoin(occ_a)
+        .crossJoin(n_edges)
+        .crossJoin(max_deg)
+    )
+
+
 @query(
     "graph_degree_stats",
     oracle=f"""
-    WITH {_USER_EDGES_SQL},
+    WITH {_USER_EDGES_CAPPED_SQL},
     deg AS (
       SELECT node, CAST(COUNT(*) AS DOUBLE) AS d FROM (
         SELECT ua AS node FROM edges UNION ALL SELECT ub FROM edges
@@ -742,7 +872,7 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
 @query(
     "graph_kcore",
     oracle=f"""
-    WITH {_USER_EDGES_SQL},
+    WITH {_USER_EDGES_CAPPED_SQL},
     deg0 AS (
       SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
         SELECT ua AS node FROM edges UNION ALL SELECT ub FROM edges
@@ -886,20 +1016,9 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MIN_EDGES_SQL = """
-    um AS (
-      SELECT DISTINCT user_id AS u,
-             date_trunc('minute', CAST(ts AS TIMESTAMP)) AS m
-      FROM events
-    ),
-    edges AS (
-      SELECT ua, ub FROM (
-        SELECT a.u AS ua, b.u AS ub, COUNT(*) AS w
-        FROM um a JOIN um b ON a.m = b.m AND a.u < b.u
-        GROUP BY 1, 2
-      ) WHERE w >= 2
-    )
-"""
+_MIN_EDGES_CAPPED_SQL = _capped_edges_sql(
+    "minute", "%Y-%m-%d %H:%M", _MINUTE_CAP
+)
 
 
 def user_interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -912,27 +1031,20 @@ def user_interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same distill-join-filter pipeline, two orders of magnitude
     fewer edges (sf0.1: 5.6k edges, max degree 28), and a semantics
     ('repeatedly active in the same minute') that actually indicates
-    interaction rather than mere coexistence. Persisted like its
-    hour-grain sibling."""
+    interaction rather than mere coexistence, capped per bucket at
+    _MINUTE_CAP (density axis — see _capped_active). Persisted like
+    its hour-grain sibling."""
     from free_etl_spark.queries.dedup import _cached_relation
 
     def build() -> DataFrame:
         ev = load_table(spark, sf_dir, "events")
         um = ev.select(
             F.col("user_id").alias("u"),
-            F.date_trunc("minute", F.col("ts")).alias("m"),
+            F.date_trunc("minute", F.col("ts")).alias("b"),
         ).distinct()
-        a, b = um.alias("a"), um.alias("b")
-        pairs = (
-            a.join(
-                b,
-                (F.col("a.m") == F.col("b.m"))
-                & (F.col("a.u") < F.col("b.u")),
-            )
-            .groupBy(F.col("a.u").alias("ua"), F.col("b.u").alias("ub"))
-            .agg(F.count(F.lit(1)).alias("w"))
+        return _capped_pairs(
+            _capped_active(um, "yyyy-MM-dd HH:mm", _MINUTE_CAP)
         )
-        return pairs.filter(F.col("w") >= 2).select("ua", "ub")
 
     return _cached_relation(
         spark, sf_dir, "user_min_edges", build, src_table="events.parquet"
@@ -942,7 +1054,7 @@ def user_interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_clustering_coefficient",
     oracle=f"""
-    WITH {_MIN_EDGES_SQL},
+    WITH {_MIN_EDGES_CAPPED_SQL},
     tris AS (
       SELECT e1.ua AS a, e1.ub AS b, e2.ub AS c
       FROM edges e1
@@ -1031,7 +1143,7 @@ def graph_clustering_coefficient(
 @query(
     "graph_jaccard_neighbors",
     oracle=f"""
-    WITH {_MIN_EDGES_SQL},
+    WITH {_MIN_EDGES_CAPPED_SQL},
     sym AS (
       SELECT ua AS node, ub AS nbr FROM edges
       UNION ALL

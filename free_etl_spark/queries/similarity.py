@@ -2900,3 +2900,103 @@ def sim_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("qid", "cid", "hamming", "cosine", "rank")
     )
+
+
+@query(
+    "sim_ivf_recluster_apply",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    kk AS (SELECT GREATEST(16, CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))
+                                    AS BIGINT)) AS k FROM v),
+    cinit AS (
+      SELECT vec_id AS cent_id, emb AS cemb FROM v
+      WHERE vec_id < (SELECT k FROM kk)
+    ),
+    a1 AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT b.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(b.emb, c.cemb),
+                          z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cent_id) AS rn
+        FROM v b CROSS JOIN cinit c)
+      WHERE rn = 1
+    ),
+    upd AS (
+      SELECT a1.cent_id, g.i AS dim, ROUND(AVG(v.emb[g.i]), 6) AS m
+      FROM a1 JOIN v USING (vec_id) CROSS JOIN generate_series(1, 64) AS g(i)
+      GROUP BY a1.cent_id, g.i
+    ),
+    cupd AS (SELECT cent_id, list(m ORDER BY dim) AS cemb FROM upd
+             GROUP BY cent_id),
+    cnew AS (
+      SELECT ci.cent_id, COALESCE(cu.cemb, ci.cemb) AS cemb
+      FROM cinit ci LEFT JOIN cupd cu USING (cent_id)
+    ),
+    a2 AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT b.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(b.emb, c.cemb),
+                          z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cent_id) AS rn
+        FROM v b CROSS JOIN cnew c)
+      WHERE rn = 1
+    )
+    SELECT CAST(cent_id AS BIGINT) AS cent_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+    FROM a2 GROUP BY 1
+    """,
+)
+def sim_ivf_recluster_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTABLE recluster action (VERDICT r11 task 3), end to
+    end on a real on-disk store: build the cluster-partitioned layout
+    on the base corpus (vec_id % 10 ≠ 0, frozen first-K codebook),
+    ivf_append the arriving batch (% 10 = 0) under that stale
+    codebook — the drifted state sim_ivf_drift_check flags — then run
+    operators.vectors.ivf_recluster: fresh K = ceil(sqrt N_current)
+    codebook (deterministic first-K init + one 6-dp-rounded Lloyd
+    refinement, empty cells kept via coalesce), full re-assignment,
+    and the rename-aside store+_codebook swap. The returned relation
+    is read BACK FROM THE PROMOTED STORE (per-cluster occupancy +
+    sum(vec_id) — membership-sensitive), so the DuckDB oracle, which
+    replays codebook refresh + assignment from the raw table,
+    value-gates the physical swap itself: a half-applied or mangled
+    layout cannot hash-match. Crash-window recovery and
+    recall-after-recluster are pinned in tests/test_ann_quality.py.
+
+    Shape at 100 TB: iters+1 broadcast-codebook argmin passes + one
+    k×dims mean shuffle + ONE partitioned rewrite at full cluster
+    write bandwidth — run when drift_check trips, not on a schedule.
+    The base-store build here stands in for a store that exists
+    already; the recluster itself never depends on the old layout."""
+    import os
+
+    from free_etl_spark.operators.vectors import (
+        ivf_append,
+        ivf_recluster,
+        ivf_write,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    newb = emb.filter(F.col("vec_id") % 10 == 0)
+    path = os.path.join(
+        "/tmp",
+        f"fes_ivf_reclu_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    ivf_write(base, path, codebook="first_k")
+    ivf_append(newb, path)
+    ivf_recluster(spark, path, iters=1)
+    store = spark.read.parquet(path)
+    return store.groupBy(
+        F.col("cent_id").cast("long").alias("cent_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("vec_id").cast("long").alias("sum_vec_id"),
+    )

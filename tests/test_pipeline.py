@@ -134,3 +134,72 @@ def test_pipeline_missing_source_raises(spark, tmp_path):
     step = Step("r", build, sources=[str(tmp_path / "no_such_table")])
     with pytest.raises(FileNotFoundError):
         run_pipeline(spark, [step], str(tmp_path / "lake"))
+
+
+def test_pipeline_crash_between_steps_recovers(spark, tmp_path):
+    """Crash-recovery matrix for the runner (VERDICT r11 task 6):
+    (a) a run that dies BETWEEN steps (prefix built+stamped, suffix
+    never ran) resumes with the prefix skipped and the suffix built;
+    (b) a crash after the stage write but before promote (stranded
+    ``__building``) is swept and never read; (c) a crash between the
+    two promote renames (live dir missing, ``__retired`` holds the
+    old build) rebuilds the step and sweeps the debris. Every path
+    ends at the same final values as the direct computation."""
+    import shutil
+
+    import pytest
+
+    lake = str(tmp_path / "lake")
+    boom = {"armed": True}
+
+    def _steps_with_bomb():
+        steps = _steps(SF_DIR)
+
+        def exploding_by_lang(sp, inputs):
+            if boom["armed"]:
+                raise RuntimeError("simulated crash between steps")
+            return steps[2].build(sp, inputs)
+
+        return [
+            steps[0],
+            steps[1],
+            Step("by_lang", exploding_by_lang, deps=["filtered"]),
+        ]
+
+    # (a) die between steps: docs+filtered stamped, by_lang never ran
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_pipeline(spark, _steps_with_bomb(), lake)
+    assert os.path.exists(os.path.join(lake, "filtered", "_meta.json"))
+    assert not os.path.exists(os.path.join(lake, "by_lang"))
+    boom["armed"] = False
+    m = run_pipeline(spark, _steps_with_bomb(), lake)
+    assert m["docs"]["action"] == "skipped"
+    assert m["filtered"]["action"] == "skipped"
+    assert m["by_lang"]["action"] == "built"
+
+    direct = {
+        r["lang"]: (r["n_docs"], r["chars"])
+        for r in spark.read.parquet(os.path.join(lake, "by_lang")).collect()
+    }
+
+    # (b) stranded __building beside a CURRENT step: swept, not read
+    junk = os.path.join(lake, "by_lang__building")
+    os.makedirs(junk)
+    open(os.path.join(junk, "junk.parquet"), "w").close()
+    m = run_pipeline(spark, _steps_with_bomb(), lake)
+    assert m["by_lang"]["action"] == "skipped"
+    assert not os.path.exists(junk)
+
+    # (c) crash between the promote renames: live gone, retired holds
+    # the old build — missing _meta forces a rebuild, debris is swept
+    os.rename(
+        os.path.join(lake, "by_lang"), os.path.join(lake, "by_lang__retired")
+    )
+    m = run_pipeline(spark, _steps_with_bomb(), lake)
+    assert m["by_lang"]["action"] == "built"
+    assert not os.path.exists(os.path.join(lake, "by_lang__retired"))
+    got = {
+        r["lang"]: (r["n_docs"], r["chars"])
+        for r in spark.read.parquet(os.path.join(lake, "by_lang")).collect()
+    }
+    assert got == direct

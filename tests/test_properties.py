@@ -657,3 +657,57 @@ def test_xlsx_distributed_roundtrips_arbitrary_text(spark, rows, tmp_path_factor
         )
     )
     assert got == sorted(map(tuple, pdf.itertuples(index=False, name=None)))
+
+
+def test_density_cap_bounds_fanout_and_is_partition_stable(spark):
+    """Density-axis cap invariants (VERDICT r11 task 2): on a
+    synthetic HOT window (60 users all active in the same few hour
+    buckets — the densification regime that drove kcore to decade
+    exponent 1.71, docs/SCALE.md), the per-bucket keep count is
+    exactly the cap, the pair fan-out is bounded at C(cap,2) per
+    bucket, and the md5-ranked keep-set is IDENTICAL under a
+    different input partitioning (no row_number nondeterminism)."""
+    import pyspark.sql.functions as F
+
+    from free_etl_spark.queries.graph import _capped_active, _capped_pairs
+
+    rows = [
+        (u, f"2024-03-0{d} 0{h}:00:00")
+        for u in range(60)
+        for d in (1, 2)
+        for h in range(3)
+    ]
+    act = spark.createDataFrame(rows, "u long, b_s string").select(
+        "u", F.col("b_s").cast("timestamp").alias("b")
+    )
+    cap = 8
+    kept = _capped_active(act, "yyyy-MM-dd HH", cap)
+    occ = kept.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+    assert {r["n"] for r in occ.collect()} == {cap}
+
+    pairs_per_bucket = (
+        _capped_active(act, "yyyy-MM-dd HH", cap)
+        .alias("x")
+        .join(
+            _capped_active(act, "yyyy-MM-dd HH", cap).alias("y"),
+            (F.col("x.b") == F.col("y.b")) & (F.col("x.u") < F.col("y.u")),
+        )
+        .groupBy(F.col("x.b"))
+        .count()
+    )
+    assert all(r["count"] == cap * (cap - 1) // 2 for r in pairs_per_bucket.collect())
+
+    # partition-stability: same keep-set from a shuffled, repartitioned input
+    keep1 = {(r["u"], str(r["b"])) for r in kept.collect()}
+    act2 = act.orderBy(F.col("u").desc()).repartition(17, "u")
+    keep2 = {
+        (r["u"], str(r["b"]))
+        for r in _capped_active(act2, "yyyy-MM-dd HH", cap).collect()
+    }
+    assert keep1 == keep2
+
+    # edges from the capped relation never exceed the all-pairs bound
+    # of the KEPT users (6 buckets x C(8,2)), and the >=2-bucket filter
+    # holds: every emitted pair shared at least 2 kept buckets
+    edges = _capped_pairs(kept)
+    assert edges.count() <= 6 * cap * (cap - 1) // 2

@@ -91,11 +91,20 @@ def _suffix_tokens(texts: list, r: int) -> list:
 
 
 def main() -> None:
-    n_rep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    # --density: SKIP the events time-dilation — replicas keep the
+    # SAME window, so the corpus is "N× instantaneous traffic"
+    # (users-per-bucket grows ~N, bucket pair fan-out ~N²). This is
+    # the regime that measured kcore decade exponent 1.71 in r11 and
+    # that the per-bucket activity caps (queries/graph.py
+    # _capped_active) exist to bound — the probe corpus for the r12
+    # density-cap verification rows in docs/SCALE.md.
+    density = "--density" in sys.argv
+    argv = [a for a in sys.argv if a != "--density"]
+    n_rep = int(argv[1]) if len(argv) > 1 else 10
+    src = argv[2] if len(argv) > 2 else "/root/testdata/sf0.1"
     dst = (
-        sys.argv[3]
-        if len(sys.argv) > 3
+        argv[3]
+        if len(argv) > 3
         else os.path.join(REPO, ".scaledata", "sf1")
     )
     os.makedirs(dst, exist_ok=True)
@@ -124,7 +133,12 @@ def main() -> None:
                 if field.name in SHIFT_COLS[name]:
                     off = r * unit[DOMAIN_OF[field.name]]
                     arr = pc.add(arr, pa.scalar(off, type=field.type))
-                if name == "events" and field.name == "ts" and r > 0:
+                if (
+                    name == "events"
+                    and field.name == "ts"
+                    and r > 0
+                    and not density
+                ):
                     span_us = (
                         pc.max(t["ts"]).cast(pa.int64()).as_py()
                         - pc.min(t["ts"]).cast(pa.int64()).as_py()
