@@ -438,8 +438,6 @@ def merge_additive_once(
 
     os.makedirs(applied_dir, exist_ok=True)
     marker = os.path.join(applied_dir, f"batch_{batch_id}")
-    if os.path.exists(marker):
-        return False
 
     conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
     Path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001,N806
@@ -447,6 +445,18 @@ def merge_additive_once(
     fs = tgt.getFileSystem(conf)
     staging = Path(f"{target_dir}__stage_b{batch_id}")
     retired = Path(f"{target_dir}__retired_b{batch_id}")
+
+    if os.path.exists(marker):
+        # Marker present = batch applied. A crash between marker
+        # creation and the final fs.delete(retired) strands a FULL
+        # pre-image copy of the MV (at scale, the whole table) —
+        # sweep this batch's leftovers before skipping, or the leak
+        # is permanent: later batches use their own suffixes and
+        # never look at this one again.
+        for leftover in (staging, retired):
+            if fs.exists(leftover):
+                fs.delete(leftover, True)
+        return False
 
     def _rename(src, dst):
         _checked_rename(fs, src, dst, batch_id)

@@ -926,3 +926,134 @@ def test_rocksdb_state_store_matches_hdfs_backend(spark):
     finally:
         spark.conf.set(key, default)
     assert rocks == base and len(base) > 0
+
+
+class _Killed(RuntimeError):
+    """Injected crash for the swap-protocol kill matrix."""
+
+
+@pytest.mark.parametrize(
+    "label, first_batch, kill_at, perform, retry_ran",
+    [
+        # non-first batch: staged write done, crash BEFORE retiring
+        # the target — old MV intact, retry applies exactly once
+        ("before_retire", False, 1, False, True),
+        # crash AFTER rename(target, retired) — no target on disk;
+        # retry restores the retired pre-image then applies once
+        ("after_retire", False, 1, True, True),
+        # crash AFTER rename(staging, target), marker missed — the
+        # applied-state signature; retry must NOT double-count
+        ("after_promote", False, 2, True, False),
+        # first-ever batch: sentinel + staging written, crash before
+        # the promote rename — retry deletes the sentinel, applies
+        ("first_before_promote", True, 1, False, True),
+        # first-ever batch applied, sentinel still present, marker
+        # missed — retry recognizes 'applied' via the sentinel
+        ("first_after_promote", True, 1, True, False),
+    ],
+)
+def test_merge_additive_once_kill_matrix(
+    spark, tmp_path, monkeypatch, label, first_batch, kill_at, perform, retry_ran
+):
+    """Kill-injection matrix over the staged-swap protocol (VERDICT
+    r11 task 7): instead of hand-crafting crash states, run the REAL
+    protocol and kill it at each rename boundary (optionally after
+    the rename lands), then retry and require the batch answer with
+    exactly-once semantics and no leftover stage/retired dirs."""
+    import os
+
+    import free_etl_spark.operators.merge as merge_mod
+    from free_etl_spark.operators.merge import merge_additive_once
+
+    schema = "k string, n long, s double"
+    target = str(tmp_path / "mv")
+    applied = str(tmp_path / "applied")
+
+    if first_batch:
+        batch_id = 0
+        delta = spark.createDataFrame([("a", 1, 1.0)], schema)
+        expect = {"a": (1, 1.0)}
+    else:
+        seed = spark.createDataFrame([("a", 1, 1.0)], schema)
+        assert merge_additive_once(
+            spark, target, seed, ["k"], ["n", "s"], applied, 0
+        )
+        batch_id = 1
+        delta = spark.createDataFrame([("a", 2, 2.0), ("b", 5, 5.0)], schema)
+        expect = {"a": (3, 3.0), "b": (5, 5.0)}
+
+    real_rename = merge_mod._checked_rename
+    calls = {"n": 0}
+
+    def killer(fs, src, dst, bid):
+        calls["n"] += 1
+        if calls["n"] == kill_at:
+            if perform:
+                real_rename(fs, src, dst, bid)
+            raise _Killed(label)
+        real_rename(fs, src, dst, bid)
+
+    monkeypatch.setattr(merge_mod, "_checked_rename", killer)
+    with pytest.raises(_Killed):
+        merge_additive_once(
+            spark, target, delta, ["k"], ["n", "s"], applied, batch_id
+        )
+    # no marker may exist unless the promote rename landed
+    assert not os.path.exists(os.path.join(applied, f"batch_{batch_id}"))
+    monkeypatch.setattr(merge_mod, "_checked_rename", real_rename)
+
+    ran = merge_additive_once(
+        spark, target, delta, ["k"], ["n", "s"], applied, batch_id
+    )
+    assert ran is retry_ran
+    got = {r.k: (r.n, r.s) for r in spark.read.parquet(target).collect()}
+    assert got == expect
+    assert os.path.exists(os.path.join(applied, f"batch_{batch_id}"))
+    assert not os.path.exists(f"{target}__retired_b{batch_id}")
+    assert not os.path.exists(f"{target}__stage_b{batch_id}")
+    # idempotent replay after recovery
+    assert (
+        merge_additive_once(
+            spark, target, delta, ["k"], ["n", "s"], applied, batch_id
+        )
+        is False
+    )
+    got = {r.k: (r.n, r.s) for r in spark.read.parquet(target).collect()}
+    assert got == expect
+
+
+def test_merge_additive_once_marker_skip_sweeps_stranded_retired(
+    spark, tmp_path
+):
+    """The kill window AFTER marker creation but BEFORE the final
+    fs.delete(retired): the batch is applied and marker-skipped on
+    retry, but without a sweep the retired dir — a FULL pre-image
+    copy of the MV — leaks forever (later batches use their own
+    suffixes and never revisit it). The marker-exists path must
+    clean this batch's leftovers."""
+    import os
+
+    from free_etl_spark.operators.merge import merge_additive_once
+
+    schema = "k string, n long, s double"
+    target = str(tmp_path / "mv")
+    applied = str(tmp_path / "applied")
+    seed = spark.createDataFrame([("a", 1, 1.0)], schema)
+    assert merge_additive_once(
+        spark, target, seed, ["k"], ["n", "s"], applied, 0
+    )
+    delta = spark.createDataFrame([("a", 2, 2.0)], schema)
+    assert merge_additive_once(
+        spark, target, delta, ["k"], ["n", "s"], applied, 1
+    )
+    # crash state: marker written, retired pre-image never deleted
+    seed.write.parquet(f"{target}__retired_b1")
+    os.makedirs(f"{target}__stage_b1")
+    ran = merge_additive_once(
+        spark, target, delta, ["k"], ["n", "s"], applied, 1
+    )
+    assert ran is False
+    got = {r.k: (r.n, r.s) for r in spark.read.parquet(target).collect()}
+    assert got == {"a": (3, 3.0)}
+    assert not os.path.exists(f"{target}__retired_b1")
+    assert not os.path.exists(f"{target}__stage_b1")
