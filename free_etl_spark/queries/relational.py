@@ -2412,3 +2412,135 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ── runtime bloom-filter semi-join (pre-shuffle pruning) ────────────
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    WITH dimk AS (
+      SELECT s_suppkey AS k FROM supplier WHERE s_suppkey % 4 = 1
+    ),
+    pos AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(k AS VARCHAR) || '|'
+                                 || CAST(g.s AS VARCHAR)), 1, 8))::UBIGINT
+               % 1024 AS p
+      FROM dimk CROSS JOIN generate_series(0, 2) AS g(s)
+    ),
+    cand AS (
+      SELECT l_returnflag, l_suppkey,
+             l_extendedprice * (1 - l_discount) AS rev
+      FROM lineitem f
+      WHERE 3 = (SELECT COUNT(*)
+                 FROM generate_series(0, 2) AS g(s)
+                 WHERE ('0x' || substr(md5(CAST(f.l_suppkey AS VARCHAR)
+                                           || '|' || CAST(g.s AS VARCHAR)),
+                                       1, 8))::UBIGINT % 1024
+                       IN (SELECT p FROM pos))
+    )
+    SELECT c.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_bloom_pass,
+           CAST(SUM(CASE WHEN d.k IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+           ROUND(SUM(CASE WHEN d.k IS NOT NULL THEN c.rev ELSE 0 END), 2)
+             AS matched_rev
+    FROM cand c LEFT JOIN dimk d ON c.l_suppkey = d.k
+    GROUP BY c.l_returnflag
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join: the pre-shuffle pruning
+    primitive behind Spark's own runtime row-group filters
+    (spark.sql.optimizer.runtime.bloomFilter.*) and every engine's
+    'dynamic filtering', built here explicitly so the construction is
+    value-oracled. The dim key set (one logical supplier shard — a
+    stand-in for any selective dim predicate, chosen scale-stable so
+    the set is non-empty at sf0.001 and FP-binding at sf0.01+) is
+    hashed k=3 ways into an m=1024-bit bloom (deliberately small so
+    false positives EXIST at test scale and the bloom is binding —
+    n_bloom_pass > n_matched; production sizes m up for the target
+    FP rate), folded map-side into a 16-word bitmap (groupBy word →
+    bit_or of masks — an aggregate of at most m/64 rows regardless
+    of dim size), broadcast as one tiny
+    map, and probed per fact row with two O(1) JVM expressions
+    (element_at + bitwise AND) — no per-row Python, no array scan.
+    Rows passing the bloom are then exact-verified by a broadcast
+    left join, so the result is exact while n_bloom_pass pins the
+    bloom construction itself (a wrong hash or lost bit changes the
+    candidate count and hash-mismatches the oracle; no false
+    negatives is the correctness half, pinned by n_matched equaling
+    the plain semi-join in tests).
+
+    Shape at 100 TB: the bloom build is one scan of the SMALL side
+    collapsed to <=1 KB; the probe is a map-side filter that drops
+    non-matching fact rows BEFORE any shuffle or join — the whole
+    point: the fact table never pays join machinery for rows the dim
+    side can already exclude. md5-based positions are deterministic
+    and engine-portable (DuckDB replays them bit-for-bit)."""
+    M, K = 1024, 3
+    dim = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 4 == 1)
+        .select(F.col("s_suppkey").alias("k"))
+    )
+
+    def pos(key: F.Column, seed: F.Column) -> F.Column:
+        h = F.md5(
+            F.concat(
+                key.cast("string"), F.lit("|"), seed.cast("string")
+            ).cast("binary")
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % M
+
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(K)])).alias("s")
+    words = (
+        dim.select("k", seeds)
+        .select(pos(F.col("k"), F.col("s")).alias("p"))
+        .groupBy(F.expr("CAST(p DIV 64 AS INT)").alias("w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+            ).alias("mask")
+        )
+    )
+    bloom = words.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("w", "mask")))
+        ).alias("bloom")
+    )
+    fact = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+
+    passed = fact.crossJoin(F.broadcast(bloom))
+    for s in range(K):
+        passed = passed.withColumn(
+            f"p{s}", pos(F.col("l_suppkey"), F.lit(s))
+        )
+    probe = " AND ".join(
+        f"(coalesce(element_at(bloom, CAST(p{s} DIV 64 AS INT)),"
+        f" CAST(0 AS BIGINT))"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(p{s} % 64 AS INT))) != 0"
+        for s in range(K)
+    )
+    passed = passed.filter(F.expr(probe)).drop(
+        "bloom", *[f"p{s}" for s in range(K)]
+    )
+    verified = passed.join(
+        F.broadcast(dim.withColumn("m", F.lit(1))),
+        passed.l_suppkey == F.col("k"),
+        "left",
+    )
+    return verified.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bloom_pass"),
+        F.sum(F.coalesce(F.col("m"), F.lit(0))).cast("long").alias("n_matched"),
+        F.round(
+            F.sum(F.when(F.col("m").isNotNull(), F.col("rev")).otherwise(0.0)),
+            2,
+        ).alias("matched_rev"),
+    )

@@ -1,0 +1,60 @@
+"""Invariant + reimplementation pins for the round-12 wave operators
+(bloom-prefilter join, partition-grain backfill, range-partitioned
+export, IVF+PQ search, merge-on-read delete vectors)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from free_etl_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from free_etl_spark.session import get_spark
+
+    return get_spark("test-r12-waves")
+
+
+def _bloom_pos(key: int, seed: int, m: int = 1024) -> int:
+    h = hashlib.md5(f"{key}|{seed}".encode()).hexdigest()
+    return int(h[:8], 16) % m
+
+
+def test_bloom_prefilter_no_false_negatives_and_exact_construction(spark):
+    """The bloom semi-join must (a) never drop a matching row —
+    n_matched equals the plain exact semi-join per group — and
+    (b) pass exactly the rows a hashlib replication of the k=3
+    md5 bloom admits (pins the bit layout, not just the outcome)."""
+    got = (
+        QUERIES["join_bloom_prefilter"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    sup = pd.read_parquet(f"{SF_DIR}/supplier.parquet")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    dim = set(sup.loc[sup.s_suppkey % 4 == 1, "s_suppkey"])
+    bits = {_bloom_pos(k, s) for k in dim for s in range(3)}
+    li = li.assign(
+        passed=li.l_suppkey.map(
+            lambda k: all(_bloom_pos(k, s) in bits for s in range(3))
+        ),
+        matched=li.l_suppkey.isin(dim),
+    )
+    # no false negatives: every matching row passes the bloom
+    assert (li.matched <= li.passed).all()
+    want = (
+        li[li.passed]
+        .groupby("l_returnflag")
+        .agg(n_bloom_pass=("passed", "size"), n_matched=("matched", "sum"))
+        .reset_index()
+    )
+    assert got[["l_returnflag", "n_bloom_pass", "n_matched"]].values.tolist() == (
+        want.values.tolist()
+    )
