@@ -169,3 +169,103 @@ def run_pipeline(
             "rows": rows,
         }
     return manifest
+
+
+def run_partitioned_step(
+    spark: SparkSession,
+    name: str,
+    source_dir: str,
+    partition_col: str,
+    build: Callable[[SparkSession, DataFrame], DataFrame],
+    lake_dir: str,
+    version: str = "1",
+) -> dict:
+    """Partition-grain incremental materialization (the daily backfill
+    primitive): fingerprint the hive-partitioned SOURCE per partition
+    directory, rebuild only partitions whose listing changed (late
+    data, restatement, new partition), leave every clean partition's
+    files physically untouched.
+
+    All dirty partitions batch into ONE engine job — ``build``
+    receives their union (partition column included via basePath
+    discovery) and the result is written once with
+    ``partitionBy(partition_col)`` to a staging dir, then promoted
+    per-partition via the rename-aside swap (never delete-then-
+    rename). At 100 TB a late-data day therefore costs one job over
+    one day's bytes, not a full-table rebuild, and no sequential
+    per-partition job storm.
+
+    Crash windows: the staging dir is unpromoted by construction; a
+    crash between per-partition renames leaves that partition's live
+    dir missing, which the dirty check treats as dirty (stored
+    signature alone never authorizes a skip — the output dir must
+    exist); ``_parts.json`` is stamped last via atomic ``os.replace``,
+    so a pre-stamp crash merely rebuilds idempotently. Debris
+    (``__building``/``__retired``) is swept on entry.
+
+    Returns {"rebuilt": [...], "skipped": [...]} by partition dir
+    name (e.g. ``yr=1995``).
+    """
+    out_dir = os.path.join(lake_dir, name)
+    os.makedirs(out_dir, exist_ok=True)
+    shutil.rmtree(out_dir + "__building", ignore_errors=True)
+    for d in os.listdir(out_dir):
+        if d.endswith("__retired"):
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+
+    live: dict[str, str] = {}
+    for d in sorted(os.listdir(source_dir)):
+        p = os.path.join(source_dir, d)
+        if os.path.isdir(p) and d.startswith(partition_col + "="):
+            h = hashlib.sha256()
+            h.update(f"v={version};".encode())
+            h.update(_source_fingerprint(p).encode())
+            live[d] = h.hexdigest()
+    if not live:
+        raise FileNotFoundError(
+            f"no {partition_col}=* partitions under {source_dir}"
+        )
+
+    parts_path = os.path.join(out_dir, "_parts.json")
+    stored: dict[str, str] = {}
+    if os.path.exists(parts_path):
+        try:
+            stored = json.load(open(parts_path))
+        except Exception:
+            stored = {}
+
+    dirty = [
+        d
+        for d, sig in live.items()
+        if stored.get(d) != sig or not os.path.isdir(os.path.join(out_dir, d))
+    ]
+    skipped = [d for d in live if d not in dirty]
+
+    if dirty:
+        src = spark.read.option("basePath", source_dir).parquet(
+            *[os.path.join(source_dir, d) for d in dirty]
+        )
+        staging = out_dir + "__building"
+        build(spark, src).write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(staging)
+        for d in dirty:
+            live_part = os.path.join(out_dir, d)
+            new_part = os.path.join(staging, d)
+            retired = live_part + "__retired"
+            if os.path.exists(live_part):
+                os.rename(live_part, retired)
+            if os.path.exists(new_part):
+                os.rename(new_part, live_part)
+            shutil.rmtree(retired, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    # drop output partitions whose source partition vanished
+    for d in list(stored):
+        if d not in live:
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+    tmp = parts_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({d: live[d] for d in live}, f)
+    os.replace(tmp, parts_path)
+    return {"rebuilt": sorted(dirty), "skipped": sorted(skipped)}

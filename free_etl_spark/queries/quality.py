@@ -1676,3 +1676,85 @@ def pipeline_append_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(built).cast("long").alias("run2_built"),
         F.lit(skipped).cast("long").alias("run2_skipped"),
     )
+
+
+@query(
+    "pipeline_partition_backfill",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y') AS yr,
+           o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price,
+           CAST(1 AS BIGINT) AS run2_rebuilt,
+           (SELECT CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y'))
+                        AS BIGINT) - 1 FROM orders) AS run2_skipped
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-grain backfill semantics under the VALUE oracle — the
+    restatement path a production lake runs daily: materialize a
+    year-partitioned aggregate via run_partitioned_step, then a late
+    batch lands in exactly ONE source partition (the earliest year's
+    held-out rows appended as a new part-file), and the re-run must
+    rebuild that partition alone while every other partition's files
+    stay physically untouched. The re-read leaf must equal the
+    full-corpus answer, and the second run's rebuilt/skipped counts
+    ride along as columns — a backfill that rebuilt too much
+    (run2_skipped short), skipped the dirty partition (stale
+    min-year values), or lost a clean partition (missing rows)
+    all hash-mismatch the oracle.
+
+    Shape at 100 TB: per-partition listings decide; all dirty
+    partitions batch into ONE partitionBy write (no per-partition job
+    storm), so a late day costs one job over one day's bytes. Clean
+    partitions are never rewritten (tests pin their file listings
+    byte-identical across runs)."""
+    import os
+    import shutil
+
+    from free_etl_spark.plans.pipeline import run_partitioned_step
+
+    ws = os.path.join(
+        "/tmp",
+        f"fes_partback_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(ws, ignore_errors=True)  # fresh simulation per call
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy").alias("yr"),
+    )
+    min_yr = orders.agg(F.min("yr")).first()[0]  # one tiny agg row
+    src = os.path.join(ws, "src_orders")
+    holdout = (F.col("yr") == min_yr) & (F.col("o_orderkey") % 7 == 0)
+    orders.filter(~holdout).write.partitionBy("yr").parquet(src)
+
+    def build(sp, inp):
+        return inp.groupBy("yr", "o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+
+    lake = os.path.join(ws, "lake")
+    run_partitioned_step(
+        spark, "by_year", src, "yr", build, lake, version="1"
+    )
+    # the late batch: an appended part-file inside one partition dir
+    orders.filter(holdout).drop("yr").write.mode("append").parquet(
+        os.path.join(src, f"yr={min_yr}")
+    )
+    m2 = run_partitioned_step(
+        spark, "by_year", src, "yr", build, lake, version="1"
+    )
+    return spark.read.parquet(os.path.join(lake, "by_year")).select(
+        F.col("yr").cast("string").alias("yr"),
+        "o_orderpriority",
+        "n_orders",
+        "total_price",
+        F.lit(len(m2["rebuilt"])).cast("long").alias("run2_rebuilt"),
+        F.lit(len(m2["skipped"])).cast("long").alias("run2_skipped"),
+    )

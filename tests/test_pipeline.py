@@ -203,3 +203,105 @@ def test_pipeline_crash_between_steps_recovers(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(lake, "by_lang")).collect()
     }
     assert got == direct
+
+
+# ── partition-grain backfill (run_partitioned_step) ─────────────────
+
+
+def _part_src(spark, path: str):
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "n_chars", (F.col("doc_id") % 4).cast("int").alias("pk")
+    )
+    docs.write.partitionBy("pk").parquet(path)
+    return docs
+
+
+def _part_build(sp, inp):
+    return inp.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+def _listing(root: str) -> dict:
+    out = {}
+    for r, _d, fs in os.walk(root):
+        for f in fs:
+            p = os.path.join(r, f)
+            out[os.path.relpath(p, root)] = os.path.getsize(p)
+    return out
+
+
+def test_partitioned_step_rebuilds_only_dirty_partition(spark, tmp_path):
+    from free_etl_spark.plans.pipeline import run_partitioned_step
+
+    src = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    docs = _part_src(spark, src)
+    m1 = run_partitioned_step(spark, "agg", src, "pk", _part_build, lake)
+    assert sorted(m1["rebuilt"]) == [f"pk={i}" for i in range(4)]
+
+    clean_before = {
+        d: _listing(os.path.join(lake, "agg", d))
+        for d in ("pk=0", "pk=2", "pk=3")
+    }
+    # late data lands in pk=1 only
+    docs.filter(F.col("pk") == 1).limit(7).drop("pk").write.mode(
+        "append"
+    ).parquet(os.path.join(src, "pk=1"))
+    m2 = run_partitioned_step(spark, "agg", src, "pk", _part_build, lake)
+    assert m2 == {
+        "rebuilt": ["pk=1"],
+        "skipped": ["pk=0", "pk=2", "pk=3"],
+    }
+    # clean partitions' files are PHYSICALLY untouched
+    for d, before in clean_before.items():
+        assert _listing(os.path.join(lake, "agg", d)) == before
+    # the rebuilt leaf equals a direct recompute over the source
+    got = {
+        (r["pk"], r["n"])
+        for r in spark.read.parquet(os.path.join(lake, "agg")).collect()
+    }
+    want = {
+        (r["pk"], r["n"])
+        for r in _part_build(
+            spark, spark.read.parquet(src)
+        ).collect()
+    }
+    assert got == want
+
+
+def test_partitioned_step_crash_recovery_matrix(spark, tmp_path):
+    """Kill windows: (a) staged-but-unpromoted __building; (b) between
+    per-partition promote renames (live dir missing); (c) pre-stamp
+    (_parts.json stale). Every window must recover to the exact
+    direct-recompute answer on the next run."""
+    from free_etl_spark.plans.pipeline import run_partitioned_step
+
+    src = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    _part_src(spark, src)
+    run_partitioned_step(spark, "agg", src, "pk", _part_build, lake)
+    out = os.path.join(lake, "agg")
+
+    # (a) stranded staging dir from a crashed build
+    os.makedirs(out + "__building/pk=9", exist_ok=True)
+    open(out + "__building/pk=9/part-junk.parquet", "w").write("junk")
+    # (b) a promote crash: live partition dir renamed aside, gone
+    os.rename(
+        os.path.join(out, "pk=2"), os.path.join(out, "pk=2__retired")
+    )
+    # (c) stamp rolled back: signatures claim everything is clean
+    m = run_partitioned_step(spark, "agg", src, "pk", _part_build, lake)
+    assert m["rebuilt"] == ["pk=2"]  # missing dir => dirty despite stamp
+    assert not os.path.exists(out + "__building")
+    assert not os.path.exists(os.path.join(out, "pk=2__retired"))
+    got = {
+        (r["pk"], r["n"], r["chars"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["pk"], r["n"], r["chars"])
+        for r in _part_build(spark, spark.read.parquet(src)).collect()
+    }
+    assert got == want
