@@ -1049,3 +1049,150 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM ei_orders WHERE o_orderkey > ? GROUP BY 1'"
     )
     return spark.sql("EXECUTE IMMEDIATE stmt USING 500")
+
+
+@query(
+    "source_range_partitioned_export",
+    oracle="""
+    WITH src AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               AS sd_d,
+             l_returnflag,
+             l_extendedprice * (1 - l_discount) AS rev
+      FROM lineitem
+    ),
+    b AS (
+      SELECT FLOOR(quantile_cont(sd_d, 0.125)) AS b1,
+             FLOOR(quantile_cont(sd_d, 0.250)) AS b2,
+             FLOOR(quantile_cont(sd_d, 0.375)) AS b3,
+             FLOOR(quantile_cont(sd_d, 0.500)) AS b4,
+             FLOOR(quantile_cont(sd_d, 0.625)) AS b5,
+             FLOOR(quantile_cont(sd_d, 0.750)) AS b6,
+             FLOOR(quantile_cont(sd_d, 0.875)) AS b7
+      FROM src
+    ),
+    r AS (
+      SELECT s.*,
+             (CASE WHEN sd_d >= b1 THEN 1 ELSE 0 END
+              + CASE WHEN sd_d >= b2 THEN 1 ELSE 0 END
+              + CASE WHEN sd_d >= b3 THEN 1 ELSE 0 END
+              + CASE WHEN sd_d >= b4 THEN 1 ELSE 0 END
+              + CASE WHEN sd_d >= b5 THEN 1 ELSE 0 END
+              + CASE WHEN sd_d >= b6 THEN 1 ELSE 0 END
+              + CASE WHEN sd_d >= b7 THEN 1 ELSE 0 END) AS bkt
+      FROM src s CROSS JOIN b
+    ),
+    st AS (SELECT bkt, MIN(sd_d) AS mn, MAX(sd_d) AS mx FROM r GROUP BY bkt),
+    nf AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_files_total,
+             CAST(SUM(CASE WHEN mx >= 9496 AND mn <= 9861 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_files_read
+      FROM st
+    ),
+    agg AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(SUM(rev), 2) AS rev
+      FROM r WHERE sd_d BETWEEN 9496 AND 9861 GROUP BY 1
+    )
+    SELECT agg.l_returnflag, agg.n_rows, agg.rev,
+           nf.n_files_total, nf.n_files_read
+    FROM agg CROSS JOIN nf
+    """,
+)
+def source_range_partitioned_export(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Range-partitioned export + footer-statistics manifest pruning —
+    the table-format metadata layer (Iceberg/Delta file skipping)
+    above Spark's internal row-group skipping (which
+    source_zorder_clustered_scan pins): lineitem is exported into 8
+    equi-depth ship-date ranges (exact-percentile boundaries → one
+    file per range via repartition on the bucket key + partitionBy),
+    a manifest of per-FILE min/max is built from the parquet FOOTERS
+    with pyarrow (no data read), and a one-year range query consults
+    the manifest and opens ONLY overlapping files. n_files_total /
+    n_files_read ride along as columns, so broken boundaries, lost
+    footer stats, or a prune that opens too few/too many files all
+    hash-mismatch the DuckDB oracle (which replays the equi-depth
+    layout relationally — footer min/max of a range file IS the
+    range's data min/max, the invariant under test).
+
+    Determinism: day-integer percentiles at eighth fractions are
+    FP-exact in both engines (positions k*(n-1)/8 and interpolation
+    fractions m/8 are dyadic; all values < 2^53), so the FLOORed
+    boundaries agree bit-for-bit.
+
+    Shape at 100 TB: the export is one shuffle by range key; the
+    manifest is O(files) metadata built once per snapshot; the range
+    scan reads |overlap| files instead of the table — the entire
+    point of range layout + manifest pruning. Driver work is one
+    7-number boundary row and an O(files) footer loop."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    B = 8
+    LO, HI = 9496, 9861  # 1996-01-01 .. 1996-12-31 as epoch days
+    path = os.path.join(
+        "/tmp",
+        f"fes_rangexp_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("sd_d"),
+        "l_returnflag",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        row = li.agg(
+            *[
+                F.floor(F.percentile("sd_d", F.lit(k / 8.0))).alias(f"b{k}")
+                for k in range(1, B)
+            ]
+        ).first()
+        bkt = sum(
+            (F.col("sd_d") >= int(row[f"b{k}"])).cast("int")
+            for k in range(1, B)
+        )
+        (
+            li.withColumn("bkt", bkt)
+            .repartition(B, "bkt")
+            .sortWithinPartitions("sd_d")
+            .write.mode("overwrite")
+            .partitionBy("bkt")
+            .parquet(path)
+        )
+    manifest = []
+    for fp in sorted(g.glob(os.path.join(path, "bkt=*", "*.parquet"))):
+        md = pq.ParquetFile(fp).metadata
+        idx = next(
+            i
+            for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "sd_d"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        manifest.append((fp, min(mins), max(maxs)))
+    read_files = [fp for fp, mn, mx in manifest if mx >= LO and mn <= HI]
+    return (
+        spark.read.parquet(*read_files)
+        .filter(F.col("sd_d").between(LO, HI))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("rev"), 2).alias("rev"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "rev",
+            F.lit(len(manifest)).cast("long").alias("n_files_total"),
+            F.lit(len(read_files)).cast("long").alias("n_files_read"),
+        )
+    )

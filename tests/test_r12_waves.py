@@ -58,3 +58,49 @@ def test_bloom_prefilter_no_false_negatives_and_exact_construction(spark):
     assert got[["l_returnflag", "n_bloom_pass", "n_matched"]].values.tolist() == (
         want.values.tolist()
     )
+
+
+def test_range_export_layout_and_prune_equals_full_scan(spark):
+    """Layout invariant: exactly one data file per non-empty range
+    bucket, with non-overlapping [min,max] day spans in file order;
+    and the manifest-pruned aggregate must equal a full-scan
+    recompute (pruning may never change the answer)."""
+    import glob
+
+    got = (
+        QUERIES["source_range_partitioned_export"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    path = glob.glob(f"/tmp/fes_rangexp_sf0.001_{spark.sparkContext.applicationId}")
+    assert path, "export dir missing"
+    spans = []
+    for d in sorted(glob.glob(f"{path[0]}/bkt=*")):
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) == 1, f"{d} has {len(files)} files"
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(files[0]).metadata
+        idx = next(
+            i
+            for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "sd_d"
+        )
+        st = md.row_group(0).column(idx).statistics
+        spans.append((int(d.split("=")[1]), st.min, st.max))
+    spans.sort()
+    for (_, _, mx_prev), (_, mn_next, _) in zip(spans, spans[1:]):
+        assert mx_prev <= mn_next  # ranges ordered, boundary rows may tie
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    sd = (li.l_shipdate.dt.normalize() - pd.Timestamp("1970-01-01")).dt.days
+    mask = (sd >= 9496) & (sd <= 9861)
+    want = (
+        li[mask]
+        .groupby("l_returnflag")
+        .size()
+        .reset_index(name="n_rows")
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    assert got[["l_returnflag", "n_rows"]].values.tolist() == want.values.tolist()
