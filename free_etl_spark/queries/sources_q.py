@@ -1196,3 +1196,81 @@ def source_range_partitioned_export(
             F.lit(len(read_files)).cast("long").alias("n_files_read"),
         )
     )
+
+
+@query(
+    "source_mor_delete_vectors",
+    oracle="""
+    WITH del AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted
+      FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_live,
+           ROUND(SUM(o_totalprice), 2) AS total_price,
+           del.n_deleted
+    FROM orders CROSS JOIN del
+    WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+    GROUP BY o_orderpriority, del.n_deleted
+    """,
+)
+def source_mor_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read position deletes (the Iceberg/Delta deletion-
+    vector read path): the base snapshot's data files are IMMUTABLE;
+    a delete commits only a sidecar of (file_path, row_position)
+    pairs, and readers apply it as an anti-join — no base-file
+    rewrite, which at 100 TB is the difference between a
+    KB-sized delete commit and rewriting TB-scale files for a 0.1 %
+    delete (compaction applies vectors later, off the write path).
+
+    Positions come from the engine's own file-source metadata
+    (_metadata.file_path / _metadata.row_index — what Iceberg
+    position deletes are built on), so the delete vector is pure
+    position, no keys: it works under duplicate keys and never
+    touches data bytes. The MoR read broadcast-anti-joins the vector
+    (small by construction) against the base scan. A position
+    mapping that's off by one, applies to the wrong file, or leaks
+    through the anti-join deletes the WRONG rows and hash-mismatches
+    the oracle (full-table aggregate of survivors + n_deleted).
+
+    Fixture: one base export per (sf, application); the delete
+    vector targets rows by predicate only to DERIVE positions — the
+    read path under test consumes positions alone."""
+    base = os.path.join(
+        "/tmp",
+        f"fes_mor_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    data_dir = os.path.join(base, "data")
+    dv_dir = os.path.join(base, "deletes")
+    if not os.path.exists(os.path.join(dv_dir, "_SUCCESS")):
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        ).repartition(4).write.mode("overwrite").parquet(data_dir)
+        with_pos = spark.read.parquet(data_dir).select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("_metadata.file_path").alias("dv_file"),
+            F.col("_metadata.row_index").alias("dv_pos"),
+        )
+        # the delete commit: positions only — keys are dropped here
+        with_pos.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 3 == 0)
+        ).select("dv_file", "dv_pos").write.mode("overwrite").parquet(dv_dir)
+    dv = spark.read.parquet(dv_dir)
+    scan = spark.read.parquet(data_dir).select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.col("_metadata.file_path").alias("dv_file"),
+        F.col("_metadata.row_index").alias("dv_pos"),
+    )
+    live = scan.join(F.broadcast(dv), ["dv_file", "dv_pos"], "left_anti")
+    n_del = dv.agg(F.count(F.lit(1)).cast("long").alias("n_deleted"))
+    return (
+        live.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_live"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .crossJoin(F.broadcast(n_del))
+    )

@@ -104,3 +104,31 @@ def test_range_export_layout_and_prune_equals_full_scan(spark):
         .reset_index(drop=True)
     )
     assert got[["l_returnflag", "n_rows"]].values.tolist() == want.values.tolist()
+
+
+def test_mor_position_deletes_distinguish_duplicate_keys(spark, tmp_path):
+    """The property key-based deletes cannot have: with fully
+    duplicated rows, a position delete removes exactly the targeted
+    physical occurrences and leaves the twins."""
+    import pyspark.sql.functions as F
+
+    data = str(tmp_path / "data")
+    spark.createDataFrame(
+        [(1, "a")] * 3 + [(2, "b")] * 2, "k int, v string"
+    ).coalesce(1).write.parquet(data)
+    scan = spark.read.parquet(data).select(
+        "k",
+        "v",
+        F.col("_metadata.file_path").alias("dv_file"),
+        F.col("_metadata.row_index").alias("dv_pos"),
+    )
+    # delete ONE physical occurrence of each key: lowest position
+    dv = scan.groupBy("k").agg(
+        F.min("dv_pos").alias("dv_pos"), F.first("dv_file").alias("dv_file")
+    ).select("dv_file", "dv_pos")
+    live = scan.join(F.broadcast(dv), ["dv_file", "dv_pos"], "left_anti")
+    counts = {
+        r["k"]: r["n"]
+        for r in live.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {1: 2, 2: 1}
