@@ -3000,3 +3000,238 @@ def sim_ivf_recluster_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.sum("vec_id").cast("long").alias("sum_vec_id"),
     )
+
+
+_IVFPQ_C = 64       # residual codewords per subspace
+_IVFPQ_TOPK = 10
+_IVFPQ_R_FLOOR = 50  # ADC shortlist floor; scales as N/20
+
+
+def _ivfpq_oracle() -> str:
+    sub = "[m * {s} + 1 : m * {s} + {s}]".format(s=_PQ_SUB)
+    l2 = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    parm AS ({_SCALED_K_SQL}),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM v
+             WHERE vec_id < (SELECT k FROM parm)),
+    rankc AS (
+      SELECT v.vec_id, cent.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+               {l2.format(a='v.emb', b='cent.cemb')}, cent.cent_id) AS rn
+      FROM v CROSS JOIN cent
+    ),
+    asn AS (SELECT vec_id, cent_id FROM rankc WHERE rn = 1),
+    probe AS (SELECT vec_id AS qid, cent_id FROM rankc
+              WHERE rn <= {_IVF_NPROBE} AND vec_id < {_N_QUERIES}),
+    res AS (
+      SELECT v.vec_id, asn.cent_id,
+             list_transform(list_zip(v.emb, cent.cemb),
+                            z -> z[1] - z[2]) AS remb
+      FROM v JOIN asn USING (vec_id) JOIN cent USING (cent_id)
+    ),
+    ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+    cb AS (SELECT vec_id AS c, remb AS crem FROM res
+           WHERE vec_id < {_IVFPQ_C}),
+    codes AS (
+      SELECT vec_id, cent_id, m, c FROM (
+        SELECT res.vec_id, res.cent_id, ms.m, cb.c,
+               ROW_NUMBER() OVER (PARTITION BY res.vec_id, ms.m ORDER BY
+                 {l2.format(a=f'res.remb{sub}', b=f'cb.crem{sub}')}, cb.c)
+                 AS rn
+        FROM res CROSS JOIN ms CROSS JOIN cb)
+      WHERE rn = 1
+    ),
+    qres AS (
+      SELECT p.qid, p.cent_id,
+             list_transform(list_zip(q.emb, cent.cemb),
+                            z -> z[1] - z[2]) AS qrem
+      FROM probe p JOIN v q ON q.vec_id = p.qid JOIN cent USING (cent_id)
+    ),
+    lut AS (
+      SELECT qres.qid, qres.cent_id, ms.m, cb.c,
+             {l2.format(a=f'qres.qrem{sub}', b=f'cb.crem{sub}')} AS ld2
+      FROM qres CROSS JOIN ms CROSS JOIN cb
+    ),
+    adc AS (
+      SELECT lut.qid, codes.vec_id AS cid, SUM(lut.ld2) AS adc_d2
+      FROM codes JOIN lut ON codes.cent_id = lut.cent_id
+                         AND codes.m = lut.m AND codes.c = lut.c
+      WHERE codes.vec_id <> lut.qid
+      GROUP BY lut.qid, codes.vec_id
+    ),
+    parm2 AS (SELECT GREATEST({_IVFPQ_R_FLOOR}, COUNT(*) // 20) AS r
+              FROM embeddings),
+    short AS (
+      SELECT qid, cid, adc_d2 FROM (
+        SELECT qid, cid, adc_d2,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                 ROUND(adc_d2, 6), cid) AS rn
+        FROM adc)
+      WHERE rn <= (SELECT r FROM parm2)
+    ),
+    nn AS (SELECT vec_id, emb,
+                  SQRT(list_sum(list_transform(emb, x -> x * x))) AS nrm
+           FROM v)
+    SELECT qid, cid, adc_d2, exact_cosine, CAST(rn AS INT) AS rnk FROM (
+      SELECT s.qid, s.cid, ROUND(s.adc_d2, 6) AS adc_d2,
+             ROUND(list_sum(list_transform(list_zip(a.emb, b.emb),
+                   z -> z[1] * z[2])) / (a.nrm * b.nrm), 6) AS exact_cosine,
+             ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY
+               ROUND(list_sum(list_transform(list_zip(a.emb, b.emb),
+                     z -> z[1] * z[2])) / (a.nrm * b.nrm), 6) DESC, s.cid)
+               AS rn
+      FROM short s JOIN nn a ON a.vec_id = s.qid JOIN nn b ON b.vec_id = s.cid)
+    WHERE rn <= {_IVFPQ_TOPK}
+    """
+
+
+@query("sim_ivfpq_adc_search", oracle=_ivfpq_oracle())
+def sim_ivfpq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ with residual encoding and ADC — the canonical
+    billion-scale ANN layout (FAISS IVFPQ; Jégou et al. 2011 §IV):
+    the coarse quantizer (K ≈ √N first-K centroids, shared with
+    sim_ivf_topk via the cached nearest-4 relation) routes each
+    vector to a list; the vector's RESIDUAL from its centroid is
+    product-quantized (M=8 subspaces × C=64 residual codewords,
+    deterministically the first C vectors' residuals, so DuckDB
+    replays the whole codec); queries probe their 4 nearest lists
+    and score candidates by asymmetric distance — a per-(query,
+    probed-list) lookup table of subspace L2 partials (5×4×8×64
+    entries, broadcast) turns each candidate into M table lookups
+    over its 8-byte code. The ADC shortlist (R = max(50, N/20))
+    fetches raw vectors once for the exact cosine re-rank to top-10.
+
+    Why this and not flat IVF or flat PQ at 100 TB: IVF bounds the
+    candidate volume (N·nprobe/K per query) and PQ bounds the BYTES
+    per candidate (codes ~64× smaller than raw vectors); residual
+    encoding recovers the accuracy PQ loses to coarse cell offsets.
+    The scan reads code rows only; raw embeddings are touched for
+    |shortlist| rows per query. Plan: centroids, codebook, and LUT
+    all broadcast; encode is one map pass; the ADC groupBy is the
+    only corpus-sized shuffle. Recall@10 vs exact brute force is
+    pinned in tests/test_ann_quality.py."""
+    from free_etl_spark.operators.vectors import scaled_centroid_k
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    n_corpus = emb.count()
+    cent = emb.filter(F.col("vec_id") < scaled_centroid_k(n_corpus)).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    )
+    ranked = _ivf_nearest4(spark, sf_dir)
+    asn = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    probe = ranked.filter(
+        (F.col("rn") <= _IVF_NPROBE) & (F.col("vec_id") < _N_QUERIES)
+    ).select(F.col("vec_id").alias("qid"), "cent_id")
+
+    res = (
+        emb.join(asn, "vec_id")
+        .join(F.broadcast(cent), "cent_id")
+        .select(
+            "vec_id",
+            "cent_id",
+            F.zip_with("emb", "cemb", lambda x, y: x - y).alias("remb"),
+        )
+    )
+    subs = F.array(
+        *[F.slice("remb", m * _PQ_SUB + 1, _PQ_SUB) for m in range(_PQ_M)]
+    )
+    vsub = res.select("vec_id", "cent_id", F.posexplode(subs).alias("m", "sub"))
+    cb = res.filter(F.col("vec_id") < _IVFPQ_C).select(
+        F.col("vec_id").alias("c"), F.posexplode(subs).alias("m", "csub")
+    )
+    # unrolled 8-term L2 (same add order as the oracle's list_sum
+    # fold) — map-side broadcast-join context, where unrolls win
+    d2 = F.lit(0.0)
+    for _i in range(1, _PQ_SUB + 1):
+        _d = F.element_at("sub", _i) - F.element_at("csub", _i)
+        d2 = d2 + _d * _d
+    codes = (
+        vsub.join(F.broadcast(cb), "m")
+        .select(
+            "vec_id", "cent_id", "m", F.struct(d2.alias("d2"), "c").alias("dc")
+        )
+        .groupBy("vec_id", "cent_id", "m")
+        .agg(F.min("dc").alias("dc"))
+        .select("vec_id", "cent_id", "m", F.col("dc.c").alias("c"))
+    )
+    qres = (
+        probe.join(
+            emb.select(F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")),
+            "qid",
+        )
+        .join(F.broadcast(cent), "cent_id")
+        .select(
+            "qid",
+            "cent_id",
+            F.zip_with("qemb", "cemb", lambda x, y: x - y).alias("remb"),
+        )
+    )
+    qsubs = qres.select(
+        "qid", "cent_id", F.posexplode(subs).alias("m", "qsub")
+    )
+    ld2 = F.lit(0.0)
+    for _i in range(1, _PQ_SUB + 1):
+        _d = F.element_at("qsub", _i) - F.element_at("csub", _i)
+        ld2 = ld2 + _d * _d
+    lut = qsubs.join(F.broadcast(cb), "m").select(
+        "qid", "cent_id", "m", "c", ld2.alias("ld2")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["cent_id", "m", "c"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum("ld2").alias("adc_d2"))
+    )
+    shortlist_r = max(_IVFPQ_R_FLOOR, n_corpus // 20)
+    w = Window.partitionBy("qid").orderBy(F.round("adc_d2", 6), F.col("cid"))
+    short = adc.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= shortlist_r
+    )
+    full_nrm = F.sqrt(
+        F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    nn = emb.select("vec_id", "emb", full_nrm.alias("nrm"))
+    a = nn.select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = nn.select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    exact = F.aggregate(
+        F.zip_with("a_emb", "b_emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        short.join(F.broadcast(a), "qid")
+        .join(b, "cid")
+        .select(
+            "qid",
+            "cid",
+            F.round("adc_d2", 6).alias("adc_d2"),
+            F.round(exact / (F.col("a_nrm") * F.col("b_nrm")), 6).alias(
+                "exact_cosine"
+            ),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("exact_cosine").desc(), F.col("cid")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rnk") <= _IVFPQ_TOPK)
+        .select("qid", "cid", "adc_d2", "exact_cosine", "rnk")
+    )

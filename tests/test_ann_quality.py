@@ -716,3 +716,23 @@ def test_ivf_recluster_swaps_applies_tombstones_keeps_recall(spark, tmp_path):
     store3 = spark.read.parquet(path)
     assert {r.vec_id for r in store3.select("vec_id").collect()} == live
     assert cent3.count() == n_cells
+
+
+def test_ivfpq_recall_at_10(spark):
+    """sim_ivfpq_adc_search (residual PQ over the IVF probe) must
+    recover the exact cosine top-10 nearly as well as flat IVF —
+    the residual codec + ADC shortlist may only lose a bounded
+    amount on top of the probe's own miss rate (measured at this
+    SF: min 0.8, mean 0.82 vs flat IVF's 0.92@5)."""
+    ids, C = _corpus()
+    got: dict[int, set[int]] = {}
+    for r in QUERIES["sim_ivfpq_adc_search"](spark, SF_DIR).collect():
+        got.setdefault(r.qid, set()).add(r.cid)
+    recalls = []
+    for q in range(5):
+        qi = int(np.where(ids == q)[0][0])
+        order = np.argsort(-C[qi])
+        exact = [int(ids[j]) for j in order if ids[j] != q][:10]
+        recalls.append(len(got.get(q, set()) & set(exact)) / 10)
+    assert min(recalls) >= 0.5, recalls
+    assert sum(recalls) / len(recalls) >= 0.75, recalls

@@ -22,8 +22,8 @@ def spark():
 
 
 def _bloom_pos(key: int, seed: int, m: int = 1024) -> int:
-    h = hashlib.md5(f"{key}|{seed}".encode()).hexdigest()
-    return int(h[:8], 16) % m
+    h = hashlib.md5(f"{key}".encode()).hexdigest()
+    return int(h[8 * seed : 8 * seed + 8], 16) % m
 
 
 def test_bloom_prefilter_no_false_negatives_and_exact_construction(spark):
