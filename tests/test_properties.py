@@ -711,3 +711,84 @@ def test_density_cap_bounds_fanout_and_is_partition_stable(spark):
     # holds: every emitted pair shared at least 2 kept buckets
     edges = _capped_pairs(kept)
     assert edges.count() <= 6 * cap * (cap - 1) // 2
+
+
+# ── partition-grain backfill: sequence convergence (r12) ────────────
+
+_pb_ops = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # partition hit by append
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 99)),
+            min_size=1,
+            max_size=5,
+        ),
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=_pb_ops)
+def test_partitioned_step_converges_under_arbitrary_appends(
+    spark, ops, tmp_path_factory
+):
+    """Property (VERDICT r11 task 6 family): for ANY sequence of
+    appends, each run_partitioned_step run rebuilds exactly the
+    partitions whose listings changed, and the materialized output
+    always equals a direct recompute over the current source."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from free_etl_spark.plans.pipeline import run_partitioned_step
+
+    root = str(tmp_path_factory.mktemp("pbprop"))
+    src, lake = os.path.join(root, "src"), os.path.join(root, "lake")
+    part_seq: dict[int, int] = {}
+
+    def append(pk: int, rows: list[tuple[int, int]]) -> None:
+        d = os.path.join(src, f"pk={pk}")
+        os.makedirs(d, exist_ok=True)
+        part_seq[pk] = part_seq.get(pk, 0) + 1
+        papq.write_table(
+            pa.table({"v": [v for _, v in rows]}),
+            os.path.join(d, f"part-{part_seq[pk]}.parquet"),
+        )
+
+    def build(sp, inp):
+        return inp.groupBy("pk").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("sv"),
+        )
+
+    # seed every partition once so listings exist
+    for pk in range(4):
+        append(pk, [(pk, pk)])
+    run_partitioned_step(spark, "agg", src, "pk", build, lake)
+
+    truth: dict[int, list[int]] = {pk: [pk] for pk in range(4)}
+    for hit, rows in ops:
+        append(hit, rows)
+        for _, v in rows:
+            truth[hit].append(v)
+        m = run_partitioned_step(spark, "agg", src, "pk", build, lake)
+        assert m["rebuilt"] == [f"pk={hit}"], m
+        got = {
+            r["pk"]: (r["n"], r["sv"])
+            for r in spark.read.parquet(os.path.join(lake, "agg")).collect()
+        }
+        want = {pk: (len(vs), sum(vs)) for pk, vs in truth.items()}
+        assert got == want
+        # stamp file is valid json covering every live partition
+        parts = json.load(
+            open(os.path.join(lake, "agg", "_parts.json"))
+        )
+        assert sorted(parts) == [f"pk={i}" for i in range(4)]
