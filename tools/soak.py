@@ -63,6 +63,13 @@ _SWITCH_TARGETS = [
     "streaming_psi_drift_probe",     # baseline cuts recomputed per call
     "dedup_chat_turns",              # _chat_conversations shared relation
     "multimodal_audio_fingerprint_dedup",  # pcm fingerprint plane
+    # r12: per-(sf, app) export/store fixtures + cache-riding consumers
+    "source_range_partitioned_export",  # range layout dir per sf
+    "source_mor_delete_vectors",        # base+delete-vector dirs per sf
+    "pipeline_partition_backfill",      # fresh ws per call, sf-keyed
+    "sim_ivfpq_adc_search",             # rides the ivf_nearest4 cache
+    "sim_ivf_recluster_apply",          # full store rebuild per call
+    "join_bloom_prefilter",             # stateless control
 ]
 
 
