@@ -132,3 +132,35 @@ def test_mor_position_deletes_distinguish_duplicate_keys(spark, tmp_path):
         for r in live.groupBy("k").agg(F.count("*").alias("n")).collect()
     }
     assert counts == {1: 2, 2: 1}
+
+
+def test_range_export_halfwritten_fixture_rebuilds(spark, tmp_path):
+    """A crashed export (no _SUCCESS) must be rebuilt on the next
+    call, and the rebuilt answer must equal the pre-crash answer —
+    the overwrite-mode guard the per-(sf, app) fixture relies on."""
+    import glob
+    import os
+    import shutil
+
+    before = (
+        QUERIES["source_range_partitioned_export"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    path = glob.glob(
+        f"/tmp/fes_rangexp_sf0.001_{spark.sparkContext.applicationId}"
+    )[0]
+    # simulate the crash window: SOME files written, no _SUCCESS
+    os.remove(os.path.join(path, "_SUCCESS"))
+    victims = glob.glob(os.path.join(path, "bkt=*"))[:3]
+    for v in victims:
+        shutil.rmtree(v)
+    after = (
+        QUERIES["source_range_partitioned_export"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    assert after.values.tolist() == before.values.tolist()
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
