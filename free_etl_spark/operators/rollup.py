@@ -68,7 +68,23 @@ def refresh_rollup(
         F.broadcast(touched), "bucket_start", "left_semi"
     )
     refreshed = build_rollup(slice_df.drop("bucket_start"), bucket)
+    # dynamic partition overwrite is scoped to THIS write (the merge.py
+    # discipline): left set session-wide it silently changes every
+    # later overwrite's semantics AND suppresses _SUCCESS markers that
+    # fixture idempotency guards key on (found via the r12 full-suite
+    # half-written-export pin)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    out = refreshed.localCheckpoint(eager=True)
-    out.write.mode("overwrite").partitionBy("bucket_start").parquet(target_dir)
+    try:
+        out = refreshed.localCheckpoint(eager=True)
+        out.write.mode("overwrite").partitionBy("bucket_start").parquet(
+            target_dir
+        )
+    finally:
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
     return n_touched

@@ -164,3 +164,35 @@ def test_range_export_halfwritten_fixture_rebuilds(spark, tmp_path):
     )
     assert after.values.tolist() == before.values.tolist()
     assert os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def test_mv_refresh_restores_partition_overwrite_mode(spark):
+    """The r12 full-suite find: both rollup paths set dynamic
+    partition-overwrite for their own write; leaking it session-wide
+    suppresses _SUCCESS markers on every later partitionBy overwrite
+    (breaking fixture idempotency guards) and silently changes
+    overwrite semantics. After either MV query runs, the session conf
+    must be back to its prior state, and a subsequent partitioned
+    overwrite must stamp _SUCCESS."""
+    import glob
+    import os
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    assert spark.conf.get(key, None) != "dynamic"
+    QUERIES["mv_incremental_refresh"](spark, SF_DIR).collect()
+    assert spark.conf.get(key, None) != "dynamic"
+    QUERIES["streaming_mv_refresh"](spark, SF_DIR).collect()
+    assert spark.conf.get(key, None) != "dynamic"
+    # end-to-end: the export fixture rebuilt AFTER the MV queries
+    # must still stamp its _SUCCESS idempotency marker
+    path = glob.glob(
+        f"/tmp/fes_rangexp_sf0.001_{spark.sparkContext.applicationId}"
+    )
+    if path:
+        import shutil
+
+        shutil.rmtree(path[0])
+    QUERIES["source_range_partitioned_export"](spark, SF_DIR).collect()
+    assert os.path.exists(
+        f"/tmp/fes_rangexp_sf0.001_{spark.sparkContext.applicationId}/_SUCCESS"
+    )
