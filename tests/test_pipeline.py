@@ -305,3 +305,39 @@ def test_partitioned_step_crash_recovery_matrix(spark, tmp_path):
         for r in _part_build(spark, spark.read.parquet(src)).collect()
     }
     assert got == want
+
+
+def test_partitioned_step_drops_vanished_source_partition(spark, tmp_path):
+    """Retention deletes a whole source partition: the next run must
+    remove its materialized output partition (and its stamp) while
+    leaving every surviving partition untouched, and the lake must
+    equal a direct recompute over the surviving source."""
+    import shutil
+
+    from free_etl_spark.plans.pipeline import run_partitioned_step
+
+    src = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    _part_src(spark, src)
+    run_partitioned_step(spark, "agg", src, "pk", _part_build, lake)
+    out = os.path.join(lake, "agg")
+    keep_before = _listing(os.path.join(out, "pk=0"))
+
+    shutil.rmtree(os.path.join(src, "pk=3"))  # retention drop
+    m = run_partitioned_step(spark, "agg", src, "pk", _part_build, lake)
+    assert m == {"rebuilt": [], "skipped": ["pk=0", "pk=1", "pk=2"]}
+    assert not os.path.exists(os.path.join(out, "pk=3"))
+    assert _listing(os.path.join(out, "pk=0")) == keep_before
+    import json
+
+    parts = json.load(open(os.path.join(out, "_parts.json")))
+    assert sorted(parts) == ["pk=0", "pk=1", "pk=2"]
+    got = {
+        (r["pk"], r["n"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["pk"], r["n"])
+        for r in _part_build(spark, spark.read.parquet(src)).collect()
+    }
+    assert got == want
