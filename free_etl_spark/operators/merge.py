@@ -75,26 +75,18 @@ def upsert_parquet(
         ]
     )
 
-    # dynamic partition overwrite is scoped to THIS write: leaving it
-    # set session-wide silently changes the semantics of every later
-    # unrelated overwrite in the session
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # materialize (executor-side) before overwriting the directory
-        # the plan reads from — never a driver collect
-        out = merged.localCheckpoint(eager=True)
-        writer = out.write.mode("overwrite")
-        if partition_col:
-            writer = writer.partitionBy(partition_col)
-        writer.parquet(target_dir)
-    finally:
-        if prev_mode is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev_mode
-            )
+    # dynamic partition overwrite scoped to THIS write via the
+    # per-writer option (precedence over session conf, ADVICE r12):
+    # no shared-state save/restore, no race with concurrent writers.
+    # materialize (executor-side) before overwriting the directory
+    # the plan reads from — never a driver collect
+    out = merged.localCheckpoint(eager=True)
+    writer = out.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    )
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(target_dir)
 
 
 def apply_deletes(
@@ -159,21 +151,15 @@ def apply_deletes(
         if doomed == 0:
             return 0  # nothing matches: skip the full-table rewrite
     kept = scope.join(dk, key_cols, "left_anti")
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        out = kept.localCheckpoint(eager=True)
-        writer = out.write.mode("overwrite")
-        if partition_col:
-            writer = writer.partitionBy(partition_col)
-        writer.parquet(target_dir)
-    finally:
-        if prev_mode is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev_mode
-            )
+    # per-writer dynamic overwrite (ADVICE r12): no session-conf
+    # mutation, no save/restore race.
+    out = kept.localCheckpoint(eager=True)
+    writer = out.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    )
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(target_dir)
     if partition_col:
         # dynamic overwrite only replaces partitions PRESENT in the
         # output — a partition whose every row was deleted is absent

@@ -68,23 +68,16 @@ def refresh_rollup(
         F.broadcast(touched), "bucket_start", "left_semi"
     )
     refreshed = build_rollup(slice_df.drop("bucket_start"), bucket)
-    # dynamic partition overwrite is scoped to THIS write (the merge.py
-    # discipline): left set session-wide it silently changes every
-    # later overwrite's semantics AND suppresses _SUCCESS markers that
-    # fixture idempotency guards key on (found via the r12 full-suite
-    # half-written-export pin)
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        out = refreshed.localCheckpoint(eager=True)
-        out.write.mode("overwrite").partitionBy("bucket_start").parquet(
-            target_dir
-        )
-    finally:
-        if prev_mode is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev_mode
-            )
+    # dynamic partition overwrite scoped to THIS write via the
+    # per-writer option, which takes precedence over the session conf
+    # (ADVICE r12): no save/set/restore of shared session state, so a
+    # concurrent writer in the same session never observes "dynamic"
+    # and there is no interleaved-restore race.
+    out = refreshed.localCheckpoint(eager=True)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket_start")
+        .parquet(target_dir)
+    )
     return n_touched

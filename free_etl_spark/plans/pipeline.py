@@ -257,12 +257,27 @@ def run_partitioned_step(
                 os.rename(live_part, retired)
             if os.path.exists(new_part):
                 os.rename(new_part, live_part)
+            else:
+                # build() yielded zero rows for this partition:
+                # partitionBy writes no leaf dir. Materialize an empty
+                # live dir so the _parts.json stamp and the on-disk
+                # state agree — otherwise the dirty check (`not
+                # isdir`) rebuilds this partition on every run forever
+                # (ADVICE r12). An empty leaf contributes zero rows to
+                # spark.read.parquet(out_dir), same as absence.
+                os.makedirs(live_part, exist_ok=True)
             shutil.rmtree(retired, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
 
-    # drop output partitions whose source partition vanished
-    for d in list(stored):
-        if d not in live:
+    # Drop output partitions whose source partition vanished. Sweep by
+    # DISK LISTING, not by _parts.json keys: a partition promoted by a
+    # run that crashed before stamping is in the output dir but not in
+    # `stored`; if its source is then deleted, a stored-keys sweep
+    # never removes it and spark.read.parquet(out_dir) serves deleted
+    # rows forever (ADVICE r12). Listing the output dir makes the
+    # sweep independent of stamp freshness.
+    for d in os.listdir(out_dir):
+        if d.startswith(partition_col + "=") and d not in live:
             shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
     tmp = parts_path + ".tmp"
     with open(tmp, "w") as f:

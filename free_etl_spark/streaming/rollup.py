@@ -44,31 +44,18 @@ def start_rollup_maintenance(
     ev = events_stream(spark, sf_dir)
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
-        spark_ = batch_df.sparkSession
-        # scoped to THIS write, restored after — a session-wide leak
-        # changes later overwrites' semantics and drops _SUCCESS
-        # markers (merge.py discipline; r12 full-suite find)
-        prev = spark_.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", None
+        # dynamic overwrite scoped to THIS write via the per-writer
+        # option (precedence over session conf, ADVICE r12): no shared
+        # session-state mutation, no restore race with concurrent
+        # writers in the same session.
+        (
+            rollup_batch(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day", "batch_id")
+            .parquet(rollup_dir)
         )
-        spark_.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                rollup_batch(batch_df)
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("day", "batch_id")
-                .parquet(rollup_dir)
-            )
-        finally:
-            if prev is None:
-                spark_.conf.unset(
-                    "spark.sql.sources.partitionOverwriteMode"
-                )
-            else:
-                spark_.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev
-                )
 
     return (
         ev.writeStream.foreachBatch(update)

@@ -341,3 +341,86 @@ def test_partitioned_step_drops_vanished_source_partition(spark, tmp_path):
         for r in _part_build(spark, spark.read.parquet(src)).collect()
     }
     assert got == want
+
+
+def test_partitioned_step_sweeps_orphan_from_prestamp_crash(spark, tmp_path):
+    """Double crash window (ADVICE r12): a run PROMOTES a partition but
+    crashes before stamping _parts.json, then retention deletes that
+    source partition. The orphan output dir is in neither the stamp
+    nor the live listing — a stored-keys sweep would serve its deleted
+    rows forever. The disk-listing sweep must remove it."""
+    import json
+    import shutil
+
+    from free_etl_spark.plans.pipeline import run_partitioned_step
+
+    src = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    _part_src(spark, src)
+    run_partitioned_step(spark, "agg", src, "pk", _part_build, lake)
+    out = os.path.join(lake, "agg")
+    parts_path = os.path.join(out, "_parts.json")
+    stamp_before = json.load(open(parts_path))
+
+    # new source partition arrives
+    extra = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "n_chars", F.lit(9).cast("int").alias("pk")
+    )
+    extra.write.mode("append").partitionBy("pk").parquet(src)
+    run_partitioned_step(spark, "agg", src, "pk", _part_build, lake)
+    assert os.path.isdir(os.path.join(out, "pk=9"))
+    # simulate the pre-stamp crash: roll the stamp back so pk=9 is
+    # promoted on disk but unknown to _parts.json
+    with open(parts_path, "w") as f:
+        json.dump(stamp_before, f)
+    # retention then drops the source partition
+    shutil.rmtree(os.path.join(src, "pk=9"))
+
+    m = run_partitioned_step(spark, "agg", src, "pk", _part_build, lake)
+    assert m["rebuilt"] == []
+    assert not os.path.exists(os.path.join(out, "pk=9"))
+    got = {
+        (r["pk"], r["n"]) for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["pk"], r["n"])
+        for r in _part_build(spark, spark.read.parquet(src)).collect()
+    }
+    assert got == want
+
+
+def test_partitioned_step_zero_row_partition_converges(spark, tmp_path):
+    """A dirty partition whose build() yields zero rows gets no leaf
+    dir from partitionBy; the runner must materialize an empty live
+    dir so the stamp agrees with disk and the partition stops being
+    rebuilt every run (ADVICE r12), while reads stay correct."""
+    import json
+
+    from free_etl_spark.plans.pipeline import run_partitioned_step
+
+    def drop_pk2(sp, inp):
+        return _part_build(sp, inp).filter(F.col("pk") != 2)
+
+    src = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    _part_src(spark, src)
+    m1 = run_partitioned_step(spark, "agg", src, "pk", drop_pk2, lake)
+    out = os.path.join(lake, "agg")
+    assert sorted(m1["rebuilt"]) == ["pk=0", "pk=1", "pk=2", "pk=3"]
+    assert os.path.isdir(os.path.join(out, "pk=2"))  # empty marker dir
+    parts = json.load(open(os.path.join(out, "_parts.json")))
+    assert "pk=2" in parts
+
+    # second run: nothing dirty — the zero-row partition must NOT be
+    # perpetually rebuilt
+    m2 = run_partitioned_step(spark, "agg", src, "pk", drop_pk2, lake)
+    assert m2["rebuilt"] == []
+    assert sorted(m2["skipped"]) == ["pk=0", "pk=1", "pk=2", "pk=3"]
+    got = {
+        (r["pk"], r["n"]) for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["pk"], r["n"])
+        for r in drop_pk2(spark, spark.read.parquet(src)).collect()
+    }
+    assert got == want and not any(pk == 2 for pk, _ in got)
