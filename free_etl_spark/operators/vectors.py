@@ -209,12 +209,116 @@ def kmeans_centroids(
     return cent
 
 
+# ---- product quantization (residual PQ, the IVF+PQ serving codec) -----
+
+
+def _pq_subs(col: str, m: int, sub: int) -> F.Column:
+    """Slice an array column into M contiguous SUB-wide subvectors."""
+    return F.array(*[F.slice(col, i * sub + 1, sub) for i in range(m)])
+
+
+def _residuals(data: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cent_id, remb = emb − assigned centroid). ``data`` must
+    carry (vec_id, emb, cent_id); centroids broadcast."""
+    return data.join(
+        F.broadcast(cent.select("cent_id", "cemb")), "cent_id"
+    ).select(
+        "vec_id",
+        "cent_id",
+        F.zip_with("emb", "cemb", lambda x, y: x - y).alias("remb"),
+    )
+
+
+def pq_codebook(res: DataFrame, m: int, sub: int, c: int) -> DataFrame:
+    """Deterministic residual PQ codebook: the first C vectors' (by
+    vec_id, the first_k_centroids convention every oracle replays as
+    ``WHERE vec_id < C``) residuals, sliced into M subspaces. ``res``:
+    (vec_id, remb). Returns (m, c, csub) — ``c`` is the codeword id
+    (the donor vec_id), ``csub`` its SUB-dim residual slice."""
+    return res.filter(F.col("vec_id") < c).select(
+        F.col("vec_id").alias("c"),
+        F.posexplode(_pq_subs("remb", m, sub)).alias("m", "csub"),
+    )
+
+
+def pq_encode(res: DataFrame, pq_cb: DataFrame, m: int, sub: int) -> DataFrame:
+    """Encode residuals against a PQ codebook: per vector, per
+    subspace, the codeword minimizing subspace L2 (ties on codeword
+    id — the rule the sim_ivfpq oracle replays). Returns
+    (vec_id, pq_code array<tinyint> ordered by subspace), the 8-byte
+    serving representation (M=8 codes × 1 byte at C ≤ 256).
+
+    The argmin is a map-side broadcast join (the codebook is M×C rows)
+    + a min-by-struct aggregate — one pass over the corpus, no
+    all-pairs anything."""
+    vsub = res.select(
+        "vec_id", F.posexplode(_pq_subs("remb", m, sub)).alias("m", "sub")
+    )
+    # unrolled SUB-term L2, same left-to-right add order as the fold
+    d2 = F.lit(0.0)
+    for i in range(1, sub + 1):
+        d = F.element_at("sub", i) - F.element_at("csub", i)
+        d2 = d2 + d * d
+    return (
+        vsub.join(F.broadcast(pq_cb), "m")
+        .select("vec_id", "m", F.struct(d2.alias("d2"), "c").alias("dc"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("dc").alias("dc"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("m", F.col("dc.c").alias("c")))
+                ),
+                lambda s: s["c"].cast("tinyint"),
+            ).alias("pq_code")
+        )
+    )
+
+
+def _pq_meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_pq_meta.json")
+
+
+def pq_meta(path: str) -> dict | None:
+    """PQ parameters of an ivf_write store ({"m", "sub", "c"}), or
+    None when the store was written without a PQ layer."""
+    import json
+    import os
+
+    p = _pq_meta_path(path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_pq_sidecar(
+    path: str, pq_cb: DataFrame, m: int, sub: int, c: int
+) -> None:
+    import json
+    import os
+
+    pq_cb.write.mode("overwrite").parquet(os.path.join(path, "_pq_codebook"))
+    tmp = _pq_meta_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"m": m, "sub": sub, "c": c}, f)
+    import os as _os
+
+    _os.replace(tmp, _pq_meta_path(path))
+
+
 def ivf_write(
     emb: DataFrame,
     path: str,
     k: int | None = None,
     codebook: str = "kmeans",
     iters: int = 2,
+    pq_m: int | None = None,
+    pq_sub: int | None = None,
+    pq_c: int = 64,
 ) -> DataFrame:
     """Write the corpus IVF-partitioned: assign each vector to its
     nearest of K coarse centroids (K = scaled_centroid_k(N) unless
@@ -227,6 +331,15 @@ def ivf_write(
     init for ``iters`` rounds — tighter clusters, better probe recall
     at equal nprobe; ``codebook='first_k'`` keeps the raw
     first-K-by-id init (the mode SQL oracles replay verbatim).
+
+    With ``pq_m`` the store also persists the PQ serving layer
+    (VERDICT r12 task 2): each row carries its M-byte residual
+    ``pq_code`` (array<tinyint>, codes ~dim·8/M× smaller than the raw
+    vector — at serving scale the codes ARE the store: an ADC scan
+    reads ONLY this column, parquet column pruning never touches the
+    raw embeddings), and the sidecars ``_pq_codebook`` (m, c, csub)
+    + ``_pq_meta.json`` ride beside ``_codebook`` so append/recluster
+    can encode without the caller carrying parameters.
 
     ``emb``: (vec_id, emb array<double>)."""
     if k is None:
@@ -243,18 +356,23 @@ def ivf_write(
         .filter(F.col("rn") == 1)
         .select("vec_id", "cent_id")
     )
-    (
-        emb.join(asn, "vec_id")
-        .write.mode("overwrite")
-        .partitionBy("cent_id")
-        .parquet(path)
-    )
+    rows = emb.join(asn, "vec_id")
+    pq_cb = None
+    if pq_m is not None:
+        if pq_sub is None:
+            pq_sub = dim // pq_m
+        res = _residuals(rows, cent)
+        pq_cb = pq_codebook(res, pq_m, pq_sub, pq_c)
+        rows = rows.join(pq_encode(res, pq_cb, pq_m, pq_sub), "vec_id")
+    rows.write.mode("overwrite").partitionBy("cent_id").parquet(path)
     # persist the codebook beside the data (underscore prefix = hidden
     # to Spark's file listing, like _SUCCESS) so ivf_append can assign
     # new vectors without the caller carrying the centroid table
     import os
 
     cent.write.mode("overwrite").parquet(os.path.join(path, "_codebook"))
+    if pq_cb is not None:
+        _write_pq_sidecar(path, pq_cb, pq_m, pq_sub, pq_c)
     return cent
 
 
@@ -273,6 +391,11 @@ def ivf_append(
     when codebook drift degrades probe recall
     (tests/test_ann_quality.py pins recall after append).
 
+    A PQ-coded store (pq_m given at ivf_write) stays PQ-coded: the
+    batch's residuals are encoded against the PERSISTED
+    ``_pq_codebook`` — never a recomputed one, which would silently
+    fork the code space between old and new part files.
+
     Returns the centroid table used, so callers can chain appends
     without re-reading the codebook."""
     import os
@@ -286,12 +409,17 @@ def ivf_append(
         .filter(F.col("rn") == 1)
         .select("vec_id", "cent_id")
     )
-    (
-        emb_new.join(asn, "vec_id")
-        .write.mode("append")
-        .partitionBy("cent_id")
-        .parquet(path)
-    )
+    rows = emb_new.join(asn, "vec_id")
+    meta = pq_meta(path)
+    if meta is not None:
+        pq_cb = emb_new.sparkSession.read.parquet(
+            os.path.join(path, "_pq_codebook")
+        )
+        res = _residuals(rows, cent)
+        rows = rows.join(
+            pq_encode(res, pq_cb, meta["m"], meta["sub"]), "vec_id"
+        )
+    rows.write.mode("append").partitionBy("cent_id").parquet(path)
     return cent
 
 
@@ -493,8 +621,11 @@ def ivf_recluster(
     shutil.rmtree(stage, ignore_errors=True)
 
     data = spark.read.parquet(path)
+    # stale per-row columns (the old assignment AND the old PQ codes —
+    # both are functions of the centroids being replaced) are dropped;
+    # the PQ layer is rebuilt below against the NEW centroids
     emb = data.select(
-        *[c for c in data.columns if c != "cent_id"]
+        *[c for c in data.columns if c not in ("cent_id", "pq_code")]
     )
     tomb = ivf_tombstones(spark, path)
     if tomb is not None:
@@ -513,13 +644,23 @@ def ivf_recluster(
         .filter(F.col("rn") == 1)
         .select("vec_id", "cent_id")
     )
-    (
-        emb.join(asn, "vec_id")
-        .write.mode("overwrite")
-        .partitionBy("cent_id")
-        .parquet(stage)
-    )
+    rows = emb.join(asn, "vec_id")
+    meta = pq_meta(path)
+    pq_cb = None
+    if meta is not None:
+        # centroids moved ⇒ every residual moved ⇒ the old codes and
+        # the old residual codebook are BOTH stale. Rebuild the
+        # codebook deterministically (same params, new residuals) and
+        # re-encode the whole corpus — skipping this would leave a
+        # PQ-coded store silently serving distances against centroids
+        # that no longer exist (VERDICT r12 task 2).
+        res = _residuals(rows, cent)
+        pq_cb = pq_codebook(res, meta["m"], meta["sub"], meta["c"])
+        rows = rows.join(pq_encode(res, pq_cb, meta["m"], meta["sub"]), "vec_id")
+    rows.write.mode("overwrite").partitionBy("cent_id").parquet(stage)
     cent.write.mode("overwrite").parquet(os.path.join(stage, "_codebook"))
+    if pq_cb is not None:
+        _write_pq_sidecar(stage, pq_cb, meta["m"], meta["sub"], meta["c"])
     os.rename(path, retired)
     os.rename(stage, path)
     shutil.rmtree(retired, ignore_errors=True)

@@ -3092,80 +3092,111 @@ def _ivfpq_oracle() -> str:
     """
 
 
+def _ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
+    """Session-scoped PROMOTED IVF+PQ store fixture (VERDICT r12
+    task 2): one ivf_write with the persisted PQ layer per (session,
+    corpus mtime) — first-K coarse codebook (the mode the oracle
+    replays), M=8×SUB=8 residual PQ, C=64 codewords. Consumers
+    (sim_ivfpq_adc_search, streaming_ann_probe) read codes and raw
+    vectors back from THIS on-disk layout, so their oracles value-gate
+    the persisted codes, not a per-query recomputation. Rebuilds when
+    the corpus file changes (the _cached_relation mtime discipline)."""
+    import json
+    import os
+
+    from free_etl_spark.operators.vectors import ivf_write
+
+    path = os.path.join(
+        "/tmp",
+        f"fes_ivfpq_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    marker = os.path.join(path, "_fixture.json")
+    try:
+        mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    except OSError:
+        mtime = None
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                if json.load(f).get("mtime") == mtime:
+                    return path
+        except Exception:
+            pass
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    ivf_write(
+        emb,
+        path,
+        codebook="first_k",
+        pq_m=_PQ_M,
+        pq_sub=_PQ_SUB,
+        pq_c=_IVFPQ_C,
+    )
+    # marker LAST: a crash mid-build leaves no marker → full rebuild
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"mtime": mtime}, f)
+    os.replace(tmp, marker)
+    return path
+
+
 @query("sim_ivfpq_adc_search", oracle=_ivfpq_oracle())
 def sim_ivfpq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF+PQ with residual encoding and ADC — the canonical
-    billion-scale ANN layout (FAISS IVFPQ; Jégou et al. 2011 §IV):
-    the coarse quantizer (K ≈ √N first-K centroids, shared with
-    sim_ivf_topk via the cached nearest-4 relation) routes each
-    vector to a list; the vector's RESIDUAL from its centroid is
-    product-quantized (M=8 subspaces × C=64 residual codewords,
-    deterministically the first C vectors' residuals, so DuckDB
-    replays the whole codec); queries probe their 4 nearest lists
-    and score candidates by asymmetric distance — a per-(query,
-    probed-list) lookup table of subspace L2 partials (5×4×8×64
-    entries, broadcast) turns each candidate into M table lookups
-    over its 8-byte code. The ADC shortlist (R = max(50, N/20))
-    fetches raw vectors once for the exact cosine re-rank to top-10.
+    """IVF+PQ with residual encoding and ADC, served from the
+    PERSISTED store — the canonical billion-scale ANN layout (FAISS
+    IVFPQ; Jégou et al. 2011 §IV). The store fixture (_ivfpq_store →
+    operators.vectors.ivf_write with pq_m=8) holds, on disk: the
+    cent_id-partitioned rows each carrying an 8-byte residual
+    ``pq_code``, the coarse ``_codebook`` (K ≈ √N first-K centroids),
+    and the ``_pq_codebook`` sidecar (M=8 subspaces × C=64 residual
+    codewords, deterministically the first C vectors' residuals, so
+    DuckDB replays the whole codec from the raw table — the oracle
+    value-gates the PERSISTED codes). Queries rank the store's
+    codebook, probe their 4 nearest lists via partition-pruned reads
+    (the ivf_probe discipline; the probed-cent_id list is a bounded
+    ≤ nprobe × n_queries driver collect), and score candidates by
+    asymmetric distance — a per-(query, probed-list) lookup table of
+    subspace L2 partials (5×4×8×64 entries, broadcast) turns each
+    candidate into M lookups over its stored code. The ADC scan reads
+    ONLY (vec_id, pq_code) — parquet column pruning never touches the
+    raw embedding column. The shortlist (R = max(50, N/20)) then
+    fetches raw vectors (store rows again, probed partitions only)
+    for the exact cosine re-rank to top-10.
 
     Why this and not flat IVF or flat PQ at 100 TB: IVF bounds the
     candidate volume (N·nprobe/K per query) and PQ bounds the BYTES
-    per candidate (codes ~64× smaller than raw vectors); residual
-    encoding recovers the accuracy PQ loses to coarse cell offsets.
-    The scan reads code rows only; raw embeddings are touched for
-    |shortlist| rows per query. Plan: centroids, codebook, and LUT
-    all broadcast; encode is one map pass; the ADC groupBy is the
-    only corpus-sized shuffle. Recall@10 vs exact brute force is
-    pinned in tests/test_ann_quality.py."""
-    from free_etl_spark.operators.vectors import scaled_centroid_k
+    per candidate (8-byte codes ≈64× smaller than raw vectors);
+    residual encoding recovers the accuracy PQ loses to coarse cell
+    offsets. Plan: centroids, PQ codebook, and LUT all broadcast; the
+    ADC groupBy over probed-list codes is the only shuffle. Recall@10
+    vs exact brute force and recluster-re-encode staleness are pinned
+    in tests/test_ann_quality.py."""
+    import os
+
+    from free_etl_spark.operators.vectors import centroid_rank, probe_dim
+
+    path = _ivfpq_store(spark, sf_dir)
+    cent = spark.read.parquet(os.path.join(path, "_codebook"))
+    pq_cb = spark.read.parquet(os.path.join(path, "_pq_codebook"))
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     n_corpus = emb.count()
-    cent = emb.filter(F.col("vec_id") < scaled_centroid_k(n_corpus)).select(
-        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    qv = emb.filter(F.col("vec_id") < _N_QUERIES)
+    dim = probe_dim(qv)
+    probe = (
+        centroid_rank(qv, cent, dim)
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("qid"), "cent_id")
     )
-    ranked = _ivf_nearest4(spark, sf_dir)
-    asn = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
-    probe = ranked.filter(
-        (F.col("rn") <= _IVF_NPROBE) & (F.col("vec_id") < _N_QUERIES)
-    ).select(F.col("vec_id").alias("qid"), "cent_id")
 
-    res = (
-        emb.join(asn, "vec_id")
-        .join(F.broadcast(cent), "cent_id")
-        .select(
-            "vec_id",
-            "cent_id",
-            F.zip_with("emb", "cemb", lambda x, y: x - y).alias("remb"),
-        )
-    )
-    subs = F.array(
-        *[F.slice("remb", m * _PQ_SUB + 1, _PQ_SUB) for m in range(_PQ_M)]
-    )
-    vsub = res.select("vec_id", "cent_id", F.posexplode(subs).alias("m", "sub"))
-    cb = res.filter(F.col("vec_id") < _IVFPQ_C).select(
-        F.col("vec_id").alias("c"), F.posexplode(subs).alias("m", "csub")
-    )
-    # unrolled 8-term L2 (same add order as the oracle's list_sum
-    # fold) — map-side broadcast-join context, where unrolls win
-    d2 = F.lit(0.0)
-    for _i in range(1, _PQ_SUB + 1):
-        _d = F.element_at("sub", _i) - F.element_at("csub", _i)
-        d2 = d2 + _d * _d
-    codes = (
-        vsub.join(F.broadcast(cb), "m")
-        .select(
-            "vec_id", "cent_id", "m", F.struct(d2.alias("d2"), "c").alias("dc")
-        )
-        .groupBy("vec_id", "cent_id", "m")
-        .agg(F.min("dc").alias("dc"))
-        .select("vec_id", "cent_id", "m", F.col("dc.c").alias("c"))
-    )
+    # per-(query, probed list) ADC lookup table: 5×4×8×64 rows, broadcast
     qres = (
         probe.join(
-            emb.select(F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")),
+            qv.select(F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")),
             "qid",
         )
         .join(F.broadcast(cent), "cent_id")
@@ -3175,15 +3206,32 @@ def sim_ivfpq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with("qemb", "cemb", lambda x, y: x - y).alias("remb"),
         )
     )
+    subs = F.array(
+        *[F.slice("remb", m * _PQ_SUB + 1, _PQ_SUB) for m in range(_PQ_M)]
+    )
     qsubs = qres.select(
         "qid", "cent_id", F.posexplode(subs).alias("m", "qsub")
     )
+    # unrolled 8-term L2 (same add order as the oracle's list_sum
+    # fold) — map-side broadcast-join context, where unrolls win
     ld2 = F.lit(0.0)
     for _i in range(1, _PQ_SUB + 1):
         _d = F.element_at("qsub", _i) - F.element_at("csub", _i)
         ld2 = ld2 + _d * _d
-    lut = qsubs.join(F.broadcast(cb), "m").select(
+    lut = qsubs.join(F.broadcast(pq_cb), "m").select(
         "qid", "cent_id", "m", "c", ld2.alias("ld2")
+    )
+
+    # bounded driver collect (≤ nprobe × n_queries cent_ids) → the
+    # cent_id IN (...) partition filter prunes every unprobed list at
+    # planning time, exactly like operators.vectors.ivf_probe
+    probed = sorted(
+        int(r["cent_id"])
+        for r in probe.select("cent_id").distinct().collect()
+    )
+    store = spark.read.parquet(path).filter(F.col("cent_id").isin(probed))
+    codes = store.select(
+        "vec_id", "cent_id", F.posexplode("pq_code").alias("m", "c")
     )
     adc = (
         codes.join(F.broadcast(lut), ["cent_id", "m", "c"])
@@ -3199,16 +3247,17 @@ def sim_ivfpq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     full_nrm = F.sqrt(
         F.aggregate(F.col("emb"), F.lit(0.0), lambda a, x: a + x * x)
     )
-    nn = emb.select("vec_id", "emb", full_nrm.alias("nrm"))
-    a = nn.select(
+    a = qv.select(
         F.col("vec_id").alias("qid"),
         F.col("emb").alias("a_emb"),
-        F.col("nrm").alias("a_nrm"),
+        full_nrm.alias("a_nrm"),
     )
-    b = nn.select(
+    # candidate vectors come back from the probed store partitions —
+    # every shortlist cid lives in a probed list by construction
+    b = store.select(
         F.col("vec_id").alias("cid"),
         F.col("emb").alias("b_emb"),
-        F.col("nrm").alias("b_nrm"),
+        full_nrm.alias("b_nrm"),
     )
     exact = F.aggregate(
         F.zip_with("a_emb", "b_emb", lambda x, y: x * y),

@@ -736,3 +736,125 @@ def test_ivfpq_recall_at_10(spark):
         recalls.append(len(got.get(q, set()) & set(exact)) / 10)
     assert min(recalls) >= 0.5, recalls
     assert sum(recalls) / len(recalls) >= 0.75, recalls
+
+
+def test_ivfpq_store_persists_codes_and_append_uses_persisted_codebook(
+    spark, tmp_path
+):
+    """The PQ serving layer must live IN the store (VERDICT r12
+    task 2): ivf_write(pq_m=...) persists per-row pq_code
+    (array<tinyint>, one code per subspace, every code < C) plus the
+    _pq_codebook/_pq_meta.json sidecars; ivf_append encodes arriving
+    vectors against the PERSISTED codebook — byte-identical sidecars
+    before and after, and the appended rows' codes equal a manual
+    pq_encode with that same codebook."""
+    import os
+
+    from free_etl_spark.operators.vectors import (
+        _residuals,
+        ivf_append,
+        ivf_write,
+        pq_encode,
+        pq_meta,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "ivfpq")
+    cent = ivf_write(base, path, codebook="first_k", pq_m=8, pq_sub=8, pq_c=64)
+
+    assert pq_meta(path) == {"m": 8, "sub": 8, "c": 64}
+    store = spark.read.parquet(path)
+    assert dict(store.dtypes)["pq_code"] == "array<tinyint>"
+    bad = store.filter(
+        (F.size("pq_code") != 8)
+        | F.exists("pq_code", lambda c: (c < 0) | (c >= 64))
+    ).count()
+    assert bad == 0
+
+    cb_before = {
+        (r.m, r.c, tuple(r.csub))
+        for r in spark.read.parquet(os.path.join(path, "_pq_codebook")).collect()
+    }
+    ivf_append(batch, path)
+    cb_after = {
+        (r.m, r.c, tuple(r.csub))
+        for r in spark.read.parquet(os.path.join(path, "_pq_codebook")).collect()
+    }
+    assert cb_before == cb_after  # append never re-fits the codebook
+
+    # appended rows' codes == manual encode against the persisted book
+    store2 = spark.read.parquet(path)
+    appended = {
+        r.vec_id: list(r.pq_code)
+        for r in store2.filter(F.col("vec_id") % 10 == 0).collect()
+    }
+    pq_cb = spark.read.parquet(os.path.join(path, "_pq_codebook"))
+    asn = store2.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", "emb", "cent_id"
+    )
+    want = {
+        r.vec_id: [int(c) for c in r.pq_code]
+        for r in pq_encode(_residuals(asn, cent), pq_cb, 8, 8).collect()
+    }
+    assert appended == want and len(appended) == batch.count()
+
+
+def test_ivf_recluster_reencodes_pq_layer(spark, tmp_path):
+    """Centroids move on recluster ⇒ residuals move ⇒ a PQ-coded
+    store must rebuild its residual codebook AND re-encode every
+    row, or ADC would score against dead centroids. Pin: after
+    ivf_write(first_k, pq) + append + ivf_recluster(kmeans), the
+    promoted store's rows, codes, and both codebooks are EXACTLY the
+    ones a from-scratch ivf_write(kmeans, pq) on the current corpus
+    produces (the whole path is deterministic), and the PQ codebook
+    genuinely changed across the swap."""
+    import os
+
+    from free_etl_spark.operators.vectors import (
+        ivf_append,
+        ivf_recluster,
+        ivf_write,
+        pq_meta,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "ivfpq")
+    ivf_write(base, path, codebook="first_k", pq_m=8, pq_sub=8, pq_c=64)
+    ivf_append(batch, path)
+    cb_stale = {
+        (r.m, r.c, tuple(r.csub))
+        for r in spark.read.parquet(os.path.join(path, "_pq_codebook")).collect()
+    }
+
+    ivf_recluster(spark, path, iters=1)
+
+    assert pq_meta(path) == {"m": 8, "sub": 8, "c": 64}  # params survive
+    cb_new = {
+        (r.m, r.c, tuple(r.csub))
+        for r in spark.read.parquet(os.path.join(path, "_pq_codebook")).collect()
+    }
+    assert cb_new != cb_stale  # the re-fit actually happened
+
+    fresh = str(tmp_path / "fresh")
+    ivf_write(emb, fresh, codebook="kmeans", iters=1, pq_m=8, pq_sub=8, pq_c=64)
+
+    def snap(p):
+        return {
+            r.vec_id: (r.cent_id, tuple(int(c) for c in r.pq_code))
+            for r in spark.read.parquet(p).collect()
+        }
+
+    assert snap(path) == snap(fresh)
+    fresh_cb = {
+        (r.m, r.c, tuple(r.csub))
+        for r in spark.read.parquet(os.path.join(fresh, "_pq_codebook")).collect()
+    }
+    assert cb_new == fresh_cb
