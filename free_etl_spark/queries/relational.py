@@ -2417,6 +2417,92 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ── runtime bloom-filter semi-join (pre-shuffle pruning) ────────────
 
 
+def bloom_positions(
+    key: F.Column, k: int, m: int, hasher: str = "md5"
+) -> list[F.Column]:
+    """The k bloom bit positions of a key, as JVM-side expressions.
+
+    ``hasher='md5'`` (the GATE default): ONE md5 per row, positions
+    are disjoint 8-hex slices of the digest (32 hex chars cover
+    k <= 4) — deterministic and engine-portable, DuckDB replays the
+    positions bit-for-bit, which is what makes the bloom construction
+    value-oracleable.
+
+    ``hasher='xxhash64'`` (the production swap): two xxhash64 calls
+    (h1 = xx(key), h2 = xx(key, 1)) extended to k positions by
+    Kirsch–Mitzenmacher double hashing (h1 + s·h2 mod m) — measured
+    5x cheaper per row than the md5 projection at sf0.1 (stamped in
+    docs/SCALE.md). Position VALUES differ from md5's, so oracle
+    replayability is lost — but bloom correctness never depends on
+    which positions are chosen, only that build and probe choose the
+    SAME ones: no-false-negatives for both hashers is pinned against
+    the plain semi-join in tests/test_r12_waves.py."""
+    if hasher == "md5":
+        h = F.md5(key.cast("string").cast("binary"))
+        return [
+            F.conv(F.substring(h, 1 + 8 * s, 8), 16, 10).cast("long") % m
+            for s in range(k)
+        ]
+    if hasher == "xxhash64":
+        # reduce each hash mod m BEFORE combining: h1 + s·h2 on raw
+        # 64-bit values overflows under ANSI mode; (h1%m + s·(h2%m))%m
+        # is the same double-hash family and stays < k·m
+        h1 = F.pmod(F.xxhash64(key.cast("string")), F.lit(m))
+        h2 = F.pmod(F.xxhash64(key.cast("string"), F.lit(1)), F.lit(m))
+        return [F.pmod(h1 + F.lit(s) * h2, F.lit(m)) for s in range(k)]
+    raise ValueError(f"unknown bloom hasher: {hasher!r}")
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    m: int = 1024,
+    k: int = 3,
+    hasher: str = "md5",
+) -> DataFrame:
+    """Filter ``fact`` to rows whose ``fact_key`` MAY be in ``keys``
+    (single-column DataFrame) — the runtime dynamic-filtering
+    primitive: build an m-bit bloom from the small side (folded
+    map-side into <= m/64 bitmap words, broadcast as one tiny map),
+    probe each fact row with k O(1) element_at + AND expressions
+    BEFORE any shuffle or join. No false negatives by construction;
+    false-positive rate is sized by m (callers exact-verify after).
+    """
+    key_col = keys.columns[0]
+    words = (
+        keys.select(
+            F.explode(
+                F.array(*bloom_positions(F.col(key_col), k, m, hasher))
+            ).alias("p")
+        )
+        .groupBy(F.expr("CAST(p DIV 64 AS INT)").alias("w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+            ).alias("mask")
+        )
+    )
+    bloom = words.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("w", "mask")))
+        ).alias("bloom")
+    )
+    passed = fact.crossJoin(F.broadcast(bloom))
+    fact_pos = bloom_positions(F.col(fact_key), k, m, hasher)
+    for s in range(k):
+        passed = passed.withColumn(f"__bp{s}", fact_pos[s])
+    probe = " AND ".join(
+        f"(coalesce(element_at(bloom, CAST(__bp{s} DIV 64 AS INT)),"
+        f" CAST(0 AS BIGINT))"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(__bp{s} % 64 AS INT))) != 0"
+        for s in range(k)
+    )
+    return passed.filter(F.expr(probe)).drop(
+        "bloom", *[f"__bp{s}" for s in range(k)]
+    )
+
+
 @query(
     "join_bloom_prefilter",
     oracle="""
@@ -2477,62 +2563,24 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-matching fact rows BEFORE any shuffle or join — the whole
     point: the fact table never pays join machinery for rows the dim
     side can already exclude. md5-based positions are deterministic
-    and engine-portable (DuckDB replays them bit-for-bit); a
-    production deployment would swap in xxhash64 (measured 5x
-    cheaper per row at sf0.1 — 0.18s vs 0.91s for the 3-position
-    projection) at the cost of oracle replayability, which is why
-    the GATE keeps md5."""
-    M, K = 1024, 3
+    and engine-portable (DuckDB replays them bit-for-bit); the
+    production deployment swaps ``hasher='xxhash64'`` into
+    bloom_prefilter (measured 5x cheaper per row at sf0.1, stamped
+    in docs/SCALE.md) at the cost of oracle replayability, which is
+    why the GATE keeps md5; both hashers' no-false-negatives is
+    pinned in tests/test_r12_waves.py."""
     dim = (
         _t(spark, sf_dir, "supplier")
         .filter(F.col("s_suppkey") % 4 == 1)
         .select(F.col("s_suppkey").alias("k"))
-    )
-
-    # ONE md5 per row; the k positions are disjoint 8-hex slices of
-    # the digest (32 hex chars cover k<=4) — 3x fewer hash calls than
-    # seed-concatenated digests, same independence for bloom purposes
-    def pos(key: F.Column, seed: int) -> F.Column:
-        h = F.md5(key.cast("string").cast("binary"))
-        return (
-            F.conv(F.substring(h, 1 + 8 * seed, 8), 16, 10).cast("long") % M
-        )
-
-    words = (
-        dim.select(
-            F.explode(
-                F.array(*[pos(F.col("k"), s) for s in range(K)])
-            ).alias("p")
-        )
-        .groupBy(F.expr("CAST(p DIV 64 AS INT)").alias("w"))
-        .agg(
-            F.bit_or(
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
-            ).alias("mask")
-        )
-    )
-    bloom = words.agg(
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("w", "mask")))
-        ).alias("bloom")
     )
     fact = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         "l_suppkey",
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
     )
-
-    passed = fact.crossJoin(F.broadcast(bloom))
-    for s in range(K):
-        passed = passed.withColumn(f"p{s}", pos(F.col("l_suppkey"), s))
-    probe = " AND ".join(
-        f"(coalesce(element_at(bloom, CAST(p{s} DIV 64 AS INT)),"
-        f" CAST(0 AS BIGINT))"
-        f" & shiftleft(CAST(1 AS BIGINT), CAST(p{s} % 64 AS INT))) != 0"
-        for s in range(K)
-    )
-    passed = passed.filter(F.expr(probe)).drop(
-        "bloom", *[f"p{s}" for s in range(K)]
+    passed = bloom_prefilter(
+        fact, dim, "l_suppkey", m=1024, k=3, hasher="md5"
     )
     verified = passed.join(
         F.broadcast(dim.withColumn("m", F.lit(1))),

@@ -196,3 +196,49 @@ def test_mv_refresh_restores_partition_overwrite_mode(spark):
     assert os.path.exists(
         f"/tmp/fes_rangexp_sf0.001_{spark.sparkContext.applicationId}/_SUCCESS"
     )
+
+
+@pytest.mark.parametrize("hasher", ["md5", "xxhash64"])
+def test_bloom_prefilter_both_hashers_no_false_negatives(spark, hasher):
+    """bloom_prefilter must never drop a matching fact row under
+    EITHER hasher: the md5 oracle mode and the xxhash64 production
+    mode (Kirsch–Mitzenmacher double hashing) both admit a superset
+    of the plain exact semi-join — position choice affects only the
+    false-positive rate, never membership of true keys."""
+    import pyspark.sql.functions as F
+
+    from free_etl_spark.queries.relational import bloom_prefilter
+    from free_etl_spark.tables import load_table
+
+    dim = (
+        load_table(spark, SF_DIR, "supplier")
+        .filter(F.col("s_suppkey") % 4 == 1)
+        .select(F.col("s_suppkey").alias("k"))
+    )
+    fact = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    passed = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in bloom_prefilter(
+            fact, dim, "l_suppkey", m=1024, k=3, hasher=hasher
+        ).collect()
+    }
+    exact = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in fact.join(
+            F.broadcast(dim), fact.l_suppkey == F.col("k"), "left_semi"
+        ).collect()
+    }
+    assert exact <= passed  # no false negatives
+    # the bloom actually filters (not a pass-everything bitmap)
+    assert len(passed) < fact.count()
+
+
+def test_bloom_prefilter_unknown_hasher_rejected(spark):
+    import pyspark.sql.functions as F
+
+    from free_etl_spark.queries.relational import bloom_positions
+
+    with pytest.raises(ValueError):
+        bloom_positions(F.lit(1), 3, 1024, hasher="sha1")
