@@ -3007,7 +3007,12 @@ _IVFPQ_TOPK = 10
 _IVFPQ_R_FLOOR = 50  # ADC shortlist floor; scales as N/20
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_codec_sql(probe_pred: str) -> str:
+    """The WITH-prefix (raw table → per-candidate ADC scores) of the
+    IVF+PQ codec replay, shared by the sim_ivfpq_adc_search oracle
+    (probe_pred restricts queries to the first _N_QUERIES ids) and
+    the streaming_ann_probe oracle (every vector is a query). Ends at
+    the ``adc`` CTE: (qid, cid, adc_d2)."""
     sub = "[m * {s} + 1 : m * {s} + {s}]".format(s=_PQ_SUB)
     l2 = (
         "list_sum(list_transform(list_zip({a}, {b}),"
@@ -3029,7 +3034,7 @@ def _ivfpq_oracle() -> str:
     ),
     asn AS (SELECT vec_id, cent_id FROM rankc WHERE rn = 1),
     probe AS (SELECT vec_id AS qid, cent_id FROM rankc
-              WHERE rn <= {_IVF_NPROBE} AND vec_id < {_N_QUERIES}),
+              WHERE rn <= {_IVF_NPROBE}{probe_pred}),
     res AS (
       SELECT v.vec_id, asn.cent_id,
              list_transform(list_zip(v.emb, cent.cemb),
@@ -3065,7 +3070,11 @@ def _ivfpq_oracle() -> str:
                          AND codes.m = lut.m AND codes.c = lut.c
       WHERE codes.vec_id <> lut.qid
       GROUP BY lut.qid, codes.vec_id
-    ),
+    )"""
+
+
+def _ivfpq_oracle() -> str:
+    return _ivfpq_codec_sql(f" AND vec_id < {_N_QUERIES}") + f""",
     parm2 AS (SELECT GREATEST({_IVFPQ_R_FLOOR}, COUNT(*) // 20) AS r
               FROM embeddings),
     short AS (

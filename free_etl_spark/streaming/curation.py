@@ -13,6 +13,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -517,3 +520,202 @@ def streaming_psi_drift_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_cur").cast("long").alias("n_current"),
         F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
     )
+
+
+# ── streaming ANN probe against the persisted IVF+PQ store ──────────
+
+_EMB_STREAM_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings.parquet as a bounded file stream (the
+    documents_stream pattern)."""
+    return (
+        spark.readStream.schema(_EMB_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+    )
+
+
+def _fold_l2(a, b):
+    """Interpreted Σ(a−b)² fold — the exact list_sum add order every
+    vector oracle replays (operators.vectors.l2_sq, fold form)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ann_probe_candidates(qv: DataFrame, spark, store_path: str) -> DataFrame:
+    """Per-candidate ADC scores of query vectors against a PERSISTED
+    IVF+PQ store — STATELESS end to end, so the same plan serves a
+    stream (every op before the caller's final aggregate is a map
+    stage or a stream-static equi-join) and its batch twin.
+
+    ``qv``: (vec_id, emb array<double>) — batch or streaming.
+    Returns (qid, cid, adc_d2-raw).
+
+    How each stage stays stateless:
+    - coarse routing: the store's ``_codebook`` is collapsed to a
+      ONE-ROW array relation and equi-joined in (broadcast); the
+      nprobe nearest lists are picked per row by
+      slice(array_sort(transform(...)), 1, nprobe) — no window, no
+      shuffle, identical (d2, cent_id) tie-break to the batch rank.
+    - ADC lookup table: ``_pq_codebook`` rides the same one-row join;
+      per probed list the M×C subspace partials become a map column
+      keyed m·256+c (map_from_entries over a transform).
+    - candidate scoring: one stream-static equi-join on cent_id to
+      the store's (vec_id, cent_id, pq_code) rows — column pruning
+      reads ONLY the 8-byte codes, never raw embeddings — then the
+      ADC distance is M map lookups per candidate, map-side.
+
+    At 100 TB both codebooks are the broadcast-sized structures every
+    IVF serving node caches; the only corpus-sized relation is the
+    probed code scan."""
+    import os
+
+    from free_etl_spark.queries.similarity import (
+        _IVF_NPROBE,
+        _PQ_M,
+        _PQ_SUB,
+    )
+
+    cent = spark.read.parquet(os.path.join(store_path, "_codebook"))
+    pqcb = spark.read.parquet(os.path.join(store_path, "_pq_codebook"))
+    cents_row = cent.agg(
+        F.sort_array(F.collect_list(F.struct("cent_id", "cemb"))).alias(
+            "cents"
+        )
+    ).withColumn("__one", F.lit(1))
+    pqcb_row = pqcb.agg(
+        F.collect_list(F.struct("m", "c", "csub")).alias("pqcb")
+    ).withColumn("__one", F.lit(1))
+
+    q = (
+        qv.select(F.col("vec_id").alias("qid"), "emb")
+        .withColumn("__one", F.lit(1))
+        .join(F.broadcast(cents_row), "__one")
+        .join(F.broadcast(pqcb_row), "__one")
+        .drop("__one")
+    )
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    _fold_l2(F.col("emb"), c["cemb"]).alias("d2"),
+                    c["cent_id"].alias("cent_id"),
+                    c["cemb"].alias("cemb"),
+                ),
+            )
+        ),
+        1,
+        _IVF_NPROBE,
+    )
+    probed = q.select(
+        "qid", "pqcb", F.explode(ranked).alias("pc"),
+        F.col("emb").alias("qemb"),
+    ).select(
+        "qid",
+        "pqcb",
+        F.col("pc.cent_id").alias("cent_id"),
+        F.zip_with("qemb", F.col("pc.cemb"), lambda x, y: x - y).alias(
+            "qrem"
+        ),
+    )
+    qsubs = F.array(
+        *[F.slice("qrem", m * _PQ_SUB + 1, _PQ_SUB) for m in range(_PQ_M)]
+    )
+    lut = probed.withColumn("qsubs", qsubs).select(
+        "qid",
+        "cent_id",
+        F.map_from_entries(
+            F.transform(
+                "pqcb",
+                lambda e: F.struct(
+                    (e["m"] * 256 + e["c"]).cast("int").alias("k"),
+                    _fold_l2(
+                        F.element_at("qsubs", e["m"].cast("int") + 1),
+                        e["csub"],
+                    ).alias("v"),
+                ),
+            )
+        ).alias("lut"),
+    )
+    codes = spark.read.parquet(store_path).select(
+        "vec_id", "cent_id", "pq_code"
+    )
+    cand = lut.join(codes, "cent_id").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    adc = F.lit(0.0)
+    for m in range(_PQ_M):
+        key = (
+            F.lit(m * 256) + F.element_at("pq_code", m + 1).cast("int")
+        ).cast("int")
+        adc = adc + F.element_at("lut", key)
+    return cand.select(
+        "qid", F.col("vec_id").alias("cid"), adc.alias("adc_d2")
+    )
+
+
+def _ann_probe_oracle() -> str:
+    from free_etl_spark.queries.similarity import _ivfpq_codec_sql
+
+    return _ivfpq_codec_sql("") + """
+    SELECT qid, cid AS nn_cid, adc_d2 FROM (
+      SELECT qid, cid, ROUND(adc_d2, 6) AS adc_d2,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+               ROUND(adc_d2, 6), cid) AS rn
+      FROM adc)
+    WHERE rn = 1
+    """
+
+
+@query("streaming_ann_probe", oracle=_ann_probe_oracle())
+def streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming embedding dedup/ANN routing (VERDICT r12 task 7):
+    every embedding arriving on the stream is coarse-routed and
+    ADC-scored against the PERSISTED IVF+PQ store (the
+    sim_ivfpq_adc_search fixture — codes, _codebook and _pq_codebook
+    all read from the promoted on-disk layout), emitting each
+    query's nearest stored neighbor by asymmetric distance:
+    (qid, nn_cid, adc_d2). This is the production
+    streaming-embedding dedup path — 'is this new vector already in
+    the corpus, and where' — as a stream-static pipeline:
+    ann_probe_candidates is stateless (map stages + broadcast/
+    stream-static equi-joins; see its docstring), so the ONLY
+    streaming state is the final per-query min aggregate
+    (complete-mode under the AvailableNow drain; an unbounded
+    deployment emits per-batch appends instead, since each vector's
+    candidates arrive within its own micro-batch). The min is over
+    struct(round(adc_d2, 6), cid) — the (distance, id) tie-break the
+    DuckDB oracle replays from the raw table, so a green row
+    value-gates the persisted store through the streaming path.
+    Stream-equals-batch is pinned in tests/test_streaming.py."""
+    from free_etl_spark.queries.similarity import _ivfpq_store
+
+    path = _ivfpq_store(spark, sf_dir)
+    qv = embeddings_stream(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cand = ann_probe_candidates(qv, spark, path)
+    agg = cand.groupBy("qid").agg(
+        F.min(
+            F.struct(F.round("adc_d2", 6).alias("adc_d2"), F.col("cid"))
+        ).alias("nn")
+    )
+    out = agg.select(
+        "qid",
+        F.col("nn.cid").alias("nn_cid"),
+        F.col("nn.adc_d2").alias("adc_d2"),
+    )
+    return run_to_completion(out, "complete")

@@ -1057,3 +1057,43 @@ def test_merge_additive_once_marker_skip_sweeps_stranded_retired(
     assert got == {"a": (3, 3.0)}
     assert not os.path.exists(f"{target}__retired_b1")
     assert not os.path.exists(f"{target}__stage_b1")
+
+
+def test_streaming_ann_probe_equals_batch(spark):
+    """streaming_ann_probe (stream-static ADC against the persisted
+    IVF+PQ store) must produce EXACTLY the rows its batch twin does —
+    ann_probe_candidates is stateless by design, so feeding it the
+    batch table instead of the stream and applying the identical
+    final min aggregate must match row-for-row."""
+    import pyspark.sql.functions as F
+
+    from free_etl_spark.queries import QUERIES
+    from free_etl_spark.queries.similarity import _ivfpq_store
+    from free_etl_spark.streaming.curation import ann_probe_candidates
+    from free_etl_spark.tables import load_table
+
+    got = {
+        (r.qid, r.nn_cid, r.adc_d2)
+        for r in QUERIES["streaming_ann_probe"](spark, SF_DIR).collect()
+    }
+
+    path = _ivfpq_store(spark, SF_DIR)
+    qv = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cand = ann_probe_candidates(qv, spark, path)
+    batch = (
+        cand.groupBy("qid")
+        .agg(
+            F.min(
+                F.struct(F.round("adc_d2", 6).alias("adc_d2"), F.col("cid"))
+            ).alias("nn")
+        )
+        .select(
+            "qid",
+            F.col("nn.cid").alias("nn_cid"),
+            F.col("nn.adc_d2").alias("adc_d2"),
+        )
+    )
+    want = {(r.qid, r.nn_cid, r.adc_d2) for r in batch.collect()}
+    assert got == want and len(got) > 0

@@ -4,7 +4,19 @@ sf-dir-switching path on the cache-using queries — catches cross-query
 state bugs (stale temp views, conf leakage, mis-keyed caches) that
 per-query tests cannot.
 
-Usage: python tools/soak.py [sf_dir]
+Usage: python tools/soak.py [sf_dir] [seed]
+
+With a ``seed`` (any int), the soak becomes a RANDOM-ORDER fuzzer
+(VERDICT r12 task 6): pass 1 runs in registry order to establish
+reference counts, pass 2 and the sf-switch phase run in a
+``random.Random(seed)``-shuffled order. Order-dependent state leaks —
+a conf set by query A that flips query B's result only when A runs
+first — are invisible to the fixed order (the r12
+partitionOverwriteMode leak was caught only because the fixed order
+happened to interleave the right pair); a seeded shuffle explores a
+different interleaving per seed while staying fully reproducible.
+Ledger each clean run's seed in docs/ORACLE.md.
+
 Exit code 0 = no failures, no row drift between passes.
 """
 
@@ -74,7 +86,10 @@ _SWITCH_TARGETS = [
 
 
 def main() -> int:
+    import random
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else None
     # the switch partner must be a DIFFERENT tier, or the sf-switch
     # phase would compare a directory against itself and test nothing
     other_sf = (
@@ -92,7 +107,15 @@ def main() -> int:
             first[name] = fn(spark, sf_dir).count()
         except Exception as ex:  # noqa: BLE001
             bad.append((name, "pass1", str(ex).splitlines()[0][:100]))
-    for name, fn in qs.items():
+    pass2_order = list(qs)
+    switch_targets = list(_SWITCH_TARGETS)
+    if seed is not None:
+        rng = random.Random(seed)
+        rng.shuffle(pass2_order)
+        rng.shuffle(switch_targets)
+        print(f"random-order fuzz: seed={seed}")
+    for name in pass2_order:
+        fn = qs[name]
         try:
             n2 = fn(spark, sf_dir).count()
             # only compare when pass 1 succeeded — a pass-1 crash is
@@ -104,7 +127,7 @@ def main() -> int:
 
     ref: dict[tuple[str, str], int] = {}
     for d in (other_sf, sf_dir, other_sf):
-        for name in _SWITCH_TARGETS:
+        for name in switch_targets:
             try:
                 n = qs[name](spark, d).count()
             except Exception as ex:  # noqa: BLE001
