@@ -3293,3 +3293,86 @@ def sim_ivfpq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _IVFPQ_TOPK)
         .select("qid", "cid", "adc_d2", "exact_cosine", "rnk")
     )
+
+
+def _pq_qerr_oracle() -> str:
+    # qualified subspace slice: unqualified `m` would be ambiguous
+    # between codes.m and cb.m in the decode join
+    sub = "[codes.m * {s} + 1 : codes.m * {s} + {s}]".format(s=_PQ_SUB)
+    l2 = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    )
+    return _ivfpq_codec_sql("") + f""",
+    err AS (
+      SELECT res.vec_id, res.cent_id,
+             {l2.format(a=f'res.remb{sub}', b=f'cb.crem{sub}')} AS e
+      FROM codes JOIN res USING (vec_id) JOIN cb ON cb.c = codes.c
+    )
+    SELECT CAST(cent_id AS BIGINT) AS cent_id,
+           CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+           ROUND(SUM(e), 4) AS quant_err
+    FROM err GROUP BY cent_id
+    """
+
+
+@query("sim_pq_quantization_error", oracle=_pq_qerr_oracle())
+def sim_pq_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-list PQ reconstruction error of the PERSISTED store — the
+    drift metric that decides when the residual codebook needs
+    re-training (the PQ-layer twin of sim_ivf_drift_check's coarse
+    metric): for EVERY stored row, decode its 8-byte pq_code back to
+    codeword subvectors and sum the subspace L2 between the true
+    residual and its codeword; aggregate Σerr + row count per
+    cent_id. Unlike sim_ivfpq_adc_search (which touches only probed
+    lists), this value-gates EVERY persisted code in the store
+    against DuckDB's replay of the codec from the raw table — a
+    single wrong byte in any row's code changes its list's
+    quant_err and hash-mismatches.
+
+    Plan: one store scan (emb + pq_code + cent_id), broadcast joins
+    to the store's _codebook (residual) and _pq_codebook (decode),
+    all error terms map-side; the only shuffle is the K-group
+    aggregate. At 100 TB this is the cheap full-corpus audit pass —
+    O(corpus) map work, K-row output, run after compaction/append
+    waves the way table-stats refreshes are."""
+    import os
+
+    path = _ivfpq_store(spark, sf_dir)
+    cent = spark.read.parquet(os.path.join(path, "_codebook"))
+    pq_cb = spark.read.parquet(os.path.join(path, "_pq_codebook"))
+    store = spark.read.parquet(path)
+
+    res = (
+        store.join(F.broadcast(cent), "cent_id")
+        .select(
+            "vec_id",
+            "cent_id",
+            "pq_code",
+            F.zip_with("emb", "cemb", lambda x, y: x - y).alias("remb"),
+        )
+    )
+    subs = F.array(
+        *[F.slice("remb", m * _PQ_SUB + 1, _PQ_SUB) for m in range(_PQ_M)]
+    )
+    per_m = res.select(
+        "vec_id", "cent_id", "pq_code", F.posexplode(subs).alias("m", "sub")
+    ).select(
+        "vec_id",
+        "cent_id",
+        "m",
+        "sub",
+        F.element_at("pq_code", F.col("m") + 1).cast("long").alias("c"),
+    )
+    # unrolled 8-term L2 (same add order as the oracle's list_sum fold)
+    e = F.lit(0.0)
+    for _i in range(1, _PQ_SUB + 1):
+        _d = F.element_at("sub", _i) - F.element_at("csub", _i)
+        e = e + _d * _d
+    err = per_m.join(F.broadcast(pq_cb), ["m", "c"]).select(
+        "vec_id", "cent_id", e.alias("e")
+    )
+    return err.groupBy(F.col("cent_id").cast("long").alias("cent_id")).agg(
+        F.count_distinct("vec_id").cast("long").alias("n_vecs"),
+        F.round(F.sum("e"), 4).alias("quant_err"),
+    )
