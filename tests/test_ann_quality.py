@@ -858,3 +858,52 @@ def test_ivf_recluster_reencodes_pq_layer(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(fresh, "_pq_codebook")).collect()
     }
     assert cb_new == fresh_cb
+
+
+def test_ivf_compact_preserves_pq_layer(spark, tmp_path):
+    """Tombstone compaction rewrites affected cluster partitions by
+    passing store rows through — on a PQ-coded store the pq_code
+    column and both codebook sidecars must survive byte-for-byte in
+    meaning: surviving rows keep their exact codes, deleted rows are
+    gone, sidecars untouched."""
+    import os
+
+    from free_etl_spark.operators.vectors import (
+        ivf_compact,
+        ivf_delete,
+        ivf_write,
+        pq_meta,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    path = str(tmp_path / "ivfpq")
+    ivf_write(emb, path, codebook="first_k", pq_m=8, pq_sub=8, pq_c=64)
+    before = {
+        r.vec_id: (r.cent_id, tuple(int(c) for c in r.pq_code))
+        for r in spark.read.parquet(path).collect()
+    }
+    cb_before = {
+        (r.m, r.c, tuple(r.csub))
+        for r in spark.read.parquet(os.path.join(path, "_pq_codebook")).collect()
+    }
+
+    doomed = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    doomed_ids = {r.vec_id for r in doomed.collect()}
+    ivf_delete(doomed, path)
+    report = ivf_compact(spark, path)
+    assert report.count() > 0
+
+    after = {
+        r.vec_id: (r.cent_id, tuple(int(c) for c in r.pq_code))
+        for r in spark.read.parquet(path).collect()
+    }
+    assert set(after) == set(before) - doomed_ids
+    assert all(after[v] == before[v] for v in after)  # codes untouched
+    assert pq_meta(path) == {"m": 8, "sub": 8, "c": 64}
+    cb_after = {
+        (r.m, r.c, tuple(r.csub))
+        for r in spark.read.parquet(os.path.join(path, "_pq_codebook")).collect()
+    }
+    assert cb_after == cb_before
