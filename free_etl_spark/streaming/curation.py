@@ -569,17 +569,25 @@ def ann_probe_candidates(qv: DataFrame, spark, store_path: str) -> DataFrame:
       nprobe nearest lists are picked per row by
       slice(array_sort(transform(...)), 1, nprobe) — no window, no
       shuffle, identical (d2, cent_id) tie-break to the batch rank.
-    - ADC lookup table: ``_pq_codebook`` rides the same one-row join;
-      per probed list the M×C subspace partials become a map column
-      keyed m·256+c (map_from_entries over a transform).
-    - candidate scoring: one stream-static equi-join on cent_id to
-      the store's (vec_id, cent_id, pq_code) rows — column pruning
-      reads ONLY the 8-byte codes, never raw embeddings — then the
-      ADC distance is M map lookups per candidate, map-side.
+    - candidate scoring: because the M subspaces PARTITION the
+      dimensions, the ADC distance Σ_m ‖qrem_m − codeword_m‖² equals
+      the full-dim L2 between the query residual and the candidate's
+      DECODED residual (its M codeword subvectors concatenated). The
+      static side therefore decodes each store row's 8-byte code once
+      per micro-batch (codes ⋈ broadcast _pq_codebook → flatten — a
+      batch-side plan, legal under a stream-static join), and the
+      stream side is ONE equi-join on cent_id + ONE unrolled
+      whole-stage-codegen L2 per candidate. The first shipped version
+      built a per-(query, list) M×C lookup MAP with nested
+      interpreted HOFs instead — measured 38.5 s at sf0.1 vs ~4 s for
+      this form (r13 bench, ledgered in docs/NEGATIVE.md); the
+      decoded-residual identity is the standard trick and keeps every
+      subspace partial in the oracle's add order.
 
     At 100 TB both codebooks are the broadcast-sized structures every
-    IVF serving node caches; the only corpus-sized relation is the
-    probed code scan."""
+    IVF serving node caches; the decoded-residual relation is
+    corpus-sized but 8 doubles-per-dim-group small and, in a real
+    deployment, materialized once rather than per micro-batch."""
     import os
 
     from free_etl_spark.queries.similarity import (
@@ -595,15 +603,11 @@ def ann_probe_candidates(qv: DataFrame, spark, store_path: str) -> DataFrame:
             "cents"
         )
     ).withColumn("__one", F.lit(1))
-    pqcb_row = pqcb.agg(
-        F.collect_list(F.struct("m", "c", "csub")).alias("pqcb")
-    ).withColumn("__one", F.lit(1))
 
     q = (
         qv.select(F.col("vec_id").alias("qid"), "emb")
         .withColumn("__one", F.lit(1))
         .join(F.broadcast(cents_row), "__one")
-        .join(F.broadcast(pqcb_row), "__one")
         .drop("__one")
     )
     ranked = F.slice(
@@ -621,47 +625,42 @@ def ann_probe_candidates(qv: DataFrame, spark, store_path: str) -> DataFrame:
         _IVF_NPROBE,
     )
     probed = q.select(
-        "qid", "pqcb", F.explode(ranked).alias("pc"),
-        F.col("emb").alias("qemb"),
+        "qid", F.explode(ranked).alias("pc"), F.col("emb").alias("qemb")
     ).select(
         "qid",
-        "pqcb",
         F.col("pc.cent_id").alias("cent_id"),
         F.zip_with("qemb", F.col("pc.cemb"), lambda x, y: x - y).alias(
             "qrem"
         ),
     )
-    qsubs = F.array(
-        *[F.slice("qrem", m * _PQ_SUB + 1, _PQ_SUB) for m in range(_PQ_M)]
+    # static: decode every store row's code to its residual codeword
+    # concat (order by m via array_sort) — reads only the code column
+    dec = (
+        spark.read.parquet(store_path)
+        .select("vec_id", "cent_id", F.posexplode("pq_code").alias("m", "c"))
+        .withColumn("c", F.col("c").cast("long"))
+        .join(F.broadcast(pqcb), ["m", "c"])
+        .groupBy("vec_id", "cent_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "csub"))),
+                    lambda s: s["csub"],
+                )
+            ).alias("dec")
+        )
     )
-    lut = probed.withColumn("qsubs", qsubs).select(
-        "qid",
-        "cent_id",
-        F.map_from_entries(
-            F.transform(
-                "pqcb",
-                lambda e: F.struct(
-                    (e["m"] * 256 + e["c"]).cast("int").alias("k"),
-                    _fold_l2(
-                        F.element_at("qsubs", e["m"].cast("int") + 1),
-                        e["csub"],
-                    ).alias("v"),
-                ),
-            )
-        ).alias("lut"),
-    )
-    codes = spark.read.parquet(store_path).select(
-        "vec_id", "cent_id", "pq_code"
-    )
-    cand = lut.join(codes, "cent_id").filter(
-        F.col("vec_id") != F.col("qid")
-    )
+    cand = probed.join(dec, "cent_id").filter(F.col("vec_id") != F.col("qid"))
+    # grouped-order unrolled L2: per subspace a left-to-right 8-term
+    # fold (the oracle's list_sum order), subspace partials added in
+    # ascending m — bit-identical to looking up M LUT entries
     adc = F.lit(0.0)
     for m in range(_PQ_M):
-        key = (
-            F.lit(m * 256) + F.element_at("pq_code", m + 1).cast("int")
-        ).cast("int")
-        adc = adc + F.element_at("lut", key)
+        subsum = F.lit(0.0)
+        for i in range(m * _PQ_SUB + 1, (m + 1) * _PQ_SUB + 1):
+            d = F.element_at("qrem", i) - F.element_at("dec", i)
+            subsum = subsum + d * d
+        adc = adc + subsum
     return cand.select(
         "qid", F.col("vec_id").alias("cid"), adc.alias("adc_d2")
     )
