@@ -1274,3 +1274,118 @@ def source_mor_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n_del))
     )
+
+
+@query(
+    "source_time_travel_read",
+    oracle="""
+    WITH v1 AS (SELECT 1 AS version, o_totalprice FROM orders
+                WHERE o_orderkey % 4 <> 3),
+    v2 AS (SELECT 2 AS version, o_totalprice FROM orders),
+    v3 AS (SELECT 3 AS version, o_totalprice FROM orders
+           WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+          UNION ALL SELECT * FROM v3)
+    SELECT CAST(version AS INT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM u GROUP BY version
+    """,
+)
+def source_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log time travel (the Delta/Iceberg snapshot-isolation
+    read path): the table is an ordered log of JSON manifests, each
+    listing exactly the immutable data files (and, from v3, the
+    position-delete vector) visible at that version — an AS-OF read
+    opens ONLY its manifest's files, never a directory listing, so
+    old versions stay readable after later appends/deletes and a
+    reader pinned to version N is immune to concurrent commits.
+    Three commits are materialized: v1 (base files), v2 (append-only
+    — v1's files reused byte-identical, new files added), v3 (a
+    merge-on-read position-delete vector, no data-file rewrite). The
+    query reads each version THROUGH its manifest and aggregates
+    rows + total; reading the wrong file set for any version (e.g. a
+    directory scan that sees v2's appends at v1, or missing the v3
+    delete vector) changes that version's row count/total and
+    hash-mismatches the oracle, so the snapshot-isolation property
+    itself is value-gated.
+
+    At 100 TB this is the only workable shape: commits are KB-sized
+    manifest writes, appends never touch committed files, deletes are
+    MoR vectors (source_mor_delete_vectors is the read primitive),
+    and version pinning costs one small JSON read before the pruned
+    parquet scan."""
+    import glob as g
+    import json
+
+    base = os.path.join(
+        "/tmp",
+        f"fes_ttl_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    log_dir = os.path.join(base, "_log")
+    marker = os.path.join(log_dir, "_committed.json")
+    if not os.path.exists(marker):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        a_dir = os.path.join(base, "add_v1")
+        b_dir = os.path.join(base, "add_v2")
+        orders.filter(F.col("o_orderkey") % 4 != 3).repartition(3).write.mode(
+            "overwrite"
+        ).parquet(a_dir)
+        orders.filter(F.col("o_orderkey") % 4 == 3).repartition(2).write.mode(
+            "overwrite"
+        ).parquet(b_dir)
+        a_files = sorted(g.glob(os.path.join(a_dir, "*.parquet")))
+        b_files = sorted(g.glob(os.path.join(b_dir, "*.parquet")))
+        # v3 commit: derive the delete vector's POSITIONS from the
+        # committed files (predicate used only to pick victims — the
+        # read path consumes positions alone, the MoR discipline)
+        dv_dir = os.path.join(base, "dv_v3")
+        (
+            spark.read.parquet(*(a_files + b_files))
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.col("_metadata.file_path").alias("dv_file"),
+                F.col("_metadata.row_index").alias("dv_pos"),
+            )
+            .filter(
+                (F.col("o_orderstatus") == "F")
+                & (F.col("o_orderkey") % 5 == 0)
+            )
+            .select("dv_file", "dv_pos")
+            .write.mode("overwrite")
+            .parquet(dv_dir)
+        )
+        os.makedirs(log_dir, exist_ok=True)
+        for v, man in (
+            (1, {"files": a_files}),
+            (2, {"files": a_files + b_files}),
+            (3, {"files": a_files + b_files, "deletes": dv_dir}),
+        ):
+            with open(os.path.join(log_dir, f"v{v}.json"), "w") as f:
+                json.dump(man, f)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"versions": 3}, f)  # marker LAST: crash => rebuild
+        os.replace(tmp, marker)
+
+    def as_of(v: int) -> DataFrame:
+        with open(os.path.join(log_dir, f"v{v}.json")) as f:
+            man = json.load(f)
+        df = spark.read.parquet(*man["files"])
+        if "deletes" in man:
+            dv = spark.read.parquet(man["deletes"])
+            df = df.select(
+                "o_totalprice",
+                F.col("_metadata.file_path").alias("dv_file"),
+                F.col("_metadata.row_index").alias("dv_pos"),
+            ).join(F.broadcast(dv), ["dv_file", "dv_pos"], "left_anti")
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        ).select(F.lit(v).cast("int").alias("version"), "n_rows", "total_price")
+
+    return as_of(1).unionAll(as_of(2)).unionAll(as_of(3))

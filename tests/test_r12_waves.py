@@ -242,3 +242,51 @@ def test_bloom_prefilter_unknown_hasher_rejected(spark):
 
     with pytest.raises(ValueError):
         bloom_positions(F.lit(1), 3, 1024, hasher="sha1")
+
+
+def test_time_travel_reads_exact_manifest_files_and_never_rewrites(spark):
+    """Snapshot isolation, physically: an AS-OF read must open EXACTLY
+    its manifest's files (v1 never sees v2's appends — pinned via
+    inputFiles), the append commit must reuse v1's files byte-identical
+    (immutability), and the v3 delete must remove exactly the predicate
+    victims without touching any data file."""
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from free_etl_spark.tables import load_table
+
+    QUERIES["source_time_travel_read"](spark, SF_DIR).collect()  # build
+    base = os.path.join(
+        "/tmp",
+        f"fes_ttl_{os.path.basename(os.path.normpath(SF_DIR))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    log_dir = os.path.join(base, "_log")
+    mans = {
+        v: json.load(open(os.path.join(log_dir, f"v{v}.json")))
+        for v in (1, 2, 3)
+    }
+    # manifests are strictly growing file sets; v1's files are shared
+    assert set(mans[1]["files"]) < set(mans[2]["files"])
+    assert set(mans[2]["files"]) == set(mans[3]["files"])
+    sizes_before = {f: os.path.getsize(f) for f in mans[2]["files"]}
+
+    # an AS-OF v1 scan opens exactly v1's manifest files
+    opened = set(spark.read.parquet(*mans[1]["files"]).inputFiles())
+    assert {p.replace("file://", "") for p in opened} == set(mans[1]["files"])
+
+    got = {
+        r.version: (r.n_rows, r.total_price)
+        for r in QUERIES["source_time_travel_read"](spark, SF_DIR).collect()
+    }
+    orders = load_table(spark, SF_DIR, "orders")
+    v2_n = orders.count()
+    v1_n = orders.filter(F.col("o_orderkey") % 4 != 3).count()
+    v3_n = v2_n - orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 5 == 0)
+    ).count()
+    assert (got[1][0], got[2][0], got[3][0]) == (v1_n, v2_n, v3_n)
+    # no commit rewrote a committed data file
+    assert {f: os.path.getsize(f) for f in mans[2]["files"]} == sizes_before

@@ -79,9 +79,13 @@ _SWITCH_TARGETS = [
     "source_range_partitioned_export",  # range layout dir per sf
     "source_mor_delete_vectors",        # base+delete-vector dirs per sf
     "pipeline_partition_backfill",      # fresh ws per call, sf-keyed
-    "sim_ivfpq_adc_search",             # rides the ivf_nearest4 cache
+    "sim_ivfpq_adc_search",             # persisted IVF+PQ store per sf
     "sim_ivf_recluster_apply",          # full store rebuild per call
     "join_bloom_prefilter",             # stateless control
+    # r13: persisted-store consumers + the commit-log fixture
+    "sim_pq_quantization_error",        # rides the _ivfpq_store fixture
+    "streaming_ann_probe",              # stream-static against same store
+    "source_time_travel_read",          # commit-log fixture per sf
 ]
 
 
