@@ -1389,3 +1389,146 @@ def source_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(v).cast("int").alias("version"), "n_rows", "total_price")
 
     return as_of(1).unionAll(as_of(2)).unionAll(as_of(3))
+
+
+@query(
+    "source_log_compact_vacuum",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total_price,
+           CAST(5 AS BIGINT) AS n_vacuumed_files,
+           CAST(2 AS BIGINT) AS n_live_files
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+    """,
+)
+def source_log_compact_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log compaction + reachability vacuum — the retention half of
+    the commit-log lifecycle (source_time_travel_read is the read
+    half; separate fixture, so ITS old versions stay readable):
+    v1 base (3 files) → v2 append (+2 files) → v3 MoR delete vector
+    → v4 COMPACTION commit (reads v3 through the log, rewrites the
+    survivors into 2 fresh files, manifest references only those —
+    the delete vector is applied and retired, exactly what
+    ivf_compact does for the vector store). Vacuum(retain=1) then
+    deletes every data file unreachable from the retained manifests:
+    reachability is computed FROM THE LOG (the union of retained
+    manifests' file lists), never by directory listing age — the r12
+    pipeline-sweep lesson in reverse: deletion must be provably
+    log-unreachable, or a reader pinned to a retained version loses
+    files under it. Exactly the 5 pre-compaction data files (3+2)
+    are vacuumable; the vacuum report is persisted into the log at
+    build time so the query is stable across calls in one session.
+
+    The oracle value-gates the whole lifecycle: the post-vacuum
+    AS-OF-latest read must still equal the logical v3 content (a
+    vacuum that deletes a reachable file, or a compaction that loses
+    or resurrects rows, changes n_rows/total), and the file counts
+    pin that compaction wrote exactly its repartition width and
+    vacuum removed exactly the unreachable set.
+
+    At 100 TB: compaction bounds read amplification (manifest length
+    and delete-vector chains), vacuum bounds storage; both are
+    KB-sized log commits plus data IO proportional to the compacted
+    span only."""
+    import glob as g
+    import json
+
+    base = os.path.join(
+        "/tmp",
+        f"fes_ttv_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    log_dir = os.path.join(base, "_log")
+    marker = os.path.join(log_dir, "_committed.json")
+    if not os.path.exists(marker):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        a_dir = os.path.join(base, "add_v1")
+        b_dir = os.path.join(base, "add_v2")
+        orders.filter(F.col("o_orderkey") % 4 != 3).repartition(3).write.mode(
+            "overwrite"
+        ).parquet(a_dir)
+        orders.filter(F.col("o_orderkey") % 4 == 3).repartition(2).write.mode(
+            "overwrite"
+        ).parquet(b_dir)
+        a_files = sorted(g.glob(os.path.join(a_dir, "*.parquet")))
+        b_files = sorted(g.glob(os.path.join(b_dir, "*.parquet")))
+        dv_dir = os.path.join(base, "dv_v3")
+        (
+            spark.read.parquet(*(a_files + b_files))
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.col("_metadata.file_path").alias("dv_file"),
+                F.col("_metadata.row_index").alias("dv_pos"),
+            )
+            .filter(
+                (F.col("o_orderstatus") == "F")
+                & (F.col("o_orderkey") % 5 == 0)
+            )
+            .select("dv_file", "dv_pos")
+            .write.mode("overwrite")
+            .parquet(dv_dir)
+        )
+        # v4: compaction — materialize v3 through the log, rewrite
+        # survivors, retire the delete vector from the manifest
+        c_dir = os.path.join(base, "compact_v4")
+        dv = spark.read.parquet(dv_dir)
+        (
+            spark.read.parquet(*(a_files + b_files))
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                "o_totalprice",
+                F.col("_metadata.file_path").alias("dv_file"),
+                F.col("_metadata.row_index").alias("dv_pos"),
+            )
+            .join(F.broadcast(dv), ["dv_file", "dv_pos"], "left_anti")
+            .drop("dv_file", "dv_pos")
+            .repartition(2)
+            .write.mode("overwrite")
+            .parquet(c_dir)
+        )
+        c_files = sorted(g.glob(os.path.join(c_dir, "*.parquet")))
+        os.makedirs(log_dir, exist_ok=True)
+        manifests = {
+            1: {"files": a_files},
+            2: {"files": a_files + b_files},
+            3: {"files": a_files + b_files, "deletes": dv_dir},
+            4: {"files": c_files},
+        }
+        for v, man in manifests.items():
+            with open(os.path.join(log_dir, f"v{v}.json"), "w") as f:
+                json.dump(man, f)
+        # vacuum(retain=1): delete data files unreachable from the
+        # retained manifests — reachability FROM THE LOG, never mtime
+        reachable = set(manifests[4]["files"])
+        all_data = set(a_files + b_files + c_files)
+        doomed = sorted(all_data - reachable)
+        for f_ in doomed:
+            os.remove(f_)
+        with open(os.path.join(log_dir, "vacuum.json"), "w") as f:
+            json.dump(
+                {"retain": 1, "n_vacuumed": len(doomed), "vacuumed": doomed},
+                f,
+            )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"versions": 4}, f)
+        os.replace(tmp, marker)
+
+    with open(os.path.join(log_dir, "v4.json")) as f:
+        man = json.load(f)
+    with open(os.path.join(log_dir, "vacuum.json")) as f:
+        vac = json.load(f)
+    return spark.read.parquet(*man["files"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    ).select(
+        "n_rows",
+        "total_price",
+        F.lit(vac["n_vacuumed"]).cast("long").alias("n_vacuumed_files"),
+        F.lit(len(man["files"])).cast("long").alias("n_live_files"),
+    )

@@ -290,3 +290,31 @@ def test_time_travel_reads_exact_manifest_files_and_never_rewrites(spark):
     assert (got[1][0], got[2][0], got[3][0]) == (v1_n, v2_n, v3_n)
     # no commit rewrote a committed data file
     assert {f: os.path.getsize(f) for f in mans[2]["files"]} == sizes_before
+
+
+def test_log_vacuum_deletes_only_unreachable_and_is_stable(spark):
+    """Vacuum must delete EXACTLY the data files unreachable from the
+    retained manifests (log-derived reachability, never mtime), the
+    retained version must stay fully readable afterwards, and a second
+    invocation in the same session must return the identical row
+    (the persisted vacuum report, not a re-vacuum)."""
+    import json
+    import os
+
+    r1 = QUERIES["source_log_compact_vacuum"](spark, SF_DIR).collect()
+    base = os.path.join(
+        "/tmp",
+        f"fes_ttv_{os.path.basename(os.path.normpath(SF_DIR))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    log_dir = os.path.join(base, "_log")
+    man4 = json.load(open(os.path.join(log_dir, "v4.json")))
+    vac = json.load(open(os.path.join(log_dir, "vacuum.json")))
+    # every retained file survives; every vacuumed file is gone
+    assert all(os.path.exists(f) for f in man4["files"])
+    assert all(not os.path.exists(f) for f in vac["vacuumed"])
+    assert set(vac["vacuumed"]).isdisjoint(man4["files"])
+    assert vac["n_vacuumed"] == 5 and len(man4["files"]) == 2
+    # stability across calls: report is read, not recomputed
+    r2 = QUERIES["source_log_compact_vacuum"](spark, SF_DIR).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]

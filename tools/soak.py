@@ -86,6 +86,7 @@ _SWITCH_TARGETS = [
     "sim_pq_quantization_error",        # rides the _ivfpq_store fixture
     "streaming_ann_probe",              # stream-static against same store
     "source_time_travel_read",          # commit-log fixture per sf
+    "source_log_compact_vacuum",        # compaction+vacuum fixture per sf
 ]
 
 
