@@ -246,7 +246,10 @@ def pq_encode(res: DataFrame, pq_cb: DataFrame, m: int, sub: int) -> DataFrame:
     subspace, the codeword minimizing subspace L2 (ties on codeword
     id — the rule the sim_ivfpq oracle replays). Returns
     (vec_id, pq_code array<tinyint> ordered by subspace), the 8-byte
-    serving representation (M=8 codes × 1 byte at C ≤ 256).
+    serving representation (M=8 codes × 1 byte at C ≤ 128 — tinyint
+    is SIGNED, so codeword ids above 127 would wrap negative;
+    ivf_write rejects pq_c > 127 for exactly that reason, ADVICE
+    r13).
 
     The argmin is a map-side broadcast join (the codebook is M×C rows)
     + a min-by-struct aggregate — one pass over the corpus, no
@@ -342,6 +345,15 @@ def ivf_write(
     can encode without the caller carrying parameters.
 
     ``emb``: (vec_id, emb array<double>)."""
+    if pq_m is not None and pq_c > 127:
+        # pq_code is array<tinyint> (signed): a codeword id > 127
+        # would silently wrap negative and every decode/ADC join on c
+        # would drop those rows (ADVICE r13, medium). Fail at write
+        # time instead of serving silently-wrong distances.
+        raise ValueError(
+            f"pq_c={pq_c} exceeds 127: pq_code is stored as signed "
+            "tinyint; use pq_c <= 127"
+        )
     if k is None:
         k = scaled_centroid_k(emb.count())
     dim = probe_dim(emb)
@@ -360,6 +372,15 @@ def ivf_write(
     pq_cb = None
     if pq_m is not None:
         if pq_sub is None:
+            if dim % pq_m != 0:
+                # a defaulted pq_sub = dim // pq_m would silently
+                # drop the trailing dim % pq_m dimensions from every
+                # code and ADC distance (ADVICE r13). Callers who
+                # truly want truncation must pass pq_sub explicitly.
+                raise ValueError(
+                    f"dim={dim} is not divisible by pq_m={pq_m}; pass "
+                    "pq_sub explicitly to truncate trailing dimensions"
+                )
             pq_sub = dim // pq_m
         res = _residuals(rows, cent)
         pq_cb = pq_codebook(res, pq_m, pq_sub, pq_c)
@@ -411,6 +432,21 @@ def ivf_append(
     )
     rows = emb_new.join(asn, "vec_id")
     meta = pq_meta(path)
+    if meta is None and "pq_code" in emb_new.sparkSession.read.parquet(
+        path
+    ).columns:
+        # crash window (ADVICE r13): ivf_write writes the PQ-coded
+        # data rows BEFORE the _pq_codebook/_pq_meta.json sidecars
+        # (the data write clears the directory, so sidecars cannot go
+        # first). A crash in between leaves coded rows with no
+        # sidecar; appending UNCODED rows here would silently fork
+        # the schema (null codes vanish from ADC scans). Fail loudly
+        # — the store needs an ivf_write rebuild.
+        raise RuntimeError(
+            f"store {path} has a pq_code column but no _pq_meta.json "
+            "sidecar (crashed ivf_write?); rebuild with ivf_write "
+            "before appending"
+        )
     if meta is not None:
         pq_cb = emb_new.sparkSession.read.parquet(
             os.path.join(path, "_pq_codebook")

@@ -277,7 +277,18 @@ def run_partitioned_step(
     # rows forever (ADVICE r12). Listing the output dir makes the
     # sweep independent of stamp freshness.
     for d in os.listdir(out_dir):
-        if d.startswith(partition_col + "=") and d not in live:
+        if (
+            d.startswith(partition_col + "=")
+            and d not in live
+            # double-check the SPECIFIC source partition is really
+            # gone before destroying promoted output (ADVICE r13): a
+            # transiently partial source listing (mid-retention
+            # delete, flaky mount) must not cascade into deleting
+            # valid output partitions. An isdir probe on the exact
+            # path is cheap and re-reads the filesystem, so the sweep
+            # only fires when absence is confirmed twice.
+            and not os.path.isdir(os.path.join(source_dir, d))
+        ):
             shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
     tmp = parts_path + ".tmp"
     with open(tmp, "w") as f:

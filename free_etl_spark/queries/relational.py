@@ -2447,8 +2447,15 @@ def bloom_positions(
         # reduce each hash mod m BEFORE combining: h1 + s·h2 on raw
         # 64-bit values overflows under ANSI mode; (h1%m + s·(h2%m))%m
         # is the same double-hash family and stays < k·m
+        # h2 is mapped into [1, m-1] (pmod m-1, then +1) — the
+        # standard KM guard: h2 == 0 would collapse all k probe
+        # positions to h1 for that key, inflating the false-positive
+        # rate (ADVICE r13; correctness was never at risk — build and
+        # probe share the formula — only FP rate).
         h1 = F.pmod(F.xxhash64(key.cast("string")), F.lit(m))
-        h2 = F.pmod(F.xxhash64(key.cast("string"), F.lit(1)), F.lit(m))
+        h2 = F.pmod(
+            F.xxhash64(key.cast("string"), F.lit(1)), F.lit(m - 1)
+        ) + F.lit(1)
         return [F.pmod(h1 + F.lit(s) * h2, F.lit(m)) for s in range(k)]
     raise ValueError(f"unknown bloom hasher: {hasher!r}")
 

@@ -907,3 +907,39 @@ def test_ivf_compact_preserves_pq_layer(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(path, "_pq_codebook")).collect()
     }
     assert cb_after == cb_before
+
+
+def test_pq_guards_reject_silent_wrong_codes(spark, tmp_path):
+    """The three PQ-layer footguns found in ADVICE r13 must fail
+    LOUDLY at write/append time, never serve silently-wrong codes:
+    (a) pq_c > 127 would wrap signed-tinyint codes negative and drop
+    rows from every decode/ADC join; (b) a defaulted pq_sub with
+    dim % pq_m != 0 would silently exclude trailing dimensions from
+    every code; (c) a store whose PQ sidecars are missing (crash
+    between data write and sidecar write) must refuse appends, or
+    uncoded rows fork the schema and vanish from ADC scans."""
+    import os
+
+    from free_etl_spark.operators.vectors import ivf_append, ivf_write
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+
+    # (a) signed-tinyint overflow
+    with pytest.raises(ValueError, match="tinyint"):
+        ivf_write(base, str(tmp_path / "a"), codebook="first_k",
+                  pq_m=8, pq_sub=8, pq_c=128)
+
+    # (b) truncating default pq_sub (64-dim corpus, pq_m=7)
+    with pytest.raises(ValueError, match="divisible"):
+        ivf_write(base, str(tmp_path / "b"), codebook="first_k", pq_m=7)
+
+    # (c) crashed-sidecar store refuses appends
+    path = str(tmp_path / "c")
+    ivf_write(base, path, codebook="first_k", pq_m=8, pq_sub=8, pq_c=64)
+    os.remove(os.path.join(path, "_pq_meta.json"))  # simulate the crash
+    with pytest.raises(RuntimeError, match="_pq_meta.json"):
+        ivf_append(batch, path)
