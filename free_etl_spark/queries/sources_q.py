@@ -1532,3 +1532,220 @@ def source_log_compact_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(vac["n_vacuumed"]).cast("long").alias("n_vacuumed_files"),
         F.lit(len(man["files"])).cast("long").alias("n_live_files"),
     )
+
+
+@query(
+    "source_time_travel_timestamp",
+    oracle="""
+    WITH reads(as_of_ts, version, n_log_reads, lo, hi) AS (VALUES
+      ('2026-01-02T12:00:00', 2, 1, 0, 0),
+      ('2026-01-03T12:00:00', 3, 2, 0, 0),
+      ('2026-12-31T00:00:00', 5, 2, 0, 0)),
+    c AS (
+      SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(SUM(o_totalprice), 2) AS total_price
+      FROM orders WHERE o_orderkey % 3 <> 2
+      UNION ALL
+      SELECT 3, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
+      FROM orders
+      UNION ALL
+      SELECT 5, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
+      FROM orders WHERE o_orderstatus IN ('O', 'F'))
+    SELECT r.as_of_ts, CAST(r.version AS INT) AS version, c.n_rows,
+           c.total_price, CAST(r.n_log_reads AS INT) AS n_log_reads
+    FROM reads r JOIN c USING (version)
+    """,
+)
+def source_time_travel_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp AS-OF reads through a CHECKPOINTED commit log
+    (VERDICT r13 task 1), driven by operators/timetravel.py — the
+    productionized log, not a hand-built fixture: five commits with
+    deterministic caller-supplied commit_ts and checkpoint_interval=2
+    (consolidated checkpoints at v2 and v4 + a _last_checkpoint
+    pointer, the Delta shape), then three timestamp-bound reads:
+
+      - '…01-02T12:00' → v2, resolved from checkpoint v2 alone
+        (1 manifest read)
+      - '…01-03T12:00' → v3, checkpoint v2 + entry 3 (2 reads)
+      - '…12-31'       → v5, checkpoint v4 + entry 5 (2 reads)
+
+    The emitted ``n_log_reads`` column is the ACTUAL count of JSON
+    manifests the resolver opened (plan_read), pinned by the oracle
+    to the O(1)+suffix literals — a regression to O(versions) replay
+    hash-mismatches, so the checkpointing property itself is
+    value-gated, alongside the row-level snapshot content of each
+    timestamp-resolved version.
+
+    At production commit rates (thousands of versions) this is the
+    difference between a read planning in one small-file read and a
+    read paying O(versions) round-trips to object storage — exactly
+    why Delta has _last_checkpoint. Versions carry contents:
+    v1 overwrite (o_orderkey % 3 = 0) → v2 append (% 3 = 1) →
+    v3 append (% 3 = 2) → v4 overwrite (status 'O') → v5 append
+    (status 'F')."""
+    import json
+    import shutil
+
+    from free_etl_spark.operators.timetravel import (
+        commit_version,
+        latest_version,
+        plan_read,
+        read_version,
+    )
+
+    base = os.path.join(
+        "/tmp",
+        f"fes_ttts_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    marker = base + "_built.json"
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        slim = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        commits = [
+            (slim.filter(F.col("o_orderkey") % 3 == 0), "overwrite",
+             "2026-01-01T00:00:00"),
+            (slim.filter(F.col("o_orderkey") % 3 == 1), "append",
+             "2026-01-02T00:00:00"),
+            (slim.filter(F.col("o_orderkey") % 3 == 2), "append",
+             "2026-01-03T00:00:00"),
+            (slim.filter(F.col("o_orderstatus") == "O"), "overwrite",
+             "2026-01-04T00:00:00"),
+            (slim.filter(F.col("o_orderstatus") == "F"), "append",
+             "2026-01-05T00:00:00"),
+        ]
+        for df, op, ts in commits:
+            commit_version(spark, base, df, op, commit_ts=ts,
+                           checkpoint_interval=2)
+        assert latest_version(base) == 5
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"versions": 5}, f)  # marker LAST: crash => rebuild
+        os.replace(tmp, marker)
+
+    def as_of(ts: str) -> DataFrame:
+        plan = plan_read(base, timestamp=ts)
+        return (
+            read_version(spark, base, timestamp=ts)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .select(
+                F.lit(ts).alias("as_of_ts"),
+                F.lit(plan["version"]).cast("int").alias("version"),
+                "n_rows",
+                "total_price",
+                F.lit(plan["n_log_reads"]).cast("int").alias("n_log_reads"),
+            )
+        )
+
+    return (
+        as_of("2026-01-02T12:00:00")
+        .unionAll(as_of("2026-01-03T12:00:00"))
+        .unionAll(as_of("2026-12-31T00:00:00"))
+    )
+
+
+@query(
+    "source_time_travel_schema",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O')
+           AS BIGINT) AS v1_n_rows,
+      CAST(2 AS INT) AS v1_n_cols,
+      ROUND((SELECT SUM(o_totalprice) FROM orders
+             WHERE o_orderstatus = 'O'), 2) AS v1_total,
+      CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus IN ('O','F'))
+           AS BIGINT) AS v2_n_rows,
+      CAST(3 AS INT) AS v2_n_cols,
+      CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O')
+           AS BIGINT) AS v2_null_flag_rows,
+      CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F'
+            AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+           AS BIGINT) AS v2_urgent_rows
+    """,
+)
+def source_time_travel_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-in-the-log column evolution (VERDICT r13 task 7): each
+    commit records the committed DataFrame's schema as the table
+    schema AS OF that version, and read_version APPLIES the recorded
+    schema — so an added column time-travels with the data instead of
+    depending on which parquet footers happen to be scanned first.
+
+    Lifecycle: v1 overwrites (o_orderkey, o_totalprice) for 'O'
+    orders; v2 appends 'F' orders WITH a new ``is_urgent`` boolean
+    (the add-column evolution). The oracle pins, by value: the AS-OF
+    v1 read has exactly 2 columns and v1's rows/total (a v1 reader
+    never sees the column that didn't exist yet); the latest read has
+    3 columns, is_urgent is NULL for exactly the v1 cohort
+    (NULL-backfill over old files under the evolved schema) and TRUE
+    for exactly the urgent-priority 'F' cohort. Column counts come
+    from the applied schema, so footer-luck reads (one file's schema
+    winning) hash-mismatch.
+
+    At 100 TB: schema lives in KB-sized log entries; evolution is a
+    metadata commit, zero data rewrite — the Delta/Iceberg add-column
+    contract."""
+    import json
+    import shutil
+
+    from free_etl_spark.operators.timetravel import (
+        commit_version,
+        read_version,
+    )
+
+    base = os.path.join(
+        "/tmp",
+        f"fes_ttsc_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    marker = base + "_built.json"
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        v1 = orders.filter(F.col("o_orderstatus") == "O").select(
+            "o_orderkey", "o_totalprice"
+        )
+        v2 = orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH")
+            .alias("is_urgent"),
+        )
+        commit_version(spark, base, v1, "overwrite")
+        commit_version(spark, base, v2, "append")
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"versions": 2}, f)
+        os.replace(tmp, marker)
+
+    r1 = read_version(spark, base, 1)
+    r2 = read_version(spark, base, 2)
+    a1 = r1.agg(
+        F.count(F.lit(1)).cast("long").alias("v1_n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("v1_total"),
+    ).select(
+        "v1_n_rows",
+        F.lit(len(r1.columns)).cast("int").alias("v1_n_cols"),
+        "v1_total",
+    )
+    a2 = r2.agg(
+        F.count(F.lit(1)).cast("long").alias("v2_n_rows"),
+        F.count(F.when(F.col("is_urgent").isNull(), 1))
+        .cast("long")
+        .alias("v2_null_flag_rows"),
+        F.count(F.when(F.col("is_urgent"), 1))
+        .cast("long")
+        .alias("v2_urgent_rows"),
+    ).select(
+        "v2_n_rows",
+        F.lit(len(r2.columns)).cast("int").alias("v2_n_cols"),
+        "v2_null_flag_rows",
+        "v2_urgent_rows",
+    )
+    return a1.crossJoin(F.broadcast(a2))  # one-row x one-row scalar join
