@@ -586,8 +586,11 @@ def ann_probe_candidates(qv: DataFrame, spark, store_path: str) -> DataFrame:
 
     At 100 TB both codebooks are the broadcast-sized structures every
     IVF serving node caches; the decoded-residual relation is
-    corpus-sized but 8 doubles-per-dim-group small and, in a real
-    deployment, materialized once rather than per micro-batch."""
+    corpus-sized and therefore MATERIALIZED per store version
+    (``_pq_decoded`` sidecar, refreshed by ivf_write/append/
+    recluster/compact — VERDICT r13 task 6), so each micro-batch's
+    static side is a pruned parquet read, not a corpus decode. The
+    on-the-fly decode below is only the staleness fallback."""
     import os
 
     from free_etl_spark.queries.similarity import (
@@ -633,23 +636,35 @@ def ann_probe_candidates(qv: DataFrame, spark, store_path: str) -> DataFrame:
             "qrem"
         ),
     )
-    # static: decode every store row's code to its residual codeword
-    # concat (order by m via array_sort) — reads only the code column
-    dec = (
-        spark.read.parquet(store_path)
-        .select("vec_id", "cent_id", F.posexplode("pq_code").alias("m", "c"))
-        .withColumn("c", F.col("c").cast("long"))
-        .join(F.broadcast(pqcb), ["m", "c"])
-        .groupBy("vec_id", "cent_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("m", "csub"))),
-                    lambda s: s["csub"],
-                )
-            ).alias("dec")
+    # static: the decoded-residual relation. Preferred source is the
+    # MATERIALIZED per-store-version sidecar (_pq_decoded, written by
+    # ivf_write/append/recluster/compact — VERDICT r13 task 6): the
+    # per-micro-batch static side is then a plain parquet read instead
+    # of a corpus-sized decode per trigger. Fallback (absent/stale
+    # sidecar, e.g. crash between data append and refresh): decode on
+    # the fly — bit-identical values (the decode is pure lookup+
+    # flatten), only the per-trigger cost differs.
+    from free_etl_spark.operators.vectors import pq_decoded
+
+    dec = pq_decoded(spark, store_path)
+    if dec is None:
+        dec = (
+            spark.read.parquet(store_path)
+            .select(
+                "vec_id", "cent_id", F.posexplode("pq_code").alias("m", "c")
+            )
+            .withColumn("c", F.col("c").cast("long"))
+            .join(F.broadcast(pqcb), ["m", "c"])
+            .groupBy("vec_id", "cent_id")
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("m", "csub"))),
+                        lambda s: s["csub"],
+                    )
+                ).alias("dec")
+            )
         )
-    )
     cand = probed.join(dec, "cent_id").filter(F.col("vec_id") != F.col("qid"))
     # grouped-order unrolled L2: per subspace a left-to-right 8-term
     # fold (the oracle's list_sum order), subspace partials added in

@@ -943,3 +943,60 @@ def test_pq_guards_reject_silent_wrong_codes(spark, tmp_path):
     os.remove(os.path.join(path, "_pq_meta.json"))  # simulate the crash
     with pytest.raises(RuntimeError, match="_pq_meta.json"):
         ivf_append(batch, path)
+
+
+def test_decoded_residual_sidecar_lifecycle(spark, tmp_path):
+    """The materialized decoded-residual relation (VERDICT r13 task
+    6): (a) ivf_write(pq) persists _pq_decoded and it is bit-identical
+    to an on-the-fly decode; (b) ivf_append keeps it fresh with
+    O(batch) maintenance; (c) a store mutated WITHOUT a sidecar
+    refresh (the crash window) reads as stale → pq_decoded returns
+    None and consumers fall back to on-the-fly decode."""
+    import os
+
+    from free_etl_spark.operators.vectors import (
+        _decode_codes,
+        ivf_append,
+        ivf_write,
+        pq_decoded,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "store")
+    ivf_write(base, path, codebook="first_k", pq_m=8, pq_sub=8, pq_c=64)
+
+    def snap(df):
+        return {r.vec_id: (r.cent_id, tuple(r.dec)) for r in df.collect()}
+
+    side = pq_decoded(spark, path)
+    assert side is not None
+    pq_cb = spark.read.parquet(os.path.join(path, "_pq_codebook"))
+    fly = _decode_codes(
+        spark.read.parquet(path).select("vec_id", "cent_id", "pq_code"),
+        pq_cb,
+    )
+    assert snap(side) == snap(fly)
+    assert len(snap(side)) == base.count()
+
+    # (b) append keeps the sidecar fresh and complete
+    ivf_append(batch, path)
+    side2 = pq_decoded(spark, path)
+    assert side2 is not None
+    got = snap(side2)
+    assert len(got) == emb.count()
+    fly2 = _decode_codes(
+        spark.read.parquet(path).select("vec_id", "cent_id", "pq_code"),
+        pq_cb,
+    )
+    assert got == snap(fly2)
+
+    # (c) a data mutation without a refresh = stale sig -> None
+    extra = spark.read.parquet(path).limit(1).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    extra.write.mode("append").partitionBy("cent_id").parquet(path)
+    assert pq_decoded(spark, path) is None
