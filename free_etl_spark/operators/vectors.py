@@ -832,3 +832,307 @@ def ivf_recluster(
         # one more decode map pass is within the same budget
         write_decoded_sidecar(spark, path)
     return spark.read.parquet(os.path.join(path, "_codebook"))
+
+
+def ivf_list_drift(spark, path: str) -> DataFrame:
+    """Per-list drift of an ivf_write store: for every centroid, the
+    L2² between its PERSISTED position and the 6-dp mean of its
+    CURRENT members (pending tombstones excluded from the stats) —
+    the per-list refinement of sim_ivf_drift_check's global ratios.
+    Returns (cent_id, drift_d2, n_members). One posexplode mean pass
+    over the corpus + a K×dim shuffle; no rewrite."""
+    import os
+
+    cent = spark.read.parquet(os.path.join(path, "_codebook"))
+    data = spark.read.parquet(path).select("vec_id", "cent_id", "emb")
+    tomb = ivf_tombstones(spark, path)
+    if tomb is not None:
+        data = data.join(F.broadcast(tomb), "vec_id", "left_anti")
+    means = (
+        data.select("cent_id", F.posexplode("emb").alias("pos", "x"))
+        .groupBy("cent_id", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("cent_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("memb")
+        )
+    )
+    n = data.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        cent.join(means, "cent_id")
+        .join(n, "cent_id")
+        .select(
+            "cent_id",
+            F.round(l2_sq("cemb", "memb"), 6).alias("drift_d2"),
+            "n_members",
+        )
+    )
+
+
+def ivf_recluster_incremental(
+    spark,
+    path: str,
+    drifted: list[int] | None = None,
+    min_drift_d2: float | None = None,
+) -> DataFrame:
+    """Recluster ONLY the drifted lists of an ivf_write store (VERDICT
+    r13 task 5): full ``ivf_recluster`` reassigns and rewrites the
+    whole corpus (decade-3 e = 1.02 — rewrite-dominated); this applies
+    one Lloyd step to the drifted cells and rewrites only the affected
+    partitions, so maintenance cost is proportional to the drifted
+    fraction, not the corpus.
+
+    Steps:
+      1. ``drifted`` defaults to lists whose ivf_list_drift drift_d2
+         exceeds ``min_drift_d2`` (default: the mean drift across
+         lists — callers with an SLA pass an absolute threshold).
+      2. Each drifted centroid moves to the 6-dp mean of its current
+         members (one restricted Lloyd update; centroid IDs — and
+         therefore partition keys — never change meaning).
+      3. The new argmin is computed for EVERY row against the updated
+         codebook — compute-only (map-side broadcast, no shuffle, no
+         rewrite; the same O(N·K) pass class as the drift audit).
+         Restricting reassignment to rows in drifted lists leaks
+         recall — a row whose nearest centroid is now a MOVED one
+         would be probed at the moved cell but stored elsewhere
+         (measured 0.80 vs 0.92 recall@5); global argmin keeps
+         storage consistent with probe routing. Recall parity with
+         full recluster is pinned in tests/test_ann_quality.py.
+      4. REWRITE set = drifted ∪ sources of moved rows (their
+         partitions lose rows / need re-encoding — their full new
+         contents are staged). Destinations OUTSIDE that set are
+         APPEND-ONLY: the handful of moved-in rows land as new part
+         files next to the committed ones (the ivf_append mechanic) —
+         a destination partition is never rewritten just to gain two
+         rows. This is what makes maintenance IO proportional to the
+         drifted fraction + moved rows instead of the eviction
+         fan-out × partition size (measured: 0.57 → ~0.05 corpus
+         fraction on the hot-clump benchmark, docs/SCALE.md). Movers
+         and drifted-list stayers re-encode against the PERSISTED PQ
+         codebook (their residuals changed with their centroid);
+         everything else keeps its bytes.
+      5. The decoded-residual sidecar gets the SAME treatment
+         (rewrite partitions swapped, appended rows' decodes staged
+         and file-moved in), ``_codebook`` is overwritten with the
+         updated centroids, the freshness sig is re-stamped, and the
+         stage is retired.
+
+    Crash safety: everything — rewritten partitions, appended part
+    files, sidecar partitions/appends, the new codebook — is staged
+    first; the stage is COMPLETE only once ``_apply.json`` exists
+    (written last). The apply is idempotent: a staged rewrite dir is
+    deleted-then-renamed in (absent = already applied), a staged
+    append file is moved in (absent = already moved), emptied cids
+    are recorded in the marker and deleted unconditionally. Re-entry
+    with a complete stage finishes the apply; an incomplete stage is
+    discarded (recomputed from the untouched live store). The sig is
+    stamped last, so a crash anywhere leaves the sidecar detectably
+    stale (readers fall back to on-the-fly decode).
+
+    Tombstoned rows are excluded from drift statistics but carried
+    through the rewrite unchanged (they stay masked; ivf_compact is
+    the operation that physically removes them).
+
+    Returns the updated codebook read back from the promoted store."""
+    import json
+    import os
+    import shutil
+
+    stage = path.rstrip("/") + "__recluster_inc_stage"
+    apply_marker = os.path.join(stage, "_apply.json")
+
+    def _apply_stage() -> None:
+        """Idempotent application of a COMPLETE stage (see docstring);
+        shared by the normal path and crash recovery."""
+        with open(apply_marker) as f:
+            mark = json.load(f)
+        for cid in mark["emptied"]:
+            live = os.path.join(path, f"cent_id={cid}")
+            if os.path.isdir(live):
+                shutil.rmtree(live)
+        for sub, target in (
+            ("rewrite", path),
+            ("rewrite_dec", os.path.join(path, "_pq_decoded")),
+        ):
+            sdir = os.path.join(stage, sub)
+            if not os.path.isdir(sdir):
+                continue
+            if sub == "rewrite_dec":
+                for cid in mark["emptied"]:
+                    d = os.path.join(target, f"cent_id={cid}")
+                    if os.path.isdir(d):
+                        shutil.rmtree(d)
+            for name in sorted(os.listdir(sdir)):
+                if name.startswith("cent_id="):
+                    live = os.path.join(target, name)
+                    if os.path.isdir(live):
+                        shutil.rmtree(live)
+                    os.rename(os.path.join(sdir, name), live)
+        for sub, target in (
+            ("append", path),
+            ("append_dec", os.path.join(path, "_pq_decoded")),
+        ):
+            sdir = os.path.join(stage, sub)
+            if not os.path.isdir(sdir):
+                continue
+            for name in sorted(os.listdir(sdir)):
+                if not name.startswith("cent_id="):
+                    continue
+                live = os.path.join(target, name)
+                os.makedirs(live, exist_ok=True)
+                # file-level moves (data + .crc shadows): staged part
+                # names carry the stage job's UUID, collision-free
+                for fn in os.listdir(os.path.join(sdir, name)):
+                    os.rename(
+                        os.path.join(sdir, name, fn), os.path.join(live, fn)
+                    )
+        cb_new_dir = os.path.join(stage, "_codebook_new")
+        if os.path.isdir(cb_new_dir):
+            spark.read.parquet(cb_new_dir).write.mode("overwrite").parquet(
+                os.path.join(path, "_codebook")
+            )
+        if pq_meta(path) is not None:
+            tmp = _decoded_meta_path(path) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"sig": _store_listing_sig(spark, path)}, f)
+            os.replace(tmp, _decoded_meta_path(path))
+
+    # recovery: a COMPLETE stage (marker present) is applied; an
+    # incomplete one is a crashed build — discarded (recomputed below)
+    if os.path.isdir(stage):
+        if os.path.exists(apply_marker):
+            _apply_stage()
+        shutil.rmtree(stage, ignore_errors=True)
+
+    cent = spark.read.parquet(os.path.join(path, "_codebook"))
+    dim = probe_dim(spark.read.parquet(path).select("emb"))
+    drift = ivf_list_drift(spark, path)
+    if drifted is None:
+        if min_drift_d2 is None:
+            # robust default: 3× the MEDIAN drift. The mean is pulled
+            # up by the very cells we want to select, and a
+            # non-converged Lloyd baseline gives every list a small
+            # background drift — 3×median separates genuine drift
+            # from that noise floor (measured: 1 of 45 lists selected
+            # on a hot-clump store vs 9 of 45 with an above-mean rule)
+            row = drift.agg(
+                F.expr("percentile(drift_d2, 0.5)").alias("med")
+            ).first()
+            min_drift_d2 = 3.0 * float(row[0] or 0.0)
+        drifted = [
+            int(r.cent_id)
+            for r in drift.filter(F.col("drift_d2") > min_drift_d2)
+            .select("cent_id")
+            .collect()
+        ]
+    if not drifted:
+        return cent
+    # 2. one restricted Lloyd step: drifted centroids -> member mean
+    data = spark.read.parquet(path)
+    live_stats = spark.read.parquet(path).select("vec_id", "cent_id", "emb")
+    tomb = ivf_tombstones(spark, path)
+    if tomb is not None:
+        live_stats = live_stats.join(F.broadcast(tomb), "vec_id", "left_anti")
+    new_pos = (
+        live_stats.filter(F.col("cent_id").isin(drifted))
+        .select("cent_id", F.posexplode("emb").alias("pos", "x"))
+        .groupBy("cent_id", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("cent_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cemb_new")
+        )
+    )
+    cent_upd = cent.join(new_pos, "cent_id", "left").select(
+        "cent_id", F.coalesce("cemb_new", "cemb").alias("cemb")
+    )
+    # 3. GLOBAL argmin against the updated codebook — compute-only
+    # (map-side broadcast, no shuffle of data, NO rewrite; the same
+    # O(N·K) pass class as the drift audit itself). Restricting the
+    # reassignment to rows in drifted lists was measured to leak
+    # recall: a row in an undrifted list whose nearest centroid is
+    # now a MOVED one would be probed at the moved cell but stored
+    # elsewhere (0.80 vs 0.92 recall@5 in the pinned test). The
+    # REWRITE below stays proportional to actually-moved rows.
+    asn_new = (
+        centroid_rank(data.select("vec_id", "emb"), cent_upd, dim)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("new_cent"))
+    )
+    changed = (
+        data.select("vec_id", "cent_id")
+        .join(asn_new, "vec_id")
+        .filter(F.col("cent_id") != F.col("new_cent"))
+    )
+    srcs = {
+        int(r.cent_id)
+        for r in changed.select("cent_id").distinct().collect()
+    }
+    rewrite_set = sorted(set(drifted) | srcs)
+    moved_asn = changed.select("vec_id", "new_cent")
+    # 4. stage the rewrite partitions' full new contents and the
+    # append-only destinations' moved-in rows (see docstring step 4).
+    # All movers originate inside rewrite_set (srcs ⊆ rewrite_set).
+    meta = pq_meta(path)
+    in_rw = data.filter(F.col("cent_id").isin(rewrite_set))
+    keep = in_rw.join(moved_asn, "vec_id", "left_anti")
+    moved = (
+        in_rw.drop("cent_id", *(["pq_code"] if meta else []))
+        .join(moved_asn, "vec_id")
+        .withColumnRenamed("new_cent", "cent_id")
+    )
+    pq_cb = None
+    if meta is not None:
+        # re-encode movers AND drifted-list stayers (their residuals
+        # changed with their centroid); undrifted stayers keep codes
+        pq_cb = spark.read.parquet(os.path.join(path, "_pq_codebook"))
+        stay_drifted = keep.filter(F.col("cent_id").isin(drifted))
+        keep = keep.filter(~F.col("cent_id").isin(drifted))
+        reenc = moved.unionByName(stay_drifted.drop("pq_code"))
+        res = _residuals(reenc, cent_upd)
+        moved = reenc.join(
+            pq_encode(res, pq_cb, meta["m"], meta["sub"]), "vec_id"
+        ).select(*keep.columns)
+    rewrite_rows = keep.filter(
+        F.col("cent_id").isin(rewrite_set)
+    ).unionByName(moved.filter(F.col("cent_id").isin(rewrite_set)))
+    append_rows = moved.filter(~F.col("cent_id").isin(rewrite_set))
+    rewrite_rows.write.mode("overwrite").partitionBy("cent_id").parquet(
+        os.path.join(stage, "rewrite")
+    )
+    append_rows.write.mode("overwrite").partitionBy("cent_id").parquet(
+        os.path.join(stage, "append")
+    )
+    if meta is not None:
+        _decode_codes(
+            rewrite_rows.select("vec_id", "cent_id", "pq_code"), pq_cb
+        ).write.mode("overwrite").partitionBy("cent_id").parquet(
+            os.path.join(stage, "rewrite_dec")
+        )
+        _decode_codes(
+            append_rows.select("vec_id", "cent_id", "pq_code"), pq_cb
+        ).write.mode("overwrite").partitionBy("cent_id").parquet(
+            os.path.join(stage, "append_dec")
+        )
+    cent_upd.write.mode("overwrite").parquet(
+        os.path.join(stage, "_codebook_new")
+    )
+    emptied = [
+        c
+        for c in rewrite_set
+        if not os.path.isdir(os.path.join(stage, "rewrite", f"cent_id={c}"))
+    ]
+    tmp = apply_marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"rewrite": rewrite_set, "emptied": emptied}, f)
+    os.replace(tmp, apply_marker)  # stage is now COMPLETE
+    # 5. apply + retire
+    _apply_stage()
+    shutil.rmtree(stage, ignore_errors=True)
+    return spark.read.parquet(os.path.join(path, "_codebook"))
