@@ -3376,3 +3376,132 @@ def sim_pq_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("vec_id").cast("long").alias("n_vecs"),
         F.round(F.sum("e"), 4).alias("quant_err"),
     )
+
+
+@query(
+    "sim_ivf_recluster_incremental",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    base AS (SELECT * FROM v WHERE vec_id % 10 <> 0),
+    kk AS (SELECT GREATEST(16, CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))
+                                    AS BIGINT)) AS k FROM base),
+    cent0 AS (SELECT vec_id AS cent_id, emb AS cemb FROM base
+              WHERE vec_id < (SELECT k FROM kk)),
+    a0 AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT b.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(b.emb, c.cemb),
+                          z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cent_id) AS rn
+        FROM v b CROSS JOIN cent0 c)
+      WHERE rn = 1
+    ),
+    means AS (
+      SELECT a0.cent_id, g.i AS dim, ROUND(AVG(v.emb[g.i]), 6) AS m
+      FROM a0 JOIN v USING (vec_id) CROSS JOIN generate_series(1, 64) AS g(i)
+      GROUP BY a0.cent_id, g.i
+    ),
+    memb AS (SELECT cent_id, list(m ORDER BY dim) AS memb FROM means
+             GROUP BY cent_id),
+    drift AS (
+      SELECT c.cent_id,
+             ROUND(list_sum(list_transform(list_zip(c.cemb, m.memb),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS drift_d2
+      FROM cent0 c JOIN memb m USING (cent_id)
+    ),
+    hot AS (
+      SELECT cent_id FROM (
+        SELECT cent_id,
+               ROW_NUMBER() OVER (ORDER BY drift_d2 DESC, cent_id) AS rn
+        FROM drift)
+      WHERE rn = 1
+    ),
+    cent1 AS (
+      SELECT c.cent_id,
+             CASE WHEN c.cent_id = (SELECT cent_id FROM hot)
+                  THEN m.memb ELSE c.cemb END AS cemb
+      FROM cent0 c JOIN memb m USING (cent_id)
+    ),
+    a1 AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT b.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(b.emb, c.cemb),
+                          z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cent_id) AS rn
+        FROM v b CROSS JOIN cent1 c)
+      WHERE rn = 1
+    )
+    SELECT CAST(cent_id AS BIGINT) AS cent_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
+           CAST(cent_id = (SELECT cent_id FROM hot) AS BOOLEAN) AS was_drifted
+    FROM a1 GROUP BY cent_id
+    """,
+)
+def sim_ivf_recluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL recluster action (VERDICT r13 task 5), end to
+    end on a real on-disk store: build the cluster-partitioned layout
+    on the base corpus (vec_id % 10 ≠ 0, frozen first-K codebook),
+    ivf_append the arriving batch (% 10 = 0) under that stale
+    codebook, audit per-list drift (operators.vectors.ivf_list_drift),
+    then run ivf_recluster_incremental on the single WORST-drifted
+    cell — top-1 by (drift_d2 DESC, cent_id), a selection both engines
+    replay without any FP-threshold boundary (the production 3×median
+    default is pinned in pytest instead, where no cross-engine replay
+    is needed). The operator moves that centroid to its members' 6-dp
+    mean, computes the global argmin (compute-only), REWRITES only
+    drifted/source partitions and APPENDS movers into destinations
+    (docs/SCALE.md r14: 1/44 partitions rewritten vs full recluster's
+    44/44). The returned relation is read BACK FROM THE STORE
+    (per-cluster occupancy + sum(vec_id) — membership-sensitive), so
+    the oracle — which replays drift audit, top-1 selection, the
+    restricted Lloyd step, and the global reassignment from the raw
+    table — value-gates the physical rewrite/append apply itself: a
+    half-applied stage, a lost appended row, or a stale codebook
+    cannot hash-match. Crash recovery + recall parity pinned in
+    tests/test_ann_quality.py.
+
+    Shape at 100 TB: one drift-audit mean pass + one broadcast argmin
+    pass (both compute-only) + rewrite IO proportional to the drifted
+    fraction — the maintenance loop a streaming-append corpus runs
+    CONTINUOUSLY, where full recluster is the rare re-layout."""
+    import os
+
+    from free_etl_spark.operators.vectors import (
+        ivf_append,
+        ivf_list_drift,
+        ivf_recluster_incremental,
+        ivf_write,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    newb = emb.filter(F.col("vec_id") % 10 == 0)
+    path = os.path.join(
+        "/tmp",
+        f"fes_ivf_inc_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{spark.sparkContext.applicationId}",
+    )
+    ivf_write(base, path, codebook="first_k")
+    ivf_append(newb, path)
+    hot = (
+        ivf_list_drift(spark, path)
+        .orderBy(F.desc("drift_d2"), "cent_id")
+        .select("cent_id")
+        .first()
+        .cent_id
+    )
+    ivf_recluster_incremental(spark, path, drifted=[int(hot)])
+    store = spark.read.parquet(path)
+    return store.groupBy(
+        F.col("cent_id").cast("long").alias("cent_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("vec_id").cast("long").alias("sum_vec_id"),
+        F.first(F.col("cent_id") == F.lit(int(hot))).alias("was_drifted"),
+    )
