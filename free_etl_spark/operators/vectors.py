@@ -91,6 +91,37 @@ def centroid_rank(
     )
 
 
+def assign_nearest(
+    vecs: DataFrame,
+    cents: DataFrame,
+    dim: int | None = None,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE map-side broadcast pass plus
+    a ``min_by`` aggregate: (vec_id, cent_id[, *carry]) where cent_id
+    minimizes (d2, cent_id) — the IDENTICAL tie-break to
+    ``centroid_rank(...).filter(rn == 1)`` (the rule every oracle
+    replays), with two plan-shape wins over the window form
+    (guide §2.3/§2.4):
+
+    - the N×K ranked relation never crosses an Exchange: min_by does
+      partial (map-side) aggregation, so the shuffle carries ~N
+      pre-reduced rows instead of N×K rows + a window sort;
+    - ``carry`` columns (constant per vec_id — e.g. the embedding
+      payload) ride through the aggregate via first(), eliminating
+      the join-back that used to shuffle the corpus payload a second
+      time just to re-attach it to its own assignment.
+
+    ``centroid_rank`` remains the primitive for rn <= nprobe probing,
+    where the ranked relation itself is the output."""
+    j = vecs.join(F.broadcast(cents)).select(
+        "vec_id", *carry, "cent_id", l2_sq("emb", "cemb", dim).alias("d2")
+    )
+    aggs = [F.min_by("cent_id", F.struct("d2", "cent_id")).alias("cent_id")]
+    aggs += [F.first(c).alias(c) for c in carry]
+    return j.groupBy("vec_id").agg(*aggs)
+
+
 def cosine_scored_pairs(
     cand: DataFrame,
     emb: DataFrame,
@@ -182,16 +213,14 @@ def kmeans_centroids(
     Means are rounded to 6 dp per dimension, matching the
     emb_kmeans_2iter oracle contract, so a future SQL mirror can
     replay the refinement FP-stably."""
+    spark = emb.sparkSession
     cent = first_k_centroids(emb, k)
     for _ in range(iters):
-        asn = (
-            centroid_rank(emb, cent, dim)
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cent_id")
-        )
+        # one-pass assignment carrying the embedding: no N×K window,
+        # no emb join-back per iteration (see assign_nearest)
+        asn = assign_nearest(emb, cent, dim, carry=("emb",))
         upd = (
-            asn.join(emb, "vec_id")
-            .select("cent_id", F.posexplode("emb").alias("pos", "x"))
+            asn.select("cent_id", F.posexplode("emb").alias("pos", "x"))
             .groupBy("cent_id", "pos")
             .agg(F.round(F.avg("x"), 6).alias("m"))
             .groupBy("cent_id")
@@ -205,6 +234,23 @@ def kmeans_centroids(
         cent = cent.join(upd, "cent_id", "left").select(
             "cent_id",
             F.coalesce("cemb_new", "cemb").alias("cemb"),
+        )
+        # truncate the iterative lineage: each round otherwise embeds
+        # the previous round's subtree TWICE (assignment join +
+        # coalesce fallback), so the lazy plan re-executes earlier
+        # rounds exponentially — and every downstream action (store
+        # write, _codebook write, PQ sidecars) re-runs the whole
+        # refinement again. The codebook is K×dim doubles — the same
+        # size class the assignment broadcasts anyway — so a driver
+        # round-trip is the cheap plan-cut (guide §3.3: materialise
+        # an intermediate to truncate the plan). Exact: doubles
+        # round-trip bit-identically through collect/createDataFrame.
+        cent = spark.createDataFrame(
+            [
+                (int(r.cent_id), [float(x) for x in r.cemb])
+                for r in cent.collect()
+            ],
+            "cent_id bigint, cemb array<double>",
         )
     return cent
 
@@ -253,7 +299,13 @@ def pq_encode(res: DataFrame, pq_cb: DataFrame, m: int, sub: int) -> DataFrame:
 
     The argmin is a map-side broadcast join (the codebook is M×C rows)
     + a min-by-struct aggregate — one pass over the corpus, no
-    all-pairs anything."""
+    all-pairs anything. The per-subspace minima land as ONE pivoted
+    aggregate (groupBy vec_id, pivot m) instead of the former
+    groupBy(vec_id, m) → groupBy(vec_id) pair, halving the Exchange
+    count: partial aggregation reduces the N×M×C scored rows to N
+    rows map-side, and the single shuffle carries those (guide §2.4).
+    min(struct(d2, c)) per pivot cell is the identical (d2, c)
+    tie-break the oracles replay."""
     vsub = res.select(
         "vec_id", F.posexplode(_pq_subs("remb", m, sub)).alias("m", "sub")
     )
@@ -262,20 +314,18 @@ def pq_encode(res: DataFrame, pq_cb: DataFrame, m: int, sub: int) -> DataFrame:
     for i in range(1, sub + 1):
         d = F.element_at("sub", i) - F.element_at("csub", i)
         d2 = d2 + d * d
-    return (
+    enc = (
         vsub.join(F.broadcast(pq_cb), "m")
         .select("vec_id", "m", F.struct(d2.alias("d2"), "c").alias("dc"))
-        .groupBy("vec_id", "m")
-        .agg(F.min("dc").alias("dc"))
         .groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("m", F.col("dc.c").alias("c")))
-                ),
-                lambda s: s["c"].cast("tinyint"),
-            ).alias("pq_code")
-        )
+        .pivot("m", list(range(m)))
+        .agg(F.min("dc"))
+    )
+    return enc.select(
+        "vec_id",
+        F.array(
+            *[F.col(f"`{i}`")["c"].cast("tinyint") for i in range(m)]
+        ).alias("pq_code"),
     )
 
 
@@ -452,21 +502,27 @@ def ivf_write(
             "tinyint; use pq_c <= 127"
         )
     if k is None:
-        k = scaled_centroid_k(emb.count())
-    dim = probe_dim(emb)
+        # one job probes N and dim together (vs a count() pass + a
+        # separate first() job — guide §1.2: two scalars, one scan)
+        n, dim = emb.select(
+            F.count(F.lit(1)), F.first(F.size("emb"))
+        ).first()
+        k = scaled_centroid_k(int(n))
+        dim = int(dim)
+    else:
+        dim = probe_dim(emb)
     if codebook == "kmeans":
         cent = kmeans_centroids(emb, k, iters, dim)
     elif codebook == "first_k":
         cent = first_k_centroids(emb, k)
     else:
         raise ValueError(f"unknown codebook mode: {codebook!r}")
-    asn = (
-        centroid_rank(emb, cent, dim)
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id")
+    payload = tuple(c for c in emb.columns if c != "vec_id")
+    rows = assign_nearest(emb, cent, dim, carry=payload).select(
+        "vec_id", *payload, "cent_id"
     )
-    rows = emb.join(asn, "vec_id")
     pq_cb = None
+    asn_cached = None
     if pq_m is not None:
         if pq_sub is None:
             if dim % pq_m != 0:
@@ -479,6 +535,11 @@ def ivf_write(
                     "pq_sub explicitly to truncate trailing dimensions"
                 )
             pq_sub = dim // pq_m
+        # the assignment relation feeds the residuals, the PQ codebook,
+        # the encode AND the final join-back — persist it once instead
+        # of re-running the broadcast-argmin pass per reference
+        # (guide §5: cache exactly the reused-and-expensive relation)
+        rows = asn_cached = rows.persist()
         res = _residuals(rows, cent)
         pq_cb = pq_codebook(res, pq_m, pq_sub, pq_c)
         rows = rows.join(pq_encode(res, pq_cb, pq_m, pq_sub), "vec_id")
@@ -492,6 +553,8 @@ def ivf_write(
     if pq_cb is not None:
         _write_pq_sidecar(path, pq_cb, pq_m, pq_sub, pq_c)
         write_decoded_sidecar(emb.sparkSession, path)
+    if asn_cached is not None:
+        asn_cached.unpersist()
     return cent
 
 
@@ -523,12 +586,10 @@ def ivf_append(
         cent = emb_new.sparkSession.read.parquet(
             os.path.join(path, "_codebook")
         )
-    asn = (
-        centroid_rank(emb_new, cent, probe_dim(emb_new))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id")
-    )
-    rows = emb_new.join(asn, "vec_id")
+    payload = tuple(c for c in emb_new.columns if c != "vec_id")
+    rows = assign_nearest(
+        emb_new, cent, probe_dim(emb_new), carry=payload
+    ).select("vec_id", *payload, "cent_id")
     meta = pq_meta(path)
     if meta is None and "pq_code" in emb_new.sparkSession.read.parquet(
         path
@@ -548,12 +609,17 @@ def ivf_append(
     spark = emb_new.sparkSession
     pq_cb = None
     decoded_was_fresh = False
+    asn_cached = None
     if meta is not None:
         pq_cb = spark.read.parquet(os.path.join(path, "_pq_codebook"))
+        # persist the batch assignment (feeds residuals + encode +
+        # join-back) AND the coded rows (consumed by both the data
+        # append and the decoded-sidecar append below) — O(batch)
+        rows = asn_cached = rows.persist()
         res = _residuals(rows, cent)
         rows = rows.join(
             pq_encode(res, pq_cb, meta["m"], meta["sub"]), "vec_id"
-        )
+        ).persist()
         # probe sidecar freshness BEFORE the data append mutates the
         # listing: fresh → the batch's decoded rows can be appended
         # incrementally; stale/absent → full rebuild below
@@ -577,6 +643,9 @@ def ivf_append(
             os.replace(tmp, _decoded_meta_path(path))
         else:
             write_decoded_sidecar(spark, path)
+        rows.unpersist()
+    if asn_cached is not None:
+        asn_cached.unpersist()
     return cent
 
 
@@ -793,22 +862,27 @@ def ivf_recluster(
     if tomb is not None:
         emb = emb.join(F.broadcast(tomb), "vec_id", "left_anti")
     if k is None:
-        k = scaled_centroid_k(emb.count())
-    dim = probe_dim(emb)
+        # one job probes N and dim together (guide §1.2)
+        n, dim = emb.select(
+            F.count(F.lit(1)), F.first(F.size("emb"))
+        ).first()
+        k = scaled_centroid_k(int(n))
+        dim = int(dim)
+    else:
+        dim = probe_dim(emb)
     if codebook == "kmeans":
         cent = kmeans_centroids(emb, k, iters, dim)
     elif codebook == "first_k":
         cent = first_k_centroids(emb, k)
     else:
         raise ValueError(f"unknown codebook mode: {codebook!r}")
-    asn = (
-        centroid_rank(emb, cent, dim)
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id")
+    payload = tuple(c for c in emb.columns if c != "vec_id")
+    rows = assign_nearest(emb, cent, dim, carry=payload).select(
+        "vec_id", *payload, "cent_id"
     )
-    rows = emb.join(asn, "vec_id")
     meta = pq_meta(path)
     pq_cb = None
+    asn_cached = None
     if meta is not None:
         # centroids moved ⇒ every residual moved ⇒ the old codes and
         # the old residual codebook are BOTH stale. Rebuild the
@@ -816,6 +890,10 @@ def ivf_recluster(
         # re-encode the whole corpus — skipping this would leave a
         # PQ-coded store silently serving distances against centroids
         # that no longer exist (VERDICT r12 task 2).
+        # persist the assignment once: it feeds residuals, codebook,
+        # encode and the join-back within the single stage write
+        # (same rationale as ivf_write's PQ path)
+        rows = asn_cached = rows.persist()
         res = _residuals(rows, cent)
         pq_cb = pq_codebook(res, meta["m"], meta["sub"], meta["c"])
         rows = rows.join(pq_encode(res, pq_cb, meta["m"], meta["sub"]), "vec_id")
@@ -831,6 +909,8 @@ def ivf_recluster(
         # entirely new too; recluster already re-encodes O(corpus), so
         # one more decode map pass is within the same budget
         write_decoded_sidecar(spark, path)
+    if asn_cached is not None:
+        asn_cached.unpersist()
     return spark.read.parquet(os.path.join(path, "_codebook"))
 
 
@@ -1009,8 +1089,8 @@ def ivf_recluster_incremental(
 
     cent = spark.read.parquet(os.path.join(path, "_codebook"))
     dim = probe_dim(spark.read.parquet(path).select("emb"))
-    drift = ivf_list_drift(spark, path)
     if drifted is None:
+        drift = ivf_list_drift(spark, path)
         if min_drift_d2 is None:
             # robust default: 3× the MEDIAN drift. The mean is pulled
             # up by the very cells we want to select, and a
@@ -1060,32 +1140,62 @@ def ivf_recluster_incremental(
     # now a MOVED one would be probed at the moved cell but stored
     # elsewhere (0.80 vs 0.92 recall@5 in the pinned test). The
     # REWRITE below stays proportional to actually-moved rows.
-    asn_new = (
-        centroid_rank(data.select("vec_id", "emb"), cent_upd, dim)
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("new_cent"))
-    )
-    changed = (
-        data.select("vec_id", "cent_id")
-        .join(asn_new, "vec_id")
-        .filter(F.col("cent_id") != F.col("new_cent"))
+    #
+    # The argmin is ONE assign_nearest-shaped pass (broadcast codebook
+    # + min_by partial agg) that CARRIES the row payload and the old
+    # assignment, and the N-row result is persisted: the former
+    # asn_new → changed → in_rw/keep/moved chain re-executed the full
+    # N×K window + three vec_id shuffle joins inside every downstream
+    # job (srcs collect, rewrite write, append write — measured 3-4
+    # recomputations per call, guide §5 "caching is worth it when a
+    # DataFrame is reused and recomputing is expensive").
+    payload = [c for c in data.columns if c != "cent_id"]
+    cand = cent_upd.select(F.col("cent_id").alias("cand_cid"), "cemb")
+    scored = (
+        data.join(F.broadcast(cand))
+        .select(
+            *payload,
+            F.col("cent_id").alias("old_cent"),
+            "cand_cid",
+            l2_sq("emb", "cemb", dim).alias("d2"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cand_cid", F.struct("d2", "cand_cid")).alias(
+                "new_cent"
+            ),
+            F.first("old_cent").alias("old_cent"),
+            *[F.first(c).alias(c) for c in payload if c != "vec_id"],
+        )
+        .persist()
     )
     srcs = {
-        int(r.cent_id)
-        for r in changed.select("cent_id").distinct().collect()
+        int(r.old_cent)
+        for r in scored.filter(F.col("old_cent") != F.col("new_cent"))
+        .select("old_cent")
+        .distinct()
+        .collect()
     }
     rewrite_set = sorted(set(drifted) | srcs)
-    moved_asn = changed.select("vec_id", "new_cent")
     # 4. stage the rewrite partitions' full new contents and the
     # append-only destinations' moved-in rows (see docstring step 4).
-    # All movers originate inside rewrite_set (srcs ⊆ rewrite_set).
+    # All movers originate inside rewrite_set (srcs ⊆ rewrite_set);
+    # keep/moved are now plain FILTERS on the persisted scored
+    # relation — no joins.
     meta = pq_meta(path)
-    in_rw = data.filter(F.col("cent_id").isin(rewrite_set))
-    keep = in_rw.join(moved_asn, "vec_id", "left_anti")
+    datacols = data.columns
+    keep = (
+        scored.filter(F.col("old_cent") == F.col("new_cent"))
+        .filter(F.col("old_cent").isin(rewrite_set))
+        .select(*payload, F.col("old_cent").alias("cent_id"))
+        .select(*datacols)
+    )
     moved = (
-        in_rw.drop("cent_id", *(["pq_code"] if meta else []))
-        .join(moved_asn, "vec_id")
-        .withColumnRenamed("new_cent", "cent_id")
+        scored.filter(F.col("old_cent") != F.col("new_cent"))
+        .select(
+            *[c for c in payload if not (meta and c == "pq_code")],
+            F.col("new_cent").alias("cent_id"),
+        )
     )
     pq_cb = None
     if meta is not None:
@@ -1123,6 +1233,7 @@ def ivf_recluster_incremental(
     cent_upd.write.mode("overwrite").parquet(
         os.path.join(stage, "_codebook_new")
     )
+    scored.unpersist()
     emptied = [
         c
         for c in rewrite_set
