@@ -96,6 +96,7 @@ def assign_nearest(
     cents: DataFrame,
     dim: int | None = None,
     carry: tuple[str, ...] = (),
+    with_d2: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment as ONE map-side broadcast pass plus
     a ``min_by`` aggregate: (vec_id, cent_id[, *carry]) where cent_id
@@ -112,11 +113,28 @@ def assign_nearest(
       the join-back that used to shuffle the corpus payload a second
       time just to re-attach it to its own assignment.
 
+    ``with_d2`` additionally returns the winning distance (the same
+    ``min(struct(d2, cent_id))`` lexicographic tie-break, so the pair
+    is the rn-1 row's, bit-for-bit) for drift/quantization audits.
+
     ``centroid_rank`` remains the primitive for rn <= nprobe probing,
     where the ranked relation itself is the output."""
     j = vecs.join(F.broadcast(cents)).select(
         "vec_id", *carry, "cent_id", l2_sq("emb", "cemb", dim).alias("d2")
     )
+    if with_d2:
+        aggs = [F.min(F.struct("d2", "cent_id")).alias("nc")]
+        aggs += [F.first(c).alias(c) for c in carry]
+        return (
+            j.groupBy("vec_id")
+            .agg(*aggs)
+            .select(
+                "vec_id",
+                F.col("nc.cent_id").alias("cent_id"),
+                F.col("nc.d2").alias("d2"),
+                *carry,
+            )
+        )
     aggs = [F.min_by("cent_id", F.struct("d2", "cent_id")).alias("cent_id")]
     aggs += [F.first(c).alias(c) for c in carry]
     return j.groupBy("vec_id").agg(*aggs)

@@ -475,26 +475,23 @@ def emb_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries k×64 partial sums — independent of corpus size; the
     iteration count is a constant, so the whole job is a fixed DAG
     (no driver loop). The oracle unrolls both iterations in SQL."""
-    from free_etl_spark.operators.vectors import centroid_rank, probe_dim
+    from free_etl_spark.operators.vectors import assign_nearest, probe_dim
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
 
-    def assign(vecs: DataFrame, cents: DataFrame, with_d2: bool = False) -> DataFrame:
-        ranked = centroid_rank(vecs, cents, probe_dim(vecs)).filter(
-            F.col("rn") == 1
-        )
-        cols = ["vec_id", "cent_id"] + (["d2"] if with_d2 else [])
-        return ranked.select(*cols)
-
     cent0 = emb.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
     )
-    a1 = assign(emb, cent0)
+    dim = probe_dim(emb)
+    # one-pass broadcast+min_by assignment carrying the embedding —
+    # no N×K window, no join-back of the corpus to its own assignment
+    # (identical (d2, cent_id) tie-break; see operators.vectors
+    # .assign_nearest and plans/r14/emb_kmeans_2iter_*.txt)
+    a1 = assign_nearest(emb, cent0, dim, carry=("emb",))
     upd = (
-        a1.join(emb, "vec_id")
-        .select("cent_id", F.posexplode("emb").alias("pos", "x"))
+        a1.select("cent_id", F.posexplode("emb").alias("pos", "x"))
         .groupBy("cent_id", "pos")
         .agg(F.round(F.avg("x"), 6).alias("m"))
     )
@@ -503,7 +500,7 @@ def emb_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
         ).alias("cemb")
     )
-    return assign(emb, cent1, with_d2=True).select(
+    return assign_nearest(emb, cent1, dim, with_d2=True).select(
         "vec_id", "cent_id", F.round("d2", 6).alias("d2")
     )
 
@@ -1156,7 +1153,7 @@ def sim_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partitioned write of the batch; committed cluster files are
     never rewritten, probes need no index maintenance."""
     from free_etl_spark.operators.vectors import (
-        centroid_rank,
+        assign_nearest,
         probe_dim,
         scaled_centroid_k,
     )
@@ -1173,16 +1170,12 @@ def sim_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb"))
     )
     dim = probe_dim(emb)
-    a_base = (
-        centroid_rank(base, cent, dim)
-        .filter(F.col("rn") == 1)
-        .select("cent_id")
-    )
-    a_new = (
-        centroid_rank(newb, cent, dim)
-        .filter(F.col("rn") == 1)
-        .select("cent_id")
-    )
+    # one-pass broadcast+min_by assignment (identical (d2, cent_id)
+    # tie-break to the former window rank; see operators.vectors
+    # .assign_nearest) — the N×K ranked relation never crosses an
+    # Exchange on either side of the append
+    a_base = assign_nearest(base, cent, dim).select("cent_id")
+    a_new = assign_nearest(newb, cent, dim).select("cent_id")
     nb = a_base.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_base"))
     nn = a_new.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_new"))
     return nb.join(nn, "cent_id", "left").select(
@@ -2536,7 +2529,7 @@ def sim_ivf_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle grid BEFORE summation so the cross-engine sum-order error
     stays ~1e-10, far from the 4-dp output grid."""
     from free_etl_spark.operators.vectors import (
-        centroid_rank,
+        assign_nearest,
         probe_dim,
         scaled_centroid_k,
     )
@@ -2554,10 +2547,11 @@ def sim_ivf_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = probe_dim(emb)
 
     def side_stats(vecs: DataFrame, imb: str, md2: str) -> DataFrame:
-        asn = (
-            centroid_rank(vecs, cent, dim)
-            .filter(F.col("rn") == 1)
-            .select("cent_id", F.round("d2", 6).alias("d2"))
+        # one-pass broadcast+min(struct) assignment keeping the winning
+        # d2 (identical (d2, cent_id) tie-break to the former window
+        # rank; rounding applied AFTER the argmin, as before)
+        asn = assign_nearest(vecs, cent, dim, with_d2=True).select(
+            "cent_id", F.round("d2", 6).alias("d2")
         )
         cells = asn.groupBy("cent_id").agg(
             F.count(F.lit(1)).alias("cn"), F.sum("d2").alias("sd")
@@ -2685,7 +2679,7 @@ def sim_ivf_recluster_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     old-codebook half is the stored drift audit, so the marginal cost
     of a recluster decision is exactly one kmeans refinement."""
     from free_etl_spark.operators.vectors import (
-        centroid_rank,
+        assign_nearest,
         probe_dim,
         scaled_centroid_k,
     )
@@ -2704,18 +2698,15 @@ def sim_ivf_recluster_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = probe_dim(emb)
     # one Lloyd refinement, OCCUPIED cells only — inline (not
     # kmeans_centroids, whose empty-cluster coalesce would keep
-    # centroids the oracle's mean-update CTE drops)
+    # centroids the oracle's mean-update CTE drops). Assignment is the
+    # one-pass broadcast+min_by form CARRYING the embedding (identical
+    # (d2, cent_id) tie-break; no N×K window, no emb join-back).
     cinit = emb.filter(F.col("vec_id") < k_new).select(
         F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
     )
-    a1 = (
-        centroid_rank(emb, cinit, dim)
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id")
-    )
+    a1 = assign_nearest(emb, cinit, dim, carry=("emb",))
     cnew = (
-        a1.join(emb, "vec_id")
-        .select("cent_id", F.posexplode("emb").alias("pos", "x"))
+        a1.select("cent_id", F.posexplode("emb").alias("pos", "x"))
         .groupBy("cent_id", "pos")
         .agg(F.round(F.avg("x"), 6).alias("m"))
         .groupBy("cent_id")
@@ -2728,10 +2719,10 @@ def sim_ivf_recluster_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def side_stats(cents: DataFrame, imb: str, md2: str) -> DataFrame:
-        asn = (
-            centroid_rank(emb, cents, dim)
-            .filter(F.col("rn") == 1)
-            .select("cent_id", F.round("d2", 6).alias("d2"))
+        # one-pass assignment keeping the winning d2; 6-dp rounding
+        # applied AFTER the argmin, exactly as the window form did
+        asn = assign_nearest(emb, cents, dim, with_d2=True).select(
+            "cent_id", F.round("d2", 6).alias("d2")
         )
         cells = asn.groupBy("cent_id").agg(
             F.count(F.lit(1)).alias("cn"), F.sum("d2").alias("sd")
