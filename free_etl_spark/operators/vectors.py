@@ -445,9 +445,9 @@ def write_decoded_sidecar(spark, path: str) -> None:
         raise ValueError(f"{path} has no PQ layer; nothing to decode")
     pq_cb = spark.read.parquet(os.path.join(path, "_pq_codebook"))
     store = spark.read.parquet(path).select("vec_id", "cent_id", "pq_code")
-    _decode_codes(store, pq_cb).write.mode("overwrite").partitionBy(
-        "cent_id"
-    ).parquet(os.path.join(path, "_pq_decoded"))
+    _by_cell(_decode_codes(store, pq_cb)).write.mode(
+        "overwrite"
+    ).partitionBy("cent_id").parquet(os.path.join(path, "_pq_decoded"))
     tmp = _decoded_meta_path(path) + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"sig": _store_listing_sig(spark, path)}, f)
@@ -476,6 +476,21 @@ def pq_decoded(spark, path: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(path, "_pq_decoded")).select(
         "vec_id", "cent_id", "dec"
     )
+
+
+def _by_cell(df: DataFrame) -> DataFrame:
+    """Cluster rows by their IVF cell immediately before a
+    partitionBy("cent_id") write (the Iceberg write.distribution-mode
+    = hash pattern): every cell's rows land in ONE write task, so each
+    cent_id directory receives one file per write instead of one per
+    (task, cell) pair. Without this the persisted-assignment plans
+    (whose pre-write stage keeps the join's task count) fanned the
+    sf0.1 store out to ~25 files per cell — a 12x small-file blowup
+    that taxed every subsequent partition-pruned probe and full-store
+    scan. The one extra shuffle is build/maintenance-time only, keyed
+    by the exact column the layout needs; cells are kmeans-balanced
+    (~N/K rows), so no write-task skew."""
+    return df.repartition("cent_id")
 
 
 def ivf_write(
@@ -561,7 +576,7 @@ def ivf_write(
         res = _residuals(rows, cent)
         pq_cb = pq_codebook(res, pq_m, pq_sub, pq_c)
         rows = rows.join(pq_encode(res, pq_cb, pq_m, pq_sub), "vec_id")
-    rows.write.mode("overwrite").partitionBy("cent_id").parquet(path)
+    _by_cell(rows).write.mode("overwrite").partitionBy("cent_id").parquet(path)
     # persist the codebook beside the data (underscore prefix = hidden
     # to Spark's file listing, like _SUCCESS) so ivf_append can assign
     # new vectors without the caller carrying the centroid table
@@ -642,7 +657,7 @@ def ivf_append(
         # listing: fresh → the batch's decoded rows can be appended
         # incrementally; stale/absent → full rebuild below
         decoded_was_fresh = pq_decoded(spark, path) is not None
-    rows.write.mode("append").partitionBy("cent_id").parquet(path)
+    _by_cell(rows).write.mode("append").partitionBy("cent_id").parquet(path)
     if meta is not None:
         if decoded_was_fresh:
             # O(batch) sidecar maintenance: decode ONLY the appended
@@ -650,8 +665,10 @@ def ivf_append(
             # a crash in between leaves a stale sig → fallback+rebuild)
             import json as _json
 
-            _decode_codes(
-                rows.select("vec_id", "cent_id", "pq_code"), pq_cb
+            _by_cell(
+                _decode_codes(
+                    rows.select("vec_id", "cent_id", "pq_code"), pq_cb
+                )
             ).write.mode("append").partitionBy("cent_id").parquet(
                 os.path.join(path, "_pq_decoded")
             )
@@ -800,7 +817,9 @@ def ivf_compact(spark, path: str) -> DataFrame:
         clean = data.filter(F.col("cent_id").isin(affected)).join(
             F.broadcast(tomb), "vec_id", "left_anti"
         )
-        clean.write.mode("overwrite").partitionBy("cent_id").parquet(stage)
+        _by_cell(clean).write.mode("overwrite").partitionBy("cent_id").parquet(
+            stage
+        )
         # a fully-tombstoned cluster writes NO staged dir — its live
         # dir must be dropped outright or retiring the tombstones
         # would resurrect it (recovery-safe: until the tombstones go,
@@ -915,7 +934,7 @@ def ivf_recluster(
         res = _residuals(rows, cent)
         pq_cb = pq_codebook(res, meta["m"], meta["sub"], meta["c"])
         rows = rows.join(pq_encode(res, pq_cb, meta["m"], meta["sub"]), "vec_id")
-    rows.write.mode("overwrite").partitionBy("cent_id").parquet(stage)
+    _by_cell(rows).write.mode("overwrite").partitionBy("cent_id").parquet(stage)
     cent.write.mode("overwrite").parquet(os.path.join(stage, "_codebook"))
     if pq_cb is not None:
         _write_pq_sidecar(stage, pq_cb, meta["m"], meta["sub"], meta["c"])
@@ -1231,20 +1250,24 @@ def ivf_recluster_incremental(
         F.col("cent_id").isin(rewrite_set)
     ).unionByName(moved.filter(F.col("cent_id").isin(rewrite_set)))
     append_rows = moved.filter(~F.col("cent_id").isin(rewrite_set))
-    rewrite_rows.write.mode("overwrite").partitionBy("cent_id").parquet(
+    _by_cell(rewrite_rows).write.mode("overwrite").partitionBy("cent_id").parquet(
         os.path.join(stage, "rewrite")
     )
-    append_rows.write.mode("overwrite").partitionBy("cent_id").parquet(
+    _by_cell(append_rows).write.mode("overwrite").partitionBy("cent_id").parquet(
         os.path.join(stage, "append")
     )
     if meta is not None:
-        _decode_codes(
-            rewrite_rows.select("vec_id", "cent_id", "pq_code"), pq_cb
+        _by_cell(
+            _decode_codes(
+                rewrite_rows.select("vec_id", "cent_id", "pq_code"), pq_cb
+            )
         ).write.mode("overwrite").partitionBy("cent_id").parquet(
             os.path.join(stage, "rewrite_dec")
         )
-        _decode_codes(
-            append_rows.select("vec_id", "cent_id", "pq_code"), pq_cb
+        _by_cell(
+            _decode_codes(
+                append_rows.select("vec_id", "cent_id", "pq_code"), pq_cb
+            )
         ).write.mode("overwrite").partitionBy("cent_id").parquet(
             os.path.join(stage, "append_dec")
         )
