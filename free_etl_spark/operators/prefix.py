@@ -250,6 +250,61 @@ def _ceil_div(a: Column, b: Column) -> Column:
     return F.ceil(a / b)
 
 
+def ntile_boundary_rows(
+    df: DataFrame,
+    keys: list[tuple[str, bool]],
+    k: int,
+    *,
+    cache_tag: str,
+    partitions: int | None = None,
+) -> tuple[int, dict[int, dict]]:
+    """The k-1 NTILE(k) bucket-boundary rows of ``df`` under the total
+    order ``keys`` ([(column, descending), ...] — include a unique
+    tie-breaker, same rule as ordered_prefix).
+
+    NTILE(k) over n rows gives buckets 1..r (r = n % k) q+1 rows and
+    the rest q (q = n // k), so bucket j ends at global rank
+    b_j = j*q + min(j, r). This extracts the rows AT those ranks with
+    one ordered_prefix pass (range partition + local row number — no
+    global sort, no single-partition window) and a <=(k-1)-row collect,
+    letting callers score NTILE as a MAP-SIDE comparison against k-1
+    broadcast boundary literals instead of chaining full prefix passes
+    per metric (guide §2.3: shuffle a lightweight proxy — here the
+    boundary tuples — and keep the payload pass shuffle-free).
+
+    Returns (n, {j: row_dict}) for j = 1..k-1 mapping each boundary to
+    its row's column values (ranks can coincide when n < k; coinciding
+    boundaries share the row). A row is strictly-after boundary j —
+    i.e. in a bucket > j — iff its key tuple orders after the boundary
+    row's, which no range-partition boundary placement can change."""
+    order = [
+        (F.col(name).desc() if desc else F.col(name).asc())
+        for name, desc in keys
+    ]
+    pre = ordered_prefix(
+        df,
+        order,
+        cache_tag=cache_tag,
+        rn="__grn",
+        grand={"__n": F.lit(1)},
+        partitions=partitions,
+    )
+    n_col, q_col = F.col("__n"), F.floor(F.col("__n") / k)
+    r_col = n_col % k
+    cond = F.lit(False)
+    for j in range(1, k):
+        cond = cond | (
+            F.col("__grn") == F.lit(j) * q_col + F.least(F.lit(j), r_col)
+        )
+    rows = pre.filter(cond).collect()
+    if not rows:
+        return 0, {}
+    n = int(rows[0]["__n"])
+    q, r = divmod(n, k)
+    by_rank = {int(row["__grn"]): row.asDict() for row in rows}
+    return n, {j: by_rank[j * q + min(j, r)] for j in range(1, k)}
+
+
 def global_ntile(
     df: DataFrame,
     order: list[Column | str],

@@ -39,24 +39,37 @@ def test_bench_final_line_survives_driver_tail_window():
     assert out.returncode == 0, out.stderr[-2000:]
     lines = out.stdout.splitlines()
     metric_lines = [l for l in lines if l.startswith('{"metric"')]
-    assert len(metric_lines) == 1, out.stdout[-2000:]
+    chunk_lines = [l for l in metric_lines if '"per_query_chunk"' in l]
+    headline_lines = [l for l in metric_lines if l not in chunk_lines]
+    assert len(headline_lines) == 1, out.stdout[-2000:]
     # The canonical line must be LAST and compact — small enough that
     # it can never be truncated out of a 2000-char tail even with the
-    # per-query line immediately before it.
-    assert lines[-1] == metric_lines[0]
-    assert len(metric_lines[0]) < 500, len(metric_lines[0])
-    payload = json.loads(metric_lines[0])
+    # per-query chunk lines immediately before it.
+    assert lines[-1] == headline_lines[0]
+    assert len(headline_lines[0]) < 500, len(headline_lines[0])
+    payload = json.loads(headline_lines[0])
     assert payload["unit"] == "sec"
     assert payload["sf"] == 0.001
     assert payload["value"] > 0
     assert payload["n_queries"] >= 20
     assert "queries" not in payload  # the dict lives on its own line
 
-    # Driver simulation: last 2000 chars, driver-style regex.
+    # Driver simulation: last 2000 chars, driver-style regex. The tail
+    # now also contains per_query_chunk records (VERDICT r14 task 2),
+    # so the headline must be recoverable from the FULL match set —
+    # it is always the last, untruncated match since the final line is
+    # compact and last.
     tail = out.stdout[-2000:]
-    m = re.search(r'\{"metric".*\}', tail)
-    assert m, tail
-    assert json.loads(m.group(0))["value"] == payload["value"]
+    recs = []
+    for m in re.finditer(r'\{"metric".*\}', tail):
+        try:
+            recs.append(json.loads(m.group(0)))
+        except json.JSONDecodeError:
+            pass  # a chunk line truncated by the window
+    heads = [r for r in recs if r["metric"] == "headline_query_suite_runtime"]
+    assert len(heads) == 1, tail
+    assert heads[0]["value"] == payload["value"]
+    assert json.loads(tail[tail.rindex('{"metric'):]) == heads[0]
 
     # Per-query timings: own stdout line, NOT the side file — subset
     # runs probe the stdout contract and must leave the last full-suite
@@ -66,6 +79,24 @@ def test_bench_final_line_survives_driver_tail_window():
     qpayload = json.loads(qlines[0])
     assert len(qpayload["queries"]) >= 20
     assert all(v >= 0 for v in qpayload["queries"].values())
+
+    # Driver-parseable per-query stamps (VERDICT r14 task 2): the same
+    # map re-emitted as '{"metric": "per_query_chunk"}' one-line JSON
+    # records, each under the driver's 2000-char tail window, printed
+    # before (never after) the final headline line. Their union must
+    # reconstruct the full per-query map exactly.
+    assert chunk_lines, "no per_query_chunk lines emitted"
+    merged: dict = {}
+    for want_i, line in enumerate(chunk_lines):
+        assert len(line) <= 2000, len(line)
+        rec = json.loads(line)
+        assert rec["metric"] == "per_query_chunk"
+        assert rec["i"] == want_i
+        merged.update(rec["value"])
+    assert merged == qpayload["queries"]
+    # chunks come after the queries line and before the headline line
+    assert lines.index(chunk_lines[0]) > lines.index(qlines[0])
+    assert lines.index(chunk_lines[-1]) < len(lines) - 1
     if side_before is not None:
         assert open(side_path).read() == side_before, (
             "subset run overwrote BENCH_QUERIES.json"

@@ -85,6 +85,57 @@ def test_global_ntile_small_n(spark):
     assert list(got["b"]) == [1, 2, 3]
 
 
+@pytest.mark.parametrize("k,desc", [(5, False), (5, True), (4, False)])
+def test_ntile_boundary_rows_reproduce_sql_ntile(spark, scrambled, k, desc):
+    """Scoring rows against the k-1 boundary rows (bucket = 1 +
+    #boundaries strictly before the row in the total order) must equal
+    NTILE(k) exactly, tie-break included — the map-side form
+    orders_rfm_segmentation uses (VERDICT r14 task 3)."""
+    from free_etl_spark.operators.prefix import ntile_boundary_rows
+
+    # v has heavy ties (id % 7), k is the unique tie-breaker
+    df = scrambled.select("k", "v")
+    order = [F.desc("v") if desc else F.asc("v"), F.asc("k")]
+    ref = (
+        df.select(
+            "k", F.ntile(k).over(Window.orderBy(*order)).alias("b")
+        )
+        .orderBy("k")
+        .toPandas()
+    )
+    n, bnd = ntile_boundary_rows(
+        df, [("v", desc), ("k", False)], k,
+        cache_tag=f"test_bnd_{k}_{desc}",
+    )
+    assert n == df.count()
+    assert set(bnd) == set(range(1, k))
+    v, c = F.col("v"), F.col("k")
+    bucket = F.lit(1)
+    for j in sorted(bnd):
+        bv, bc = F.lit(bnd[j]["v"]), F.lit(bnd[j]["k"])
+        after_value = (v < bv) if desc else (v > bv)
+        bucket = bucket + (after_value | ((v == bv) & (c > bc))).cast("int")
+    got = df.select("k", bucket.alias("b")).orderBy("k").toPandas()
+    assert (got["b"].values == ref["b"].values).all()
+
+
+def test_ntile_boundary_rows_small_and_empty(spark):
+    from free_etl_spark.operators.prefix import ntile_boundary_rows
+
+    # n < k: coinciding boundary ranks share rows; scoring still exact
+    df = spark.range(0, 3).select(F.col("id").alias("k"))
+    n, bnd = ntile_boundary_rows(
+        df, [("k", False)], 5, cache_tag="test_bnd_small"
+    )
+    assert n == 3
+    assert [bnd[j]["k"] for j in (1, 2, 3, 4)] == [0, 1, 2, 2]
+    empty = df.filter("k < 0")
+    n0, b0 = ntile_boundary_rows(
+        empty, [("k", False)], 5, cache_tag="test_bnd_empty"
+    )
+    assert (n0, b0) == (0, {})
+
+
 def test_repeated_construction_is_stable_and_bounded(spark, scrambled):
     """Re-running the same prefix query must produce identical values
     (regression for the two-branch boundary-sampling bug) and must not
