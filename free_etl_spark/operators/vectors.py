@@ -10,8 +10,66 @@ aggregate folds); no Python stages.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Above this, a codebook is no longer "small by construction" for
+# driver round-trips / broadcasts (VERDICT r14 task 6): K = √N puts
+# K×dim×8B at ~0.5 GB per kmeans iteration at 10^12 vectors. Guarded
+# paths fall back to distributed forms (localCheckpoint lineage cut,
+# unhinted join) instead of moving the codebook through the driver.
+_CODEBOOK_DRIVER_CAP_BYTES = 64 << 20
+
+
+def _codebook_fits_driver(k: int | None, dim: int | None) -> bool:
+    if k is None or dim is None:
+        return True  # tested scales: K=√N, a few hundred rows
+    return k * dim * 8 <= _CODEBOOK_DRIVER_CAP_BYTES
+
+
+@contextlib.contextmanager
+def _maintenance_scope(spark):
+    """Scoped confs for the store-maintenance operators (build/append/
+    recluster), restored on exit — the run_to_completion precedent:
+
+    - files.minPartitionNum = default parallelism: the corpus often
+      arrives as ONE file smaller than maxPartitionBytes (sf0.1's
+      embeddings.parquet is ~77 MB), so every argmin/encode pass was
+      a single-task scan; a parallelism floor is scale-adaptive (a
+      cluster session sizes default_parallelism to its cores) and a
+      no-op when the input already splits.
+    - AQE partition coalescing off: these plans shuffle kilobyte-wide
+      rows far below the advisory size, so coalescing folded the
+      partitioned store WRITES to 2-3 tasks (measured 0.8-1.2 s per
+      write at sf0.1, ~4x slower than the 32-task form; file count is
+      unchanged either way — one file per cell, keyed by the
+      repartition). Skew-join handling stays on.
+
+    Measured (tools/profile_recluster_jobs.py, sf0.1, warm): the two
+    recluster shapes 25.1 s -> 19.8 s under these two confs."""
+    from free_etl_spark.session import default_parallelism
+
+    pairs = {
+        "spark.sql.files.minPartitionNum": str(default_parallelism()),
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev: dict[str, str | None] = {}
+    for key, val in pairs.items():
+        try:
+            prev[key] = spark.conf.get(key)
+        except Exception:
+            prev[key] = None
+        spark.conf.set(key, val)
+    try:
+        yield
+    finally:
+        for key, old in prev.items():
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
 
 
 def probe_dim(df: DataFrame, col: str = "emb") -> int:
@@ -97,6 +155,7 @@ def assign_nearest(
     dim: int | None = None,
     carry: tuple[str, ...] = (),
     with_d2: bool = False,
+    k: int | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment as ONE map-side broadcast pass plus
     a ``min_by`` aggregate: (vec_id, cent_id[, *carry]) where cent_id
@@ -118,8 +177,19 @@ def assign_nearest(
     is the rn-1 row's, bit-for-bit) for drift/quantization audits.
 
     ``centroid_rank`` remains the primitive for rn <= nprobe probing,
-    where the ranked relation itself is the output."""
-    j = vecs.join(F.broadcast(cents)).select(
+    where the ranked relation itself is the output.
+
+    ``k`` (when the caller knows the codebook size) guards the
+    broadcast (VERDICT r14 task 6): past _CODEBOOK_DRIVER_CAP_BYTES
+    the hint is dropped and the planner distributes the all-pairs
+    join (nested-loop over codebook partitions) instead of pushing a
+    multi-GB relation through the driver and every executor."""
+    right = (
+        F.broadcast(cents)
+        if _codebook_fits_driver(k, dim)
+        else cents
+    )
+    j = vecs.join(right).select(
         "vec_id", *carry, "cent_id", l2_sq("emb", "cemb", dim).alias("d2")
     )
     if with_d2:
@@ -207,6 +277,27 @@ def lsh_bits(n: int) -> int:
     return min(16, max(8, math.ceil(math.log2(max(n, 2)))))
 
 
+def _localize_codebook(
+    cent: DataFrame, k: int | None, dim: int | None
+) -> DataFrame:
+    """Collect a small codebook into a driver-local relation (doubles
+    round-trip bit-identically through collect/createDataFrame): every
+    downstream reference — broadcast build, ``_codebook`` write, the
+    assignment pass — then reads K local rows instead of re-running
+    the codebook's source scan per action. Returns ``cent`` unchanged
+    past _CODEBOOK_DRIVER_CAP_BYTES (callers keep the distributed
+    relation and its lineage)."""
+    if not _codebook_fits_driver(k, dim):
+        return cent
+    return cent.sparkSession.createDataFrame(
+        [
+            (int(r.cent_id), [float(x) for x in r.cemb])
+            for r in cent.collect()
+        ],
+        "cent_id bigint, cemb array<double>",
+    )
+
+
 def first_k_centroids(emb: DataFrame, k: int) -> DataFrame:
     """Deterministic codebook init: the first K vectors by vec_id —
     the mode every SQL oracle replays (trivially expressible as
@@ -231,12 +322,11 @@ def kmeans_centroids(
     Means are rounded to 6 dp per dimension, matching the
     emb_kmeans_2iter oracle contract, so a future SQL mirror can
     replay the refinement FP-stably."""
-    spark = emb.sparkSession
     cent = first_k_centroids(emb, k)
     for _ in range(iters):
         # one-pass assignment carrying the embedding: no N×K window,
         # no emb join-back per iteration (see assign_nearest)
-        asn = assign_nearest(emb, cent, dim, carry=("emb",))
+        asn = assign_nearest(emb, cent, dim, carry=("emb",), k=k)
         upd = (
             asn.select("cent_id", F.posexplode("emb").alias("pos", "x"))
             .groupBy("cent_id", "pos")
@@ -263,13 +353,13 @@ def kmeans_centroids(
         # round-trip is the cheap plan-cut (guide §3.3: materialise
         # an intermediate to truncate the plan). Exact: doubles
         # round-trip bit-identically through collect/createDataFrame.
-        cent = spark.createDataFrame(
-            [
-                (int(r.cent_id), [float(x) for x in r.cemb])
-                for r in cent.collect()
-            ],
-            "cent_id bigint, cemb array<double>",
-        )
+        # GUARD (VERDICT r14 task 6): K grows as √N, so at 10^12
+        # vectors K×dim×8B is ~0.5 GB per iteration through the
+        # driver — past the cap the lineage cut is a localCheckpoint
+        # (executor-side materialization, same exactness, no driver
+        # round-trip).
+        loc = _localize_codebook(cent, k, dim)
+        cent = loc if loc is not cent else cent.localCheckpoint(eager=False)
     return cent
 
 
@@ -364,6 +454,24 @@ def pq_meta(path: str) -> dict | None:
         return None
     with open(p) as f:
         return json.load(f)
+
+
+def _store_has_pq_codes(path: str) -> bool:
+    """Driver-only probe: does the store's data schema carry a
+    ``pq_code`` column? One pyarrow footer read of a single part file
+    — replaces a Spark schema read, which cost a directory-listing
+    job plus a footer job per append. Any part file is authoritative:
+    ivf_write writes every file with the same schema, and append
+    refuses to run before this very check passes."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    parts = glob.glob(os.path.join(path, "cent_id=*", "*.parquet"))
+    if not parts:
+        return False
+    return "pq_code" in set(pq.read_schema(parts[0]).names)
 
 
 def _write_pq_sidecar(
@@ -534,61 +642,72 @@ def ivf_write(
             f"pq_c={pq_c} exceeds 127: pq_code is stored as signed "
             "tinyint; use pq_c <= 127"
         )
-    if k is None:
-        # one job probes N and dim together (vs a count() pass + a
-        # separate first() job — guide §1.2: two scalars, one scan)
-        n, dim = emb.select(
-            F.count(F.lit(1)), F.first(F.size("emb"))
-        ).first()
-        k = scaled_centroid_k(int(n))
-        dim = int(dim)
-    else:
-        dim = probe_dim(emb)
-    if codebook == "kmeans":
-        cent = kmeans_centroids(emb, k, iters, dim)
-    elif codebook == "first_k":
-        cent = first_k_centroids(emb, k)
-    else:
-        raise ValueError(f"unknown codebook mode: {codebook!r}")
-    payload = tuple(c for c in emb.columns if c != "vec_id")
-    rows = assign_nearest(emb, cent, dim, carry=payload).select(
-        "vec_id", *payload, "cent_id"
-    )
-    pq_cb = None
-    asn_cached = None
-    if pq_m is not None:
-        if pq_sub is None:
-            if dim % pq_m != 0:
-                # a defaulted pq_sub = dim // pq_m would silently
-                # drop the trailing dim % pq_m dimensions from every
-                # code and ADC distance (ADVICE r13). Callers who
-                # truly want truncation must pass pq_sub explicitly.
-                raise ValueError(
-                    f"dim={dim} is not divisible by pq_m={pq_m}; pass "
-                    "pq_sub explicitly to truncate trailing dimensions"
-                )
-            pq_sub = dim // pq_m
-        # the assignment relation feeds the residuals, the PQ codebook,
-        # the encode AND the final join-back — persist it once instead
-        # of re-running the broadcast-argmin pass per reference
-        # (guide §5: cache exactly the reused-and-expensive relation)
-        rows = asn_cached = rows.persist()
-        res = _residuals(rows, cent)
-        pq_cb = pq_codebook(res, pq_m, pq_sub, pq_c)
-        rows = rows.join(pq_encode(res, pq_cb, pq_m, pq_sub), "vec_id")
-    _by_cell(rows).write.mode("overwrite").partitionBy("cent_id").parquet(path)
-    # persist the codebook beside the data (underscore prefix = hidden
-    # to Spark's file listing, like _SUCCESS) so ivf_append can assign
-    # new vectors without the caller carrying the centroid table
-    import os
+    with _maintenance_scope(emb.sparkSession):
+        if k is None:
+            # one job probes N and dim together (vs a count() pass and
+            # a separate first() job — guide §1.2: two scalars, 1 scan)
+            n, dim = emb.select(
+                F.count(F.lit(1)), F.first(F.size("emb"))
+            ).first()
+            k = scaled_centroid_k(int(n))
+            dim = int(dim)
+        else:
+            dim = probe_dim(emb)
+        if codebook == "kmeans":
+            cent = kmeans_centroids(emb, k, iters, dim)
+        elif codebook == "first_k":
+            # localized: the broadcast build and the _codebook write
+            # below then read K driver-local rows instead of each
+            # re-running the corpus filter scan (one action fewer,
+            # and the remaining ones carry no scan)
+            cent = _localize_codebook(first_k_centroids(emb, k), k, dim)
+        else:
+            raise ValueError(f"unknown codebook mode: {codebook!r}")
+        payload = tuple(c for c in emb.columns if c != "vec_id")
+        rows = assign_nearest(emb, cent, dim, carry=payload, k=k).select(
+            "vec_id", *payload, "cent_id"
+        )
+        pq_cb = None
+        asn_cached = None
+        if pq_m is not None:
+            if pq_sub is None:
+                if dim % pq_m != 0:
+                    # a defaulted pq_sub = dim // pq_m would silently
+                    # drop the trailing dim % pq_m dimensions from
+                    # every code and ADC distance (ADVICE r13).
+                    # Callers who truly want truncation must pass
+                    # pq_sub explicitly.
+                    raise ValueError(
+                        f"dim={dim} is not divisible by pq_m={pq_m}; "
+                        "pass pq_sub explicitly to truncate trailing "
+                        "dimensions"
+                    )
+                pq_sub = dim // pq_m
+            # the assignment relation feeds the residuals, the PQ
+            # codebook, the encode AND the final join-back — persist
+            # it once instead of re-running the broadcast-argmin pass
+            # per reference (guide §5: cache exactly the
+            # reused-and-expensive relation)
+            rows = asn_cached = rows.persist()
+            res = _residuals(rows, cent)
+            pq_cb = pq_codebook(res, pq_m, pq_sub, pq_c)
+            rows = rows.join(pq_encode(res, pq_cb, pq_m, pq_sub), "vec_id")
+        _by_cell(rows).write.mode("overwrite").partitionBy(
+            "cent_id"
+        ).parquet(path)
+        # persist the codebook beside the data (underscore prefix =
+        # hidden to Spark's file listing, like _SUCCESS) so ivf_append
+        # can assign new vectors without the caller carrying the
+        # centroid table
+        import os
 
-    cent.write.mode("overwrite").parquet(os.path.join(path, "_codebook"))
-    if pq_cb is not None:
-        _write_pq_sidecar(path, pq_cb, pq_m, pq_sub, pq_c)
-        write_decoded_sidecar(emb.sparkSession, path)
-    if asn_cached is not None:
-        asn_cached.unpersist()
-    return cent
+        cent.write.mode("overwrite").parquet(os.path.join(path, "_codebook"))
+        if pq_cb is not None:
+            _write_pq_sidecar(path, pq_cb, pq_m, pq_sub, pq_c)
+            write_decoded_sidecar(emb.sparkSession, path)
+        if asn_cached is not None:
+            asn_cached.unpersist()
+        return cent
 
 
 def ivf_append(
@@ -615,18 +734,8 @@ def ivf_append(
     without re-reading the codebook."""
     import os
 
-    if cent is None:
-        cent = emb_new.sparkSession.read.parquet(
-            os.path.join(path, "_codebook")
-        )
-    payload = tuple(c for c in emb_new.columns if c != "vec_id")
-    rows = assign_nearest(
-        emb_new, cent, probe_dim(emb_new), carry=payload
-    ).select("vec_id", *payload, "cent_id")
     meta = pq_meta(path)
-    if meta is None and "pq_code" in emb_new.sparkSession.read.parquet(
-        path
-    ).columns:
+    if meta is None and _store_has_pq_codes(path):
         # crash window (ADVICE r13): ivf_write writes the PQ-coded
         # data rows BEFORE the _pq_codebook/_pq_meta.json sidecars
         # (the data write clears the directory, so sidecars cannot go
@@ -639,6 +748,27 @@ def ivf_append(
             "sidecar (crashed ivf_write?); rebuild with ivf_write "
             "before appending"
         )
+    with _maintenance_scope(emb_new.sparkSession):
+        return _ivf_append_scoped(emb_new, path, cent, meta)
+
+
+def _ivf_append_scoped(
+    emb_new: DataFrame, path: str, cent: DataFrame | None, meta: dict | None
+) -> DataFrame:
+    import os
+
+    if cent is None:
+        cent = emb_new.sparkSession.read.parquet(
+            os.path.join(path, "_codebook")
+        )
+    # dim from ONE codebook row (centroids share the corpus dim by
+    # construction) — the former probe_dim(emb_new) was a first() job
+    # over the batch scan
+    dim = int(cent.select(F.size("cemb")).first()[0])
+    payload = tuple(c for c in emb_new.columns if c != "vec_id")
+    rows = assign_nearest(emb_new, cent, dim, carry=payload).select(
+        "vec_id", *payload, "cent_id"
+    )
     spark = emb_new.sparkSession
     pq_cb = None
     decoded_was_fresh = False
@@ -888,6 +1018,17 @@ def ivf_recluster(
     shutil.rmtree(retired, ignore_errors=True)
     shutil.rmtree(stage, ignore_errors=True)
 
+    with _maintenance_scope(spark):
+        return _ivf_recluster_scoped(spark, path, stage, retired, k,
+                                     codebook, iters)
+
+
+def _ivf_recluster_scoped(
+    spark, path, stage, retired, k, codebook, iters
+) -> DataFrame:
+    import os
+    import shutil
+
     data = spark.read.parquet(path)
     # stale per-row columns (the old assignment AND the old PQ codes —
     # both are functions of the centroids being replaced) are dropped;
@@ -910,11 +1051,11 @@ def ivf_recluster(
     if codebook == "kmeans":
         cent = kmeans_centroids(emb, k, iters, dim)
     elif codebook == "first_k":
-        cent = first_k_centroids(emb, k)
+        cent = _localize_codebook(first_k_centroids(emb, k), k, dim)
     else:
         raise ValueError(f"unknown codebook mode: {codebook!r}")
     payload = tuple(c for c in emb.columns if c != "vec_id")
-    rows = assign_nearest(emb, cent, dim, carry=payload).select(
+    rows = assign_nearest(emb, cent, dim, carry=payload, k=k).select(
         "vec_id", *payload, "cent_id"
     )
     meta = pq_meta(path)
@@ -1108,9 +1249,13 @@ def ivf_recluster_incremental(
                     )
         cb_new_dir = os.path.join(stage, "_codebook_new")
         if os.path.isdir(cb_new_dir):
-            spark.read.parquet(cb_new_dir).write.mode("overwrite").parquet(
-                os.path.join(path, "_codebook")
-            )
+            # promote by directory swap — the staged dir is a complete
+            # Spark-committed parquet dir; re-reading and re-writing
+            # it cost a listing + read + write job per apply
+            live_cb = os.path.join(path, "_codebook")
+            if os.path.isdir(live_cb):
+                shutil.rmtree(live_cb)
+            os.rename(cb_new_dir, live_cb)
         if pq_meta(path) is not None:
             tmp = _decoded_meta_path(path) + ".tmp"
             with open(tmp, "w") as f:
@@ -1124,166 +1269,181 @@ def ivf_recluster_incremental(
             _apply_stage()
         shutil.rmtree(stage, ignore_errors=True)
 
-    cent = spark.read.parquet(os.path.join(path, "_codebook"))
-    dim = probe_dim(spark.read.parquet(path).select("emb"))
-    if drifted is None:
-        drift = ivf_list_drift(spark, path)
-        if min_drift_d2 is None:
-            # robust default: 3× the MEDIAN drift. The mean is pulled
-            # up by the very cells we want to select, and a
-            # non-converged Lloyd baseline gives every list a small
-            # background drift — 3×median separates genuine drift
-            # from that noise floor (measured: 1 of 45 lists selected
-            # on a hot-clump store vs 9 of 45 with an above-mean rule)
-            row = drift.agg(
-                F.expr("percentile(drift_d2, 0.5)").alias("med")
-            ).first()
-            min_drift_d2 = 3.0 * float(row[0] or 0.0)
-        drifted = [
-            int(r.cent_id)
-            for r in drift.filter(F.col("drift_d2") > min_drift_d2)
-            .select("cent_id")
+    with _maintenance_scope(spark):
+        cent = spark.read.parquet(os.path.join(path, "_codebook"))
+        # dim from one codebook row (same width as the corpus by
+        # construction) — the former probe_dim over the store paid a
+        # directory listing + a first() scan job
+        dim = int(cent.select(F.size("cemb")).first()[0])
+        if drifted is None:
+            drift = ivf_list_drift(spark, path)
+            if min_drift_d2 is None:
+                # robust default: 3× the MEDIAN drift. The mean is pulled
+                # up by the very cells we want to select, and a
+                # non-converged Lloyd baseline gives every list a small
+                # background drift — 3×median separates genuine drift
+                # from that noise floor (measured: 1 of 45 lists selected
+                # on a hot-clump store vs 9 of 45 with an above-mean rule)
+                row = drift.agg(
+                    F.expr("percentile(drift_d2, 0.5)").alias("med")
+                ).first()
+                min_drift_d2 = 3.0 * float(row[0] or 0.0)
+            drifted = [
+                int(r.cent_id)
+                for r in drift.filter(F.col("drift_d2") > min_drift_d2)
+                .select("cent_id")
+                .collect()
+            ]
+        if not drifted:
+            return cent
+        # 2. one restricted Lloyd step: drifted centroids -> member mean
+        data = spark.read.parquet(path)
+        live_stats = data.select("vec_id", "cent_id", "emb")
+        tomb = ivf_tombstones(spark, path)
+        if tomb is not None:
+            live_stats = live_stats.join(F.broadcast(tomb), "vec_id", "left_anti")
+        new_pos = (
+            live_stats.filter(F.col("cent_id").isin(drifted))
+            .select("cent_id", F.posexplode("emb").alias("pos", "x"))
+            .groupBy("cent_id", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cemb_new")
+            )
+        )
+        cent_upd = cent.join(new_pos, "cent_id", "left").select(
+            "cent_id", F.coalesce("cemb_new", "cemb").alias("cemb")
+        )
+        # Localize the updated codebook (driver cap honored — K counted
+        # from the store's cell directories, no job): it is referenced by
+        # the broadcast argmin, the PQ re-encode residuals AND the staged
+        # ``_codebook_new`` write, and as a lazy join each reference
+        # re-ran the member-mean pass over the drifted cells.
+        k_store = sum(
+            1 for d in os.listdir(path) if d.startswith("cent_id=")
+        )
+        cent_upd = _localize_codebook(cent_upd, k_store, dim)
+        # 3. GLOBAL argmin against the updated codebook — compute-only
+        # (map-side broadcast, no shuffle of data, NO rewrite; the same
+        # O(N·K) pass class as the drift audit itself). Restricting the
+        # reassignment to rows in drifted lists was measured to leak
+        # recall: a row in an undrifted list whose nearest centroid is
+        # now a MOVED one would be probed at the moved cell but stored
+        # elsewhere (0.80 vs 0.92 recall@5 in the pinned test). The
+        # REWRITE below stays proportional to actually-moved rows.
+        #
+        # The argmin is ONE assign_nearest-shaped pass (broadcast codebook
+        # + min_by partial agg) that CARRIES the row payload and the old
+        # assignment, and the N-row result is persisted: the former
+        # asn_new → changed → in_rw/keep/moved chain re-executed the full
+        # N×K window + three vec_id shuffle joins inside every downstream
+        # job (srcs collect, rewrite write, append write — measured 3-4
+        # recomputations per call, guide §5 "caching is worth it when a
+        # DataFrame is reused and recomputing is expensive").
+        payload = [c for c in data.columns if c != "cent_id"]
+        cand = cent_upd.select(F.col("cent_id").alias("cand_cid"), "cemb")
+        if _codebook_fits_driver(k_store, dim):
+            cand = F.broadcast(cand)
+        scored = (
+            data.join(cand)
+            .select(
+                *payload,
+                F.col("cent_id").alias("old_cent"),
+                "cand_cid",
+                l2_sq("emb", "cemb", dim).alias("d2"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.min_by("cand_cid", F.struct("d2", "cand_cid")).alias(
+                    "new_cent"
+                ),
+                F.first("old_cent").alias("old_cent"),
+                *[F.first(c).alias(c) for c in payload if c != "vec_id"],
+            )
+            .persist()
+        )
+        srcs = {
+            int(r.old_cent)
+            for r in scored.filter(F.col("old_cent") != F.col("new_cent"))
+            .select("old_cent")
+            .distinct()
             .collect()
+        }
+        rewrite_set = sorted(set(drifted) | srcs)
+        # 4. stage the rewrite partitions' full new contents and the
+        # append-only destinations' moved-in rows (see docstring step 4).
+        # All movers originate inside rewrite_set (srcs ⊆ rewrite_set);
+        # keep/moved are now plain FILTERS on the persisted scored
+        # relation — no joins.
+        meta = pq_meta(path)
+        datacols = data.columns
+        keep = (
+            scored.filter(F.col("old_cent") == F.col("new_cent"))
+            .filter(F.col("old_cent").isin(rewrite_set))
+            .select(*payload, F.col("old_cent").alias("cent_id"))
+            .select(*datacols)
+        )
+        moved = (
+            scored.filter(F.col("old_cent") != F.col("new_cent"))
+            .select(
+                *[c for c in payload if not (meta and c == "pq_code")],
+                F.col("new_cent").alias("cent_id"),
+            )
+        )
+        pq_cb = None
+        if meta is not None:
+            # re-encode movers AND drifted-list stayers (their residuals
+            # changed with their centroid); undrifted stayers keep codes
+            pq_cb = spark.read.parquet(os.path.join(path, "_pq_codebook"))
+            stay_drifted = keep.filter(F.col("cent_id").isin(drifted))
+            keep = keep.filter(~F.col("cent_id").isin(drifted))
+            reenc = moved.unionByName(stay_drifted.drop("pq_code"))
+            res = _residuals(reenc, cent_upd)
+            moved = reenc.join(
+                pq_encode(res, pq_cb, meta["m"], meta["sub"]), "vec_id"
+            ).select(*keep.columns)
+        rewrite_rows = keep.filter(
+            F.col("cent_id").isin(rewrite_set)
+        ).unionByName(moved.filter(F.col("cent_id").isin(rewrite_set)))
+        append_rows = moved.filter(~F.col("cent_id").isin(rewrite_set))
+        _by_cell(rewrite_rows).write.mode("overwrite").partitionBy("cent_id").parquet(
+            os.path.join(stage, "rewrite")
+        )
+        _by_cell(append_rows).write.mode("overwrite").partitionBy("cent_id").parquet(
+            os.path.join(stage, "append")
+        )
+        if meta is not None:
+            _by_cell(
+                _decode_codes(
+                    rewrite_rows.select("vec_id", "cent_id", "pq_code"), pq_cb
+                )
+            ).write.mode("overwrite").partitionBy("cent_id").parquet(
+                os.path.join(stage, "rewrite_dec")
+            )
+            _by_cell(
+                _decode_codes(
+                    append_rows.select("vec_id", "cent_id", "pq_code"), pq_cb
+                )
+            ).write.mode("overwrite").partitionBy("cent_id").parquet(
+                os.path.join(stage, "append_dec")
+            )
+        cent_upd.write.mode("overwrite").parquet(
+            os.path.join(stage, "_codebook_new")
+        )
+        scored.unpersist()
+        emptied = [
+            c
+            for c in rewrite_set
+            if not os.path.isdir(os.path.join(stage, "rewrite", f"cent_id={c}"))
         ]
-    if not drifted:
-        return cent
-    # 2. one restricted Lloyd step: drifted centroids -> member mean
-    data = spark.read.parquet(path)
-    live_stats = spark.read.parquet(path).select("vec_id", "cent_id", "emb")
-    tomb = ivf_tombstones(spark, path)
-    if tomb is not None:
-        live_stats = live_stats.join(F.broadcast(tomb), "vec_id", "left_anti")
-    new_pos = (
-        live_stats.filter(F.col("cent_id").isin(drifted))
-        .select("cent_id", F.posexplode("emb").alias("pos", "x"))
-        .groupBy("cent_id", "pos")
-        .agg(F.round(F.avg("x"), 6).alias("m"))
-        .groupBy("cent_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("cemb_new")
-        )
-    )
-    cent_upd = cent.join(new_pos, "cent_id", "left").select(
-        "cent_id", F.coalesce("cemb_new", "cemb").alias("cemb")
-    )
-    # 3. GLOBAL argmin against the updated codebook — compute-only
-    # (map-side broadcast, no shuffle of data, NO rewrite; the same
-    # O(N·K) pass class as the drift audit itself). Restricting the
-    # reassignment to rows in drifted lists was measured to leak
-    # recall: a row in an undrifted list whose nearest centroid is
-    # now a MOVED one would be probed at the moved cell but stored
-    # elsewhere (0.80 vs 0.92 recall@5 in the pinned test). The
-    # REWRITE below stays proportional to actually-moved rows.
-    #
-    # The argmin is ONE assign_nearest-shaped pass (broadcast codebook
-    # + min_by partial agg) that CARRIES the row payload and the old
-    # assignment, and the N-row result is persisted: the former
-    # asn_new → changed → in_rw/keep/moved chain re-executed the full
-    # N×K window + three vec_id shuffle joins inside every downstream
-    # job (srcs collect, rewrite write, append write — measured 3-4
-    # recomputations per call, guide §5 "caching is worth it when a
-    # DataFrame is reused and recomputing is expensive").
-    payload = [c for c in data.columns if c != "cent_id"]
-    cand = cent_upd.select(F.col("cent_id").alias("cand_cid"), "cemb")
-    scored = (
-        data.join(F.broadcast(cand))
-        .select(
-            *payload,
-            F.col("cent_id").alias("old_cent"),
-            "cand_cid",
-            l2_sq("emb", "cemb", dim).alias("d2"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.min_by("cand_cid", F.struct("d2", "cand_cid")).alias(
-                "new_cent"
-            ),
-            F.first("old_cent").alias("old_cent"),
-            *[F.first(c).alias(c) for c in payload if c != "vec_id"],
-        )
-        .persist()
-    )
-    srcs = {
-        int(r.old_cent)
-        for r in scored.filter(F.col("old_cent") != F.col("new_cent"))
-        .select("old_cent")
-        .distinct()
-        .collect()
-    }
-    rewrite_set = sorted(set(drifted) | srcs)
-    # 4. stage the rewrite partitions' full new contents and the
-    # append-only destinations' moved-in rows (see docstring step 4).
-    # All movers originate inside rewrite_set (srcs ⊆ rewrite_set);
-    # keep/moved are now plain FILTERS on the persisted scored
-    # relation — no joins.
-    meta = pq_meta(path)
-    datacols = data.columns
-    keep = (
-        scored.filter(F.col("old_cent") == F.col("new_cent"))
-        .filter(F.col("old_cent").isin(rewrite_set))
-        .select(*payload, F.col("old_cent").alias("cent_id"))
-        .select(*datacols)
-    )
-    moved = (
-        scored.filter(F.col("old_cent") != F.col("new_cent"))
-        .select(
-            *[c for c in payload if not (meta and c == "pq_code")],
-            F.col("new_cent").alias("cent_id"),
-        )
-    )
-    pq_cb = None
-    if meta is not None:
-        # re-encode movers AND drifted-list stayers (their residuals
-        # changed with their centroid); undrifted stayers keep codes
-        pq_cb = spark.read.parquet(os.path.join(path, "_pq_codebook"))
-        stay_drifted = keep.filter(F.col("cent_id").isin(drifted))
-        keep = keep.filter(~F.col("cent_id").isin(drifted))
-        reenc = moved.unionByName(stay_drifted.drop("pq_code"))
-        res = _residuals(reenc, cent_upd)
-        moved = reenc.join(
-            pq_encode(res, pq_cb, meta["m"], meta["sub"]), "vec_id"
-        ).select(*keep.columns)
-    rewrite_rows = keep.filter(
-        F.col("cent_id").isin(rewrite_set)
-    ).unionByName(moved.filter(F.col("cent_id").isin(rewrite_set)))
-    append_rows = moved.filter(~F.col("cent_id").isin(rewrite_set))
-    _by_cell(rewrite_rows).write.mode("overwrite").partitionBy("cent_id").parquet(
-        os.path.join(stage, "rewrite")
-    )
-    _by_cell(append_rows).write.mode("overwrite").partitionBy("cent_id").parquet(
-        os.path.join(stage, "append")
-    )
-    if meta is not None:
-        _by_cell(
-            _decode_codes(
-                rewrite_rows.select("vec_id", "cent_id", "pq_code"), pq_cb
-            )
-        ).write.mode("overwrite").partitionBy("cent_id").parquet(
-            os.path.join(stage, "rewrite_dec")
-        )
-        _by_cell(
-            _decode_codes(
-                append_rows.select("vec_id", "cent_id", "pq_code"), pq_cb
-            )
-        ).write.mode("overwrite").partitionBy("cent_id").parquet(
-            os.path.join(stage, "append_dec")
-        )
-    cent_upd.write.mode("overwrite").parquet(
-        os.path.join(stage, "_codebook_new")
-    )
-    scored.unpersist()
-    emptied = [
-        c
-        for c in rewrite_set
-        if not os.path.isdir(os.path.join(stage, "rewrite", f"cent_id={c}"))
-    ]
-    tmp = apply_marker + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"rewrite": rewrite_set, "emptied": emptied}, f)
-    os.replace(tmp, apply_marker)  # stage is now COMPLETE
+        tmp = apply_marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"rewrite": rewrite_set, "emptied": emptied}, f)
+        os.replace(tmp, apply_marker)  # stage is now COMPLETE
     # 5. apply + retire
     _apply_stage()
     shutil.rmtree(stage, ignore_errors=True)

@@ -1191,6 +1191,29 @@ def _audio_fp_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_relation(spark, sf_dir, "audio_fp_sig", build)
 
 
+def _audio_fp_sigs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DF-capped fingerprint index (doc_id, sig): _audio_fp_sigs
+    minus fingerprints shared by more than {_AFP_DF_CAP} docs
+    (silence/test-tone boilerplate). Persisted per (session, corpus)
+    like its parent: the batch near-dup join consumes it once per run
+    and the streaming probe's static side consumed it PER TRIGGER —
+    each trigger re-ran the groupBy(sig) cap + join over the full sig
+    relation (guide §3: pin the small static relation once; the
+    per-trigger static side is now a cache read)."""
+    from free_etl_spark.queries.dedup import _cached_relation
+
+    def build() -> DataFrame:
+        sd = _audio_fp_sigs(spark, sf_dir)
+        keep = (
+            sd.groupBy("sig")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= _AFP_DF_CAP)
+        )
+        return sd.join(F.broadcast(keep.select("sig")), "sig")
+
+    return _cached_relation(spark, sf_dir, "audio_fp_sig_capped", build)
+
+
 @query(
     "multimodal_audio_fingerprint_dedup",
     oracle=f"""
@@ -1285,13 +1308,7 @@ def multimodal_audio_fingerprint_dedup(
     the banded join finds every pair the brute force does)."""
     from free_etl_spark.operators.hashing import hamming_band_pairs
 
-    sd = _audio_fp_sigs(spark, sf_dir)
-    keep = (
-        sd.groupBy("sig")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _AFP_DF_CAP)
-    )
-    s2 = sd.join(F.broadcast(keep.select("sig")), "sig")
+    s2 = _audio_fp_sigs_capped(spark, sf_dir)
     rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("sig"))
     ids = s2.select(
         (F.col("doc_id") * 256 + rn).alias("fid"), F.col("sig")

@@ -729,32 +729,25 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from free_etl_spark.operators.prefix import (
         _persist_part,
-        ntile_boundary_rows,
+        global_ntile_boundaries,
     )
 
     cust = _persist_part(cust, "rfm_cust")
-    score_cols = []
+    scored = cust
     for alias, vcol, desc in (
         ("r", "recency_days", False),
         ("f", "frequency", True),
         ("m", "monetary", True),
     ):
-        _, bnd = ntile_boundary_rows(
-            cust.select("o_custkey", vcol),
+        scored = global_ntile_boundaries(
+            scored,
             [(vcol, desc), ("o_custkey", False)],
             5,
+            alias,
             cache_tag=f"rfm_{alias}",
+            boundary_src=cust.select(vcol, "o_custkey"),
         )
-        v, c = F.col(vcol), F.col("o_custkey")
-        bucket = F.lit(1)
-        for j in sorted(bnd):
-            bv, bc = F.lit(bnd[j][vcol]), F.lit(bnd[j]["o_custkey"])
-            after_value = (v < bv) if desc else (v > bv)
-            bucket = bucket + (
-                after_value | ((v == bv) & (c > bc))
-            ).cast("int")
-        score_cols.append(bucket.cast("int").alias(alias))
-    scored = cust.select("o_custkey", "monetary", *score_cols)
+    scored = scored.select("o_custkey", "monetary", "r", "f", "m")
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.round(F.sum("monetary"), 2).alias("total_monetary"),

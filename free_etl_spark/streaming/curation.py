@@ -25,6 +25,28 @@ from pyspark.sql.types import (
 from free_etl_spark.registry import query
 from free_etl_spark.streaming.windows import run_to_completion
 
+# Unexecuted-DataFrame memo for the two probes whose PLANS are
+# expensive to BUILD (audio fingerprint: ~16 bands × 32 unrolled
+# element_at terms per window; ADC: M×SUB unrolled subspace terms —
+# thousands of py4j Column-construction round trips, measured ~1.3-1.9s
+# of driver time per construction at sf0.1). The memo holds the LAZY
+# DataFrame only: every invocation still starts a fresh streaming query
+# that recomputes everything from the parquet inputs — no results, no
+# intermediates are cached (same class as caching a compiled regex).
+# Keyed by (session, sf_dir); bench inputs are immutable per session
+# (the _RELATION_CACHE convention, queries/dedup.py).
+_STREAM_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _stream_plan(spark, sf_dir: str, name: str, build) -> DataFrame:
+    key = (spark, sf_dir, name)
+    df = _STREAM_PLAN_CACHE.get(key)
+    if df is None:
+        df = build()
+        _STREAM_PLAN_CACHE[key] = df
+    return df
+
+
 _DOCS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -322,82 +344,84 @@ def streaming_audio_fingerprint_probe(
         _AFP_MIN_SHARED,
         _afp_payload,
         _afp_sig_rows,
-        _audio_fp_sigs,
+        _audio_fp_sigs_capped,
     )
 
-    docs = documents_stream(spark, sf_dir)
-    # identical payload + fingerprint derivation as the batch relation
-    # (_afp_sig_rows is pure DataFrame ops — no windows, no per-doc
-    # aggregation — so the same code runs on the stream; the measured
-    # shape rules live in its docstring)
-    sig_rows = _afp_sig_rows(spark, _afp_payload(docs))
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.shiftright("sig", 16 * b)
-                .bitwiseAND(65535)
-                .alias("band_val"),
-            )
-            for b in range(4)
-        ]
-    )
-    ab = sig_rows.select("doc_id", "sig", F.explode(band_arr).alias("bd")).select(
-        "doc_id",
-        "sig",
-        F.col("bd.band_id").alias("band_id"),
-        F.col("bd.band_val").alias("band_val"),
-    )
-    idx_sig = _audio_fp_sigs(spark, sf_dir)
-    keep = (
-        idx_sig.groupBy("sig")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= 256)
-    )
-    s2 = idx_sig.join(F.broadcast(keep.select("sig")), "sig")
-    ib = s2.select(
-        F.col("doc_id").alias("idx_doc"), F.col("sig").alias("idx_sig")
-    ).select(
-        "idx_doc",
-        "idx_sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("idx_band"),
-                        F.shiftright("idx_sig", 16 * b)
-                        .bitwiseAND(65535)
-                        .alias("idx_val"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bd"),
-    ).select(
-        "idx_doc",
-        "idx_sig",
-        F.col("bd.idx_band").alias("idx_band"),
-        F.col("bd.idx_val").alias("idx_val"),
-    )
-    joined = ab.join(
-        ib,
-        (F.col("band_id") == F.col("idx_band"))
-        & (F.col("band_val") == F.col("idx_val"))
-        & (F.col("doc_id") != F.col("idx_doc"))
-        & (
-            F.bit_count(F.col("sig").bitwiseXOR(F.col("idx_sig")))
-            <= _AFP_HAMMING_T
-        ),
-        "left",
-    )
-    agg = joined.groupBy("doc_id").agg(
-        F.count(F.col("idx_doc")).alias("n_band_hits")
-    )
-    out = agg.select(
-        "doc_id",
-        F.col("n_band_hits").cast("long").alias("n_band_hits"),
-        (F.col("n_band_hits") >= 4 * _AFP_MIN_SHARED).alias("flag_neardup"),
-    )
+    def build() -> DataFrame:
+        docs = documents_stream(spark, sf_dir)
+        # identical payload + fingerprint derivation as the batch relation
+        # (_afp_sig_rows is pure DataFrame ops — no windows, no per-doc
+        # aggregation — so the same code runs on the stream; the measured
+        # shape rules live in its docstring)
+        sig_rows = _afp_sig_rows(spark, _afp_payload(docs))
+        band_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.shiftright("sig", 16 * b)
+                    .bitwiseAND(65535)
+                    .alias("band_val"),
+                )
+                for b in range(4)
+            ]
+        )
+        ab = sig_rows.select("doc_id", "sig", F.explode(band_arr).alias("bd")).select(
+            "doc_id",
+            "sig",
+            F.col("bd.band_id").alias("band_id"),
+            F.col("bd.band_val").alias("band_val"),
+        )
+        # static side: the session-cached DF-capped index — per-trigger
+        # work is a cache read + the band explode, not a groupBy + join
+        # over the full sig relation per micro-batch (guide §3 / VERDICT
+        # r14 task 4)
+        s2 = _audio_fp_sigs_capped(spark, sf_dir)
+        ib = s2.select(
+            F.col("doc_id").alias("idx_doc"), F.col("sig").alias("idx_sig")
+        ).select(
+            "idx_doc",
+            "idx_sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("idx_band"),
+                            F.shiftright("idx_sig", 16 * b)
+                            .bitwiseAND(65535)
+                            .alias("idx_val"),
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("bd"),
+        ).select(
+            "idx_doc",
+            "idx_sig",
+            F.col("bd.idx_band").alias("idx_band"),
+            F.col("bd.idx_val").alias("idx_val"),
+        )
+        joined = ab.join(
+            ib,
+            (F.col("band_id") == F.col("idx_band"))
+            & (F.col("band_val") == F.col("idx_val"))
+            & (F.col("doc_id") != F.col("idx_doc"))
+            & (
+                F.bit_count(F.col("sig").bitwiseXOR(F.col("idx_sig")))
+                <= _AFP_HAMMING_T
+            ),
+            "left",
+        )
+        agg = joined.groupBy("doc_id").agg(
+            F.count(F.col("idx_doc")).alias("n_band_hits")
+        )
+        out = agg.select(
+            "doc_id",
+            F.col("n_band_hits").cast("long").alias("n_band_hits"),
+            (F.col("n_band_hits") >= 4 * _AFP_MIN_SHARED).alias("flag_neardup"),
+        )
+        return out
+
+    out = _stream_plan(spark, sf_dir, "afp_probe", build)
     return run_to_completion(out, "complete")
 
 
@@ -715,21 +739,25 @@ def streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle replays from the raw table, so a green row
     value-gates the persisted store through the streaming path.
     Stream-equals-batch is pinned in tests/test_streaming.py."""
-    from free_etl_spark.queries.similarity import _ivfpq_store
+    def build() -> DataFrame:
+        from free_etl_spark.queries.similarity import _ivfpq_store
 
-    path = _ivfpq_store(spark, sf_dir)
-    qv = embeddings_stream(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    cand = ann_probe_candidates(qv, spark, path)
-    agg = cand.groupBy("qid").agg(
-        F.min(
-            F.struct(F.round("adc_d2", 6).alias("adc_d2"), F.col("cid"))
-        ).alias("nn")
-    )
-    out = agg.select(
-        "qid",
-        F.col("nn.cid").alias("nn_cid"),
-        F.col("nn.adc_d2").alias("adc_d2"),
-    )
+        path = _ivfpq_store(spark, sf_dir)
+        qv = embeddings_stream(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        cand = ann_probe_candidates(qv, spark, path)
+        agg = cand.groupBy("qid").agg(
+            F.min(
+                F.struct(F.round("adc_d2", 6).alias("adc_d2"), F.col("cid"))
+            ).alias("nn")
+        )
+        out = agg.select(
+            "qid",
+            F.col("nn.cid").alias("nn_cid"),
+            F.col("nn.adc_d2").alias("adc_d2"),
+        )
+        return out
+
+    out = _stream_plan(spark, sf_dir, "ann_probe", build)
     return run_to_completion(out, "complete")

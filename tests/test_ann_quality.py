@@ -1200,3 +1200,38 @@ def test_ivf_recluster_incremental_parity_and_locality(spark, tmp_path):
     }
     assert healed and all(v >= 1_000_000 for v in healed)
     assert pq_decoded(spark, path) is not None
+
+
+def test_codebook_driver_cap_fallbacks(spark, monkeypatch):
+    """VERDICT r14 task 6: past _CODEBOOK_DRIVER_CAP_BYTES the kmeans
+    lineage cut must become a localCheckpoint (no K×dim collect
+    through the driver) and assign_nearest must drop its broadcast
+    hint — both value-identical to the driver-round-trip forms."""
+    import free_etl_spark.operators.vectors as V
+
+    emb = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            (F.col("id") % 13).cast("double"),
+        ).alias("emb"),
+    )
+    ref_cent = V.kmeans_centroids(emb, k=8, iters=2, dim=2)
+    ref_asn = V.assign_nearest(emb, ref_cent, 2, k=8)
+    ref_rows = sorted(
+        (r.vec_id, r.cent_id) for r in ref_asn.collect()
+    )
+    ref_cent_rows = sorted(
+        (r.cent_id, tuple(r.cemb)) for r in ref_cent.collect()
+    )
+
+    monkeypatch.setattr(V, "_CODEBOOK_DRIVER_CAP_BYTES", 1)
+    assert not V._codebook_fits_driver(8, 2)
+    capped_cent = V.kmeans_centroids(emb, k=8, iters=2, dim=2)
+    capped_asn = V.assign_nearest(emb, capped_cent, 2, k=8)
+    got_rows = sorted((r.vec_id, r.cent_id) for r in capped_asn.collect())
+    got_cent_rows = sorted(
+        (r.cent_id, tuple(r.cemb)) for r in capped_cent.collect()
+    )
+    assert got_cent_rows == ref_cent_rows
+    assert got_rows == ref_rows

@@ -86,12 +86,13 @@ def test_global_ntile_small_n(spark):
 
 
 @pytest.mark.parametrize("k,desc", [(5, False), (5, True), (4, False)])
-def test_ntile_boundary_rows_reproduce_sql_ntile(spark, scrambled, k, desc):
-    """Scoring rows against the k-1 boundary rows (bucket = 1 +
-    #boundaries strictly before the row in the total order) must equal
-    NTILE(k) exactly, tie-break included — the map-side form
-    orders_rfm_segmentation uses (VERDICT r14 task 3)."""
-    from free_etl_spark.operators.prefix import ntile_boundary_rows
+def test_global_ntile_boundaries_matches_sql_ntile(spark, scrambled, k, desc):
+    """The lazy boundary-scored NTILE (bucket = 1 + Σ boundaries
+    strictly before the row in the total order, boundary rows folded
+    into one broadcast array row) must equal NTILE(k) exactly,
+    tie-break included — the map-side form orders_rfm_segmentation
+    uses (VERDICT r14 task 3)."""
+    from free_etl_spark.operators.prefix import global_ntile_boundaries
 
     # v has heavy ties (id % 7), k is the unique tie-breaker
     df = scrambled.select("k", "v")
@@ -103,37 +104,53 @@ def test_ntile_boundary_rows_reproduce_sql_ntile(spark, scrambled, k, desc):
         .orderBy("k")
         .toPandas()
     )
-    n, bnd = ntile_boundary_rows(
-        df, [("v", desc), ("k", False)], k,
-        cache_tag=f"test_bnd_{k}_{desc}",
+    got = (
+        global_ntile_boundaries(
+            df, [("v", desc), ("k", False)], k, "b",
+            cache_tag=f"test_bnd_{k}_{desc}",
+        )
+        .orderBy("k")
+        .toPandas()
     )
-    assert n == df.count()
-    assert set(bnd) == set(range(1, k))
-    v, c = F.col("v"), F.col("k")
-    bucket = F.lit(1)
-    for j in sorted(bnd):
-        bv, bc = F.lit(bnd[j]["v"]), F.lit(bnd[j]["k"])
-        after_value = (v < bv) if desc else (v > bv)
-        bucket = bucket + (after_value | ((v == bv) & (c > bc))).cast("int")
-    got = df.select("k", bucket.alias("b")).orderBy("k").toPandas()
     assert (got["b"].values == ref["b"].values).all()
 
 
-def test_ntile_boundary_rows_small_and_empty(spark):
-    from free_etl_spark.operators.prefix import ntile_boundary_rows
+def test_global_ntile_boundaries_small_n_and_chaining(spark):
+    from free_etl_spark.operators.prefix import global_ntile_boundaries
 
-    # n < k: coinciding boundary ranks share rows; scoring still exact
+    # n < k: boundary ranks coincide; the multiplicity weight must
+    # still count once per j (NTILE gives bucket i to row i)
     df = spark.range(0, 3).select(F.col("id").alias("k"))
-    n, bnd = ntile_boundary_rows(
-        df, [("k", False)], 5, cache_tag="test_bnd_small"
+    got = (
+        global_ntile_boundaries(
+            df, [("k", False)], 5, "b", cache_tag="test_bnd_small"
+        )
+        .orderBy("k")
+        .toPandas()
     )
-    assert n == 3
-    assert [bnd[j]["k"] for j in (1, 2, 3, 4)] == [0, 1, 2, 2]
-    empty = df.filter("k < 0")
-    n0, b0 = ntile_boundary_rows(
-        empty, [("k", False)], 5, cache_tag="test_bnd_empty"
+    assert list(got["b"]) == [1, 2, 3]
+    # chaining two metrics stays flat (each boundary relation is a
+    # one-row cross join, no lineage nesting) and both stay exact
+    df2 = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("v")
     )
-    assert (n0, b0) == (0, {})
+    out = global_ntile_boundaries(
+        df2, [("k", False)], 5, "a", cache_tag="test_bnd_chain_a"
+    )
+    out = global_ntile_boundaries(
+        out, [("v", True), ("k", False)], 5, "b",
+        cache_tag="test_bnd_chain_b",
+        boundary_src=df2.select("v", "k"),
+    )
+    ref = df2.select(
+        "k",
+        F.ntile(5).over(Window.orderBy("k")).alias("a"),
+        F.ntile(5).over(Window.orderBy(F.desc("v"), "k")).alias("b"),
+    )
+    assert (
+        out.select("k", "a", "b").orderBy("k").collect()
+        == ref.orderBy("k").collect()
+    )
 
 
 def test_repeated_construction_is_stable_and_bounded(spark, scrambled):

@@ -20,12 +20,34 @@ import free_etl_spark.queries as q
 _STREAMING = {n for n in q.QUERIES if n.startswith("streaming_")}
 
 
+def _strip_cached_subtrees(plan: str) -> str:
+    """Remove the child plans PRINTED under InMemoryTableScan nodes:
+    they are the cached relations' build lineage, not operators this
+    query executes (the cache is read, not rebuilt), and r14's audit
+    let them inflate scan/exchange counts multiplicatively for
+    cache-heavy queries (orders_rfm_segmentation printed 128 scans
+    while executing 0 — every one nested under a cache hit)."""
+    out: list[str] = []
+    skip_depth: int | None = None
+    for line in plan.splitlines():
+        depth = len(re.match(r"^[\s:+\-*()0-9]*", line).group(0))
+        if skip_depth is not None:
+            if depth > skip_depth:
+                continue
+            skip_depth = None
+        out.append(line)
+        if "InMemoryTableScan" in line:
+            skip_depth = depth
+    return "\n".join(out)
+
+
 def audit(spark, name: str, sf_dir: str) -> dict:
     df = q.QUERIES[name](spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    full = df._jdf.queryExecution().executedPlan().toString()
     # an InMemoryTableScan prints its cached child plan (including the
     # original FileScan) inside the tree — count cache hits separately
     # and don't let their embedded scans inflate the scan count
+    plan = _strip_cached_subtrees(full)
     cache_scans = plan.count("InMemoryTableScan")
     scans = re.findall(r"FileScan parquet \S*?\[([^\]]*)\]", plan)
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
