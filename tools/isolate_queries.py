@@ -84,11 +84,23 @@ def main() -> int:
     with_intake = "--intake" in args
     args = [a for a in args if a != "--intake"]
     ratio_floor = 1.3
+    movers_mode = bool(args) and args[0] == "--movers"
     if "--ratio" in args:
         i = args.index("--ratio")
+        if i + 1 >= len(args):  # ADVICE r14: trailing --ratio crashed
+            print("--ratio requires a value", file=sys.stderr)
+            return 2
+        if not movers_mode:  # ADVICE r14: silently ignored before
+            print("--ratio is only meaningful with --movers",
+                  file=sys.stderr)
+            return 2
         ratio_floor = float(args[i + 1])
         del args[i : i + 2]
-    if args and args[0] == "--movers":
+    if movers_mode:
+        if len(args) < 2:
+            print("--movers requires a baseline stamp file",
+                  file=sys.stderr)
+            return 2
         base = json.load(open(args[1])).get("queries", {})
         targets = sorted(
             k
@@ -106,8 +118,23 @@ def main() -> int:
 
     unknown = [t for t in targets if t not in q.QUERIES]
     if unknown:
-        print(f"unknown queries: {unknown}", file=sys.stderr)
-        return 2
+        if movers_mode:
+            # ADVICE r14: stamps carry non-query keys (intake_8file_
+            # batch) whose documented ~1.4x swing can pass the mover
+            # filter — drop them with a note instead of exiting
+            print(f"skipping non-registry mover keys: {unknown}",
+                  file=sys.stderr)
+            targets = [t for t in targets if t in q.QUERIES]
+        else:
+            print(f"unknown queries: {unknown}", file=sys.stderr)
+            return 2
+    ctrl_in_targets = sorted(set(CONTROLS) & set(targets))
+    if ctrl_in_targets:
+        # ADVICE r14: a flagged control would bias the climate median
+        # upward; report it as a target and keep it out of climate
+        print(f"WARNING: CONTROLs are themselves movers/targets "
+              f"(excluded from climate): {ctrl_in_targets}",
+              file=sys.stderr)
     if not targets and not with_intake:
         print("nothing to isolate", file=sys.stderr)
         return 2
@@ -179,16 +206,27 @@ def main() -> int:
             shutil.rmtree(intake_ctx[0], ignore_errors=True)
         spark.stop()
 
+    # climate comes ONLY from controls that are not also targets
+    # (ADVICE r14: a flagged control's inflated ratio would mask real
+    # regressions by pulling the climate median up)
     ctrl_ratios = [
-        best[c] / stamp[c] for c in CONTROLS if c in best and stamp.get(c)
+        best[c] / stamp[c]
+        for c in CONTROLS
+        if c in best and stamp.get(c) and c not in targets
     ]
     climate = round(statistics.median(ctrl_ratios), 3) if ctrl_ratios else None
     report = {
         name: {
             "isolated_best": best[name],
             "stamp": stamp.get(name),
+            # *_mb_per_s is a throughput (higher is better): a
+            # ratio-to-stamp reads inverted against the climate rule,
+            # so no ratio is reported for it (ADVICE r14); the timed
+            # intake_8file_batch carries the comparable ratio
             "ratio": (
-                round(best[name] / stamp[name], 3) if stamp.get(name) else None
+                round(best[name] / stamp[name], 3)
+                if stamp.get(name) and not name.endswith("_mb_per_s")
+                else None
             ),
             "role": "control" if name in CONTROLS and name not in targets else "target",
         }
